@@ -1,0 +1,190 @@
+"""End-to-end search tests: engine vs an independent numpy oracle."""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.alignment import (
+    ConstantGapCost,
+    GlobalAlignment,
+    LinearGapCost,
+    LocalAlignment,
+    SemiGlobalAlignment,
+)
+from vectorian_tpu.sim.span import OptimizedSpanSim
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+from .helpers import WORDS, make_corpus_texts, make_embedding, word_vector
+from .oracle import gotoh_align
+
+
+@pytest.fixture(scope="module")
+def corpus_session():
+    rng = np.random.default_rng(42)
+    planted = [
+        "the old king rides the grey horse",
+        "an old queen rides a horse",
+        "the young knight walks the long road",
+    ]
+    texts, locations = make_corpus_texts(rng, n_docs=5, sents_per_doc=14, planted=planted)
+    importer = StringImporter()
+    docs = [importer(t, title=f"doc{i}") for i, t in enumerate(texts)]
+    all_words = sorted(set(WORDS) | {"old", "king", "queen", "rides", "grey",
+                                     "horse", "young", "knight", "walks",
+                                     "long", "road", "the", "a", "an"})
+    emb = make_embedding(all_words)
+    session = Session(docs, embeddings=[emb])
+    return session, emb, locations
+
+
+def oracle_scores(session, emb, partition_spec, query_words, locality, gaps_affine):
+    """Independent slice scoring: rebuild S per slice from raw word vectors
+    and run the scalar Gotoh oracle."""
+    packed = session.packed_corpus(partition_spec)
+    vocab_strings = session.vocab.tokens.strings
+    vocab_vecs = np.stack([word_vector(w) if w != "<pad>" else np.zeros(32, np.float32)
+                           for w in vocab_strings])
+    # unknown vocab words (not in embedding) -> zero
+    known = set(emb._words)
+    for i, w in enumerate(vocab_strings):
+        if w not in known:
+            vocab_vecs[i] = 0.0
+
+    def normed(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 1e-9 else v
+
+    q_vecs = np.stack([
+        word_vector(w) if w in known else np.zeros(32, np.float32)
+        for w in query_words
+    ])
+    sim_vocab = np.zeros((len(vocab_strings), len(query_words)), np.float32)
+    for i in range(len(vocab_strings)):
+        for j in range(len(query_words)):
+            sim_vocab[i, j] = float(np.dot(normed(vocab_vecs[i]), normed(q_vecs[j])))
+    # exact-match override + clip + zero pad row
+    w_to_id = {w: i for i, w in enumerate(vocab_strings)}
+    for j, w in enumerate(query_words):
+        i = w_to_id.get(w, -1)
+        if i >= 0:
+            sim_vocab[i, j] = 1.0
+    sim_vocab = np.clip(sim_vocab, 0.0, 1.0)
+    sim_vocab[0, :] = 0.0
+
+    os_, es, ot, et = gaps_affine
+    scores = np.zeros((packed.n_slices,), np.float32)
+    for sid in range(packed.n_slices):
+        d = int(packed.slice_doc[sid])
+        s0 = int(packed.slice_start[sid])
+        ln = int(packed.slice_len[sid])
+        if ln == 0:
+            continue
+        ids = session.documents[d].token_ids[s0 : s0 + ln]
+        S = sim_vocab[ids]
+        raw, _, _, _ = gotoh_align(S, os_, es, ot, et, locality)
+        scores[sid] = raw / len(query_words)
+    return scores
+
+
+@pytest.mark.parametrize(
+    "optimizer,locality,gaps",
+    [
+        (LocalAlignment(), "local", (0.0, 0.0, 0.0, 0.0)),
+        (LocalAlignment(LinearGapCost(0.3)), "local", (0.3, 0.3, 0.3, 0.3)),
+        (GlobalAlignment(ConstantGapCost(0.5)), "global", (0.5, 0.0, 0.5, 0.0)),
+        (SemiGlobalAlignment(LinearGapCost(0.2)), "semiglobal", (0.2, 0.2, 0.2, 0.2)),
+    ],
+)
+def test_recall_parity_vs_oracle(corpus_session, optimizer, locality, gaps):
+    """recall@10 parity with the oracle engine (SURVEY.md §4c)."""
+    session, emb, locations = corpus_session
+    index = session.partition("sentence").index(
+        OptimizedSpanSim(EmbeddingTokenSim(emb), optimizer)
+    )
+    query = "old king rides horse"
+    result = index.find(query, n=10, min_score=-10.0)
+    got_ids = [m.slice_id for m in result.matches]
+    got_scores = {m.slice_id: m.score for m in result.matches}
+
+    q_norm = ["old", "king", "rides", "horse"]
+    oracle = oracle_scores(session, emb, index.partition.spec, q_norm, locality, gaps)
+    want_order = np.argsort(-oracle.astype(np.float64), kind="stable")[:10]
+
+    # scores agree everywhere we matched
+    for sid in got_ids:
+        assert got_scores[sid] == pytest.approx(float(oracle[sid]), abs=2e-4)
+    # recall@10: same set (scores may tie)
+    want_set = set(int(x) for x in want_order)
+    assert len(set(got_ids) & want_set) >= 9  # allow 1 boundary tie
+
+
+def test_planted_sentences_rank_top(corpus_session):
+    session, emb, locations = corpus_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    result = index.find("the old king rides the grey horse", n=5)
+    assert len(result) >= 2
+    top = result[0]
+    packed = index.packed
+    d = int(packed.slice_doc[top.slice_id])
+    s = int(packed.slice_idx[top.slice_id])
+    assert (d, s) == locations[0]
+    assert top.score == pytest.approx(1.0, abs=1e-4)
+    # second planted sentence (partial match) should also rank high
+    found = {(int(packed.slice_doc[m.slice_id]), int(packed.slice_idx[m.slice_id]))
+             for m in result}
+    assert locations[1] in found
+
+
+def test_match_json_shape(corpus_session):
+    session, emb, locations = corpus_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    result = index.find("old king rides horse", n=3)
+    assert len(result) >= 1
+    j = result[0].to_json(context_size=10)
+    assert set(j.keys()) == {"slice", "location", "score", "metric", "regions",
+                             "omitted", "level"}
+    assert j["level"] == "word"
+    assert isinstance(j["regions"], list) and j["regions"]
+    matched = [r for r in j["regions"] if "edges" in r]
+    assert matched, "expected at least one matched region"
+    e = matched[0]["edges"][0]
+    assert set(e.keys()) == {"t", "flow", "distance", "metric"}
+    assert set(e["t"].keys()) == {"text", "index", "pos"}
+    assert 0.0 <= e["distance"] <= 1.0
+
+
+def test_min_score_and_n(corpus_session):
+    session, emb, locations = corpus_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    r = index.find("old king rides horse", n=3, min_score=0.5)
+    assert len(r) <= 3
+    for m in r:
+        assert m.score >= 0.5
+
+
+def test_interactive_requery_no_repack(corpus_session):
+    """Changing gap costs / locality must reuse the packed corpus."""
+    session, emb, locations = corpus_session
+    p = session.partition("sentence")
+    i1 = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), LocalAlignment()))
+    packed1 = i1.packed
+    i2 = p.index(
+        OptimizedSpanSim(
+            EmbeddingTokenSim(emb), GlobalAlignment(LinearGapCost(0.5))
+        )
+    )
+    assert i2.packed is packed1
+    r = i2.find("old king rides horse", n=5, min_score=-10)
+    assert len(r) >= 1
+
+
+def test_window_partition(corpus_session):
+    """Sliding sentence windows (window_size=2, step=1)."""
+    session, emb, locations = corpus_session
+    index = session.partition("sentence", 2, 1).index(EmbeddingTokenSim(emb))
+    r = index.find("old king rides horse", n=5)
+    assert len(r) >= 1
+    packed = index.packed
+    # window slices must be longer than single sentences on average
+    single = session.packed_corpus(session.partition("sentence").spec)
+    assert packed.slice_len.mean() > single.slice_len.mean()

@@ -1,0 +1,34 @@
+"""vectorian_tpu — a TPU-native brute-force sentence-search engine.
+
+A from-scratch JAX/XLA/Pallas re-architecture with the capabilities of the
+Vectorian (poke1024/vectorian): interactive index-free searches over word
+embeddings with sequence alignment (Needleman-Wunsch / Smith-Waterman /
+semiglobal), Word Mover's / Word Rotator's Distance, custom vector metrics,
+normalization flavors and span embeddings — redesigned for TPU: packed
+HBM-resident corpora, batched MXU similarity GEMMs, wavefront alignment DP
+over thousands of slices at once, and mesh sharding for multi-chip scale.
+"""
+
+__version__ = "0.1.0"
+
+from vectorian_tpu.session import LabSession, Partition, Result, Session
+from vectorian_tpu.normalization import (
+    LowercaseNormalization,
+    Normalization,
+    VanillaNormalization,
+)
+from vectorian_tpu.corpus.document import Document
+from vectorian_tpu.importers import (
+    Importer,
+    MarkdownImporter,
+    NovelImporter,
+    PlayShakespeareImporter,
+    StringImporter,
+    TextImporter,
+)
+from vectorian_tpu.utils.progress import set_verbose
+
+from vectorian_tpu import alignment, metrics, sim  # noqa: F401
+
+# alias matching the reference's dual naming (__init__.py:24-25)
+similarity = metrics

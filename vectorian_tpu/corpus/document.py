@@ -1,0 +1,216 @@
+"""Document model: token tables, spans, prepared (session-bound) documents.
+
+Reference: vectorian/corpus/document.py — storage-backed token tables
+(TokenTable:17), sliding-window span arithmetic (xspan:123-131), and
+PreparedDocument (:626), which re-indexes sentence spans through the
+normalization flavor's token mask (:641-649).
+
+Here a Document is a plain struct of numpy columns; preparing it for a
+session applies a normalization flavor (keep-mask + normalized token ids) and
+yields filtered arrays ready for corpus packing (corpus/packing.py).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def xspan(idxs, lens, i0, window_size, window_step):
+    """Token range of window ``i0`` over span-start indices ``idxs``
+    (reference corpus/document.py:123-131)."""
+    i = i0 * window_step
+    start = idxs[i]
+    j = i + window_size
+    if j <= len(idxs) - 1:
+        end = idxs[j]
+    else:
+        end = idxs[-1] + lens[-1]
+    return start, end
+
+
+def n_windows(n_units: int, window_step: int) -> int:
+    """Number of sliding windows (reference corpus/document.py:715-729)."""
+    if n_units <= 0:
+        return 0
+    k = n_units // window_step
+    if k * window_step < n_units:
+        k += 1
+    return k
+
+
+@dataclass
+class Document:
+    """An imported document: original text + token table + span tables.
+
+    Columns: ``idx``/``len`` char offsets into ``text`` (i32), ``pos``/``tag``
+    universal/fine POS strings per token; ``spans['sentence']`` holds
+    (start, end) *token* indices per sentence.
+    """
+
+    text: str
+    idx: np.ndarray  # [n] i32 char offset
+    len_: np.ndarray  # [n] i32 char length
+    pos: List[str]
+    tag: List[str]
+    spans: Dict[str, np.ndarray]  # level -> [m, 2] (token start, token end)
+    metadata: dict = field(default_factory=dict)
+    contextual_embeddings: dict = field(default_factory=dict)  # name -> [n, d]
+    unique_id: Optional[str] = None
+
+    @property
+    def n_tokens(self) -> int:
+        return int(self.idx.shape[0])
+
+    def token_text(self, i: int) -> str:
+        return self.text[self.idx[i] : self.idx[i] + self.len_[i]]
+
+    def token_texts(self) -> List[str]:
+        t = self.text
+        return [t[i : i + l] for i, l in zip(self.idx, self.len_)]
+
+    @property
+    def title(self):
+        return self.metadata.get("title", "")
+
+    @property
+    def author(self):
+        return self.metadata.get("author", "")
+
+    # --- persistence (h5 group) ---
+
+    def save_to(self, grp):
+        import h5py
+
+        str_dt = h5py.string_dtype(encoding="utf-8")
+        grp.create_dataset("idx", data=self.idx.astype(np.int32))
+        grp.create_dataset("len", data=self.len_.astype(np.int32))
+        grp.create_dataset("pos", data=np.asarray(self.pos, dtype=str_dt))
+        grp.create_dataset("tag", data=np.asarray(self.tag, dtype=str_dt))
+        sg = grp.create_group("spans")
+        for level, arr in self.spans.items():
+            sg.create_dataset(level, data=np.asarray(arr, np.int32))
+        grp.attrs["metadata"] = json.dumps(self.metadata)
+        if self.unique_id:
+            grp.attrs["unique_id"] = self.unique_id
+        if self.contextual_embeddings:
+            eg = grp.create_group("contextual")
+            for name, vecs in self.contextual_embeddings.items():
+                eg.create_dataset(name, data=np.asarray(vecs, np.float32))
+
+    @staticmethod
+    def load_from(grp, text: str) -> "Document":
+        spans = {k: np.asarray(v) for k, v in grp["spans"].items()}
+        ctx = {}
+        if "contextual" in grp:
+            ctx = {k: np.asarray(v) for k, v in grp["contextual"].items()}
+        return Document(
+            text=text,
+            idx=np.asarray(grp["idx"]),
+            len_=np.asarray(grp["len"]),
+            pos=[s.decode() if isinstance(s, bytes) else s for s in grp["pos"]],
+            tag=[s.decode() if isinstance(s, bytes) else s for s in grp["tag"]],
+            spans=spans,
+            metadata=json.loads(grp.attrs.get("metadata", "{}")),
+            unique_id=grp.attrs.get("unique_id"),
+            contextual_embeddings=ctx,
+        )
+
+
+@dataclass
+class PreparedDocument:
+    """A document bound to a session: flavor applied, tokens interned.
+
+    ``token_ids`` are vocabulary ids of the *normalized* surviving tokens;
+    ``orig_index`` maps each surviving token back to its original token index
+    (for text region reconstruction); ``spans`` are re-indexed into the
+    filtered token space (reference corpus/document.py:641-649).
+    """
+
+    doc: Document
+    doc_index: int
+    token_ids: np.ndarray  # [m] i32
+    pos_ids: np.ndarray  # [m] i8
+    tag_ids: np.ndarray  # [m] i16
+    orig_index: np.ndarray  # [m] i32
+    spans: Dict[str, np.ndarray]  # level -> [k, 2] filtered token ranges
+
+    @property
+    def n_tokens(self) -> int:
+        return int(self.token_ids.shape[0])
+
+    def n_spans(self, partition) -> int:
+        if partition.level == "token":
+            return n_windows(self.n_tokens, partition.window_step)
+        if partition.level == "document":
+            return 1 if self.n_tokens > 0 else 0
+        starts = self.spans[partition.level][:, 0]
+        n = starts.shape[0]
+        while n > 0 and starts[n - 1] >= self.n_tokens:
+            n -= 1
+        return n_windows(n, partition.window_step)
+
+    def span_ranges(self, partition) -> np.ndarray:
+        """[k, 2] (token_start, token_end) per slice of this partition."""
+        k = self.n_spans(partition)
+        out = np.zeros((k, 2), np.int32)
+        if k == 0:
+            return out
+        if partition.level == "token":
+            for i in range(k):
+                s = i * partition.window_step
+                out[i] = (s, min(s + partition.window_size, self.n_tokens))
+        elif partition.level == "document":
+            out[0] = (0, self.n_tokens)
+        else:
+            table = self.spans[partition.level]
+            idxs = table[:, 0]
+            lens = table[:, 1] - table[:, 0]
+            for i in range(k):
+                s, e = xspan(idxs, lens, i, partition.window_size, partition.window_step)
+                out[i] = (s, min(e, self.n_tokens))
+        return out
+
+
+def prepare_document(
+    doc: Document, doc_index: int, normalization, vocabulary
+) -> PreparedDocument:
+    """Apply a normalization flavor and intern tokens into the session
+    vocabulary (reference Session prepare path, session.py:58-71 +
+    FlavorBuilder corpus/corpus.py:68-192)."""
+    table = {
+        "text": doc.token_texts(),
+        "pos": list(doc.pos),
+        "tag": list(doc.tag),
+    }
+    mask = normalization.apply(table)
+    keep = np.flatnonzero(mask).astype(np.int32)
+
+    texts = [table["text"][i] for i in keep]
+    pos = [table["pos"][i] for i in keep]
+    tag = [table["tag"][i] for i in keep]
+
+    token_ids = vocabulary.intern_tokens(texts)
+    pos_ids = np.asarray([vocabulary.pos_id(p) for p in pos], np.int8)
+    tag_ids = np.asarray([vocabulary.tag_id(t) for t in tag], np.int16)
+
+    # re-index spans through the keep mask: new_start = #kept before start
+    cum = np.zeros((doc.n_tokens + 1,), np.int32)
+    np.cumsum(mask.astype(np.int32), out=cum[1:])
+    spans = {}
+    for level, arr in doc.spans.items():
+        arr = np.asarray(arr, np.int32)
+        spans[level] = np.stack([cum[arr[:, 0]], cum[arr[:, 1]]], axis=1)
+
+    return PreparedDocument(
+        doc=doc,
+        doc_index=doc_index,
+        token_ids=token_ids,
+        pos_ids=pos_ids,
+        tag_ids=tag_ids,
+        orig_index=keep,
+        spans=spans,
+    )

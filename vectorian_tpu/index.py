@@ -1,0 +1,624 @@
+"""Query construction, indexes and matches.
+
+Reference: vectorian/index.py — Query/PreparedQuery (:25-106), Match ABC +
+to_json (:249-292), CoreMatch region reconstruction (:295-379),
+BruteForceIndex thread fan-out (:509-560), SpanEncoderIndex (:679) and
+FaissCosineIndex (:733).
+
+TPU mapping: the per-document ThreadPool disappears — the packed corpus is
+scored in one batched device pass (ops/search.BruteForceEngine); the bounded
+top-k heap becomes argpartition over the full score vector; flows are
+recomputed for the global top-k only.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import namedtuple
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vectorian_tpu.alignment import resolve_affine_gaps
+from vectorian_tpu.ops.alignment import AffineGapParams
+from vectorian_tpu.ops.search import (
+    BruteForceEngine,
+    TagWeightingSpec,
+    reference_score,
+)
+from vectorian_tpu.ops.simmatrix import compile_similarity
+from vectorian_tpu.session import Result
+
+Region = namedtuple("Region", ["s", "match", "gap_penalty"])
+TokenMatch = namedtuple("TokenMatch", ["pos_s", "edges"])
+TokenMatchEdge = namedtuple("TokenMatchEdge", ["t", "flow", "distance", "metric"])
+TokenMatchT = namedtuple("TokenMatchT", ["text", "index", "pos"])
+
+
+class Query:
+    """An unprepared query (reference index.py:25-54)."""
+
+    def __init__(self, index, text: str, options: dict):
+        self._index = index
+        self._text = text
+        self._options = options
+
+    @property
+    def index(self):
+        return self._index
+
+    @property
+    def text(self):
+        return self._text
+
+    @property
+    def options(self):
+        return self._options
+
+    def prepare(self, nlp):
+        return PreparedQuery(self, nlp)
+
+
+class PreparedQuery:
+    """NLP-parsed, normalized query bound to the session vocabulary
+    (reference index.py:56-106 + core Query::initialize query.cpp:32-154)."""
+
+    def __init__(self, query: Query, nlp):
+        self._query = query
+        session = query.index.session
+        doc = nlp(query.text)
+        j = doc.to_json() if hasattr(doc, "to_json") else doc
+
+        tokens = j["tokens"]
+        table = {
+            "text": [query.text[t["start"] : t["end"]] for t in tokens],
+            "pos": [t.get("pos", "X") for t in tokens],
+            "tag": [t.get("tag", "XX") for t in tokens],
+        }
+        char_spans = [(t["start"], t["end"]) for t in tokens]
+        mask = session.normalization.apply(table)
+
+        # query-side pos/tag filters (reference index.py:78-83): tokens whose
+        # pos/tag is listed are excluded from the needle.
+        pos_filter = set(query.options.get("pos_filter") or ())
+        tag_filter = set(query.options.get("tag_filter") or ())
+        for i in range(len(tokens)):
+            if table["pos"][i] in pos_filter or table["tag"][i] in tag_filter:
+                mask[i] = False
+
+        keep = np.flatnonzero(mask)
+        self.token_strings = [table["text"][i] for i in keep]
+        self.token_pos = [table["pos"][i] for i in keep]
+        self.token_tag = [table["tag"][i] for i in keep]
+        self.char_spans = [char_spans[i] for i in keep]
+        self.all_char_spans = char_spans
+        self.kept = keep
+        # corpus vocab ids (-1 if OOV — the reference's incremental query
+        # vocab; OOV tokens still get metric rows via their own vectors)
+        self.token_ids = session.vocab.tokens.lookup_many(self.token_strings)
+        self.pos_ids = np.asarray(
+            [session.vocab.pos_id(p) for p in self.token_pos], np.int8
+        )
+
+    @property
+    def query(self):
+        return self._query
+
+    @property
+    def text(self):
+        return self._query.text
+
+    @property
+    def options(self):
+        return self._query.options
+
+    @property
+    def n_tokens(self):
+        return len(self.token_strings)
+
+
+class Match:
+    """A single search hit; JSON shape mirrors reference index.py:249-292."""
+
+    def __init__(
+        self,
+        index: "Index",
+        query: PreparedQuery,
+        slice_id: int,
+        score: float,
+        metric: str = "",
+        mapping: Optional[np.ndarray] = None,
+        similarities: Optional[np.ndarray] = None,
+        level: str = "word",
+    ):
+        self._index = index
+        self._query = query
+        self._slice_id = int(slice_id)
+        self._score = float(score)
+        self._metric = metric
+        self._mapping = mapping
+        self._similarities = similarities
+        self._level = level
+
+    @property
+    def index(self):
+        return self._index
+
+    @property
+    def query(self):
+        return self._query
+
+    @property
+    def slice_id(self):
+        return self._slice_id
+
+    @property
+    def score(self):
+        return self._score
+
+    @property
+    def metric(self):
+        return self._metric
+
+    @property
+    def level(self):
+        return self._level
+
+    @property
+    def prepared_doc(self):
+        packed = self._index.packed
+        return self._index.session.documents[int(packed.slice_doc[self._slice_id])]
+
+    @property
+    def doc(self):
+        return self.prepared_doc.doc
+
+    @property
+    def slice_span(self):
+        """(token_start, token_len) of the matched slice in filtered space."""
+        packed = self._index.packed
+        return (
+            int(packed.slice_start[self._slice_id]),
+            int(packed.slice_len[self._slice_id]),
+        )
+
+    @property
+    def flow(self):
+        """Injective flow dict (reference InjectiveFlow.to_py,
+        match/flow.cpp:191-216): {'type': 'injective', 'target', 'flow',
+        'distance'} per query token."""
+        if self._mapping is None:
+            return None
+        t = np.asarray(self._mapping, np.int32)
+        flow = (t >= 0).astype(np.float32)
+        dist = np.where(
+            t >= 0,
+            1.0 - (self._similarities if self._similarities is not None else 0.0),
+            1.0,
+        ).astype(np.float32)
+        return {"type": "injective", "target": t, "flow": flow, "distance": dist}
+
+    @property
+    def omitted(self) -> List[str]:
+        if self._mapping is None:
+            return []
+        out = []
+        for jt, s in enumerate(self._mapping):
+            if s < 0 and jt < len(self._query.char_spans):
+                c0, c1 = self._query.char_spans[jt]
+                out.append(self._query.text[c0:c1])
+        return out
+
+    def regions(self, context_size: int = 10) -> List[Region]:
+        """Reconstruct text regions (reference Flow::py_regions,
+        match/flow.cpp:8-167): context, gap runs with penalties, matched
+        tokens with query-token edges."""
+        pd = self.prepared_doc
+        doc = pd.doc
+        start, length = self.slice_span
+        mapping = self._mapping if self._mapping is not None else np.array([], np.int32)
+
+        # s offset (relative) -> list of t indices
+        s_to_t: Dict[int, List[int]] = {}
+        for jt, s in enumerate(mapping):
+            if s >= 0:
+                s_to_t.setdefault(int(s), []).append(jt)
+
+        def char_range(f_lo, f_hi):
+            # filtered token positions [f_lo, f_hi) -> char range in doc text
+            o_lo = pd.orig_index[start + f_lo]
+            o_hi = pd.orig_index[start + f_hi - 1]
+            c0 = int(doc.idx[o_lo])
+            c1 = int(doc.idx[o_hi] + doc.len_[o_hi])
+            return c0, c1
+
+        regions: List[Region] = []
+        text = doc.text
+        if length == 0:
+            return regions
+
+        # leading context
+        c0, _ = char_range(0, 1)
+        ctx0 = max(0, c0 - context_size)
+        if ctx0 < c0:
+            regions.append(Region(s=text[ctx0:c0], match=None, gap_penalty=0.0))
+
+        gaps = self._index.gap_costs()
+        i = 0
+        while i < length:
+            if i in s_to_t:
+                edges = []
+                for jt in s_to_t[i]:
+                    c0q, c1q = self._query.char_spans[jt]
+                    sim = (
+                        float(self._similarities[jt])
+                        if self._similarities is not None
+                        else 0.0
+                    )
+                    edges.append(
+                        TokenMatchEdge(
+                            t=TokenMatchT(
+                                text=self._query.text[c0q:c1q],
+                                index=jt,
+                                pos=self._query.token_pos[jt],
+                            ),
+                            flow=1.0,
+                            distance=1.0 - sim,
+                            metric=self._metric,
+                        )
+                    )
+                c0, c1 = char_range(i, i + 1)
+                o = pd.orig_index[start + i]
+                pos_s = doc.pos[o]
+                regions.append(
+                    Region(
+                        s=text[c0:c1],
+                        match=TokenMatch(pos_s=pos_s, edges=edges),
+                        gap_penalty=0.0,
+                    )
+                )
+                i += 1
+            else:
+                i0 = i
+                while i < length and i not in s_to_t:
+                    i += 1
+                c0, c1 = char_range(i0, i)
+                gap_len = i - i0
+                penalty = float(gaps["s"].costs(gap_len + 1)[gap_len]) if gaps else 0.0
+                regions.append(Region(s=text[c0:c1], match=None, gap_penalty=penalty))
+
+        # trailing context
+        _, c1 = char_range(length - 1, length)
+        ctx1 = min(len(text), c1 + context_size)
+        if c1 < ctx1:
+            regions.append(Region(s=text[c1:ctx1], match=None, gap_penalty=0.0))
+        return regions
+
+    def to_json(self, context_size: int = 10) -> dict:
+        packed = self._index.packed
+        pd = self.prepared_doc
+        slice_idx = int(packed.slice_idx[self._slice_id])
+        location = dict(pd.doc.metadata)
+        location.pop("locations", None)
+        locations = pd.doc.metadata.get("locations")
+        if locations and slice_idx < len(locations):
+            location.update(locations[slice_idx])
+        location["slice_start"] = int(packed.slice_start[self._slice_id])
+        location["slice_len"] = int(packed.slice_len[self._slice_id])
+
+        regions = []
+        for region in self.regions(context_size):
+            if region.match:
+                regions.append(
+                    dict(
+                        s=region.s,
+                        pos_s=region.match.pos_s,
+                        edges=[
+                            {
+                                "t": {
+                                    "text": e.t.text,
+                                    "index": e.t.index,
+                                    "pos": e.t.pos,
+                                },
+                                "flow": e.flow,
+                                "distance": e.distance,
+                                "metric": e.metric,
+                            }
+                            for e in region.match.edges
+                        ],
+                    )
+                )
+            else:
+                regions.append(dict(s=region.s, gap_penalty=region.gap_penalty))
+
+        return dict(
+            slice=slice_idx,
+            location=location,
+            score=self._score,
+            metric=self._metric,
+            regions=regions,
+            omitted=self.omitted,
+            level=self._level,
+        )
+
+
+class Index:
+    """Base index (reference index.py:406-506)."""
+
+    def __init__(self, partition, nlp=None):
+        self._partition = partition
+        self._session = partition.session
+        self._nlp = nlp if nlp is not None else self._session.nlp
+
+    @property
+    def partition(self):
+        return self._partition
+
+    @property
+    def session(self):
+        return self._session
+
+    @property
+    def packed(self):
+        return self._session.packed_corpus(self._partition.spec)
+
+    def make_query(self, text: str, n: int = 100, min_score: float = 0.2, **kwargs):
+        """reference index.py:461-477: n -> max_matches."""
+        options = dict(kwargs)
+        options["max_matches"] = n
+        options["min_score"] = min_score
+        options["partition"] = self._partition.to_args()
+        return Query(self, text, options)
+
+    def find(
+        self,
+        text: str,
+        n: int = 100,
+        min_score: float = 0.2,
+        debug=None,
+        disable_progress=False,
+        run_task=None,
+        **kwargs,
+    ) -> Result:
+        """reference index.py:479-501."""
+        start_time = time.time()
+        query = self.make_query(text, n=n, min_score=min_score, debug=debug, **kwargs)
+        prepared = query.prepare(self._nlp)
+        matches = self._find(prepared)
+        return Result(self, matches, time.time() - start_time)
+
+    def _find(self, query: PreparedQuery) -> List[Match]:
+        raise NotImplementedError()
+
+    def gap_costs(self):
+        return None
+
+
+class BruteForceIndex(Index):
+    """Index-free brute-force search over all slices — the reference's
+    flagship path (index.py:509-560), executed as one batched device pass."""
+
+    def __init__(self, partition, span_sim, nlp=None, **kwargs):
+        super().__init__(partition, nlp=nlp)
+        self._span_sim = span_sim
+        self._engine: BruteForceEngine = self._session.engine(partition.spec)
+        args = span_sim.to_args(self)
+        self._args = args
+        alignment = args["alignment"]
+        if alignment["algorithm"] != "alignment":
+            # transport algorithms route to the transport engine
+            from vectorian_tpu.ops import transport  # noqa: F401
+
+            self._algorithm = alignment["algorithm"]
+        else:
+            self._algorithm = "alignment"
+        self._locality = alignment.get("locality", "local")
+        self._gap_s = alignment.get("gap_s")
+        self._gap_t = alignment.get("gap_t")
+
+    @property
+    def span_sim(self):
+        return self._span_sim
+
+    def gap_costs(self):
+        if self._gap_s is None:
+            return None
+        return {"s": self._gap_s, "t": self._gap_t}
+
+    def _affine_gaps(self) -> AffineGapParams:
+        affine = resolve_affine_gaps(self._gap_s, self._gap_t)
+        if affine is None:
+            raise NotImplementedError(
+                "general (non-affine) gap costs require the general-gap DP "
+                "path; use Constant/Linear/Affine gap costs"
+            )
+        o_s, e_s, o_t, e_t = affine
+        return AffineGapParams.of(o_s, e_s, o_t, e_t)
+
+    def _tag_weighting(self, query: PreparedQuery) -> Optional[TagWeightingSpec]:
+        tw = self._args.get("tag_weights")
+        if not tw:
+            return None
+        weights = np.asarray(
+            [float(tw.get(t, 0.0)) for t in query.token_tag], np.float32
+        )
+        return TagWeightingSpec(
+            t_pos_weights=weights,
+            pos_t=query.pos_ids,
+            pos_mismatch_penalty=float(self._args.get("pos_mismatch_penalty", 1.0)),
+            similarity_threshold=float(self._args.get("similarity_threshold", 0.0)),
+        )
+
+    def _find(self, query: PreparedQuery) -> List[Match]:
+        opts = query.options
+        debug = opts.get("debug")
+        n = int(opts.get("max_matches", 100))
+        min_score = float(opts.get("min_score", 0.2))
+        submatch_weight = float(opts.get("submatch_weight", 0.0))
+        booster = opts.get("booster")
+
+        if query.n_tokens == 0:
+            return []
+        if self._algorithm != "alignment":
+            return self._find_transport(query)
+
+        token_sim = self._args["metric"]["token_sim"]
+        sim = compile_similarity(
+            token_sim,
+            self._session.compiled_embeddings,
+            query.token_ids,
+            query.token_strings,
+        )
+        sim_vocab = sim["similarity"]  # [V, T]
+        if debug:
+            debug("static_similarity_matrix", {"similarity": np.asarray(sim_vocab)})
+
+        T = query.n_tokens
+        tagw = self._tag_weighting(query)
+        norm_total = tagw.total if tagw is not None else float(T)
+        gaps = self._affine_gaps()
+
+        boost = None
+        if booster is not None:
+            boost = booster.compile(self._session, self._partition, query)
+
+        scores = self._engine.score_all(
+            sim_vocab,
+            T,
+            gaps,
+            self._locality,
+            norm_total,
+            boost=boost,
+            tag_weights=tagw,
+        )
+        if debug:
+            debug("scores", {"scores": scores})
+
+        overfetch = n if submatch_weight == 0.0 else 4 * n
+        top = self._engine.top_k(scores, overfetch, min_score=min_score)
+        if not top:
+            return []
+
+        mappings = self._engine.rescore_with_flows(
+            top, sim_vocab, T, gaps, self._locality, tag_weights=tagw
+        )
+
+        sim_np = np.asarray(sim_vocab)
+        matches = []
+        packed = self._engine.packed
+        for sid, mapping in zip(top, mappings):
+            # per-edge similarity (unmodified, i.e. before tag weighting —
+            # reference ScoreComputer, metric/alignment.h:307-352)
+            tok, _ = self._engine._slice_tokens(sid)
+            sims = np.zeros((T,), np.float32)
+            for jt, s in enumerate(mapping):
+                if s >= 0:
+                    sims[jt] = sim_np[int(tok[s]), jt]
+            score = float(scores[sid])
+            if submatch_weight != 0.0:
+                # exact rescore: matched max-sims vs total
+                if tagw is not None:
+                    max_sims = tagw.t_pos_weights
+                else:
+                    max_sims = np.ones((T,), np.float32)
+                matched = float(np.sum(max_sims[mapping >= 0]))
+                total = float(np.sum(max_sims))
+                raw = score * norm_total  # invert the device normalization
+                ref = reference_score(total, matched, submatch_weight)
+                score = raw / ref if ref > 0 else 0.0
+            if debug:
+                debug(
+                    "alignment",
+                    {"slice": sid, "flow": mapping, "score": score},
+                )
+            matches.append(
+                Match(
+                    self,
+                    query,
+                    slice_id=sid,
+                    score=score,
+                    metric=token_sim.name,
+                    mapping=mapping,
+                    similarities=sims,
+                )
+            )
+        matches.sort(
+            key=lambda m: (
+                -m.score,
+                int(packed.slice_doc[m.slice_id]),
+                int(packed.slice_idx[m.slice_id]),
+            )
+        )
+        matches = [m for m in matches if m.score >= min_score]
+        return matches[:n]
+
+    def _find_transport(self, query: PreparedQuery) -> List[Match]:
+        from vectorian_tpu.ops.transport import TransportEngine
+
+        token_sim = self._args["metric"]["token_sim"]
+        needs_mag = self._args["alignment"]["algorithm"] == "word-rotators-distance"
+        sim = compile_similarity(
+            token_sim,
+            self._session.compiled_embeddings,
+            query.token_ids,
+            query.token_strings,
+            needs_magnitudes=needs_mag,
+        )
+        engine = TransportEngine(self._engine, self._args["alignment"])
+        return engine.find(self, query, sim)
+
+
+class SpanEncoderIndex(Index):
+    """Span-embedding search: encode all slices once, then query = one GEMM
+    + top-k (reference SpanEncoderIndex index.py:679-730; also subsumes
+    FaissCosineIndex :733-767 — brute-force GEMM beats an ANN index at
+    corpus sizes where both fit in HBM)."""
+
+    def __init__(self, partition, span_sim, nlp=None, **kwargs):
+        super().__init__(partition, nlp=nlp)
+        self._span_sim = span_sim
+        self._encoder = span_sim.embedding.create_encoder(self._session)
+        self._corpus_vecs = None
+
+    def _corpus_vectors(self):
+        if self._corpus_vecs is None:
+            self._corpus_vecs = self._encoder.encode_corpus(
+                self._session, self._partition
+            )
+        return self._corpus_vecs
+
+    def _find(self, query: PreparedQuery) -> List[Match]:
+        import jax.numpy as jnp
+
+        from vectorian_tpu.embedding.vectors import Vectors
+
+        opts = query.options
+        n = int(opts.get("max_matches", 100))
+        min_score = float(opts.get("min_score", 0.2))
+
+        corpus_vecs = self._corpus_vectors()  # Vectors [S, d]
+        qv = self._encoder.encode_text(query.text)  # Vectors [1, d]
+        sims = self._span_sim.vector_sim.compute(corpus_vecs, qv)  # [S, 1]
+        sims = np.asarray(sims)[:, 0]
+        k = min(n, sims.shape[0])
+        cand = np.argpartition(-sims, k - 1)[:k]
+        packed = self.packed
+        order = np.lexsort(
+            (packed.slice_idx[cand], packed.slice_doc[cand], -sims[cand].astype(np.float64))
+        )
+        out = []
+        for sid in cand[order]:
+            score = float(sims[sid])
+            if score < min_score:
+                continue
+            out.append(
+                Match(
+                    self,
+                    query,
+                    slice_id=int(sid),
+                    score=score,
+                    metric=self._span_sim.vector_sim.name,
+                    level="span",
+                )
+            )
+        return out[:n]

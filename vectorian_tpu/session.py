@@ -1,0 +1,294 @@
+"""Session: binds corpus + embeddings + normalization; owns compiled state.
+
+Reference: vectorian/session.py — Session.__init__ prepares all documents,
+builds the core Vocabulary/EmbeddingManager and compiles static embeddings
+once (session.py:165-198); Partition carries (level, window_size,
+window_step) with frequencies and index construction (session.py:85-145).
+
+TPU mapping: "compiling" an embedding materializes its (vocab x dim) matrix
+as device arrays (ops/simmatrix.CompiledEmbedding); "preparing" a partition
+packs the corpus into length-bucketed HBM arrays (corpus/packing) plus a
+BruteForceEngine — both cached per (level, window_size, window_step).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vectorian_tpu.corpus.document import Document, PreparedDocument, prepare_document
+from vectorian_tpu.corpus.packing import Partition as PartitionSpec
+from vectorian_tpu.corpus.packing import PackedCorpus, pack_corpus
+from vectorian_tpu.normalization import VanillaNormalization
+from vectorian_tpu.ops.search import BruteForceEngine
+from vectorian_tpu.ops.simmatrix import CompiledEmbedding
+from vectorian_tpu.utils.nlp import SimpleNLP
+from vectorian_tpu.utils.progress import progress as _progress
+from vectorian_tpu.vocabulary import Vocabulary
+
+
+class Result:
+    """An ordered list of matches (reference session.py:24-55)."""
+
+    def __init__(self, index, matches, duration: float):
+        self._index = index
+        self._matches = list(matches)
+        self._duration = duration
+
+    @property
+    def index(self):
+        return self._index
+
+    @property
+    def matches(self):
+        return self._matches
+
+    @property
+    def duration(self):
+        return self._duration
+
+    def __len__(self):
+        return len(self._matches)
+
+    def __iter__(self):
+        return iter(self._matches)
+
+    def __getitem__(self, i):
+        return self._matches[i]
+
+    def to_json(self, context_size=10):
+        return [m.to_json(context_size) for m in self._matches]
+
+    def _repr_html_(self):  # pragma: no cover
+        from vectorian_tpu.render.render import Renderer
+        from vectorian_tpu.render.excerpt import ExcerptRenderer
+
+        return Renderer([ExcerptRenderer()]).to_html(self)
+
+
+class Frequencies:
+    """Corpus tf/df/tf-idf statistics per partition (reference
+    vocabulary.h:439-497, vocabulary.cpp:72-126)."""
+
+    def __init__(self, session: "Session", partition: "Partition"):
+        self._session = session
+        self._partition = partition
+        V = len(session.vocab)
+        tf = np.zeros((V,), np.float64)
+        df = np.zeros((V,), np.float64)
+        packed = session.packed_corpus(partition.spec)
+        for pd in session.documents:
+            ids = pd.token_ids
+            if ids.size == 0:
+                continue
+            counts = np.bincount(ids, minlength=V)
+            tf += counts
+            df += counts > 0
+        self._tf = tf
+        self._df = df
+        self._n_docs = len(session.documents)
+
+    @property
+    def tf(self) -> np.ndarray:
+        return self._tf
+
+    @property
+    def df(self) -> np.ndarray:
+        return self._df
+
+    @property
+    def tf_idf(self) -> np.ndarray:
+        """tf * log(n_docs / (1 + df)) — vocabulary.cpp:72-81."""
+        with np.errstate(divide="ignore"):
+            return self._tf * np.log(self._n_docs / (1.0 + self._df))
+
+    def token_tf(self, token: str) -> float:
+        i = self._session.vocab.tokens.get(token)
+        return float(self._tf[i]) if i >= 0 else 0.0
+
+    def token_tf_idf(self, token: str) -> float:
+        i = self._session.vocab.tokens.get(token)
+        return float(self.tf_idf[i]) if i >= 0 else 0.0
+
+
+class Partition:
+    """A partition bound to a session (reference session.py:85-145)."""
+
+    def __init__(self, session: "Session", level: str, window_size: int, window_step: int):
+        self._session = session
+        self._spec = PartitionSpec(level, window_size, window_step)
+
+    @property
+    def session(self):
+        return self._session
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return self._spec
+
+    @property
+    def level(self):
+        return self._spec.level
+
+    @property
+    def window_size(self):
+        return self._spec.window_size
+
+    @property
+    def window_step(self):
+        return self._spec.window_step
+
+    @property
+    def contiguous(self):
+        return self._spec.contiguous
+
+    @property
+    def freq(self) -> Frequencies:
+        return Frequencies(self._session, self)
+
+    def index(self, span_sim, nlp=None, **kwargs):
+        """Create a searchable index over this partition (reference
+        session.py:134-142)."""
+        from vectorian_tpu.sim.span import SpanSim
+        from vectorian_tpu.sim.token import TokenSim
+        from vectorian_tpu.sim.span import OptimizedSpanSim
+
+        if isinstance(span_sim, TokenSim):
+            span_sim = OptimizedSpanSim(span_sim)
+        if not isinstance(span_sim, SpanSim):
+            raise TypeError(f"expected SpanSim or TokenSim, got {span_sim!r}")
+        return span_sim.create_index(self, nlp=nlp, **kwargs)
+
+    def to_args(self):
+        return {
+            "level": self.level,
+            "window_size": self.window_size,
+            "window_step": self.window_step,
+        }
+
+
+class Session:
+    """An interactive search session (reference session.py:165-198)."""
+
+    def __init__(
+        self,
+        docs: Sequence[Document],
+        embeddings=(),
+        normalization=None,
+        nlp=None,
+    ):
+        if normalization is None:
+            normalization = VanillaNormalization()
+        self._normalization = normalization
+        self._nlp = nlp if nlp is not None else SimpleNLP()
+        self._vocab = Vocabulary()
+
+        docs = list(docs)
+        self._documents: List[PreparedDocument] = []
+        for i, doc in enumerate(_progress(docs, desc="preparing docs")):
+            self._documents.append(
+                prepare_document(doc, i, normalization, self._vocab)
+            )
+
+        self._embeddings = list(embeddings)
+        self._compiled: Dict[str, CompiledEmbedding] = {}
+        vocab_strings = self._vocab.tokens.strings
+        for emb in _progress(self._embeddings, desc="compiling embeddings"):
+            if emb.is_static:
+                encoder = emb.create_encoder(normalization)
+                self._compiled[emb.name] = CompiledEmbedding(
+                    emb.name, encoder, vocab_strings
+                )
+
+        self._packed_cache: Dict[PartitionSpec, PackedCorpus] = {}
+        self._engine_cache: Dict[PartitionSpec, BruteForceEngine] = {}
+
+    @property
+    def documents(self) -> List[PreparedDocument]:
+        return self._documents
+
+    @property
+    def vocab(self) -> Vocabulary:
+        return self._vocab
+
+    @property
+    def nlp(self):
+        return self._nlp
+
+    @property
+    def normalization(self):
+        return self._normalization
+
+    @property
+    def embeddings(self):
+        return self._embeddings
+
+    @property
+    def compiled_embeddings(self) -> Dict[str, CompiledEmbedding]:
+        return self._compiled
+
+    def partition(self, level: str = "sentence", window_size: int = 1, window_step: int = 1) -> Partition:
+        return Partition(self, level, window_size, window_step)
+
+    def packed_corpus(self, spec: PartitionSpec) -> PackedCorpus:
+        packed = self._packed_cache.get(spec)
+        if packed is None:
+            packed = pack_corpus(self._documents, spec)
+            self._packed_cache[spec] = packed
+        return packed
+
+    def engine(self, spec: PartitionSpec) -> BruteForceEngine:
+        eng = self._engine_cache.get(spec)
+        if eng is None:
+            eng = BruteForceEngine(self.packed_corpus(spec))
+            self._engine_cache[spec] = eng
+        return eng
+
+    # ---- introspection helpers (reference session.py:263-325) ----
+
+    def word_vec(self, embedding, word: str) -> np.ndarray:
+        comp = self._compiled.get(embedding.name)
+        if comp is None:
+            encoder = embedding.create_encoder(self._normalization)
+            return encoder.word_vec(word)
+        w = self._normalization.normalize_word(word)
+        return np.asarray(comp.encoder.word_vec(w if w else word))
+
+    def similarity(self, token_sim, a: str, b: str) -> float:
+        """Similarity of two words under a token sim spec."""
+        from vectorian_tpu.embedding.vectors import Vectors
+        from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+        if isinstance(token_sim, EmbeddingTokenSim):
+            va = self.word_vec(token_sim.embedding, a)[None]
+            vb = self.word_vec(token_sim.embedding, b)[None]
+            out = token_sim.metric.compute(Vectors(va), Vectors(vb))
+            return float(np.asarray(out)[0, 0])
+        raise TypeError(token_sim)
+
+    def run_query(self, find, query):
+        start = time.time()
+        matches = find(query)
+        return Result(None, matches, time.time() - start)
+
+
+class LabSession(Session):
+    """Session with notebook progress displays (reference
+    session.py:398-459); falls back to plain Session outside IPython."""
+
+    def run_query(self, find, query):  # pragma: no cover
+        try:
+            import ipywidgets  # noqa
+            from IPython.display import display
+        except ImportError:
+            return super().run_query(query=query, find=find)
+        start = time.time()
+        progress = ipywidgets.FloatProgress(value=0, min=0, max=1, description="")
+        display(progress)
+        try:
+            matches = find(query)
+        finally:
+            progress.close()
+        return Result(None, matches, time.time() - start)

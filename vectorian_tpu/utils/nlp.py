@@ -1,0 +1,126 @@
+"""Minimal spaCy-compatible NLP fallback.
+
+The reference requires spaCy>=3 for importing documents
+(vectorian/importers.py:158-252).  spaCy is not available in every
+deployment, so we provide a small tokenizer/sentencizer producing the same
+token attributes the engine consumes (text offsets, universal POS, fine tag,
+sentence boundaries).  Any object with a spaCy-like ``__call__``/``pipe``
+returning docs with ``to_json()`` of the same shape (tokens with
+start/end/pos/tag, sents with start/end) can be used instead — including a
+real spaCy pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List
+
+_TOKEN_RE = re.compile(r"\w+(?:'\w+)?|[^\w\s]", re.UNICODE)
+_SENT_END_RE = re.compile(r"([.!?]+)(\s+|$)")
+
+_DET = {"the", "a", "an", "this", "that", "these", "those"}
+_PRON = {"i", "you", "he", "she", "it", "we", "they", "me", "him", "her",
+         "us", "them", "my", "your", "his", "its", "our", "their"}
+_ADP = {"of", "in", "on", "at", "by", "with", "from", "to", "for", "into",
+        "over", "under", "about", "through"}
+_CCONJ = {"and", "or", "but", "nor", "yet"}
+_AUX = {"is", "are", "was", "were", "be", "been", "am", "has", "have", "had",
+        "do", "does", "did", "will", "would", "shall", "should", "can",
+        "could", "may", "might", "must"}
+
+_POS_TO_TAG = {
+    "NOUN": "NN", "PROPN": "NNP", "VERB": "VB", "ADJ": "JJ", "ADV": "RB",
+    "PRON": "PRP", "DET": "DT", "ADP": "IN", "NUM": "CD", "PUNCT": ".",
+    "CCONJ": "CC", "AUX": "MD", "X": "XX", "SYM": "SYM",
+}
+
+
+def _guess_pos(tok: str, is_sent_start: bool) -> str:
+    if not tok:
+        return "X"
+    c0 = tok[0]
+    if not (c0.isalnum() or c0 == "_"):
+        return "PUNCT"
+    low = tok.lower()
+    if tok.replace(".", "").replace(",", "").isdigit():
+        return "NUM"
+    if low in _DET:
+        return "DET"
+    if low in _PRON:
+        return "PRON"
+    if low in _ADP:
+        return "ADP"
+    if low in _CCONJ:
+        return "CCONJ"
+    if low in _AUX:
+        return "AUX"
+    if tok[0].isupper() and not is_sent_start:
+        return "PROPN"
+    if low.endswith(("ly",)):
+        return "ADV"
+    if low.endswith(("ing", "ed", "ize", "ise")):
+        return "VERB"
+    if low.endswith(("ous", "ful", "ive", "able", "al", "ish")):
+        return "ADJ"
+    return "NOUN"
+
+
+@dataclass
+class SimpleDoc:
+    text: str
+    tokens: List[dict] = field(default_factory=list)  # {start,end,pos,tag}
+    sents: List[dict] = field(default_factory=list)  # {start,end} char offsets
+
+    def to_json(self):
+        return {"text": self.text, "tokens": self.tokens, "sents": self.sents}
+
+
+class SimpleNLP:
+    """Regex tokenizer + heuristic POS tagger + punctuation sentencizer."""
+
+    def __call__(self, text: str) -> SimpleDoc:
+        doc = SimpleDoc(text=text)
+        # sentence boundaries
+        sent_bounds = []
+        pos0 = 0
+        for m in _SENT_END_RE.finditer(text):
+            end = m.end(1)
+            if end > pos0:
+                sent_bounds.append((pos0, end))
+            pos0 = m.end()
+        if pos0 < len(text) and text[pos0:].strip():
+            sent_bounds.append((pos0, len(text)))
+        if not sent_bounds and text.strip():
+            sent_bounds.append((0, len(text)))
+
+        sent_starts = set()
+        for s0, s1 in sent_bounds:
+            doc.sents.append({"start": s0, "end": s1})
+
+        # first token of each sentence
+        for s0, s1 in sent_bounds:
+            m = _TOKEN_RE.search(text, s0, s1)
+            if m:
+                sent_starts.add(m.start())
+
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group(0)
+            pos = _guess_pos(tok, m.start() in sent_starts)
+            doc.tokens.append(
+                {
+                    "start": m.start(),
+                    "end": m.end(),
+                    "pos": pos,
+                    "tag": _POS_TO_TAG.get(pos, "XX"),
+                }
+            )
+        return doc
+
+    def pipe(self, texts, **kwargs):
+        for t in texts:
+            yield self(t)
+
+    @property
+    def meta(self):
+        return {"name": "simple-nlp", "lang": "xx"}
