@@ -1,0 +1,86 @@
+"""Multi-chip data-parallel search over a jax.sharding.Mesh.
+
+The reference scales with a document-level ThreadPool on one shared-memory
+node (vectorian/index.py:514-560).  The TPU-native scale-out shards the
+packed slice arrays over the mesh's 'data' axis: each chip gathers and
+aligns its shard of slices against the replicated (vocab x needle)
+similarity matrix, computes a local top-k, and the global top-k merge rides
+the ICI via XLA's inserted collectives (SURVEY.md §2.4) — the
+`ResultSet.extend` merge (result_set.h:70-93) becomes one all-gather of
+(score, slice-id) pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vectorian_tpu.ops.alignment import AffineGapParams, align_scores
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+class MeshSearch:
+    """Data-parallel bucket scoring + global top-k over a device mesh."""
+
+    def __init__(self, mesh: Optional[Mesh] = None):
+        self._mesh = mesh if mesh is not None else make_mesh()
+        axis = self._mesh.axis_names[0]
+        self._sharded = NamedSharding(self._mesh, P(axis))
+        self._replicated = NamedSharding(self._mesh, P())
+
+    @property
+    def mesh(self) -> Mesh:
+        return self._mesh
+
+    @property
+    def n_devices(self) -> int:
+        return int(np.prod(self._mesh.devices.shape))
+
+    def shard_bucket(self, token_ids: np.ndarray, lengths: np.ndarray):
+        """Place padded bucket arrays sharded along the slice axis.
+        Rows must be padded to a multiple of the mesh size."""
+        n = token_ids.shape[0]
+        pad = (-n) % self.n_devices
+        tok = np.pad(token_ids, ((0, pad), (0, 0)))
+        ln = np.pad(lengths, (0, pad))
+        return (
+            jax.device_put(tok, self._sharded),
+            jax.device_put(ln, self._sharded),
+        )
+
+    def put_replicated(self, x):
+        return jax.device_put(np.asarray(x), self._replicated)
+
+    @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
+    def score_topk(
+        self,
+        token_ids: jnp.ndarray,  # [N, L] sharded over 'data'
+        lengths: jnp.ndarray,  # [N] sharded
+        sim_vocab: jnp.ndarray,  # [V, T] replicated
+        len_t: jnp.ndarray,  # scalar
+        gaps: AffineGapParams,
+        norm_total: jnp.ndarray,  # scalar
+        locality: str = "local",
+        k: int = 10,
+    ):
+        """Per-shard gather+DP, then global top-k.  XLA partitions the
+        elementwise DP over the slice axis with zero communication and
+        inserts the all-gather only for the final top-k reduction."""
+        N = token_ids.shape[0]
+        T = sim_vocab.shape[1]
+        S = sim_vocab[token_ids]  # [N, L, T] — sharded gather
+        lt = jnp.full((N,), len_t, jnp.int32)
+        raw = align_scores(S, jnp.maximum(lengths, 1), lt, gaps, locality)
+        scores = jnp.where(lengths > 0, raw / jnp.maximum(norm_total, 1e-9), -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return top_scores, top_idx
