@@ -1,0 +1,187 @@
+"""Transport metric tests: RWMD greedy vs scalar oracle, Sinkhorn vs exact
+EMD, end-to-end WMD/WRD search."""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu.ops.emd_exact import emd_score, exact_emd
+from vectorian_tpu.ops.sinkhorn import sinkhorn_emd_score
+from vectorian_tpu.ops.wmd import (
+    _bucket_rwmd_scores,
+    _greedy_fill_cost,
+    dedup_masses,
+)
+
+import jax.numpy as jnp
+
+
+def greedy_oracle(w1, D, cap, injective):
+    """Scalar replica of the reference RelaxedSolver inner loop
+    (wmd.h:317-377)."""
+    total = 0.0
+    for i in range(len(w1)):
+        if w1[i] <= 0:
+            continue
+        if injective:
+            best, best_j = np.inf, -1
+            for j in range(len(cap)):
+                if cap[j] > 0 and D[i, j] < best:
+                    best, best_j = D[i, j], j
+            total += w1[i] * (best if best_j >= 0 else 1.0)
+        else:
+            remaining = w1[i]
+            order = np.argsort(D[i], kind="stable")
+            for j in order:
+                if cap[j] <= 0:
+                    continue
+                take = min(remaining, cap[j])
+                total += take * D[i, j]
+                remaining -= take
+                if remaining <= 1e-12:
+                    break
+            total += max(remaining, 0.0) * 1.0
+    return total
+
+
+@pytest.mark.parametrize("injective", [True, False])
+def test_greedy_fill_vs_oracle(rng, injective):
+    B, n1, n2 = 12, 5, 9
+    w1 = rng.uniform(0, 2, size=(B, n1)).astype(np.float32)
+    w1[rng.uniform(size=(B, n1)) < 0.2] = 0.0
+    cap = rng.uniform(0, 2, size=(B, n2)).astype(np.float32)
+    cap[rng.uniform(size=(B, n2)) < 0.2] = 0.0
+    D = rng.uniform(0, 1, size=(B, n1, n2)).astype(np.float32)
+    got = np.asarray(_greedy_fill_cost(jnp.asarray(w1), jnp.asarray(D), jnp.asarray(cap), injective))
+    for b in range(B):
+        want = greedy_oracle(w1[b], D[b], cap[b], injective)
+        assert got[b] == pytest.approx(want, abs=1e-4)
+
+
+def test_dedup_masses():
+    ids = np.array([5, 3, 5, 5, 7, 3])
+    m = dedup_masses(ids, np.ones(6, bool))
+    np.testing.assert_array_equal(m, [3, 2, 0, 0, 1, 0])
+
+
+def test_rwmd_scores_dedup_consistency(rng):
+    """Duplicated tokens must merge mass exactly like vocab-level dedup."""
+    V, T, L, N = 50, 4, 8, 4
+    sim_vocab = rng.uniform(0, 1, size=(V, T)).astype(np.float32)
+    tok = rng.integers(1, 10, size=(N, L)).astype(np.int32)  # many dups
+    lengths = np.full((N,), L, np.int32)
+    mass_t = np.ones((T,), np.float32)
+    got = np.asarray(
+        _bucket_rwmd_scores(
+            jnp.asarray(tok), jnp.asarray(lengths), jnp.asarray(sim_vocab),
+            jnp.asarray(mass_t), jnp.asarray(T, jnp.int32),
+            injective=False, symmetric=True, normalize_bow=True, chunk=N,
+        )
+    )
+    # scalar oracle with explicit vocab-level dedup
+    for b in range(N):
+        ids = tok[b]
+        m_s = dedup_masses(ids, np.ones(L, bool)) / L
+        m_t = mass_t / mass_t.sum()
+        D_st = np.maximum(1.0 - sim_vocab[ids], 0.0)  # [L, T]
+        acc0 = greedy_oracle(m_t, D_st.T, m_s, False)
+        acc1 = greedy_oracle(m_s, D_st, m_t, False)
+        want = 1.0 - max(acc0, acc1)
+        assert got[b] == pytest.approx(want, abs=1e-4)
+
+
+def test_exact_emd_simple():
+    # two points moving to two points, distinct costs
+    w1 = np.array([1.0, 1.0])
+    w2 = np.array([1.0, 1.0])
+    D = np.array([[0.0, 1.0], [1.0, 0.0]])
+    r = exact_emd(w1, w2, D)
+    assert r.success
+    assert r.cost == pytest.approx(0.0)
+    np.testing.assert_allclose(r.flow, np.eye(2), atol=1e-9)
+
+
+def test_exact_emd_unbalanced_penalty():
+    w1 = np.array([2.0])
+    w2 = np.array([1.0])
+    D = np.array([[0.5]])
+    r = exact_emd(w1, w2, D, extra_mass_penalty=0.9)
+    assert r.success
+    # one unit moves at 0.5; extra unit pays 0.9 via the sink
+    assert r.cost == pytest.approx(0.5)  # cost excludes sink in flow matrix
+    assert r.flow[0, 0] == pytest.approx(1.0)
+
+
+def test_sinkhorn_matches_exact_emd_score(rng):
+    """Sinkhorn score must closely track exact-EMD score on small problems."""
+    B, n1, n2 = 8, 5, 7
+    w1 = rng.uniform(0.1, 1, size=(B, n1))
+    w2 = rng.uniform(0.1, 1, size=(B, n2))
+    w1 = w1 / w1.sum(axis=1, keepdims=True)
+    w2 = w2 / w2.sum(axis=1, keepdims=True)
+    D = rng.uniform(0, 1, size=(B, n1, n2)).astype(np.float32)
+    got = np.asarray(
+        sinkhorn_emd_score(jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(D),
+                           jnp.asarray(0.01, jnp.float32), n_iters=300)
+    )
+    for b in range(B):
+        want, _ = emd_score(w1[b], w2[b], D[b])
+        assert got[b] == pytest.approx(want, abs=0.02), b
+
+
+def test_sinkhorn_ranking_preserved(rng):
+    """Sinkhorn ranking must agree with exact EMD ranking on separated
+    problems (top-k ordering is what the device pass decides)."""
+    B, n1, n2 = 16, 4, 6
+    w1 = np.full((B, n1), 1.0 / n1)
+    w2 = np.full((B, n2), 1.0 / n2)
+    D = rng.uniform(0, 1, size=(B, n1, n2)).astype(np.float32)
+    got = np.asarray(
+        sinkhorn_emd_score(jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(D),
+                           jnp.asarray(0.02, jnp.float32), n_iters=200)
+    )
+    want = np.asarray([emd_score(w1[b], w2[b], D[b])[0] for b in range(B)])
+    # order of clearly-separated scores must match
+    go, wo = np.argsort(-got), np.argsort(-want)
+    # compare only where oracle scores differ by > 0.03
+    for a, bq in zip(wo[:-1], wo[1:]):
+        if want[a] - want[bq] > 0.03:
+            assert got[a] > got[bq]
+
+
+def test_wmd_search_end_to_end():
+    """RWMD / full WMD / WRD through the public index API."""
+    from tests.helpers import WORDS, make_corpus_texts, make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    rng = np.random.default_rng(3)
+    planted = ["the old king rides the grey horse"]
+    texts, locations = make_corpus_texts(rng, n_docs=3, sents_per_doc=10, planted=planted)
+    imp = StringImporter()
+    docs = [imp(t, title=f"d{i}") for i, t in enumerate(texts)]
+    words = sorted(set(WORDS) | {"old", "king", "rides", "grey", "horse", "the"})
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    p = session.partition("sentence")
+
+    for optimizer in [
+        WordMoversDistance.rwmd("nbow"),
+        WordMoversDistance.rwmd("nbow/distributed"),
+        WordMoversDistance.rwmd("bow/fast"),
+        WordMoversDistance.wmd("nbow"),
+        WordRotatorsDistance(),
+    ]:
+        index = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), optimizer))
+        # word order scrambled: transport metrics don't care about order
+        r = index.find("horse grey the rides king old the", n=5, min_score=0.1)
+        assert len(r) >= 1, optimizer
+        packed = index.packed
+        top = r[0]
+        d = int(packed.slice_doc[top.slice_id])
+        s = int(packed.slice_idx[top.slice_id])
+        assert (d, s) == locations[0], (optimizer, top.score)
+        assert top.score > 0.9
+        j = top.to_json()
+        assert j["regions"], optimizer

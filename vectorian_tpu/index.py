@@ -129,6 +129,7 @@ class Match:
         metric: str = "",
         mapping: Optional[np.ndarray] = None,
         similarities: Optional[np.ndarray] = None,
+        edge_list: Optional[list] = None,  # [(t, s, flow, distance)]
         level: str = "word",
     ):
         self._index = index
@@ -138,6 +139,7 @@ class Match:
         self._metric = metric
         self._mapping = mapping
         self._similarities = similarities
+        self._edge_list = edge_list
         self._level = level
 
     @property
@@ -184,9 +186,17 @@ class Match:
 
     @property
     def flow(self):
-        """Injective flow dict (reference InjectiveFlow.to_py,
-        match/flow.cpp:191-216): {'type': 'injective', 'target', 'flow',
-        'distance'} per query token."""
+        """Flow dict: injective (reference InjectiveFlow.to_py,
+        match/flow.cpp:191-216) for alignments, sparse edge list (SparseFlow
+        flow.cpp:243-258) for transport metrics."""
+        if self._edge_list is not None:
+            return {
+                "type": "sparse",
+                "edges": [
+                    {"t": t, "s": s, "flow": f, "distance": d}
+                    for (t, s, f, d) in self._edge_list
+                ],
+            }
         if self._mapping is None:
             return None
         t = np.asarray(self._mapping, np.int32)
@@ -198,13 +208,35 @@ class Match:
         ).astype(np.float32)
         return {"type": "injective", "target": t, "flow": flow, "distance": dist}
 
+    def _edges_by_s(self) -> Dict[int, list]:
+        """s offset -> [(t, flow, distance)] from whichever flow repr."""
+        out: Dict[int, list] = {}
+        if self._edge_list is not None:
+            for t, s, f, d in self._edge_list:
+                out.setdefault(int(s), []).append((int(t), float(f), float(d)))
+        elif self._mapping is not None:
+            for jt, s in enumerate(self._mapping):
+                if s >= 0:
+                    sim = (
+                        float(self._similarities[jt])
+                        if self._similarities is not None
+                        else 0.0
+                    )
+                    out.setdefault(int(s), []).append((jt, 1.0, 1.0 - sim))
+        return out
+
     @property
     def omitted(self) -> List[str]:
-        if self._mapping is None:
+        matched_t = set()
+        if self._edge_list is not None:
+            matched_t = {t for (t, s, f, d) in self._edge_list}
+        elif self._mapping is not None:
+            matched_t = {jt for jt, s in enumerate(self._mapping) if s >= 0}
+        else:
             return []
         out = []
-        for jt, s in enumerate(self._mapping):
-            if s < 0 and jt < len(self._query.char_spans):
+        for jt in range(len(self._query.char_spans)):
+            if jt not in matched_t:
                 c0, c1 = self._query.char_spans[jt]
                 out.append(self._query.text[c0:c1])
         return out
@@ -216,13 +248,7 @@ class Match:
         pd = self.prepared_doc
         doc = pd.doc
         start, length = self.slice_span
-        mapping = self._mapping if self._mapping is not None else np.array([], np.int32)
-
-        # s offset (relative) -> list of t indices
-        s_to_t: Dict[int, List[int]] = {}
-        for jt, s in enumerate(mapping):
-            if s >= 0:
-                s_to_t.setdefault(int(s), []).append(jt)
+        s_to_t = self._edges_by_s()  # s offset -> [(t, flow, distance)]
 
         def char_range(f_lo, f_hi):
             # filtered token positions [f_lo, f_hi) -> char range in doc text
@@ -248,13 +274,8 @@ class Match:
         while i < length:
             if i in s_to_t:
                 edges = []
-                for jt in s_to_t[i]:
+                for jt, fl, dist in s_to_t[i]:
                     c0q, c1q = self._query.char_spans[jt]
-                    sim = (
-                        float(self._similarities[jt])
-                        if self._similarities is not None
-                        else 0.0
-                    )
                     edges.append(
                         TokenMatchEdge(
                             t=TokenMatchT(
@@ -262,8 +283,8 @@ class Match:
                                 index=jt,
                                 pos=self._query.token_pos[jt],
                             ),
-                            flow=1.0,
-                            distance=1.0 - sim,
+                            flow=fl,
+                            distance=dist,
                             metric=self._metric,
                         )
                     )

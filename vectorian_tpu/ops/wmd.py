@@ -1,0 +1,405 @@
+"""Batched Word Mover's / Word Rotator's Distance over packed corpora.
+
+Reference: vectorian/core/cpp/alignment/wmd.h + wrd.h + bow.h.
+
+TPU re-architecture:
+
+* BOW dedup (BOWBuilder::build, bow.h:204-275) becomes a *masked-mass*
+  formulation: every slice position keeps its token, but only the first
+  occurrence of each token id carries the (count) mass — capacity-equivalent
+  to the reference's vocab-level problem and fully vectorizable (O(L^2)
+  equality comparisons per slice, batched on the VPU).
+* RelaxedSolver (wmd.h:273-417): the per-token greedy heap fill becomes a
+  sort + prefix-sum along the target axis — each source token fills
+  capacities in ascending-distance order; leftover mass costs the maximum
+  distance 1.0.  Both directions batched; `symmetric` takes the tighter.
+* FullSolver / WRD exact EMD (wmd.h:194-270, wrd.h:62-146): device ranking
+  via batched log-domain Sinkhorn (ops/sinkhorn.py), exact host EMD rescore
+  of the top-k (ops/emd_exact.py) so reported scores match the exact
+  reference semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorian_tpu.ops.emd_exact import emd_score
+from vectorian_tpu.ops.search import NEG_SCORE
+from vectorian_tpu.ops.sinkhorn import sinkhorn_emd_score
+
+MAX_SIMILARITY = 1.0
+
+
+def dedup_masses(ids: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side: mass per position = count of equal ids at first occurrence,
+    0 elsewhere (mirrors BOWBuilder dedup, bow.h:204-275)."""
+    n = len(ids)
+    mass = np.zeros((n,), np.float32)
+    seen = {}
+    for i in range(n):
+        if not valid[i]:
+            continue
+        k = ids[i]
+        if k in seen:
+            mass[seen[k]] += 1.0
+        else:
+            seen[k] = i
+            mass[i] = 1.0
+    return mass
+
+
+def _device_masses(tok: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """[n, L] first-occurrence count masses on device (O(L^2) per slice)."""
+    n, L = tok.shape
+    pos = jnp.arange(L, dtype=jnp.int32)
+    valid = pos[None, :] < lengths[:, None]  # [n, L]
+    eq = (tok[:, :, None] == tok[:, None, :]) & valid[:, :, None] & valid[:, None, :]
+    counts = jnp.sum(eq, axis=2).astype(jnp.float32)  # [n, L]
+    first = jnp.argmax(eq, axis=1) == pos[None, :]  # first occurrence of own id
+    return jnp.where(first & valid, counts, 0.0)
+
+
+def _greedy_fill_cost(w1, D, cap, injective: bool):
+    """Relaxed WMD inner loop, batched.
+
+    w1:  [B, n1]    source masses (0 = inactive)
+    D:   [B, n1, n2] distances
+    cap: [B, n2]    target capacities (0 = inactive)
+    Returns total cost [B] = sum_i cost of moving w1[i] into capacities in
+    ascending-distance order (or to the argmin target if injective);
+    unplaceable mass costs MAX_SIMILARITY.
+    """
+    D = jnp.where(cap[:, None, :] > 0, D, jnp.inf)  # inactive targets
+    if injective:
+        d_best = jnp.min(D, axis=2)  # [B, n1]
+        d_best = jnp.where(jnp.isfinite(d_best), d_best, MAX_SIMILARITY)
+        return jnp.sum(w1 * d_best, axis=1)
+    order = jnp.argsort(D, axis=2)  # ascending
+    d_sorted = jnp.take_along_axis(D, order, axis=2)
+    cap_sorted = jnp.take_along_axis(
+        jnp.broadcast_to(cap[:, None, :], D.shape), order, axis=2
+    )
+    prefix = jnp.cumsum(cap_sorted, axis=2) - cap_sorted  # capacity before k
+    moved = jnp.clip(w1[:, :, None] - prefix, 0.0, cap_sorted)
+    d_sorted_f = jnp.where(jnp.isfinite(d_sorted), d_sorted, 0.0)
+    cost = jnp.sum(moved * d_sorted_f, axis=2)
+    leftover = jnp.maximum(w1 - jnp.sum(moved, axis=2), 0.0)
+    return jnp.sum(cost + leftover * MAX_SIMILARITY, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("injective", "symmetric", "normalize_bow", "chunk"),
+)
+def _bucket_rwmd_scores(
+    token_ids: jnp.ndarray,  # [N, L] i32, padded
+    lengths: jnp.ndarray,  # [N]
+    sim_vocab: jnp.ndarray,  # [V, T]
+    mass_t: jnp.ndarray,  # [T] deduped query masses (counts)
+    len_t: jnp.ndarray,  # scalar i32 actual token count of query
+    injective: bool,
+    symmetric: bool,
+    normalize_bow: bool,
+    chunk: int,
+):
+    N, L = token_ids.shape
+    T = sim_vocab.shape[1]
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tok, ln = args
+        mass_s = _device_masses(tok, ln)  # [c, L] counts
+        w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)
+        w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)
+        if normalize_bow:
+            m_s = mass_s / w_sum_s[:, None]
+            m_t = jnp.broadcast_to(mass_t[None, :] / w_sum_t, (tok.shape[0], T))
+        else:
+            m_s = mass_s
+            m_t = jnp.broadcast_to(mass_t[None, :], (tok.shape[0], T))
+
+        S = sim_vocab[tok]  # [c, L, T]
+        Dst = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [c, L, T] s x t
+        Dts = jnp.swapaxes(Dst, 1, 2)  # [c, T, L]
+
+        # direction 0: t -> s (reference computes this first, wmd.h:302)
+        acc0 = _greedy_fill_cost(m_t, Dts, m_s, injective)
+        if not normalize_bow:
+            acc0 = acc0 / w_sum_t
+        if symmetric:
+            acc1 = _greedy_fill_cost(m_s, Dst, m_t, injective)
+            if not normalize_bow:
+                acc1 = acc1 / w_sum_s
+            cost = jnp.maximum(acc0, acc1)  # tighter bound (wmd.h:383-390)
+        else:
+            cost = acc0
+        max_cost = 1.0 if normalize_bow else len_t.astype(jnp.float32)
+        score = (max_cost - cost) / max_cost  # cost_to_score, wmd.h:139-141
+        return jnp.where(ln > 0, score, NEG_SCORE)
+
+    xs = (
+        token_ids.reshape(n_chunks, chunk, L),
+        lengths.reshape(n_chunks, chunk),
+    )
+    return jax.lax.map(one_chunk, xs).reshape(N)
+
+
+@functools.partial(jax.jit, static_argnames=("use_magnitudes", "normalize_mass", "chunk", "n_iters"))
+def _bucket_emd_scores(
+    token_ids: jnp.ndarray,  # [N, L]
+    lengths: jnp.ndarray,  # [N]
+    sim_vocab: jnp.ndarray,  # [V, T]
+    mass_t: jnp.ndarray,  # [T] query masses (counts or magnitudes)
+    mag_vocab: jnp.ndarray,  # [V] vocab magnitudes (WRD) or ones
+    eps: jnp.ndarray,
+    use_magnitudes: bool,
+    normalize_mass: bool,
+    chunk: int,
+    n_iters: int = 100,
+):
+    """Full WMD / WRD device ranking via Sinkhorn (exact rescore on host)."""
+    N, L = token_ids.shape
+    T = sim_vocab.shape[1]
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tok, ln = args
+        if use_magnitudes:
+            # WRD: every position is its own entry, mass = |v| (wrd.h:62-146)
+            pos = jnp.arange(L, dtype=jnp.int32)
+            valid = pos[None, :] < ln[:, None]
+            m_s = jnp.where(valid, mag_vocab[tok], 0.0)
+        else:
+            m_s = _device_masses(tok, ln)
+        m_t = jnp.broadcast_to(mass_t[None, :], (tok.shape[0], T))
+        if normalize_mass:
+            m_s = m_s / jnp.maximum(jnp.sum(m_s, axis=1, keepdims=True), 1e-9)
+            m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
+        S = sim_vocab[tok]  # [c, L, T]
+        D = jnp.maximum(MAX_SIMILARITY - jnp.swapaxes(S, 1, 2), 0.0)  # [c, T, L]
+        score = sinkhorn_emd_score(m_t, m_s, D, eps, n_iters)
+        return jnp.where(ln > 0, score, NEG_SCORE)
+
+    xs = (
+        token_ids.reshape(n_chunks, chunk, L),
+        lengths.reshape(n_chunks, chunk),
+    )
+    return jax.lax.map(one_chunk, xs).reshape(N)
+
+
+def rwmd_flow_host(m_t, m_s, D_ts, injective: bool):
+    """Replicate the greedy fill on host for one slice to extract flow edges
+    [(t, s, flow, distance)] (wmd.h:393-409).  Direction t->s only (the
+    direction the reference uses for flows when not symmetric-tighter-1)."""
+    edges = []
+    caps = m_s.copy().astype(np.float64)
+    for i in range(len(m_t)):
+        w = float(m_t[i])
+        if w <= 0:
+            continue
+        if injective:
+            valid = np.flatnonzero(m_s > 0)
+            if valid.size == 0:
+                continue
+            j = valid[np.argmin(D_ts[i, valid])]
+            edges.append((i, int(j), w, float(D_ts[i, j])))
+        else:
+            order = np.argsort(D_ts[i])
+            remaining = w
+            for j in order:
+                if m_s[j] <= 0:
+                    continue
+                take = min(remaining, float(m_s[j]))
+                if take > 0:
+                    edges.append((i, int(j), take, float(D_ts[i, j])))
+                    remaining -= take
+                if remaining <= 1e-12:
+                    break
+    # normalize flow per source (wmd.h:401-402)
+    totals = {}
+    for t, s, f, d in edges:
+        totals[t] = totals.get(t, 0.0) + f
+    return [
+        (t, s, f / totals[t] if totals.get(t) else f, d) for (t, s, f, d) in edges
+    ]
+
+
+class WMDEngine:
+    """Transport-metric search over a BruteForceEngine's packed buckets."""
+
+    def __init__(self, engine, alignment_args: dict):
+        self._engine = engine
+        self._args = alignment_args
+        self._algorithm = alignment_args["algorithm"]
+
+    def _query_masses(self, query) -> np.ndarray:
+        """Dedup query tokens by string (the reference interns OOV tokens in
+        the query vocabulary, so duplicates share an id)."""
+        strings = query.token_strings
+        valid = np.ones((len(strings),), bool)
+        ids = np.asarray([hash(s) for s in strings])
+        return dedup_masses(ids, valid)
+
+    def find(self, index, query, sim) -> List:
+        from vectorian_tpu.index import Match
+
+        opts = query.options
+        n = int(opts.get("max_matches", 100))
+        min_score = float(opts.get("min_score", 0.2))
+        debug = opts.get("debug")
+
+        sim_vocab = sim["similarity"]
+        T = query.n_tokens
+        mass_t = self._query_masses(query)
+        engine = self._engine
+        a = self._args
+
+        if self._algorithm == "word-movers-distance" and a["relaxed"]:
+            injective = bool(a["injective"])
+            symmetric = bool(a["symmetric"])
+            normalize_bow = bool(a["normalize_bow"])
+            scores = self._score_buckets_rwmd(
+                sim_vocab, mass_t, T, injective, symmetric, normalize_bow
+            )
+        elif self._algorithm == "word-movers-distance":
+            # device ranking always on normalized masses (Sinkhorn scale);
+            # the exact host rescore below uses the requested bow/nbow masses
+            scores = self._score_buckets_emd(sim_vocab, mass_t, None, normalize=True)
+        elif self._algorithm == "word-rotators-distance":
+            mag_vocab = sim.get("magnitudes_s")
+            mass_t_mag = np.asarray(sim["magnitudes_t"], np.float32)
+            scores = self._score_buckets_emd(
+                sim_vocab,
+                mass_t_mag,
+                mag_vocab,
+                normalize=bool(a.get("normalize_magnitudes", True)),
+            )
+        else:
+            raise ValueError(self._algorithm)
+
+        if debug:
+            debug("scores", {"scores": scores})
+
+        top = engine.top_k(scores, n, min_score=min_score)
+        if not top:
+            return []
+
+        # host rescore + flows for the top-k
+        sim_np = np.asarray(sim_vocab)
+        matches = []
+        token_sim_name = index._args["metric"]["token_sim"].name
+        for sid in top:
+            tok, _ = engine._slice_tokens(sid)
+            ln = int(engine.packed.slice_len[sid])
+            ids = tok[:ln]
+            S = sim_np[ids]  # [ln, T]
+            D_ts = np.maximum(MAX_SIMILARITY - S.T, 0.0)  # [T, ln]
+            m_s = dedup_masses(ids, np.ones(ln, bool))
+            score = float(scores[sid])
+            if self._algorithm == "word-movers-distance" and a["relaxed"]:
+                m_t = mass_t.copy()
+                m_s_use = m_s.copy()
+                if a["normalize_bow"]:
+                    m_t = m_t / max(m_t.sum(), 1e-9)
+                    m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
+                edges = rwmd_flow_host(m_t, m_s_use, D_ts, bool(a["injective"]))
+            else:
+                # exact EMD rescore (reference uses exact emd_hat)
+                if self._algorithm == "word-rotators-distance":
+                    mag_vocab_np = np.asarray(sim["magnitudes_s"])
+                    m_s_use = mag_vocab_np[ids]
+                    m_t = np.asarray(sim["magnitudes_t"], np.float64)
+                    if a.get("normalize_magnitudes", True):
+                        m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
+                        m_t = m_t / max(m_t.sum(), 1e-9)
+                else:
+                    m_t = mass_t.copy()
+                    m_s_use = m_s
+                    if a["normalize_bow"]:
+                        m_t = m_t / max(m_t.sum(), 1e-9)
+                        m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
+                score, r = emd_score(
+                    m_t, m_s_use, D_ts, a.get("extra_mass_penalty", -1)
+                )
+                edges = []
+                if r.success:
+                    for i in range(r.flow.shape[0]):
+                        max_flow = max(m_t[i], 1e-12)
+                        for jj in np.flatnonzero(r.flow[i] > 1e-9):
+                            edges.append(
+                                (i, int(jj), float(r.flow[i, jj] / max_flow), float(D_ts[i, jj]))
+                            )
+            if debug:
+                debug(
+                    "alignment/" + self._algorithm + "/solver",
+                    {"slice": sid, "D": D_ts, "score": score, "edges": edges},
+                )
+            if score < min_score:
+                continue
+            matches.append(
+                Match(
+                    index,
+                    query,
+                    slice_id=sid,
+                    score=score,
+                    metric=token_sim_name,
+                    edge_list=edges,
+                )
+            )
+        packed = engine.packed
+        matches.sort(
+            key=lambda m: (
+                -m.score,
+                int(packed.slice_doc[m.slice_id]),
+                int(packed.slice_idx[m.slice_id]),
+            )
+        )
+        return matches[:n]
+
+    def _score_buckets_rwmd(self, sim_vocab, mass_t, len_t, injective, symmetric, normalize_bow):
+        engine = self._engine
+        out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
+        for db in engine._device_buckets:
+            if db["n"] == 0:
+                continue
+            scores = _bucket_rwmd_scores(
+                db["tokens"],
+                db["lengths"],
+                jnp.asarray(sim_vocab),
+                jnp.asarray(mass_t),
+                jnp.asarray(len_t, jnp.int32),
+                injective=injective,
+                symmetric=symmetric,
+                normalize_bow=normalize_bow,
+                chunk=db["chunk"],
+            )
+            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        return out
+
+    def _score_buckets_emd(self, sim_vocab, mass_t, mag_vocab, normalize):
+        engine = self._engine
+        out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
+        use_mag = mag_vocab is not None
+        if not use_mag:
+            mag_vocab = jnp.ones((sim_vocab.shape[0],), jnp.float32)
+        for db in engine._device_buckets:
+            if db["n"] == 0:
+                continue
+            scores = _bucket_emd_scores(
+                db["tokens"],
+                db["lengths"],
+                jnp.asarray(sim_vocab),
+                jnp.asarray(mass_t, jnp.float32),
+                jnp.asarray(mag_vocab, jnp.float32),
+                jnp.asarray(0.02, jnp.float32),
+                use_magnitudes=use_mag,
+                normalize_mass=normalize,
+                chunk=db["chunk"],
+            )
+            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        return out
