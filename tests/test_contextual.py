@@ -1,0 +1,140 @@
+"""Contextual-embedding tests: lambda encoder, mixed trees, PCA compression."""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.embedding.contextual import LambdaContextualEmbedding
+from vectorian_tpu.sim.modifier import (
+    MaximumTokenSimilarity,
+    MixedTokenSimilarity,
+)
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+from .helpers import make_embedding, word_vector
+
+DIM = 24
+
+
+def ctx_fn(tokens, text):
+    """Deterministic 'contextual' vectors: word vector + small neighbor mix
+    — context-dependent but reproducible across doc/query encoding."""
+    words = [text[a:b] for a, b in tokens]
+    base = np.stack(
+        [word_vector(w, DIM) if w else np.zeros(DIM, np.float32) for w in words]
+    )
+    out = base.copy()
+    for i in range(len(words)):
+        if i > 0:
+            out[i] += 0.2 * base[i - 1]
+        if i + 1 < len(words):
+            out[i] += 0.2 * base[i + 1]
+    return out.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def ctx_session():
+    ctx = LambdaContextualEmbedding("test-ctx", ctx_fn, DIM)
+    words = ["the", "old", "king", "rides", "grey", "horse", "cat", "sleeps",
+             "dog", "runs", "fast", "a", "bird", "sings", "loud"]
+    static = make_embedding(words, dim=16, name="static-emb")
+    imp = StringImporter()
+    docs = [
+        imp("the old king rides the grey horse. a cat sleeps.", title="d0"),
+        imp("the dog runs fast. a bird sings loud.", title="d1"),
+    ]
+    session = Session(docs, embeddings=[static, ctx])
+    return session, static, ctx
+
+
+def test_contextual_search(ctx_session):
+    session, static, ctx = ctx_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(ctx))
+    r = index.find("the old king rides the grey horse", n=3)
+    assert len(r) >= 1
+    # identical text -> identical contextual vectors -> near-perfect score
+    assert r[0].score == pytest.approx(1.0, abs=0.01)
+    assert r[0].doc.title == "d0"
+    j = r[0].to_json()
+    assert any("edges" in reg for reg in j["regions"])
+
+
+def test_contextual_prepared_docs_have_vectors(ctx_session):
+    session, static, ctx = ctx_session
+    for pd in session.documents:
+        v = pd.contextual["test-ctx"]
+        assert v.shape == (pd.n_tokens, DIM)
+
+
+def test_mixed_static_contextual(ctx_session):
+    session, static, ctx = ctx_session
+    mixed = MixedTokenSimilarity(
+        [EmbeddingTokenSim(static), EmbeddingTokenSim(ctx)], [0.5, 0.5]
+    )
+    index = session.partition("sentence").index(mixed)
+    r = index.find("the old king rides the grey horse", n=2)
+    assert len(r) >= 1
+    assert r[0].doc.title == "d0"
+    assert r[0].score == pytest.approx(1.0, abs=0.01)
+
+
+def test_maximum_static_contextual(ctx_session):
+    session, static, ctx = ctx_session
+    mx = MaximumTokenSimilarity([EmbeddingTokenSim(static), EmbeddingTokenSim(ctx)])
+    index = session.partition("sentence").index(mx)
+    r = index.find("a cat sleeps", n=2)
+    assert len(r) >= 1
+    assert r[0].score == pytest.approx(1.0, abs=0.01)
+
+
+def test_pca_compressed_contextual():
+    """PCA-compressed contextual embedding: fitted on corpus, replayed on
+    queries (reference transform.py PCACompression + contextual pca())."""
+    ctx = LambdaContextualEmbedding("ctx-pca", ctx_fn, DIM).pca(8)
+    imp = StringImporter()
+    docs = [
+        imp("the old king rides the grey horse. a cat sleeps by the fire.", title="d0"),
+        imp("the dog runs fast and the bird sings.", title="d1"),
+    ]
+    session = Session(docs, embeddings=[ctx])
+    for pd in session.documents:
+        assert pd.contextual["ctx-pca"].shape[1] == 8
+    index = session.partition("sentence").index(EmbeddingTokenSim(ctx))
+    r = index.find("the old king rides the grey horse", n=2)
+    assert len(r) >= 1
+    assert r[0].doc.title == "d0"
+    # same text through the same fitted projection -> still near 1.0
+    assert r[0].score == pytest.approx(1.0, abs=0.02)
+
+
+def test_contextual_oracle_score(ctx_session):
+    """Engine contextual score matches a direct numpy cosine+DP oracle."""
+    from tests.oracle import gotoh_align
+
+    session, static, ctx = ctx_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(ctx))
+    qtext = "king rides horse"
+    r = index.find(qtext, n=10, min_score=-10)
+    assert r
+
+    # oracle: encode query + slice via ctx_fn on the raw sentence tokens
+    pq_vecs = {}
+    packed = index.packed
+    import vectorian_tpu.index as vidx
+
+    q = vidx.Query(index, qtext, {"partition": index.partition.to_args()})
+    pq = q.prepare(session.nlp)
+    qv = session.encode_contextual_query("test-ctx", pq._sdoc, qtext, pq.kept)
+
+    for m in r[:3]:
+        sid = m.slice_id
+        d = int(packed.slice_doc[sid])
+        s0 = int(packed.slice_start[sid])
+        ln = int(packed.slice_len[sid])
+        dv = session.documents[d].contextual["test-ctx"][s0 : s0 + ln]
+        dn = dv / np.maximum(np.linalg.norm(dv, axis=1, keepdims=True), 1e-9)
+        qn = qv["normalized"]
+        S = np.clip(dn @ qn.T, 0.0, 1.0)
+        raw, _, _, _ = gotoh_align(S, 0, 0, 0, 0, "local")
+        want = raw / S.shape[1]
+        assert m.score == pytest.approx(want, abs=2e-3), sid

@@ -137,6 +137,7 @@ class PreparedDocument:
     tag_ids: np.ndarray  # [m] i16
     orig_index: np.ndarray  # [m] i32
     spans: Dict[str, np.ndarray]  # level -> [k, 2] filtered token ranges
+    contextual: Dict[str, np.ndarray] = field(default_factory=dict)  # name -> [m, d]
 
     @property
     def n_tokens(self) -> int:
@@ -205,6 +206,12 @@ def prepare_document(
         arr = np.asarray(arr, np.int32)
         spans[level] = np.stack([cum[arr[:, 0]], cum[arr[:, 1]]], axis=1)
 
+    contextual = {
+        name: np.asarray(vecs)[keep]
+        for name, vecs in doc.contextual_embeddings.items()
+        if len(vecs)
+    }
+
     return PreparedDocument(
         doc=doc,
         doc_index=doc_index,
@@ -213,4 +220,5 @@ def prepare_document(
         tag_ids=tag_ids,
         orig_index=keep,
         spans=spans,
+        contextual=contextual,
     )

@@ -26,7 +26,7 @@ from vectorian_tpu.ops.search import (
     TagWeightingSpec,
     reference_score,
 )
-from vectorian_tpu.ops.simmatrix import compile_similarity
+from vectorian_tpu.ops.simmatrix import compile_plan, compile_similarity
 from vectorian_tpu.session import Result
 
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
@@ -67,6 +67,7 @@ class PreparedQuery:
         self._query = query
         session = query.index.session
         doc = nlp(query.text)
+        self._sdoc = doc
         j = doc.to_json() if hasattr(doc, "to_json") else doc
 
         tokens = j["tokens"]
@@ -99,6 +100,17 @@ class PreparedQuery:
         self.pos_ids = np.asarray(
             [session.vocab.pos_id(p) for p in self.token_pos], np.int8
         )
+
+    def contextual_vectors(self, session) -> dict:
+        """name -> {unmodified, normalized, magnitudes} query-side vectors
+        for every contextual embedding of the session (reference encodes
+        the query through the same encoders, index.py:66-74)."""
+        out = {}
+        for name in session.contextual_embeddings:
+            out[name] = session.encode_contextual_query(
+                name, self._sdoc, self.text, self.kept
+            )
+        return out
 
     @property
     def query(self):
@@ -484,15 +496,22 @@ class BruteForceIndex(Index):
             return self._find_transport(query)
 
         token_sim = self._args["metric"]["token_sim"]
-        sim = compile_similarity(
+        qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,
             query.token_ids,
             query.token_strings,
+            query.contextual_vectors(self._session),
         )
-        sim_vocab = sim["similarity"]  # [V, T]
-        if debug:
-            debug("static_similarity_matrix", {"similarity": np.asarray(sim_vocab)})
+        for name in qp.ctx_names:
+            self._engine.ensure_contextual(
+                name, self._session.documents, self._session._ctx_dims[name]
+            )
+        if debug and qp.is_static_only:
+            debug(
+                "static_similarity_matrix",
+                {"similarity": np.asarray(qp.static_sims[0])},
+            )
 
         T = query.n_tokens
         tagw = self._tag_weighting(query)
@@ -504,7 +523,7 @@ class BruteForceIndex(Index):
             boost = booster.compile(self._session, self._partition, query)
 
         scores = self._engine.score_all(
-            sim_vocab,
+            qp,
             T,
             gaps,
             self._locality,
@@ -520,21 +539,19 @@ class BruteForceIndex(Index):
         if not top:
             return []
 
-        mappings = self._engine.rescore_with_flows(
-            top, sim_vocab, T, gaps, self._locality, tag_weights=tagw
+        mappings, sims_un = self._engine.rescore_with_flows(
+            top, qp, T, gaps, self._locality, tag_weights=tagw
         )
 
-        sim_np = np.asarray(sim_vocab)
         matches = []
         packed = self._engine.packed
-        for sid, mapping in zip(top, mappings):
+        for sid, mapping, S_un in zip(top, mappings, sims_un):
             # per-edge similarity (unmodified, i.e. before tag weighting —
             # reference ScoreComputer, metric/alignment.h:307-352)
-            tok, _ = self._engine._slice_tokens(sid)
             sims = np.zeros((T,), np.float32)
             for jt, s in enumerate(mapping):
                 if s >= 0:
-                    sims[jt] = sim_np[int(tok[s]), jt]
+                    sims[jt] = S_un[s, jt]
             score = float(scores[sid])
             if submatch_weight != 0.0:
                 # exact rescore: matched max-sims vs total
@@ -577,6 +594,11 @@ class BruteForceIndex(Index):
         from vectorian_tpu.ops.transport import TransportEngine
 
         token_sim = self._args["metric"]["token_sim"]
+        if any(not getattr(e, "is_static", True) for e in token_sim.embeddings):
+            raise NotImplementedError(
+                "transport metrics (WMD/WRD) over contextual embeddings are "
+                "not yet supported on the TPU engine; use a static embedding"
+            )
         needs_mag = self._args["alignment"]["algorithm"] == "word-rotators-distance"
         sim = compile_similarity(
             token_sim,

@@ -1,11 +1,12 @@
-"""Brute-force batched search: gather -> DP -> top-k.
+"""Brute-force batched search: similarity evaluation -> DP -> top-k.
 
 TPU-native replacement for the reference's matcher loop
 (MatcherImpl::match, vectorian/core/cpp/match/matcher_impl.h:66-176 +
 ThreadPool fan-out index.py:530-560): per length bucket, a chunked jitted
-pipeline gathers per-slice similarity windows from the (vocab x needle)
-matrix, runs the batched alignment DP and emits raw scores for *all* slices;
-top-k selection replaces the bounded min-heap (result_set.h:40-60).
+pipeline builds per-slice similarity windows (static vocab-matrix gather,
+contextual einsum, or modifier trees — ops/simmatrix.eval_plan_chunk), runs
+the batched alignment DP and emits raw scores for *all* slices; top-k
+selection replaces the bounded min-heap (result_set.h:40-60).
 
 Score normalization follows the reference exactly
 (metric/alignment.h:84-106 + match.h:295-336):
@@ -16,15 +17,15 @@ Score normalization follows the reference exactly
 With the default submatch_weight w=0 the reference score equals ``total``
 (= sum over query tokens of max_similarity_for_t) and is alignment
 independent — computed fully on device.  For w>0 the device scores with the
-optimistic lower bound of reference_score and the exact score is recomputed
-during the traceback pass over an overfetched candidate set.
+w=0 normalization and the exact score is recomputed during the traceback
+pass over an overfetched candidate set.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +37,10 @@ from vectorian_tpu.ops.alignment import (
     align_scores,
     traceback,
 )
+from vectorian_tpu.ops.simmatrix import QueryPlan, eval_plan_chunk
 
 DEFAULT_CHUNK = 4096
+NEG_SCORE = -1e30
 
 
 @dataclass
@@ -69,13 +72,18 @@ def _apply_tag_weights(S, pos_s, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("locality", "chunk", "with_tags"),
+    static_argnames=("plan", "locality", "chunk", "with_tags"),
 )
 def _bucket_scores(
+    plan: tuple,
     token_ids: jnp.ndarray,  # [N, L] i32 (N padded to chunk multiple)
     pos_ids: jnp.ndarray,  # [N, L] i8
     lengths: jnp.ndarray,  # [N] i32 (0 for padding rows)
-    sim_vocab: jnp.ndarray,  # [V, T] f32
+    static_sims: tuple,  # k -> [V, T]
+    static_mags: tuple,
+    ctx_chunks: tuple,  # k -> [N, L, d]
+    ctx_queries: tuple,  # k -> dict of [T, d] arrays
+    mixed_weights: tuple,
     len_t: jnp.ndarray,  # scalar i32
     gaps: AffineGapParams,
     boost: jnp.ndarray,  # [N] f32
@@ -90,14 +98,15 @@ def _bucket_scores(
 ):
     """Normalized scores for every slice of one bucket: [N] f32."""
     N, L = token_ids.shape
-    T = sim_vocab.shape[1]
     n_chunks = N // chunk
 
     lt_full = jnp.full((chunk,), len_t, jnp.int32)
 
     def one_chunk(args):
-        tok, pos, ln = args  # [chunk, L], [chunk, L], [chunk]
-        S = sim_vocab[tok]  # [chunk, L, T] gather from HBM-resident matrix
+        tok, pos, ln, ctx = args
+        S = eval_plan_chunk(
+            plan, tok, static_sims, static_mags, ctx, ctx_queries, mixed_weights
+        )["similarity"]
         if with_tags:
             S = _apply_tag_weights(S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
         ln1 = jnp.maximum(ln, 1)
@@ -108,13 +117,38 @@ def _bucket_scores(
         token_ids.reshape(n_chunks, chunk, L),
         pos_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
+        tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
     )
     raw = jax.lax.map(one_chunk, xs).reshape(N)
     scores = raw / jnp.maximum(norm_total, 1e-9) * boost
     return jnp.where(raw <= NEG_SCORE * 0.5, NEG_SCORE, scores)
 
 
-NEG_SCORE = -1e30
+@functools.partial(jax.jit, static_argnames=("plan", "with_tags"))
+def _slice_similarity(
+    plan: tuple,
+    tok: jnp.ndarray,  # [1, L]
+    static_sims: tuple,
+    static_mags: tuple,
+    ctx_chunk: tuple,  # k -> [1, L, d]
+    ctx_queries: tuple,
+    mixed_weights: tuple,
+    pos: jnp.ndarray,  # [1, L]
+    tw_weights: jnp.ndarray,
+    tw_pos_t: jnp.ndarray,
+    tw_penalty: jnp.ndarray,
+    tw_threshold: jnp.ndarray,
+    with_tags: bool,
+):
+    """(S_weighted, S_unmodified) for one slice (rescore/finalizer path)."""
+    out = eval_plan_chunk(
+        plan, tok, static_sims, static_mags, ctx_chunk, ctx_queries, mixed_weights
+    )
+    S = out["similarity"]
+    S_un = S
+    if with_tags:
+        S = _apply_tag_weights(S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
+    return S[0], S_un[0]
 
 
 @dataclass
@@ -122,15 +156,16 @@ class Candidate:
     slice_id: int
     score: float
     raw_score: float
-    mapping: Optional[np.ndarray] = None  # t index -> s offset in slice (or -1)
+    mapping: Optional[np.ndarray] = None
 
 
 class BruteForceEngine:
-    """Scores a PackedCorpus against a compiled query similarity matrix."""
+    """Scores a PackedCorpus against a compiled query plan."""
 
-    def __init__(self, packed, device=None):
+    def __init__(self, packed):
         self._packed = packed
         self._device_buckets = []
+        self._ctx_stores: Dict[str, list] = {}  # name -> per-bucket [Npad, L, d]
         # slice id -> (bucket index, row) for O(1) rescore lookups
         self._slice_loc = np.full((packed.n_slices, 2), -1, np.int32)
         for bi, b in enumerate(packed.buckets):
@@ -162,9 +197,41 @@ class BruteForceEngine:
     def n_slices(self):
         return self._packed.n_slices
 
+    def ensure_contextual(self, name: str, documents, dim: int):
+        """Pack per-token contextual vectors [Npad, L, d] per bucket (the
+        TPU analogue of the reference's per-doc h5 vector open,
+        metric/contextual.cpp:26-75) — built once, cached."""
+        if name in self._ctx_stores:
+            return
+        packed = self._packed
+        store = []
+        for db in self._device_buckets:
+            npad = int(db["tokens"].shape[0])
+            L = db["capacity"]
+            arr = np.zeros((npad, L, dim), np.float32)
+            for r, sid in enumerate(db["slice_index"]):
+                d_i = int(packed.slice_doc[sid])
+                s0 = int(packed.slice_start[sid])
+                l = int(packed.slice_len[sid])
+                vecs = documents[d_i].contextual.get(name)
+                if vecs is not None and len(vecs):
+                    arr[r, :l] = vecs[s0 : s0 + l]
+            store.append(jnp.asarray(arr))
+        self._ctx_stores[name] = store
+
+    def _plan_args(self, qp: QueryPlan, bucket_index: int):
+        ctx = tuple(self._ctx_stores[nm][bucket_index] for nm in qp.ctx_names)
+        return (
+            tuple(qp.static_sims),
+            tuple(qp.static_mags),
+            ctx,
+            tuple(qp.ctx_queries),
+            tuple(qp.mixed_weights),
+        )
+
     def score_all(
         self,
-        sim_vocab,
+        qp: QueryPlan,
         len_t: int,
         gaps: AffineGapParams,
         locality: str,
@@ -173,11 +240,11 @@ class BruteForceEngine:
         tag_weights: Optional[TagWeightingSpec] = None,
     ) -> np.ndarray:
         """Normalized score for every slice in the corpus ([n_slices] f32)."""
-        T = int(sim_vocab.shape[1])
+        T = len_t
         out = np.full((self._packed.n_slices,), NEG_SCORE, np.float32)
         zero_t = jnp.zeros((T,), jnp.float32)
         zero_t8 = jnp.zeros((T,), jnp.int8)
-        for db in self._device_buckets:
+        for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
             if boost is not None:
@@ -195,11 +262,17 @@ class BruteForceEngine:
                 tw_w, tw_p = zero_t, zero_t8
                 tw_pen = jnp.asarray(0.0, jnp.float32)
                 tw_thr = jnp.asarray(0.0, jnp.float32)
+            static_sims, static_mags, ctx, ctx_q, weights = self._plan_args(qp, bi)
             scores = _bucket_scores(
+                qp.plan,
                 db["tokens"],
                 db["pos"],
                 db["lengths"],
-                jnp.asarray(sim_vocab),
+                static_sims,
+                static_mags,
+                ctx,
+                ctx_q,
+                weights,
                 jnp.asarray(len_t, jnp.int32),
                 gaps,
                 bvec,
@@ -225,10 +298,9 @@ class BruteForceEngine:
         (score desc, then doc id asc, then slice id asc —
         match_impl.h:8-42)."""
         n = scores.shape[0]
-        if n == 0:
+        if n == 0 or k <= 0:
             return []
         k = min(k, n)
-        # overfetch then exact sort for deterministic ties
         cand = np.argpartition(-scores, min(4 * k, n - 1))[: min(4 * k, n)]
         cand = cand[scores[cand] >= min_score]
         packed = self._packed
@@ -237,41 +309,67 @@ class BruteForceEngine:
         )
         return [int(c) for c in cand[order][:k]]
 
+    def slice_similarity(
+        self,
+        sid: int,
+        qp: QueryPlan,
+        tag_weights: Optional[TagWeightingSpec] = None,
+    ):
+        """(S_weighted [len, T], S_unmodified [len, T]) for one slice."""
+        bi, r = self._slice_loc[sid]
+        if bi < 0:
+            raise KeyError(sid)
+        db = self._device_buckets[bi]
+        tok = db["tokens"][r][None]
+        pos = db["pos"][r][None]
+        T = qp.static_sims[0].shape[1] if qp.static_sims else qp.ctx_queries[0]["unmodified"].shape[0]
+        if tag_weights is not None:
+            tw = (
+                jnp.asarray(tag_weights.t_pos_weights, jnp.float32),
+                jnp.asarray(tag_weights.pos_t, jnp.int8),
+                jnp.asarray(tag_weights.pos_mismatch_penalty, jnp.float32),
+                jnp.asarray(tag_weights.similarity_threshold, jnp.float32),
+            )
+        else:
+            tw = (
+                jnp.zeros((T,), jnp.float32),
+                jnp.zeros((T,), jnp.int8),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+            )
+        static_sims, static_mags, ctx_all, ctx_q, weights = self._plan_args(qp, bi)
+        ctx = tuple(c[r][None] for c in ctx_all)
+        Sw, Su = _slice_similarity(
+            qp.plan, tok, static_sims, static_mags, ctx, ctx_q, weights,
+            pos, *tw, with_tags=tag_weights is not None,
+        )
+        ln = int(self._packed.slice_len[sid])
+        return np.asarray(Sw)[:ln], np.asarray(Su)[:ln]
+
     def rescore_with_flows(
         self,
         slice_ids: List[int],
-        sim_vocab,
+        qp: QueryPlan,
         len_t: int,
         gaps: AffineGapParams,
         locality: str,
         tag_weights: Optional[TagWeightingSpec] = None,
-    ) -> List[np.ndarray]:
+    ):
         """Recompute DP matrices for the chosen slices and extract injective
-        flows via host traceback (finalizer pass)."""
-        packed = self._packed
-        sim_np = np.asarray(sim_vocab)
-        mappings = []
+        flows via host traceback (the reference's finalizer pass,
+        matcher_impl.h:172-174).  Returns (mappings, unmodified sims)."""
+        mappings, sims_un = [], []
         for sid in slice_ids:
-            ln = int(packed.slice_len[sid])
-            # find the bucket row for this slice to get its tokens
-            tok, pos = self._slice_tokens(sid)
-            S = sim_np[tok[:ln]]  # [ln, T]
-            if tag_weights is not None:
-                w = tag_weights.t_pos_weights[None, :] * np.where(
-                    pos[:ln, None] == tag_weights.pos_t[None, :],
-                    1.0,
-                    1.0 - tag_weights.pos_mismatch_penalty,
-                )
-                S = S * w
-                S = np.where(S > tag_weights.similarity_threshold, S, 0.0)
-            S = S[:, :len_t].astype(np.float32)
+            ln = int(self._packed.slice_len[sid])
+            Sw, Su = self.slice_similarity(sid, qp, tag_weights)
+            S = Sw[:, :len_t].astype(np.float32)
             H, E, F = (
-                np.asarray(x)
-                for x in align_matrices(S[None], gaps, locality)
+                np.asarray(x) for x in align_matrices(S[None], gaps, locality)
             )
             mapping = traceback(H[0], S, ln, len_t, gaps, locality)
             mappings.append(mapping)
-        return mappings
+            sims_un.append(Su[:, :len_t])
+        return mappings, sims_un
 
     def _slice_tokens(self, slice_id: int):
         bi, r = self._slice_loc[slice_id]

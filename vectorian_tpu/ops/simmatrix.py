@@ -123,3 +123,198 @@ def compile_similarity(
             token_sim, compiled, needle_token_ids, needle_strings, needs_magnitudes
         )
     raise TypeError(f"cannot compile token similarity {token_sim!r}")
+
+
+# --------------------------------------------------------------------------
+# Query plans: chunk-level similarity evaluation for static, contextual and
+# mixed token-sim trees.
+#
+# A plan is a small *hashable* tree (it keys the jit cache — one compile per
+# metric structure, reused across queries).  Leaves reference positional
+# inputs passed at call time:
+#   ("static", k)           -> gather from static_sims[k] ([V, T] matrix)
+#   ("ctx", k, metric)      -> metric(ctx_chunks[k], ctx_queries[k]) on the fly
+# Nodes:
+#   ("mixed", children, w_idx)  -> weighted average, weights runtime
+#   ("max"|"min", children)     -> extremum (modifier.py:79-107 semantics)
+#   ("unary", child, kernel)    -> unary kernel chain on similarity
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+
+
+@dataclass
+class QueryPlan:
+    """Everything needed to score buckets for one prepared query."""
+
+    plan: tuple  # hashable tree
+    static_sims: List[jnp.ndarray]  # k -> [V, T]
+    static_mags: List[jnp.ndarray]  # k -> [V] (may be empty)
+    ctx_names: List[str]  # k -> contextual embedding name
+    ctx_queries: List[dict]  # k -> {unmodified, normalized, magnitudes} [T, d]
+    mixed_weights: List[jnp.ndarray]  # w_idx -> [K]
+    needs_magnitudes: bool = False
+
+    @property
+    def is_static_only(self) -> bool:
+        return not self.ctx_names
+
+    def single_static_matrix(self) -> jnp.ndarray:
+        assert self.plan == ("static", 0) and len(self.static_sims) == 1
+        return self.static_sims[0]
+
+
+def compile_plan(
+    token_sim,
+    compiled: Dict[str, CompiledEmbedding],
+    needle_token_ids: np.ndarray,
+    needle_strings: Sequence[str],
+    query_ctx: Dict[str, dict],  # contextual name -> query vectors dict
+    needs_magnitudes: bool = False,
+) -> QueryPlan:
+    """Compile a TokenSim tree into a QueryPlan.  Static leaves are
+    pre-evaluated into [V, T] matrices host-side (one GEMM each); contextual
+    leaves defer to per-chunk evaluation."""
+    from vectorian_tpu.sim.modifier import (
+        MaximumTokenSimilarity,
+        MinimumTokenSimilarity,
+        MixedTokenSimilarity,
+        TokenSimilarityModifier,
+        UnaryTokenSimilarityModifier,
+    )
+
+    qp = QueryPlan(
+        plan=(),
+        static_sims=[],
+        static_mags=[],
+        ctx_names=[],
+        ctx_queries=[],
+        mixed_weights=[],
+        needs_magnitudes=needs_magnitudes,
+    )
+
+    def walk(node) -> tuple:
+        if isinstance(node, EmbeddingTokenSim):
+            emb = node.embedding
+            if getattr(emb, "is_static", True):
+                out = _leaf_matrix(
+                    node, compiled, needle_token_ids, needle_strings, needs_magnitudes
+                )
+                k = len(qp.static_sims)
+                qp.static_sims.append(out["similarity"])
+                qp.static_mags.append(
+                    out.get("magnitudes_s", jnp.zeros((out["similarity"].shape[0],)))
+                )
+                return ("static", k)
+            k = len(qp.ctx_names)
+            qp.ctx_names.append(emb.name)
+            qp.ctx_queries.append(query_ctx[emb.name])
+            return ("ctx", k, node.metric)
+        if isinstance(node, MixedTokenSimilarity):
+            children = tuple(walk(c) for c in node.operands)
+            w_idx = len(qp.mixed_weights)
+            w = jnp.asarray(node._weights, jnp.float32)
+            qp.mixed_weights.append(w / jnp.sum(w))
+            return ("mixed", children, w_idx)
+        if isinstance(node, (MaximumTokenSimilarity, MinimumTokenSimilarity)):
+            kind = "max" if isinstance(node, MaximumTokenSimilarity) else "min"
+            return (kind, tuple(walk(c) for c in node.operands))
+        if isinstance(node, UnaryTokenSimilarityModifier):
+            return ("unary", walk(node.operands[0]), node._kernel)
+        raise TypeError(f"cannot compile token similarity {node!r}")
+
+    qp.plan = walk(token_sim)
+    return qp
+
+
+class _ChunkVectors:
+    """AbstractVectors facade over [n, d] chunk arrays inside jit."""
+
+    def __init__(self, unmodified, normalized, magnitudes):
+        self.unmodified = unmodified
+        self.normalized = normalized
+        self.magnitudes = magnitudes
+
+
+def eval_plan_chunk(
+    plan: tuple,
+    tok: jnp.ndarray,  # [c, L] token ids
+    static_sims: Tuple[jnp.ndarray, ...],
+    static_mags: Tuple[jnp.ndarray, ...],
+    ctx_chunks: Tuple[jnp.ndarray, ...],  # k -> [c, L, d] raw vectors
+    ctx_queries: Tuple[dict, ...],  # k -> query vector dicts
+    mixed_weights: Tuple[jnp.ndarray, ...],
+    needs_magnitudes: bool = False,
+) -> dict:
+    """Evaluate a plan for one chunk -> {'similarity': [c, L, T], ...}.
+
+    Runs inside jit; `plan` is static.  Mirrors the reference's modifier
+    application (metric/modifier.cpp:18-74) and the static-into-contextual
+    broadcast (metric/static.cpp:142-195)."""
+    c, L = tok.shape
+
+    def rec(node) -> dict:
+        kind = node[0]
+        if kind == "static":
+            k = node[1]
+            out = {"similarity": static_sims[k][tok]}  # [c, L, T] gather
+            if needs_magnitudes:
+                out["magnitudes_s"] = static_mags[k][tok]  # [c, L]
+            return out
+        if kind == "ctx":
+            _, k, metric = node
+            ctx = ctx_chunks[k].astype(jnp.float32)  # [c, L, d]
+            d = ctx.shape[-1]
+            flat = ctx.reshape(c * L, d)
+            mags = jnp.linalg.norm(flat, axis=-1)
+            normed = flat / jnp.maximum(mags, 1e-9)[:, None]
+            q = ctx_queries[k]
+            a = _ChunkVectors(flat, normed, mags)
+            b = _ChunkVectors(
+                jnp.asarray(q["unmodified"]),
+                jnp.asarray(q["normalized"]),
+                jnp.asarray(q["magnitudes"]),
+            )
+            S = metric.compute(a, b).reshape(c, L, -1)
+            S = jnp.clip(S, 0.0, 1.0)  # metric.h:28-30
+            out = {"similarity": S}
+            if needs_magnitudes:
+                out["magnitudes_s"] = mags.reshape(c, L)
+            return out
+        if kind == "mixed":
+            _, children, w_idx = node
+            ops = [rec(ch) for ch in children]
+            w = mixed_weights[w_idx]
+            out = {}
+            for key in ops[0].keys():
+                stack = jnp.stack([o[key] for o in ops], axis=0)
+                wb = w.reshape((-1,) + (1,) * (stack.ndim - 1))
+                out[key] = jnp.sum(stack * wb, axis=0)
+            return out
+        if kind in ("max", "min"):
+            children = node[1]
+            ops = [rec(ch) for ch in children]
+            sims = jnp.stack([o["similarity"] for o in ops], axis=0)  # [K, c, L, T]
+            sign = 1.0 if kind == "max" else -1.0
+            sel = jnp.argmax(sign * sims, axis=0)
+            out = {"similarity": jnp.take_along_axis(sims, sel[None], axis=0)[0]}
+            if needs_magnitudes and "magnitudes_s" in ops[0]:
+                K = sims.shape[0]
+                counts = jnp.stack(
+                    [jnp.sum(sel == k2, axis=-1) for k2 in range(K)], axis=0
+                ).astype(jnp.float32)  # [K, c, L]
+                mags = jnp.stack([o["magnitudes_s"] for o in ops], axis=0)
+                denom = jnp.maximum(jnp.sum(counts, axis=0), 1.0)
+                out["magnitudes_s"] = jnp.sum(mags * counts, axis=0) / denom
+            return out
+        if kind == "unary":
+            _, child, kernel = node
+            out = dict(rec(child))
+            out["similarity"] = kernel(out["similarity"])
+            return out
+        raise ValueError(node)
+
+    return rec(plan)

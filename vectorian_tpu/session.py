@@ -194,6 +194,9 @@ class Session:
 
         self._embeddings = list(embeddings)
         self._compiled: Dict[str, CompiledEmbedding] = {}
+        self._ctx_embeddings: Dict[str, object] = {}
+        self._ctx_fitted: Dict[str, list] = {}  # name -> fitted transforms
+        self._ctx_dims: Dict[str, int] = {}
         vocab_strings = self._vocab.tokens.strings
         for emb in _progress(self._embeddings, desc="compiling embeddings"):
             if emb.is_static:
@@ -201,9 +204,59 @@ class Session:
                 self._compiled[emb.name] = CompiledEmbedding(
                     emb.name, encoder, vocab_strings
                 )
+            else:
+                self._compile_contextual(emb, docs)
 
         self._packed_cache: Dict[PartitionSpec, PackedCorpus] = {}
         self._engine_cache: Dict[PartitionSpec, BruteForceEngine] = {}
+
+    def _compile_contextual(self, emb, docs):
+        """Encode missing per-doc vectors (reference checks doc coverage,
+        session.py:177-182), fit PCA transforms on the corpus, and store
+        transformed vectors in the prepared documents."""
+        self._ctx_embeddings[emb.name] = emb
+        for pd in self._documents:
+            if emb.name not in pd.contextual:
+                sdoc = self._nlp(pd.doc.text)
+                vecs = np.asarray(emb.encode_doc(sdoc, pd.doc.text), np.float32)
+                pd.doc.contextual_embeddings[emb.name] = vecs
+                pd.contextual[emb.name] = vecs[pd.orig_index]
+        fitted = []
+        for tfm in getattr(emb, "transforms", ()):
+            all_vecs = np.concatenate(
+                [pd.contextual[emb.name] for pd in self._documents if len(pd.contextual.get(emb.name, ()))],
+                axis=0,
+            )
+            ft = tfm.fit(all_vecs)
+            for pd in self._documents:
+                if len(pd.contextual.get(emb.name, ())):
+                    pd.contextual[emb.name] = np.asarray(
+                        ft.apply(pd.contextual[emb.name]), np.float32
+                    )
+            fitted.append(ft)
+        self._ctx_fitted[emb.name] = fitted
+        dims = [
+            pd.contextual[emb.name].shape[1]
+            for pd in self._documents
+            if len(pd.contextual.get(emb.name, ()))
+        ]
+        self._ctx_dims[emb.name] = dims[0] if dims else 0
+
+    @property
+    def contextual_embeddings(self):
+        return self._ctx_embeddings
+
+    def encode_contextual_query(self, name: str, sdoc, text: str, keep) -> dict:
+        """Query-side contextual vectors with fitted transforms replayed
+        (the reference's ONNX-transform-on-query path,
+        embedding/vectors.py:89-129)."""
+        emb = self._ctx_embeddings[name]
+        vecs = np.asarray(emb.encode_doc(sdoc, text), np.float32)[keep]
+        for ft in self._ctx_fitted.get(name, ()):
+            vecs = np.asarray(ft.apply(vecs), np.float32)
+        mags = np.linalg.norm(vecs, axis=-1)
+        normed = vecs / np.maximum(mags, 1e-9)[:, None]
+        return {"unmodified": vecs, "normalized": normed, "magnitudes": mags}
 
     @property
     def documents(self) -> List[PreparedDocument]:

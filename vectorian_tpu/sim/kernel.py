@@ -19,6 +19,18 @@ class UnaryOperator:
     def name(self, operand):
         raise NotImplementedError()
 
+    @property
+    def ident(self):
+        return (type(self).__name__,) + tuple(
+            sorted((k, v) for k, v in self.__dict__.items())
+        )
+
+    def __hash__(self):
+        return hash(self.ident)
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.ident == self.ident
+
 
 class RadialBasis(UnaryOperator):
     """sim = exp(-gamma * x^2) (reference sim/kernel.py:14-22)."""
@@ -94,6 +106,16 @@ class Threshold(UnaryOperator):
 class Kernel:
     def __init__(self, operators: List[UnaryOperator]):
         self._operators = list(operators)
+
+    @property
+    def ident(self):
+        return tuple(op.ident for op in self._operators)
+
+    def __hash__(self):
+        return hash(self.ident)
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.ident == self.ident
 
     def __call__(self, data):
         for op in self._operators:

@@ -27,6 +27,18 @@ class VectorSim:
     def __call__(self, a, b):
         return self.compute(a, b)
 
+    @property
+    def ident(self):
+        """Stable hashable identity used as a jit-cache key for compiled
+        query plans; parameterized metrics must extend this."""
+        return (type(self).__name__,)
+
+    def __hash__(self):
+        return hash(self.ident)
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.ident == self.ident
+
     def compute(self, a, b):
         """Given vectors ``a`` ([n_a, d]) and ``b`` ([n_b, d]) as
         AbstractVectors, return sim [n_a, n_b]; 0 = dissimilar, 1 = identical.
@@ -106,6 +118,10 @@ class PNormDistance(VectorSim):
 
     def __init__(self, p: float = 2):
         self._p = p
+
+    @property
+    def ident(self):
+        return (type(self).__name__, self._p)
 
     def compute(self, a, b):
         if self._p == 2:
