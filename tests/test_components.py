@@ -1,0 +1,155 @@
+"""Tests for span embeddings, saliency boosters, zoo, corpus persistence."""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.corpus.corpus import Corpus, TemporaryCorpus
+from vectorian_tpu.embedding.span import (
+    AggregatedTokenEmbedding,
+    SentenceEmbedding,
+    TextSpanEmbedding,
+)
+from vectorian_tpu.embedding.zoo import Zoo
+from vectorian_tpu.saliency import GaussFilter, KeywordSignal, MaxFilter, Saliency
+from vectorian_tpu.sim.span import EmbeddedSpanSim
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+from .helpers import WORDS, make_corpus_texts, make_embedding, word_vector
+
+
+@pytest.fixture(scope="module")
+def small_session():
+    rng = np.random.default_rng(11)
+    planted = ["the old king rides the grey horse"]
+    texts, locations = make_corpus_texts(rng, n_docs=3, sents_per_doc=8, planted=planted)
+    imp = StringImporter()
+    docs = [imp(t, title=f"d{i}") for i, t in enumerate(texts)]
+    words = sorted(set(WORDS) | {"old", "king", "rides", "grey", "horse", "the"})
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    return session, emb, locations
+
+
+def test_span_encoder_index(small_session):
+    session, emb, locations = small_session
+    span_emb = SentenceEmbedding(emb, agg="mean")
+    index = session.partition("sentence").index(EmbeddedSpanSim(span_emb))
+    r = index.find("the old king rides the grey horse", n=5, min_score=0.2)
+    assert len(r) >= 1
+    packed = index.packed
+    top = r[0]
+    assert (
+        int(packed.slice_doc[top.slice_id]),
+        int(packed.slice_idx[top.slice_id]),
+    ) == locations[0]
+    assert top.score == pytest.approx(1.0, abs=1e-4)
+    assert top.level == "span"
+
+
+def test_span_corpus_vectors_match_manual(small_session):
+    session, emb, locations = small_session
+    span_emb = AggregatedTokenEmbedding(emb, agg="mean")
+    enc = span_emb.create_encoder(session)
+    p = session.partition("sentence")
+    vecs = enc.encode_corpus(session, p).unmodified
+    packed = session.packed_corpus(p.spec)
+    comp = session.compiled_embeddings[emb.name]
+    table = np.asarray(comp.unmodified)
+    sid = 0
+    d = int(packed.slice_doc[sid])
+    s0 = int(packed.slice_start[sid])
+    ln = int(packed.slice_len[sid])
+    ids = session.documents[d].token_ids[s0 : s0 + ln]
+    want = table[ids].mean(axis=0)
+    np.testing.assert_allclose(vecs[sid], want, atol=1e-5)
+
+
+def test_text_span_embedding(small_session):
+    session, emb, locations = small_session
+    fn = lambda text: word_vector(text.split()[0] if text.split() else "x", 16)
+    span_emb = TextSpanEmbedding("first-word", fn, 16)
+    index = session.partition("sentence").index(EmbeddedSpanSim(span_emb))
+    r = index.find("the anything", n=3, min_score=0.5)
+    assert len(r) >= 1
+
+
+def test_saliency_booster(small_session):
+    session, emb, locations = small_session
+    p = session.partition("sentence")
+    sal = Saliency(strength=1.0).add_signal(KeywordSignal("horse"), 1.0)
+    boost = sal.compile(session, p)
+    packed = session.packed_corpus(p.spec)
+    assert boost.shape == (packed.n_slices,)
+    # planted sentence contains 'horse' -> boost 1; most others 0
+    d, s = locations[0]
+    sid = np.flatnonzero((packed.slice_doc == d) & (packed.slice_idx == s))[0]
+    assert boost[sid] == pytest.approx(1.0)
+    assert boost.mean() < 0.5
+
+    # booster plumbs into find()
+    index = p.index(EmbeddingTokenSim(emb))
+    r_boost = index.find("the old king rides the grey horse", n=5, booster=sal)
+    r_plain = index.find("the old king rides the grey horse", n=5)
+    assert r_boost[0].slice_id == r_plain[0].slice_id
+    # non-keyword matches got suppressed by the boost
+    if len(r_plain) > 1 and len(r_boost) > 1:
+        assert r_boost[1].score <= r_plain[1].score + 1e-6
+
+
+def test_saliency_smoothing():
+    x = np.zeros(20, np.float32)
+    x[10] = 1.0
+    g = GaussFilter(5)(x)
+    assert g[10] > g[8] > 0
+    m = MaxFilter(3)(x)
+    assert m[9] == 1.0 and m[11] == 1.0 and m[7] == 0.0
+
+
+def test_zoo_list_and_load():
+    names = Zoo.list()
+    assert "fasttext-en" in names
+    assert "glove-6B-300" in names
+    emb = Zoo.load("fasttext-en")
+    assert emb.name == "fasttext-en"
+    assert Zoo.url("fasttext-en").startswith("https://")
+    with pytest.raises(KeyError):
+        Zoo.load("nope")
+
+
+def test_corpus_persistence(tmp_path):
+    imp = StringImporter()
+    d1 = imp("The king rides. The queen sleeps.", title="t1", author="a")
+    d2 = imp("Another text entirely.", title="t2")
+    with Corpus(tmp_path / "c") as corpus:
+        uid1 = corpus.add_doc(d1)
+        uid2 = corpus.add_doc(d2)
+        # dedup: same text -> same uid
+        d1b = imp("The king rides. The queen sleeps.", title="t1-copy")
+        assert corpus.add_doc(d1b) == uid1
+        assert len(corpus) == 2
+
+    with Corpus(tmp_path / "c") as corpus:
+        assert len(corpus) == 2
+        doc = corpus.get_doc(uid1)
+        assert doc.text == d1.text
+        assert doc.metadata["title"] == "t1"
+        np.testing.assert_array_equal(doc.idx, d1.idx)
+        assert doc.pos == d1.pos
+        np.testing.assert_array_equal(doc.spans["sentence"], d1.spans["sentence"])
+        # a session can be built straight from a reloaded corpus
+        emb = make_embedding(["king", "rides", "queen", "sleeps", "the"])
+        session = Session(corpus.docs, embeddings=[emb])
+        index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+        r = index.find("The king rides", n=2)
+        assert len(r) >= 1
+
+
+def test_temporary_corpus():
+    imp = StringImporter()
+    corpus = TemporaryCorpus()
+    corpus.add_doc(imp("Some text here.", title="x"))
+    assert len(corpus) == 1
+    path = corpus.path
+    corpus.close()
+    assert not path.exists()
