@@ -1,0 +1,67 @@
+"""Interactive GUI tests: spec-builder logic, headless (no display)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("ipywidgets")
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.alignment import LocalAlignment, WordRotatorsDistance
+from vectorian_tpu.interact import (
+    POST_STSS_TAG_WEIGHTS,
+    AlignmentWidget,
+    InteractiveQuery,
+)
+from vectorian_tpu.sim.modifier import MixedTokenSimilarity
+
+from .helpers import make_embedding
+
+
+@pytest.fixture(scope="module")
+def session():
+    words = ["the", "old", "king", "rides", "horse", "cat", "sleeps"]
+    emb1 = make_embedding(words, name="emb-a")
+    emb2 = make_embedding(words, dim=16, name="emb-b")
+    docs = [StringImporter()("the old king rides the horse. a cat sleeps.", title="d")]
+    return Session(docs, embeddings=[emb1, emb2])
+
+
+def test_interactive_query_builds_and_runs(session):
+    iq = InteractiveQuery(session)
+    assert iq.widget is not None
+    span_sim = iq.make_span_sim()
+    assert isinstance(span_sim.optimizer, LocalAlignment)
+    r = iq.run("old king rides horse", n=5)
+    assert len(r) >= 1
+    assert r[0].score > 0.9
+
+
+def test_mixer_and_algorithms(session):
+    iq = InteractiveQuery(session)
+    iq._mixer._select.value = ("emb-a", "emb-b")
+    iq._mixer._mode.value = "mixed"
+    ts = iq._mixer.make()
+    assert isinstance(ts, MixedTokenSimilarity)
+
+    iq._alignment._algo.value = "word rotator's distance"
+    assert isinstance(iq._alignment.make(), WordRotatorsDistance)
+    r = iq.run("king rides horse", n=3)
+    assert len(r) >= 0  # runs without error
+
+    aw = AlignmentWidget()
+    for algo in AlignmentWidget.ALGOS:
+        aw._algo.value = algo
+        assert aw.make() is not None
+
+
+def test_tag_weights_widget(session):
+    iq = InteractiveQuery(session)
+    iq._tags._enabled.value = True
+    opts = iq._tags.make()
+    assert opts["tag_weights"] == POST_STSS_TAG_WEIGHTS
+    span_sim = iq.make_span_sim()
+    assert span_sim.tag_weights == POST_STSS_TAG_WEIGHTS
+    r = iq.run("the old king rides the horse", n=3)
+    assert len(r) >= 1
+    # NN weight 0.8, DT 0.7 etc. -> top score below 1 but high
+    assert 0.5 < r[0].score <= 1.0

@@ -472,13 +472,15 @@ class BruteForceIndex(Index):
         tw = self._args.get("tag_weights")
         if not tw:
             return None
+        # unknown tags default to weight 1.0 (reference parse_tag_weights,
+        # match/instantiate.cpp:10-38)
         weights = np.asarray(
-            [float(tw.get(t, 0.0)) for t in query.token_tag], np.float32
+            [float(tw.get(t, 1.0)) for t in query.token_tag], np.float32
         )
         return TagWeightingSpec(
             t_pos_weights=weights,
             pos_t=query.pos_ids,
-            pos_mismatch_penalty=float(self._args.get("pos_mismatch_penalty", 1.0)),
+            pos_mismatch_penalty=float(self._args.get("pos_mismatch_penalty", 0.0)),
             similarity_threshold=float(self._args.get("similarity_threshold", 0.0)),
         )
 

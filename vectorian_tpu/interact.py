@@ -1,0 +1,334 @@
+"""Interactive ipywidgets query builder.
+
+Reference: vectorian/interact.py (1148 LoC) — a GUI mirroring the spec
+layer: vector metric picker, embedding mixers (mixed/max/min with falloff),
+gap-cost widgets, alignment algorithms incl. WMD variants and WRD,
+tag-weighted alignment with the Batanović et al. POST-STSS default tag
+weights (interact.py:794-803), partition widget and result pane.
+
+Every widget owns a ``make()`` producing the corresponding spec object, so
+the GUI is a thin layer over the same API users script against."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from vectorian_tpu.alignment import (
+    ConstantGapCost,
+    ExponentialGapCost,
+    GlobalAlignment,
+    LinearGapCost,
+    LocalAlignment,
+    SemiGlobalAlignment,
+    WordMoversDistance,
+    WordRotatorsDistance,
+)
+from vectorian_tpu.sim.kernel import Bias, DistanceToSimilarity, RadialBasis, Scale
+from vectorian_tpu.sim.modifier import (
+    MaximumTokenSimilarity,
+    MinimumTokenSimilarity,
+    MixedTokenSimilarity,
+)
+from vectorian_tpu.sim.span import OptimizedSpanSim
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+from vectorian_tpu.sim.vector import (
+    CosineSim,
+    FuzzyJaccardSim,
+    ImprovedSqrtCosineSim,
+    ModifiedVectorSim,
+    PNormDistance,
+)
+
+# Batanović et al. POST-STSS tag weights (reference interact.py:794-803)
+POST_STSS_TAG_WEIGHTS = {
+    "CC": 0.7, "CD": 0.8, "DT": 0.7, "EX": 0.7, "FW": 0.7, "IN": 0.7,
+    "JJ": 0.7, "JJR": 0.7, "JJS": 0.8, "LS": 0.7, "MD": 1.2, "NN": 0.8,
+    "NNS": 1.0, "NNP": 0.8, "NNPS": 0.8, "PDT": 0.7, "POS": 0.7,
+    "PRP": 0.7, "PRP$": 0.7, "RB": 1.3, "RBR": 1.2, "RBS": 1.0, "RP": 1.2,
+    "SYM": 0.7, "TO": 0.8, "UH": 0.7, "VB": 1.2, "VBD": 1.2, "VBG": 1.1,
+    "VBN": 0.8, "VBP": 1.2, "VBZ": 1.2, "WDT": 0.7, "WP": 0.7, "WP$": 0.7,
+    "WRB": 1.3,
+}
+
+VECTOR_METRICS = {
+    "cosine": CosineSim,
+    "improved-sqrt-cosine": ImprovedSqrtCosineSim,
+    "fuzzy-jaccard": FuzzyJaccardSim,
+    "p-norm (euclidean)": lambda: ModifiedVectorSim(
+        PNormDistance(2), DistanceToSimilarity()
+    ),
+}
+
+
+def _widgets():
+    try:
+        import ipywidgets
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "InteractiveQuery requires ipywidgets (notebook environment)"
+        ) from e
+    return ipywidgets
+
+
+class VectorMetricWidget:
+    def __init__(self):
+        w = _widgets()
+        self._dropdown = w.Dropdown(
+            options=list(VECTOR_METRICS.keys()),
+            value="cosine",
+            description="Vector Metric:",
+        )
+        self._rbf = w.FloatSlider(
+            value=0.0, min=0.0, max=10.0, step=0.5, description="RBF gamma (0=off):"
+        )
+        self.widget = w.VBox([self._dropdown, self._rbf])
+
+    def make(self):
+        metric = VECTOR_METRICS[self._dropdown.value]()
+        if self._rbf.value > 0:
+            metric = ModifiedVectorSim(
+                metric, DistanceToSimilarity(), RadialBasis(self._rbf.value)
+            )
+        return metric
+
+
+class EmbeddingMixerWidget:
+    """Pick embeddings and how to combine them (reference
+    interact.py:271-430: mixed / max / min + falloff power)."""
+
+    def __init__(self, session, metric_widget: VectorMetricWidget):
+        w = _widgets()
+        self._session = session
+        self._metric_widget = metric_widget
+        names = [e.name for e in session.embeddings]
+        self._select = w.SelectMultiple(
+            options=names, value=tuple(names[:1]), description="Embeddings:"
+        )
+        self._mode = w.Dropdown(
+            options=["single", "mixed", "maximum", "minimum"],
+            value="single",
+            description="Combine:",
+        )
+        self._mix = w.FloatSlider(
+            value=0.5, min=0.0, max=1.0, step=0.05, description="Mix:"
+        )
+        self.widget = w.VBox([self._select, self._mode, self._mix])
+
+    def make(self) -> EmbeddingTokenSim:
+        by_name = {e.name: e for e in self._session.embeddings}
+        chosen = [by_name[n] for n in self._select.value] or list(by_name.values())[:1]
+        metric = self._metric_widget.make()
+        sims = [EmbeddingTokenSim(e, metric) for e in chosen]
+        if len(sims) == 1 or self._mode.value == "single":
+            return sims[0]
+        if self._mode.value == "mixed":
+            k = len(sims)
+            if k == 2:
+                weights = [1.0 - self._mix.value, self._mix.value]
+            else:
+                weights = [1.0 / k] * k
+            return MixedTokenSimilarity(sims, weights)
+        if self._mode.value == "maximum":
+            return MaximumTokenSimilarity(sims)
+        return MinimumTokenSimilarity(sims)
+
+
+class GapCostWidget:
+    """Gap cost model editor with preview plot (reference interact.py:433-529)."""
+
+    def __init__(self, label="Gap:"):
+        w = _widgets()
+        self._kind = w.Dropdown(
+            options=["constant", "linear", "exponential"],
+            value="constant",
+            description=label,
+        )
+        self._value = w.FloatSlider(
+            value=0.0, min=0.0, max=2.0, step=0.05, description="cost:"
+        )
+        self.widget = w.HBox([self._kind, self._value])
+
+    def make(self):
+        v = self._value.value
+        if self._kind.value == "constant":
+            return ConstantGapCost(v)
+        if self._kind.value == "linear":
+            return LinearGapCost(v)
+        return ExponentialGapCost(max(v, 1e-3))
+
+    def plot(self):  # pragma: no cover
+        import matplotlib.pyplot as plt
+
+        c = self.make().costs(32)
+        plt.plot(range(len(c)), c)
+        plt.xlabel("gap length")
+        plt.ylabel("cost")
+
+
+class AlignmentWidget:
+    """Algorithm picker incl. WMD variants / WRD (reference
+    interact.py:584-780)."""
+
+    ALGOS = [
+        "local alignment (Smith-Waterman)",
+        "global alignment (Needleman-Wunsch)",
+        "semiglobal alignment",
+        "rwmd (nbow)",
+        "rwmd (nbow, distributed)",
+        "rwmd (bow, fast)",
+        "wmd (nbow)",
+        "wmd (bow)",
+        "word rotator's distance",
+    ]
+
+    def __init__(self):
+        w = _widgets()
+        self._algo = w.Dropdown(
+            options=self.ALGOS, value=self.ALGOS[0], description="Alignment:"
+        )
+        self._gap_s = GapCostWidget("Gap (doc):")
+        self._gap_t = GapCostWidget("Gap (query):")
+        self.widget = w.VBox([self._algo, self._gap_s.widget, self._gap_t.widget])
+
+    def make(self):
+        a = self._algo.value
+        gap = {"s": self._gap_s.make(), "t": self._gap_t.make()}
+        if a.startswith("local"):
+            return LocalAlignment(gap)
+        if a.startswith("global"):
+            return GlobalAlignment(gap)
+        if a.startswith("semiglobal"):
+            return SemiGlobalAlignment(gap)
+        if a == "rwmd (nbow)":
+            return WordMoversDistance.rwmd("nbow")
+        if a == "rwmd (nbow, distributed)":
+            return WordMoversDistance.rwmd("nbow/distributed")
+        if a == "rwmd (bow, fast)":
+            return WordMoversDistance.rwmd("bow/fast")
+        if a == "wmd (nbow)":
+            return WordMoversDistance.wmd("nbow")
+        if a == "wmd (bow)":
+            return WordMoversDistance.wmd("bow")
+        return WordRotatorsDistance()
+
+
+class TagWeightsWidget:
+    """Tag-weighted alignment options (reference interact.py:783-852)."""
+
+    def __init__(self):
+        w = _widgets()
+        self._enabled = w.Checkbox(value=False, description="Tag weights (POST-STSS)")
+        self._penalty = w.FloatSlider(
+            value=1.0, min=0.0, max=1.0, step=0.1, description="POS Mismatch Penalty:"
+        )
+        self._threshold = w.FloatSlider(
+            value=0.2, min=0.0, max=1.0, step=0.1, description="Similarity Threshold:"
+        )
+        self.widget = w.VBox([self._enabled, self._penalty, self._threshold])
+
+    def make(self) -> dict:
+        if not self._enabled.value:
+            return {}
+        return {
+            "tag_weights": dict(POST_STSS_TAG_WEIGHTS),
+            "pos_mismatch_penalty": self._penalty.value,
+            "similarity_threshold": self._threshold.value,
+        }
+
+
+class PartitionWidget:
+    def __init__(self, session):
+        w = _widgets()
+        self._session = session
+        self._level = w.Dropdown(
+            options=["sentence", "token", "document"],
+            value="sentence",
+            description="Level:",
+        )
+        self._size = w.IntSlider(value=1, min=1, max=10, description="Window size:")
+        self._step = w.IntSlider(value=1, min=1, max=10, description="Window step:")
+        self.widget = w.VBox([self._level, self._size, self._step])
+
+    def make(self):
+        return self._session.partition(
+            self._level.value, self._size.value, self._step.value
+        )
+
+
+class QueryWidget:
+    """Query box + result pane (reference interact.py:985-1112)."""
+
+    def __init__(self, iquery: "InteractiveQuery"):
+        w = _widgets()
+        self._iquery = iquery
+        self._text = w.Text(
+            value="", placeholder="enter a search phrase", description="Query:",
+            layout=w.Layout(width="60%"),
+        )
+        self._n = w.IntSlider(value=10, min=1, max=100, description="Matches:")
+        self._button = w.Button(description="Search", button_style="primary")
+        self._output = w.Output()
+        self._button.on_click(self._on_search)
+        self.widget = w.VBox(
+            [w.HBox([self._text, self._button]), self._n, self._output]
+        )
+
+    def _on_search(self, _event=None):  # pragma: no cover
+        from IPython.display import HTML, display
+
+        self._output.clear_output()
+        with self._output:
+            result = self._iquery.run(self._text.value, n=self._n.value)
+            display(HTML(result._repr_html_()))
+
+
+class InteractiveQuery:
+    """The full query-builder GUI (reference interact.py:1115-1148)."""
+
+    def __init__(self, session, nlp=None):
+        self._session = session
+        self._nlp = nlp
+        self._metric = VectorMetricWidget()
+        self._mixer = EmbeddingMixerWidget(session, self._metric)
+        self._alignment = AlignmentWidget()
+        self._tags = TagWeightsWidget()
+        self._partition = PartitionWidget(session)
+        self._query = QueryWidget(self)
+
+    @property
+    def session(self):
+        return self._session
+
+    def make_span_sim(self) -> OptimizedSpanSim:
+        return OptimizedSpanSim(
+            self._mixer.make(), self._alignment.make(), **self._tags.make()
+        )
+
+    def make_index(self):
+        return self._partition.make().index(self.make_span_sim(), nlp=self._nlp)
+
+    def run(self, text: str, n: int = 10):
+        return self.make_index().find(text, n=n)
+
+    @property
+    def widget(self):
+        w = _widgets()
+        return w.VBox(
+            [
+                w.HTML("<b>Metric</b>"),
+                self._metric.widget,
+                self._mixer.widget,
+                w.HTML("<b>Alignment</b>"),
+                self._alignment.widget,
+                self._tags.widget,
+                w.HTML("<b>Partition</b>"),
+                self._partition.widget,
+                w.HTML("<b>Query</b>"),
+                self._query.widget,
+            ]
+        )
+
+    def _ipython_display_(self):  # pragma: no cover
+        from IPython.display import display
+
+        display(self.widget)
