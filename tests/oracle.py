@@ -44,6 +44,35 @@ def gotoh_align(S, open_s, extend_s, open_t, extend_t, locality):
     return score, H, E, F
 
 
+def wsb_align(S, w_s, w_t, locality):
+    """Waterman-Smith-Beyer with arbitrary gap-cost vectors w[k] (scalar
+    oracle for the general-gap DP)."""
+    ls, lt = S.shape
+    H = np.full((ls + 1, lt + 1), NEG)
+    H[0, 0] = 0.0
+    for j in range(1, lt + 1):
+        H[0, j] = -w_t[j] if locality == "global" else 0.0
+    for i in range(1, ls + 1):
+        H[i, 0] = -w_s[i] if locality == "global" else 0.0
+    for i in range(1, ls + 1):
+        for j in range(1, lt + 1):
+            h = H[i - 1, j - 1] + S[i - 1, j - 1]
+            for g in range(1, i + 1):
+                h = max(h, H[i - g, j] - w_s[g])
+            for g in range(1, j + 1):
+                h = max(h, H[i, j - g] - w_t[g])
+            if locality == "local":
+                h = max(h, 0.0)
+            H[i, j] = h
+    if locality == "local":
+        score = max(0.0, H[1:, 1:].max())
+    elif locality == "global":
+        score = H[ls, lt]
+    else:
+        score = max(H[ls, :].max(), H[:, lt].max())
+    return score, H
+
+
 def brute_force_search(
     slices, query_sim, open_s, extend_s, open_t, extend_t, locality, submatch_weight=0.0
 ):

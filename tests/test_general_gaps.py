@@ -1,0 +1,143 @@
+"""General-gap (WSB) DP + doc-side token filter tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vectorian_tpu.ops.alignment import (
+    align_matrices_general,
+    align_scores_general,
+    traceback_general,
+)
+from .oracle import wsb_align
+
+
+def _gap_vecs(rng, n1, kind):
+    if kind == "exp":
+        k = np.arange(n1, dtype=np.float32)
+        return (1.0 - np.power(2.0, -k / 3.0)).astype(np.float32)
+    if kind == "rand":
+        w = np.sort(rng.uniform(0, 1.5, size=n1)).astype(np.float32)
+        w[0] = 0.0
+        return w
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize("locality", ["local", "global", "semiglobal"])
+@pytest.mark.parametrize("kind", ["exp", "rand"])
+def test_general_gap_scores_vs_oracle(rng, locality, kind):
+    B, Ls, Lt = 10, 9, 6
+    S = rng.uniform(-0.4, 1.0, size=(B, Ls, Lt)).astype(np.float32)
+    len_s = rng.integers(1, Ls + 1, size=B).astype(np.int32)
+    len_t = rng.integers(1, Lt + 1, size=B).astype(np.int32)
+    w_s = _gap_vecs(rng, Ls + 1, kind)
+    w_t = _gap_vecs(rng, Lt + 1, kind)
+    got = np.asarray(
+        align_scores_general(
+            S, len_s, len_t, jnp.asarray(w_s), jnp.asarray(w_t), locality
+        )
+    )
+    for b in range(B):
+        Sb = S[b, : len_s[b], : len_t[b]]
+        want, _ = wsb_align(Sb, w_s, w_t, locality)
+        assert got[b] == pytest.approx(want, abs=1e-4), (b, locality, kind)
+
+
+def test_general_gap_matches_affine_when_affine(rng):
+    """With cost(k) = open + (k-1)ext the WSB path equals the Gotoh path."""
+    from vectorian_tpu.ops.alignment import AffineGapParams, align_scores
+
+    B, Ls, Lt = 8, 7, 5
+    S = rng.uniform(-0.3, 1.0, size=(B, Ls, Lt)).astype(np.float32)
+    len_s = np.full(B, Ls, np.int32)
+    len_t = np.full(B, Lt, np.int32)
+    open_, ext = 0.6, 0.2
+    k = np.arange(Ls + 1, dtype=np.float32)
+    w = np.where(k > 0, open_ + (k - 1) * ext, 0).astype(np.float32)
+    for locality in ["local", "global", "semiglobal"]:
+        a = np.asarray(
+            align_scores(S, len_s, len_t, AffineGapParams.of(open_, ext, open_, ext), locality)
+        )
+        g = np.asarray(
+            align_scores_general(
+                S, len_s, len_t, jnp.asarray(w), jnp.asarray(w[: Lt + 1]), locality
+            )
+        )
+        np.testing.assert_allclose(a, g, atol=1e-4, err_msg=locality)
+
+
+def test_general_traceback(rng):
+    S = rng.uniform(-0.3, 1.0, size=(1, 8, 4)).astype(np.float32)
+    w_s = _gap_vecs(rng, 9, "exp")
+    w_t = _gap_vecs(rng, 5, "exp")
+    H = np.asarray(
+        align_matrices_general(S, jnp.asarray(w_s), jnp.asarray(w_t), "local")
+    )[0]
+    _, Ho = wsb_align(S[0], w_s, w_t, "local")
+    np.testing.assert_allclose(H, Ho.astype(np.float32), atol=1e-4)
+    mapping = traceback_general(H, S[0], 8, 4, w_s, w_t, "local")
+    tgts = mapping[mapping >= 0]
+    assert (np.diff(tgts) > 0).all()
+
+
+def test_exponential_gap_search_end_to_end():
+    """ExponentialGapCost routes through the WSB path in the index."""
+    from tests.helpers import make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import ExponentialGapCost, LocalAlignment
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    words = ["the", "old", "king", "rides", "grey", "horse", "cat", "dances"]
+    emb = make_embedding(words)
+    docs = [
+        StringImporter()(
+            "the old king often rides the very grey horse. the cat dances.",
+            title="d",
+        )
+    ]
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(
+        OptimizedSpanSim(
+            EmbeddingTokenSim(emb), LocalAlignment(ExponentialGapCost(3.0))
+        )
+    )
+    r = index.find("old king rides grey horse", n=2, min_score=0.1)
+    assert len(r) >= 1
+    # gaps ('often', 'very') cost < 1 each under the exponential model
+    assert r[0].score > 0.8
+    j = r[0].to_json()
+    assert any("edges" in reg for reg in j["regions"])
+
+
+def test_doc_side_filters():
+    """pos_filter/token_filter drop document tokens before alignment."""
+    from tests.helpers import make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    words = ["the", "old", "king", "rides", "horse", "stop"]
+    emb = make_embedding(words)
+    docs = [
+        StringImporter()("the old king stop rides stop the horse.", title="d")
+    ]
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+
+    # without filter: 'stop' tokens break the contiguous alignment into gaps
+    r0 = index.find("old king rides horse", n=1, min_score=-1)
+    j0 = r0[0].to_json()
+    gaps0 = [reg for reg in j0["regions"] if "gap_penalty" in reg]
+
+    # token_filter removes 'stop' from the document side entirely
+    r1 = index.find("old king rides horse", n=1, min_score=-1, token_filter=["stop"])
+    assert r1[0].score >= r0[0].score - 1e-6
+    # flows must map to real (unfiltered) token offsets: regions still
+    # reconstruct against the original text
+    j1 = r1[0].to_json()
+    matched_texts = [
+        reg["s"] for reg in j1["regions"] if "edges" in reg
+    ]
+    assert "king" in matched_texts and "horse" in matched_texts
+    assert "stop" not in matched_texts

@@ -458,15 +458,44 @@ class BruteForceIndex(Index):
             return None
         return {"s": self._gap_s, "t": self._gap_t}
 
-    def _affine_gaps(self) -> AffineGapParams:
+    def _affine_gaps(self) -> Optional[AffineGapParams]:
+        """Affine params when the gap model is exactly affine (fast Gotoh
+        kernel), else None — the engine then uses the general-gap WSB DP."""
         affine = resolve_affine_gaps(self._gap_s, self._gap_t)
         if affine is None:
-            raise NotImplementedError(
-                "general (non-affine) gap costs require the general-gap DP "
-                "path; use Constant/Linear/Affine gap costs"
-            )
+            return None
         o_s, e_s, o_t, e_t = affine
         return AffineGapParams.of(o_s, e_s, o_t, e_t)
+
+    def _doc_filter(self, query: PreparedQuery):
+        """Document-side token filter from query options: pos_filter /
+        tag_filter apply to both sides (reference index.py:78-83 +
+        query.cpp:220-257); token_filter excludes document token strings."""
+        from vectorian_tpu.ops.search import DocFilterSpec
+        from vectorian_tpu.vocabulary import UPOS
+
+        opts = query.options
+        pos_filter = list(opts.get("pos_filter") or ())
+        tag_filter = list(opts.get("tag_filter") or ())
+        token_filter = list(opts.get("token_filter") or ())
+        if not (pos_filter or tag_filter or token_filter):
+            return None
+        vocab = self._session.vocab
+        pos_ex = np.zeros((len(UPOS),), bool)
+        for p in pos_filter:
+            pos_ex[vocab.pos_id(p)] = True
+        tag_ex = np.zeros((max(len(vocab.tags), 1),), bool)
+        for t in tag_filter:
+            i = vocab.tags.get(t)
+            if i >= 0:
+                tag_ex[i] = True
+        tok_ex = np.zeros((max(len(vocab.tokens), 1),), bool)
+        for w in token_filter:
+            nw = self._session.normalization.normalize_word(w)
+            i = vocab.tokens.get(nw if nw else w)
+            if i >= 0:
+                tok_ex[i] = True
+        return DocFilterSpec(pos_ex, tag_ex, tok_ex)
 
     def _tag_weighting(self, query: PreparedQuery) -> Optional[TagWeightingSpec]:
         tw = self._args.get("tag_weights")
@@ -519,10 +548,17 @@ class BruteForceIndex(Index):
         tagw = self._tag_weighting(query)
         norm_total = tagw.total if tagw is not None else float(T)
         gaps = self._affine_gaps()
+        if gaps is None:
+            gap_costs = (self._gap_s, self._gap_t)
+            gaps = AffineGapParams.of(0, 0, 0, 0)  # unused placeholder
+        else:
+            gap_costs = None
 
         boost = None
         if booster is not None:
             boost = booster.compile(self._session, self._partition, query)
+
+        doc_filter = self._doc_filter(query)
 
         scores = self._engine.score_all(
             qp,
@@ -532,6 +568,8 @@ class BruteForceIndex(Index):
             norm_total,
             boost=boost,
             tag_weights=tagw,
+            doc_filter=doc_filter,
+            gap_costs=gap_costs,
         )
         if debug:
             debug("scores", {"scores": scores})
@@ -541,19 +579,14 @@ class BruteForceIndex(Index):
         if not top:
             return []
 
-        mappings, sims_un = self._engine.rescore_with_flows(
-            top, qp, T, gaps, self._locality, tag_weights=tagw
+        mappings, edge_sims = self._engine.rescore_with_flows(
+            top, qp, T, gaps, self._locality, tag_weights=tagw,
+            doc_filter=doc_filter, gap_costs=gap_costs,
         )
 
         matches = []
         packed = self._engine.packed
-        for sid, mapping, S_un in zip(top, mappings, sims_un):
-            # per-edge similarity (unmodified, i.e. before tag weighting —
-            # reference ScoreComputer, metric/alignment.h:307-352)
-            sims = np.zeros((T,), np.float32)
-            for jt, s in enumerate(mapping):
-                if s >= 0:
-                    sims[jt] = S_un[s, jt]
+        for sid, mapping, sims in zip(top, mappings, edge_sims):
             score = float(scores[sid])
             if submatch_weight != 0.0:
                 # exact rescore: matched max-sims vs total

@@ -289,6 +289,261 @@ def align_matrices(
     return H, E, F
 
 
+@functools.partial(jax.jit, static_argnames=("locality", "with_position"))
+def align_scores_general(
+    similarity: jnp.ndarray,  # [B, Ls, Lt]
+    len_s: jnp.ndarray,  # [B]
+    len_t: jnp.ndarray,  # [B]
+    gap_vec_s: jnp.ndarray,  # [Ls+1] cost of a gap of length k in s
+    gap_vec_t: jnp.ndarray,  # [Lt+1]
+    locality: str = LOCAL,
+    with_position: bool = False,
+):
+    """Waterman-Smith-Beyer alignment with *arbitrary* per-length gap costs
+    (the reference's O(n^3) general-gap case, alignment.py:54-55 and the
+    pyalign GeneralGapCost solvers).
+
+    H[i,j] = max(diag, max_g H[i-g,j] - w_s[g], max_g H[i,j-g] - w_t[g]
+                 [, 0 local]).
+
+    Cost: O(Ls * (Ls + Lt^2)) vector steps over [B, Lt+1] — the exact slow
+    path for exponential/custom gap models; affine models use align_scores.
+    """
+    if locality not in LOCALITIES:
+        raise ValueError(f"unknown locality {locality!r}")
+    B, Ls, Lt = similarity.shape
+    T1 = Lt + 1
+    S1 = Ls + 1
+    f32 = jnp.float32
+    similarity = similarity.astype(f32)
+    len_s = len_s.astype(jnp.int32)
+    len_t = len_t.astype(jnp.int32)
+    w_s = gap_vec_s.astype(f32)
+    w_t = gap_vec_t.astype(f32)
+
+    jj = jnp.arange(T1, dtype=jnp.int32)
+    jmask = (jj[None, :] >= 1) & (jj[None, :] <= len_t[:, None])
+
+    if locality == GLOBAL:
+        init_row = jnp.broadcast_to(-w_t[:T1][None, :], (B, T1)).at[:, 0].set(0.0)
+    else:
+        init_row = jnp.zeros((B, T1), f32)
+
+    floor = 0.0 if locality == LOCAL else NEG
+
+    # all previous rows live in the carry: Hall [S1, B, T1]
+    Hall0 = jnp.full((S1, B, T1), NEG, f32).at[0].set(init_row)
+    rr = jnp.arange(S1, dtype=jnp.int32)
+
+    def row_step(carry, xs):
+        Hall, best, best_pos = carry
+        s_row, i = xs  # i: 1-based row
+
+        # vertical: max over r < i of Hall[r] - w_s[i - r]
+        cost_r = jnp.where(rr < i, w_s[jnp.maximum(i - rr, 0)], jnp.inf)
+        V = jnp.max(Hall - cost_r[:, None, None], axis=0)  # [B, T1]
+
+        H_prev = Hall[i - 1]
+        M = jnp.concatenate(
+            [jnp.full((B, 1), NEG, f32), H_prev[:, :-1] + s_row], axis=1
+        )
+        C = jnp.maximum(M, V)
+        if locality == LOCAL:
+            C = jnp.maximum(C, 0.0)
+        if locality == GLOBAL:
+            C = C.at[:, 0].set(-w_s[jnp.minimum(i, Ls)])
+        else:
+            C = C.at[:, 0].set(0.0)
+
+        # horizontal: sequential over j (general costs can't be decomposed)
+        def col_body(j, H):
+            # horizontal gap into column j from any source column jj < j,
+            # at cost w_t[j - jj]
+            E = jnp.max(
+                jnp.where(
+                    (jj[None, :] < j), H - jnp.where(jj < j, w_t[jnp.maximum(j - jj, 0)], jnp.inf)[None, :], NEG
+                ),
+                axis=1,
+            )
+            return H.at[:, j].set(jnp.maximum(C[:, j], E))
+
+        H = jax.lax.fori_loop(1, T1, col_body, C)
+
+        Hall = Hall.at[i].set(H)
+
+        Hm = jnp.where(jmask, H, NEG)
+        row_valid = i <= len_s
+        if locality == LOCAL:
+            row_max = jnp.max(Hm, axis=1)
+            row_arg = jnp.argmax(Hm, axis=1).astype(jnp.int32)
+            improved = row_valid & (row_max > best)
+            best = jnp.where(improved, row_max, best)
+            if with_position:
+                best_pos = jnp.where(
+                    improved[:, None],
+                    jnp.stack([jnp.full((B,), i, jnp.int32), row_arg], axis=1),
+                    best_pos,
+                )
+        elif locality == GLOBAL:
+            h_end = jnp.take_along_axis(H, len_t[:, None], axis=1)[:, 0]
+            hit = i == len_s
+            best = jnp.where(hit, h_end, best)
+            if with_position:
+                best_pos = jnp.where(
+                    hit[:, None], jnp.stack([len_s, len_t], axis=1), best_pos
+                )
+        else:
+            h_lastcol = jnp.take_along_axis(H, len_t[:, None], axis=1)[:, 0]
+            improved_c = row_valid & (h_lastcol > best)
+            best = jnp.where(improved_c, h_lastcol, best)
+            if with_position:
+                best_pos = jnp.where(
+                    improved_c[:, None],
+                    jnp.stack([jnp.full((B,), i, jnp.int32), len_t], axis=1),
+                    best_pos,
+                )
+            row_max = jnp.max(Hm, axis=1)
+            row_arg = jnp.argmax(Hm, axis=1).astype(jnp.int32)
+            improved_r = (i == len_s) & (row_max > best)
+            best = jnp.where(improved_r, row_max, best)
+            if with_position:
+                best_pos = jnp.where(
+                    improved_r[:, None],
+                    jnp.stack([jnp.full((B,), i, jnp.int32), row_arg], axis=1),
+                    best_pos,
+                )
+        return (Hall, best, best_pos), None
+
+    if locality == LOCAL:
+        best0 = jnp.zeros((B,), f32)
+    elif locality == GLOBAL:
+        best0 = jnp.full((B,), NEG, f32)
+    else:
+        best0 = jnp.zeros((B,), f32)
+    best_pos0 = jnp.zeros((B, 2), jnp.int32)
+
+    xs = (jnp.moveaxis(similarity, 1, 0), jnp.arange(1, Ls + 1, dtype=jnp.int32))
+    (Hall, best, best_pos), _ = jax.lax.scan(
+        row_step, (Hall0, best0, best_pos0), xs
+    )
+    if with_position:
+        return best, best_pos
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("locality",))
+def align_matrices_general(
+    similarity: jnp.ndarray,  # [B, Ls, Lt]
+    gap_vec_s: jnp.ndarray,
+    gap_vec_t: jnp.ndarray,
+    locality: str = LOCAL,
+):
+    """Full H matrix for the general-gap DP ([B, Ls+1, Lt+1]) — traceback
+    support for the top-k finalizer."""
+    B, Ls, Lt = similarity.shape
+    T1, S1 = Lt + 1, Ls + 1
+    f32 = jnp.float32
+    similarity = similarity.astype(f32)
+    w_s = gap_vec_s.astype(f32)
+    w_t = gap_vec_t.astype(f32)
+    jj = jnp.arange(T1, dtype=jnp.int32)
+    rr = jnp.arange(S1, dtype=jnp.int32)
+
+    if locality == GLOBAL:
+        init_row = jnp.broadcast_to(-w_t[:T1][None, :], (B, T1)).at[:, 0].set(0.0)
+    else:
+        init_row = jnp.zeros((B, T1), f32)
+    Hall0 = jnp.full((S1, B, T1), NEG, f32).at[0].set(init_row)
+
+    def row_step(Hall, xs):
+        s_row, i = xs
+        cost_r = jnp.where(rr < i, w_s[jnp.maximum(i - rr, 0)], jnp.inf)
+        V = jnp.max(Hall - cost_r[:, None, None], axis=0)
+        H_prev = Hall[i - 1]
+        M = jnp.concatenate(
+            [jnp.full((B, 1), NEG, f32), H_prev[:, :-1] + s_row], axis=1
+        )
+        C = jnp.maximum(M, V)
+        if locality == LOCAL:
+            C = jnp.maximum(C, 0.0)
+        if locality == GLOBAL:
+            C = C.at[:, 0].set(-w_s[jnp.minimum(i, Ls)])
+        else:
+            C = C.at[:, 0].set(0.0)
+
+        def col_body(j, H):
+            E = jnp.max(
+                jnp.where(
+                    (jj[None, :] < j),
+                    H - jnp.where(jj < j, w_t[jnp.maximum(j - jj, 0)], jnp.inf)[None, :],
+                    NEG,
+                ),
+                axis=1,
+            )
+            return H.at[:, j].set(jnp.maximum(C[:, j], E))
+
+        H = jax.lax.fori_loop(1, T1, col_body, C)
+        Hall = Hall.at[i].set(H)
+        return Hall, None
+
+    xs = (jnp.moveaxis(similarity, 1, 0), jnp.arange(1, Ls + 1, dtype=jnp.int32))
+    Hall, _ = jax.lax.scan(row_step, Hall0, xs)
+    return jnp.moveaxis(Hall, 1, 0)  # [B, S1, T1]
+
+
+def traceback_general(H, S, len_s, len_t, w_s, w_t, locality, end_cell=None):
+    """Traceback for the general-gap DP: probe all gap lengths against the
+    cost vectors."""
+    mapping = np.full((len_t,), -1, dtype=np.int32)
+    if end_cell is None:
+        if locality == GLOBAL:
+            i, j = len_s, len_t
+        elif locality == LOCAL:
+            sub = H[1 : len_s + 1, 1 : len_t + 1]
+            flat = int(np.argmax(sub))
+            i, j = flat // len_t + 1, flat % len_t + 1
+        else:
+            col = H[: len_s + 1, len_t]
+            row = H[len_s, : len_t + 1]
+            if col.max() >= row.max():
+                i, j = int(np.argmax(col)), len_t
+            else:
+                i, j = len_s, int(np.argmax(row))
+    else:
+        i, j = int(end_cell[0]), int(end_cell[1])
+
+    eps = 1e-4
+    while i > 0 and j > 0:
+        h = H[i, j]
+        if locality == LOCAL and h <= 1e-9:
+            break
+        if abs(H[i - 1, j - 1] + S[i - 1, j - 1] - h) <= eps:
+            mapping[j - 1] = i - 1
+            i -= 1
+            j -= 1
+            continue
+        moved = False
+        for g in range(1, j + 1):
+            if abs(H[i, j - g] - w_t[g] - h) <= eps:
+                j -= g
+                moved = True
+                break
+        if moved:
+            continue
+        for g in range(1, i + 1):
+            if abs(H[i - g, j] - w_s[g] - h) <= eps:
+                i -= g
+                moved = True
+                break
+        if moved:
+            continue
+        # numerical fallback
+        mapping[j - 1] = i - 1
+        i -= 1
+        j -= 1
+    return mapping
+
+
 def traceback(
     H: np.ndarray,  # [Ls+1, Lt+1]
     S: np.ndarray,  # [Ls, Lt]

@@ -34,8 +34,11 @@ import numpy as np
 from vectorian_tpu.ops.alignment import (
     AffineGapParams,
     align_matrices,
+    align_matrices_general,
     align_scores,
+    align_scores_general,
     traceback,
+    traceback_general,
 )
 from vectorian_tpu.ops.simmatrix import QueryPlan, eval_plan_chunk
 
@@ -59,6 +62,32 @@ class TagWeightingSpec:
         return float(np.sum(self.t_pos_weights))
 
 
+@dataclass
+class DocFilterSpec:
+    """Document-side token filtering (reference TokenFilter query.h:8-28 +
+    FilteredSlice slice/static.h:104-184): drop document tokens by universal
+    POS, fine tag, or explicit token string before alignment.  On device the
+    per-slice sequences are compacted with a stable argsort."""
+
+    pos_exclude: np.ndarray  # [n_pos] bool
+    tag_exclude: np.ndarray  # [n_tags] bool
+    token_exclude: np.ndarray  # [V] bool
+
+
+def _compact_slices(tok, pos, tag, lengths, pos_ex, tag_ex, tok_ex):
+    """Stable-compact kept tokens to the front; returns (perm, new_lengths,
+    keep).  perm gathers original positions; dropped/padded go to the end."""
+    c, L = tok.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = idx < lengths[:, None]
+    keep = valid & ~pos_ex[pos] & ~tag_ex[tag] & ~tok_ex[tok]
+    # stable sort: kept positions (key 0) before dropped (key 1)
+    key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    perm = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    new_lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return perm, new_lengths, keep
+
+
 def _apply_tag_weights(S, pos_s, tw_weights, tw_pos_t, tw_penalty, tw_threshold):
     # S: [n, L, T]; pos_s: [n, L] i8; weights/pos_t: [T]
     w = tw_weights[None, None, :] * jnp.where(
@@ -72,12 +101,15 @@ def _apply_tag_weights(S, pos_s, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "locality", "chunk", "with_tags"),
+    static_argnames=(
+        "plan", "locality", "chunk", "with_tags", "with_filter", "general_gaps"
+    ),
 )
 def _bucket_scores(
     plan: tuple,
     token_ids: jnp.ndarray,  # [N, L] i32 (N padded to chunk multiple)
     pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
     lengths: jnp.ndarray,  # [N] i32 (0 for padding rows)
     static_sims: tuple,  # k -> [V, T]
     static_mags: tuple,
@@ -92,9 +124,16 @@ def _bucket_scores(
     tw_pos_t: jnp.ndarray,  # [T] i8
     tw_penalty: jnp.ndarray,  # scalar f32
     tw_threshold: jnp.ndarray,  # scalar f32
+    flt_pos: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    flt_tag: jnp.ndarray,  # [n_tags] bool
+    flt_tok: jnp.ndarray,  # [V] bool
+    gap_vec_s: jnp.ndarray,  # [L+1] (general-gap path only)
+    gap_vec_t: jnp.ndarray,  # [T+1]
     locality: str,
     chunk: int,
     with_tags: bool,
+    with_filter: bool,
+    general_gaps: bool = False,
 ):
     """Normalized scores for every slice of one bucket: [N] f32."""
     N, L = token_ids.shape
@@ -103,19 +142,32 @@ def _bucket_scores(
     lt_full = jnp.full((chunk,), len_t, jnp.int32)
 
     def one_chunk(args):
-        tok, pos, ln, ctx = args
+        tok, pos, tag, ln, ctx = args
+        if with_filter:
+            perm, ln, _ = _compact_slices(tok, pos, tag, ln, flt_pos, flt_tag, flt_tok)
+            tok = jnp.take_along_axis(tok, perm, axis=1)
+            pos = jnp.take_along_axis(pos, perm, axis=1)
+            ctx = tuple(
+                jnp.take_along_axis(c, perm[:, :, None], axis=1) for c in ctx
+            )
         S = eval_plan_chunk(
             plan, tok, static_sims, static_mags, ctx, ctx_queries, mixed_weights
         )["similarity"]
         if with_tags:
             S = _apply_tag_weights(S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
         ln1 = jnp.maximum(ln, 1)
-        raw = align_scores(S, ln1, lt_full, gaps, locality)
+        if general_gaps:
+            raw = align_scores_general(
+                S, ln1, lt_full, gap_vec_s, gap_vec_t, locality
+            )
+        else:
+            raw = align_scores(S, ln1, lt_full, gaps, locality)
         return jnp.where(ln > 0, raw, NEG_SCORE)
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
         pos_ids.reshape(n_chunks, chunk, L),
+        tag_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
         tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
     )
@@ -174,6 +226,7 @@ class BruteForceEngine:
             pad = (-n) % chunk
             tok = np.pad(b.token_ids, ((0, pad), (0, 0)))
             pos = np.pad(b.pos_ids, ((0, pad), (0, 0)))
+            tag = np.pad(b.tag_ids, ((0, pad), (0, 0)))
             ln = np.pad(b.lengths, (0, pad))
             self._slice_loc[b.slice_index, 0] = bi
             self._slice_loc[b.slice_index, 1] = np.arange(n, dtype=np.int32)
@@ -183,6 +236,7 @@ class BruteForceEngine:
                     "chunk": chunk,
                     "tokens": jnp.asarray(tok),
                     "pos": jnp.asarray(pos.astype(np.int8)),
+                    "tag": jnp.asarray(tag.astype(np.int16)),
                     "lengths": jnp.asarray(ln),
                     "slice_index": b.slice_index,
                     "n": n,
@@ -238,12 +292,26 @@ class BruteForceEngine:
         norm_total: float,
         boost: Optional[np.ndarray] = None,  # [n_slices] f32
         tag_weights: Optional[TagWeightingSpec] = None,
+        doc_filter: Optional[DocFilterSpec] = None,
+        gap_costs=None,  # (GapCost_s, GapCost_t) -> general-gap DP path
     ) -> np.ndarray:
         """Normalized score for every slice in the corpus ([n_slices] f32)."""
         T = len_t
         out = np.full((self._packed.n_slices,), NEG_SCORE, np.float32)
         zero_t = jnp.zeros((T,), jnp.float32)
         zero_t8 = jnp.zeros((T,), jnp.int8)
+        if doc_filter is not None:
+            flt = (
+                jnp.asarray(doc_filter.pos_exclude),
+                jnp.asarray(doc_filter.tag_exclude),
+                jnp.asarray(doc_filter.token_exclude),
+            )
+        else:
+            flt = (
+                jnp.zeros((1,), bool),
+                jnp.zeros((1,), bool),
+                jnp.zeros((1,), bool),
+            )
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
@@ -262,11 +330,18 @@ class BruteForceEngine:
                 tw_w, tw_p = zero_t, zero_t8
                 tw_pen = jnp.asarray(0.0, jnp.float32)
                 tw_thr = jnp.asarray(0.0, jnp.float32)
+            if gap_costs is not None:
+                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
+                gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
+            else:
+                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
+                gv_t = jnp.zeros((T + 1,), jnp.float32)
             static_sims, static_mags, ctx, ctx_q, weights = self._plan_args(qp, bi)
             scores = _bucket_scores(
                 qp.plan,
                 db["tokens"],
                 db["pos"],
+                db["tag"],
                 db["lengths"],
                 static_sims,
                 static_mags,
@@ -281,9 +356,14 @@ class BruteForceEngine:
                 tw_p,
                 tw_pen,
                 tw_thr,
+                *flt,
+                gv_s,
+                gv_t,
                 locality=locality,
                 chunk=db["chunk"],
                 with_tags=tag_weights is not None,
+                with_filter=doc_filter is not None,
+                general_gaps=gap_costs is not None,
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
@@ -309,19 +389,46 @@ class BruteForceEngine:
         )
         return [int(c) for c in cand[order][:k]]
 
+    def filtered_positions(self, sid: int, doc_filter: Optional[DocFilterSpec]):
+        """Host-side replica of the device compaction for one slice:
+        original in-slice offsets of the kept tokens."""
+        ln = int(self._packed.slice_len[sid])
+        if doc_filter is None:
+            return np.arange(ln, dtype=np.int32)
+        tok, pos = self._slice_tokens(sid)
+        bi, r = self._slice_loc[sid]
+        tag = np.asarray(self._device_buckets[bi]["tag"][r])
+        keep = (
+            ~doc_filter.pos_exclude[pos[:ln]]
+            & ~doc_filter.tag_exclude[tag[:ln]]
+            & ~doc_filter.token_exclude[tok[:ln]]
+        )
+        return np.flatnonzero(keep).astype(np.int32)
+
     def slice_similarity(
         self,
         sid: int,
         qp: QueryPlan,
         tag_weights: Optional[TagWeightingSpec] = None,
+        sel: Optional[np.ndarray] = None,
     ):
-        """(S_weighted [len, T], S_unmodified [len, T]) for one slice."""
+        """(S_weighted [len, T], S_unmodified [len, T]) for one slice.
+        ``sel``: kept in-slice offsets when a doc filter is active."""
         bi, r = self._slice_loc[sid]
         if bi < 0:
             raise KeyError(sid)
         db = self._device_buckets[bi]
-        tok = db["tokens"][r][None]
-        pos = db["pos"][r][None]
+        L = db["capacity"]
+        if sel is not None:
+            pad = np.zeros((L,), np.int32)
+            pad[: len(sel)] = sel
+            tok_np = np.asarray(db["tokens"][r])[pad]
+            pos_np = np.asarray(db["pos"][r])[pad]
+            tok = jnp.asarray(tok_np)[None]
+            pos = jnp.asarray(pos_np)[None]
+        else:
+            tok = db["tokens"][r][None]
+            pos = db["pos"][r][None]
         T = qp.static_sims[0].shape[1] if qp.static_sims else qp.ctx_queries[0]["unmodified"].shape[0]
         if tag_weights is not None:
             tw = (
@@ -338,12 +445,17 @@ class BruteForceEngine:
                 jnp.asarray(0.0, jnp.float32),
             )
         static_sims, static_mags, ctx_all, ctx_q, weights = self._plan_args(qp, bi)
-        ctx = tuple(c[r][None] for c in ctx_all)
+        if sel is not None:
+            pad = np.zeros((L,), np.int32)
+            pad[: len(sel)] = sel
+            ctx = tuple(jnp.asarray(np.asarray(c[r])[pad])[None] for c in ctx_all)
+        else:
+            ctx = tuple(c[r][None] for c in ctx_all)
         Sw, Su = _slice_similarity(
             qp.plan, tok, static_sims, static_mags, ctx, ctx_q, weights,
             pos, *tw, with_tags=tag_weights is not None,
         )
-        ln = int(self._packed.slice_len[sid])
+        ln = int(self._packed.slice_len[sid]) if sel is None else len(sel)
         return np.asarray(Sw)[:ln], np.asarray(Su)[:ln]
 
     def rescore_with_flows(
@@ -354,22 +466,53 @@ class BruteForceEngine:
         gaps: AffineGapParams,
         locality: str,
         tag_weights: Optional[TagWeightingSpec] = None,
+        doc_filter: Optional[DocFilterSpec] = None,
+        gap_costs=None,
     ):
         """Recompute DP matrices for the chosen slices and extract injective
         flows via host traceback (the reference's finalizer pass,
-        matcher_impl.h:172-174).  Returns (mappings, unmodified sims)."""
-        mappings, sims_un = [], []
+        matcher_impl.h:172-174).  Mappings are translated back to unfiltered
+        in-slice offsets when a doc filter is active.
+        Returns (mappings, per-edge unmodified sims [T])."""
+        mappings, edge_sims = [], []
         for sid in slice_ids:
-            ln = int(self._packed.slice_len[sid])
-            Sw, Su = self.slice_similarity(sid, qp, tag_weights)
-            S = Sw[:, :len_t].astype(np.float32)
-            H, E, F = (
-                np.asarray(x) for x in align_matrices(S[None], gaps, locality)
+            sel = self.filtered_positions(sid, doc_filter)
+            ln = len(sel)
+            if ln == 0:
+                mappings.append(np.full((len_t,), -1, np.int32))
+                edge_sims.append(np.zeros((len_t,), np.float32))
+                continue
+            Sw, Su = self.slice_similarity(
+                sid, qp, tag_weights, sel=sel if doc_filter is not None else None
             )
-            mapping = traceback(H[0], S, ln, len_t, gaps, locality)
-            mappings.append(mapping)
-            sims_un.append(Su[:, :len_t])
-        return mappings, sims_un
+            S = Sw[:, :len_t].astype(np.float32)
+            if gap_costs is not None:
+                w_s = gap_costs[0].costs(ln + 1)
+                w_t = gap_costs[1].costs(len_t + 1)
+                H = np.asarray(
+                    align_matrices_general(
+                        S[None], jnp.asarray(w_s), jnp.asarray(w_t), locality
+                    )
+                )
+                mapping = traceback_general(
+                    H[0], S, ln, len_t, w_s, w_t, locality
+                )
+            else:
+                H, E, F = (
+                    np.asarray(x) for x in align_matrices(S[None], gaps, locality)
+                )
+                mapping = traceback(H[0], S, ln, len_t, gaps, locality)
+            # per-edge similarity before tag weighting (ScoreComputer,
+            # metric/alignment.h:307-352), indexed in filtered space
+            sims = np.zeros((len_t,), np.float32)
+            for jt, sf in enumerate(mapping):
+                if sf >= 0:
+                    sims[jt] = Su[sf, jt]
+            # translate filtered offsets back to original slice offsets
+            mapping = np.where(mapping >= 0, sel[np.maximum(mapping, 0)], -1)
+            mappings.append(mapping.astype(np.int32))
+            edge_sims.append(sims)
+        return mappings, edge_sims
 
     def _slice_tokens(self, slice_id: int):
         bi, r = self._slice_loc[slice_id]
