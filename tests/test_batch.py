@@ -1,0 +1,61 @@
+"""Batched multi-query search tests."""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+from .helpers import WORDS, make_corpus_texts, make_embedding
+
+
+@pytest.fixture(scope="module")
+def session_ix():
+    rng = np.random.default_rng(5)
+    planted = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+    ]
+    texts, locations = make_corpus_texts(rng, n_docs=4, sents_per_doc=10, planted=planted)
+    imp = StringImporter()
+    docs = [imp(t, title=f"d{i}") for i, t in enumerate(texts)]
+    words = sorted(
+        set(WORDS)
+        | {"old", "king", "rides", "grey", "horse", "small", "bird", "sings",
+           "tree", "the", "a", "in"}
+    )
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    return session, index, locations
+
+
+def test_find_batch_matches_single(session_ix):
+    session, index, locations = session_ix
+    queries = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+        "quickly the fish jumps",
+    ]
+    batch = index.find_batch(queries, n=5, min_score=-5.0)
+    assert len(batch) == 3
+    for q, br in zip(queries, batch):
+        sr = index.find(q, n=5, min_score=-5.0)
+        got = [(m.slice_id, round(m.score, 4)) for m in br]
+        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        assert got == want, q
+
+
+def test_find_batch_different_lengths(session_ix):
+    """Queries of different token counts share one pass (padding)."""
+    session, index, locations = session_ix
+    batch = index.find_batch(["king", "the old king rides the grey horse"], n=3)
+    assert len(batch) == 2
+    assert batch[1][0].score == pytest.approx(1.0, abs=1e-4)
+
+
+def test_find_batch_empty_query(session_ix):
+    session, index, locations = session_ix
+    batch = index.find_batch(["", "king rides"], n=3)
+    assert len(batch[0]) == 0
+    assert len(batch[1]) >= 1

@@ -1,0 +1,54 @@
+"""Pallas DP kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vectorian_tpu.ops.alignment import AffineGapParams, align_scores
+from vectorian_tpu.ops.pallas_dp import pallas_align_scores
+
+
+@pytest.mark.parametrize("locality", ["local", "global", "semiglobal"])
+@pytest.mark.parametrize(
+    "gapset",
+    [(0.0, 0.0, 0.0, 0.0), (0.5, 0.1, 0.3, 0.2), (0.1, 0.4, 0.2, 0.6)],
+)
+def test_pallas_matches_jnp(rng, locality, gapset):
+    B, L, T = 12, 10, 5
+    S = rng.uniform(-0.4, 1.0, size=(B, L, T)).astype(np.float32)
+    len_s = rng.integers(1, L + 1, size=B).astype(np.int32)
+    lt = 4
+    len_t = np.full(B, lt, np.int32)
+    gaps = AffineGapParams.of(*gapset)
+    want = np.asarray(align_scores(S[:, :, :lt], len_s, len_t, gaps, locality))
+    got = np.asarray(
+        pallas_align_scores(
+            S[:, :, :lt],
+            jnp.asarray(len_s),
+            jnp.asarray(lt, jnp.int32),
+            gaps,
+            locality=locality,
+            block_b=128,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_block_padding(rng):
+    """B not a multiple of the block size."""
+    B, L, T = 300, 6, 3
+    S = rng.uniform(0, 1, size=(B, L, T)).astype(np.float32)
+    len_s = np.full(B, L, np.int32)
+    gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+    want = np.asarray(
+        align_scores(S, len_s, np.full(B, T, np.int32), gaps, "local")
+    )
+    got = np.asarray(
+        pallas_align_scores(
+            S, jnp.asarray(len_s), jnp.asarray(T, jnp.int32), gaps,
+            locality="local", block_b=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)

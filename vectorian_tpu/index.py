@@ -625,6 +625,89 @@ class BruteForceIndex(Index):
         matches = [m for m in matches if m.score >= min_score]
         return matches[:n]
 
+    def find_batch(
+        self,
+        texts: List[str],
+        n: int = 100,
+        min_score: float = 0.2,
+        **kwargs,
+    ) -> List[Result]:
+        """Batched search: score Q queries in one corpus pass.
+
+        The TPU bottleneck of a single query is the per-token vocab gather,
+        whose cost is per-index rather than per-byte; stacking the Q query
+        similarity matrices column-wise makes the same gather serve every
+        query, so batch throughput scales ~Q-fold.  Static-only alignment
+        metrics; per-query options (tag weights, boosters, filters) use the
+        single-query path."""
+        if self._algorithm != "alignment":
+            raise NotImplementedError("find_batch supports alignment metrics")
+        token_sim = self._args["metric"]["token_sim"]
+        if any(not getattr(e, "is_static", True) for e in token_sim.embeddings):
+            raise NotImplementedError("find_batch requires static embeddings")
+        if self._args.get("tag_weights"):
+            raise NotImplementedError("find_batch does not support tag weights")
+
+        start_time = time.time()
+        prepared, plans, len_ts, norm_totals = [], [], [], []
+        for text in texts:
+            q = self.make_query(text, n=n, min_score=min_score, **kwargs)
+            pq = q.prepare(self._nlp)
+            prepared.append(pq)
+            # collapse the full (static-only) token-sim tree to one matrix
+            sim = compile_similarity(
+                token_sim,
+                self._session.compiled_embeddings,
+                pq.token_ids,
+                pq.token_strings,
+            )
+            from vectorian_tpu.ops.simmatrix import QueryPlan
+            import jax.numpy as jnp
+
+            qp = QueryPlan(
+                plan=("static", 0),
+                static_sims=[sim["similarity"]],
+                static_mags=[jnp.zeros((sim["similarity"].shape[0],))],
+                ctx_names=[],
+                ctx_queries=[],
+                mixed_weights=[],
+            )
+            plans.append(qp)
+            len_ts.append(max(pq.n_tokens, 1))
+            norm_totals.append(float(max(pq.n_tokens, 1)))
+
+        gaps = self._affine_gaps()
+        if gaps is None:
+            raise NotImplementedError("find_batch requires affine gap costs")
+        scores = self._engine.score_all_multi(
+            plans, len_ts, gaps, self._locality, norm_totals
+        )  # [n_slices, Q]
+
+        results = []
+        for qi, pq in enumerate(prepared):
+            if pq.n_tokens == 0:
+                results.append(Result(self, [], 0.0))
+                continue
+            top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
+            mappings, edge_sims = self._engine.rescore_with_flows(
+                top, plans[qi], pq.n_tokens, gaps, self._locality
+            )
+            matches = [
+                Match(
+                    self,
+                    pq,
+                    slice_id=sid,
+                    score=float(scores[sid, qi]),
+                    metric=token_sim.name,
+                    mapping=mapping,
+                    similarities=sims,
+                )
+                for sid, mapping, sims in zip(top, mappings, edge_sims)
+            ]
+            matches = [m for m in matches if m.score >= min_score][:n]
+            results.append(Result(self, matches, time.time() - start_time))
+        return results
+
     def _find_transport(self, query: PreparedQuery) -> List[Match]:
         from vectorian_tpu.ops.transport import TransportEngine
 

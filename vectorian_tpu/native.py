@@ -1,0 +1,153 @@
+"""ctypes bindings for the native host library (native/vectorian_native.cpp).
+
+The library is built lazily with make on first use and cached; every entry
+point has a pure-python fallback, so the package works without a compiler —
+the native paths are the reference's C++-core equivalents for host-side
+byte-crunching (fastText ngram encoding, vocabulary interning)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _native_dir() -> Path:
+    return Path(__file__).resolve().parent.parent / "native"
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if os.environ.get("VECTORIAN_NO_NATIVE"):
+        return None
+    ndir = _native_dir()
+    so = ndir / "libvectorian_native.so"
+    try:
+        if not so.exists() or so.stat().st_mtime < (ndir / "vectorian_native.cpp").stat().st_mtime:
+            subprocess.run(
+                ["make", "-C", str(ndir)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(str(so))
+    except (OSError, subprocess.SubprocessError, FileNotFoundError):
+        return None
+
+    lib.vn_ft_hash.restype = ctypes.c_uint32
+    lib.vn_ft_hash.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.vn_ft_encode_batch.restype = None
+    lib.vn_lexicon_new.restype = ctypes.c_void_p
+    lib.vn_lexicon_free.argtypes = [ctypes.c_void_p]
+    lib.vn_lexicon_size.restype = ctypes.c_int64
+    lib.vn_lexicon_size.argtypes = [ctypes.c_void_p]
+    lib.vn_lexicon_get.restype = ctypes.c_int64
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _pack_words(words: Sequence[str]):
+    blobs = [w.encode("utf-8") for w in words]
+    offsets = np.zeros((len(blobs) + 1,), np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    return b"".join(blobs), offsets
+
+
+def fasttext_encode_batch(model, words: Sequence[str]) -> np.ndarray:
+    """Batch fastText word vectors via the native ngram encoder.
+    ``model``: vectorian_tpu.embedding.fasttext.FastTextModel."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library unavailable")
+    data, offsets = _pack_words(words)
+    word_rows = np.asarray(
+        [model.word_index.get(w, -1) for w in words], np.int64
+    )
+    mat = np.ascontiguousarray(model.input_matrix, np.float32)
+    out = np.zeros((len(words), model.dim), np.float32)
+    lib.vn_ft_encode_batch(
+        ctypes.c_char_p(data),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        word_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(words)),
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(mat.shape[0]),
+        ctypes.c_int64(mat.shape[1]),
+        ctypes.c_int64(model.nwords),
+        ctypes.c_int64(model.bucket),
+        ctypes.c_int32(model.minn),
+        ctypes.c_int32(model.maxn),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+class NativeLexicon:
+    """String-interning lexicon backed by the C++ library (reference
+    vocabulary.h StringStorage/LexiconImpl); drop-in for the hot part of
+    vocabulary.Lexicon."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise ImportError("native library unavailable")
+        self._lib = lib
+        self._h = lib.vn_lexicon_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.vn_lexicon_free(self._h)
+            self._h = None
+
+    def __len__(self):
+        return int(self._lib.vn_lexicon_size(self._h))
+
+    def add_many(self, words: Sequence[str]) -> np.ndarray:
+        data, offsets = _pack_words(words)
+        out = np.zeros((len(words),), np.int32)
+        self._lib.vn_lexicon_add_many(
+            ctypes.c_void_p(self._h),
+            ctypes.c_char_p(data),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(words)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+
+    def lookup_many(self, words: Sequence[str]) -> np.ndarray:
+        data, offsets = _pack_words(words)
+        out = np.zeros((len(words),), np.int32)
+        self._lib.vn_lexicon_lookup_many(
+            ctypes.c_void_p(self._h),
+            ctypes.c_char_p(data),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(words)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+
+    def to_str(self, i: int) -> str:
+        n = self._lib.vn_lexicon_get(
+            ctypes.c_void_p(self._h), ctypes.c_int64(i), None, 0
+        )
+        if n < 0:
+            raise IndexError(i)
+        buf = ctypes.create_string_buffer(int(n))
+        self._lib.vn_lexicon_get(
+            ctypes.c_void_p(self._h), ctypes.c_int64(i), buf, n
+        )
+        return buf.raw[:n].decode("utf-8")

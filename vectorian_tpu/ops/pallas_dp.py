@@ -1,0 +1,214 @@
+"""Pallas TPU kernel for the batched Gotoh alignment DP.
+
+The jnp row-scan in ops/alignment.py is correct and fast, but XLA keeps the
+carried DP state in HBM-backed loop buffers.  This kernel keeps the whole
+recurrence resident in VMEM: per grid step it loads one [L, T, Bt] block of
+similarity windows and runs all L DP rows with H/F state in VMEM scratch.
+
+Layout: the (query-token + boundary) axis T1 lives in *sublanes* and the
+slice-batch axis Bt in *lanes* — so the in-row decayed-prefix-max (the exact
+Gotoh horizontal-gap solution, see ops/alignment.py) becomes log2(T1)
+sublane rolls of a [T1, Bt] tile, and every vector op runs at full VPU width
+across 128+ slices at once.
+
+Score-only (the traceback/finalizer pass reuses the jnp path on the top-k);
+localities local/global/semiglobal; affine gaps as runtime SMEM scalars so
+interactive gap changes never recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vectorian_tpu.ops.alignment import LOCAL, GLOBAL, SEMIGLOBAL, LOCALITIES
+
+NEG = -1e30
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _shift_down(x, k, fill, jidx):
+    """rows j >= k get x[j-k]; rows < k get fill (sublane roll + mask)."""
+    rolled = pltpu.roll(x, shift=k, axis=0)
+    return jnp.where(jidx < k, fill, rolled)
+
+
+def _make_kernel(L, T, T1p, Bt, locality):
+    def kernel(gaps_ref, lt_ref, lens_ref, S_ref, out_ref, H_ref, F_ref, best_ref):
+        open_s = gaps_ref[0, 0]
+        ext_s = gaps_ref[0, 1]
+        open_t = gaps_ref[0, 2]
+        ext_t = gaps_ref[0, 3]
+        decay = jnp.minimum(open_t, ext_t)
+        lt = lt_ref[:]  # [1, Bt] i32 — per-problem query length
+
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (T1p, Bt), 0)
+        jmask = (jidx >= 1) & (jidx <= lt)
+        lens = lens_ref[:]  # [1, Bt] i32
+
+        jf = jidx.astype(jnp.float32)
+        if locality == GLOBAL:
+            H0 = jnp.where(
+                jidx > 0, -(open_t + (jf - 1.0) * ext_t), 0.0
+            )
+        else:
+            H0 = jnp.zeros((T1p, Bt), jnp.float32)
+        H_ref[:] = jnp.where(jidx <= lt, H0, NEG)
+        F_ref[:] = jnp.full((T1p, Bt), NEG, jnp.float32)
+        if locality == GLOBAL:
+            best_ref[:] = jnp.full((1, Bt), NEG, jnp.float32)
+        else:
+            best_ref[:] = jnp.zeros((1, Bt), jnp.float32)
+
+        def row(i, _):
+            dp_i = i + 1  # 1-based DP row
+            s_row = S_ref[i]  # [T1p, Bt] (T padded to sublanes in the wrapper)
+            # align similarity to j: s_pad[j] = S[i, j-1]
+            s_pad = _shift_down(s_row, 1, 0.0, jidx)
+            Hp = H_ref[:]
+            Fp = F_ref[:]
+            M = _shift_down(Hp, 1, NEG, jidx) + s_pad
+            F = jnp.maximum(Hp - open_s, Fp - ext_s)
+            C = jnp.maximum(M, F)
+            if locality == LOCAL:
+                C = jnp.maximum(C, 0.0)
+            if locality == GLOBAL:
+                init_col = -(open_s + (dp_i.astype(jnp.float32) - 1.0) * ext_s)
+            else:
+                init_col = jnp.float32(0.0)
+            C = jnp.where(jidx == 0, init_col, C)
+            # exact Gotoh horizontal gaps: decayed prefix max over sublanes
+            E = _shift_down(C, 1, NEG, jidx) - open_t
+            shift = 1
+            while shift < T1p:
+                E = jnp.maximum(E, _shift_down(E, shift, NEG, jidx) - decay * shift)
+                shift *= 2
+            Hn = jnp.maximum(C, E)
+            H_ref[:] = Hn
+            F_ref[:] = F
+
+            Hm = jnp.where(jmask, Hn, NEG)
+            colmax = jnp.max(Hm, axis=0, keepdims=True)  # [1, Bt]
+            if locality == LOCAL:
+                valid = dp_i <= lens
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(valid, colmax, NEG)
+                )
+            elif locality == GLOBAL:
+                h_end = jnp.max(jnp.where(jidx == lt, Hn, NEG), axis=0, keepdims=True)
+                best_ref[:] = jnp.where(dp_i == lens, h_end, best_ref[:])
+            else:
+                h_end = jnp.max(jnp.where(jidx == lt, Hn, NEG), axis=0, keepdims=True)
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(dp_i <= lens, h_end, NEG)
+                )
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(dp_i == lens, colmax, NEG)
+                )
+            return 0
+
+        jax.lax.fori_loop(0, L, row, 0)
+        out_ref[:] = best_ref[:]
+
+    return kernel
+
+
+def _pallas_call_scores(S, lens, lt, gaps, locality, Bt, interpret):
+    """Invoke the kernel on pre-laid-out inputs: S [L, T1p, Bp],
+    lens/lt [1, Bp]."""
+    L, T1p, Bp = S.shape
+    gap_arr = jnp.stack(
+        [jnp.asarray(g, jnp.float32) for g in gaps]
+    ).reshape(1, 4)
+    kernel = _make_kernel(L, T1p - 1, T1p, Bt, locality)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        grid=(Bp // Bt,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, T1p, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((T1p, Bt), jnp.float32),
+            pltpu.VMEM((T1p, Bt), jnp.float32),
+            pltpu.VMEM((1, Bt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gap_arr, lt, lens, S)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("locality", "block_b", "interpret"))
+def pallas_align_scores(
+    similarity: jnp.ndarray,  # [B, L, T] f32
+    len_s: jnp.ndarray,  # [B] i32
+    len_t: jnp.ndarray,  # scalar i32 or [B] i32
+    gaps,  # AffineGapParams
+    locality: str = LOCAL,
+    block_b: int = 256,
+    interpret: bool = False,
+):
+    """Drop-in batched scorer matching ops/alignment.align_scores
+    (scores only)."""
+    if locality not in LOCALITIES:
+        raise ValueError(locality)
+    B, L, T = similarity.shape
+    T1p = _round_up(T + 1, 8)
+    Bt = block_b
+    Bp = _round_up(max(B, Bt), Bt)
+
+    # [L, T1p, Bp]: rows shifted so the kernel can slice [T1p, Bt] directly
+    S = jnp.transpose(similarity.astype(jnp.float32), (1, 2, 0))  # [L, T, B]
+    S = jnp.pad(S, ((0, 0), (0, T1p - T), (0, Bp - B)))
+    lens = jnp.pad(len_s.astype(jnp.int32), (0, Bp - B)).reshape(1, Bp)
+    lt_vec = jnp.broadcast_to(jnp.asarray(len_t, jnp.int32), (B,))
+    lt = jnp.pad(lt_vec, (0, Bp - B), constant_values=1).reshape(1, Bp)
+
+    out = _pallas_call_scores(S, lens, lt, gaps, locality, Bt, interpret)
+    return out[0, :B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("locality", "block_b", "interpret")
+)
+def pallas_align_scores_multi(
+    S4: jnp.ndarray,  # [c, L, Q, T] f32 — gathered multi-query windows
+    len_s: jnp.ndarray,  # [c] i32
+    len_t: jnp.ndarray,  # [Q] i32
+    gaps,
+    locality: str = LOCAL,
+    block_b: int = 512,
+    interpret: bool = False,
+):
+    """Multi-query variant consuming the [c, L, Q, T] gather output
+    directly; returns [c, Q] raw scores.  Batch layout is c-major
+    (b = ci * Q + q)."""
+    c, L, Q, T = S4.shape
+    T1p = _round_up(T + 1, 8)
+    B = c * Q
+    Bt = block_b
+    Bp = _round_up(max(B, Bt), Bt)
+
+    S = jnp.transpose(S4.astype(jnp.float32), (1, 3, 0, 2)).reshape(L, T, B)
+    S = jnp.pad(S, ((0, 0), (0, T1p - T), (0, Bp - B)))
+    lens = jnp.pad(jnp.repeat(len_s.astype(jnp.int32), Q), (0, Bp - B)).reshape(1, Bp)
+    lt = jnp.pad(
+        jnp.tile(len_t.astype(jnp.int32), c), (0, Bp - B), constant_values=1
+    ).reshape(1, Bp)
+
+    out = _pallas_call_scores(S, lens, lt, gaps, locality, Bt, interpret)
+    return out[0, :B].reshape(c, Q)

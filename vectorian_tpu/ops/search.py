@@ -46,6 +46,16 @@ DEFAULT_CHUNK = 4096
 NEG_SCORE = -1e30
 
 
+def use_pallas_default() -> bool:
+    """Pallas DP kernel on real TPU hardware; jnp scan elsewhere (the
+    Mosaic kernel only compiles for TPU targets)."""
+    import os
+
+    if os.environ.get("VECTORIAN_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @dataclass
 class TagWeightingSpec:
     """Tag-weighted similarity (reference TagWeightedSlice,
@@ -102,7 +112,8 @@ def _apply_tag_weights(S, pos_s, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "locality", "chunk", "with_tags", "with_filter", "general_gaps"
+        "plan", "locality", "chunk", "with_tags", "with_filter", "general_gaps",
+        "use_pallas",
     ),
 )
 def _bucket_scores(
@@ -134,6 +145,7 @@ def _bucket_scores(
     with_tags: bool,
     with_filter: bool,
     general_gaps: bool = False,
+    use_pallas: bool = False,
 ):
     """Normalized scores for every slice of one bucket: [N] f32."""
     N, L = token_ids.shape
@@ -160,6 +172,10 @@ def _bucket_scores(
             raw = align_scores_general(
                 S, ln1, lt_full, gap_vec_s, gap_vec_t, locality
             )
+        elif use_pallas:
+            from vectorian_tpu.ops.pallas_dp import pallas_align_scores
+
+            raw = pallas_align_scores(S, ln1, len_t, gaps, locality)
         else:
             raw = align_scores(S, ln1, lt_full, gaps, locality)
         return jnp.where(ln > 0, raw, NEG_SCORE)
@@ -174,6 +190,57 @@ def _bucket_scores(
     raw = jax.lax.map(one_chunk, xs).reshape(N)
     scores = raw / jnp.maximum(norm_total, 1e-9) * boost
     return jnp.where(raw <= NEG_SCORE * 0.5, NEG_SCORE, scores)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("locality", "chunk", "n_queries", "use_pallas")
+)
+def _bucket_scores_multiquery(
+    token_ids: jnp.ndarray,  # [N, L] i32
+    lengths: jnp.ndarray,  # [N] i32
+    sim_multi: jnp.ndarray,  # [V, Q, T] f32 — Q stacked query matrices
+    len_t: jnp.ndarray,  # [Q] i32
+    gaps: AffineGapParams,
+    norm_total: jnp.ndarray,  # [Q] f32
+    locality: str,
+    chunk: int,
+    n_queries: int,
+    use_pallas: bool = False,
+):
+    """[N, Q] normalized scores — Q queries in one corpus pass.
+
+    The vocab-row gather is issue-rate-bound on TPU (cost ~ per index, not
+    per byte), so fetching Q*T similarity columns per token costs the same
+    as T: batching queries amortizes the dominant gather Q-fold.  This is
+    the TPU serving analogue of the reference's one-query-at-a-time loop.
+    """
+    N, L = token_ids.shape
+    Q, T = sim_multi.shape[1], sim_multi.shape[2]
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tok, ln = args  # [c, L], [c]
+        c = tok.shape[0]
+        S4 = sim_multi[tok]  # [c, L, Q, T] — ONE gather for Q queries
+        if use_pallas:
+            from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi
+
+            raw = pallas_align_scores_multi(
+                S4, jnp.maximum(ln, 1), len_t, gaps, locality
+            )
+        else:
+            S = jnp.moveaxis(S4, 2, 1).reshape(c * Q, L, T)
+            ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
+            lt_rep = jnp.tile(len_t, c)
+            raw = align_scores(S, ln_rep, lt_rep, gaps, locality).reshape(c, Q)
+        scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+        return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
+
+    xs = (
+        token_ids.reshape(n_chunks, chunk, L),
+        lengths.reshape(n_chunks, chunk),
+    )
+    return jax.lax.map(one_chunk, xs).reshape(N, Q)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "with_tags"))
@@ -364,6 +431,48 @@ class BruteForceEngine:
                 with_tags=tag_weights is not None,
                 with_filter=doc_filter is not None,
                 general_gaps=gap_costs is not None,
+                use_pallas=use_pallas_default() and gap_costs is None,
+            )
+            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        return out
+
+    def score_all_multi(
+        self,
+        plans: List[QueryPlan],
+        len_ts: List[int],
+        gaps: AffineGapParams,
+        locality: str,
+        norm_totals: List[float],
+    ) -> np.ndarray:
+        """[n_slices, Q] scores for a batch of static-only query plans with
+        one corpus pass (the gather amortizes across queries)."""
+        Q = len(plans)
+        Tmax = max(len_ts)
+        V = int(plans[0].static_sims[0].shape[0])
+        sims = []
+        for qp, lt in zip(plans, len_ts):
+            assert qp.is_static_only and qp.plan == ("static", 0)
+            m = qp.static_sims[0]
+            sims.append(jnp.pad(m, ((0, 0), (0, Tmax - int(m.shape[1])))))
+        sim_multi = jnp.stack(sims, axis=1)  # [V, Q, Tmax]
+        lt_arr = jnp.asarray(len_ts, jnp.int32)
+        nt_arr = jnp.asarray(norm_totals, jnp.float32)
+
+        out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
+        for db in self._device_buckets:
+            if db["n"] == 0:
+                continue
+            scores = _bucket_scores_multiquery(
+                db["tokens"],
+                db["lengths"],
+                sim_multi,
+                lt_arr,
+                gaps,
+                nt_arr,
+                locality=locality,
+                chunk=db["chunk"],
+                n_queries=Q,
+                use_pallas=use_pallas_default(),
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
