@@ -35,8 +35,8 @@ def main():
 
     V, T, L = 50_000, 8, 32
     N = 1 << 17  # 131072 slices
-    Q = 16  # batched queries per pass
-    CHUNK = 8192
+    Q = 128  # batched queries per pass (production serving batch)
+    CHUNK = 1024
 
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(1, V, size=(N, L), dtype=np.int32))

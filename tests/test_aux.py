@@ -1,0 +1,98 @@
+"""Aux subsystem tests: bidirectional, abort, debug hooks, result merging,
+frequencies, submatch_weight."""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+from .helpers import make_embedding
+
+
+@pytest.fixture(scope="module")
+def sess():
+    words = ["the", "old", "king", "rides", "grey", "horse", "cat", "sleeps",
+             "dog", "runs"]
+    emb = make_embedding(words)
+    docs = [
+        StringImporter()(
+            "the old king rides the grey horse. horse grey the rides king old the.",
+            title="d0",
+        )
+    ]
+    session = Session(docs, embeddings=[emb])
+    return session, emb
+
+
+def test_bidirectional(sess):
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    q = "the old king rides the grey horse"
+    r_uni = index.find(q, n=2)
+    r_bi = index.find(q, n=2, bidirectional=True)
+    # sentence 2 is the query reversed: only bidirectional scores it 1.0
+    s_uni = {m.doc.title + str(m.slice_id): m.score for m in r_uni}
+    assert len(r_bi) == 2
+    assert r_bi[0].score == pytest.approx(1.0, abs=1e-4)
+    assert r_bi[1].score == pytest.approx(1.0, abs=1e-4)
+    # flows of the reversed match still map to valid offsets
+    j = r_bi[1].to_json()
+    assert any("edges" in reg for reg in j["regions"])
+
+
+def test_abort(sess):
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    q = index.make_query("old king", n=5)
+    q.abort()
+    pq = q.prepare(session.nlp)
+    assert index._find(pq) == []
+
+
+def test_debug_hooks(sess):
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    events = []
+    index.find("old king rides", n=2, debug=lambda name, data: events.append(name))
+    names = set(events)
+    assert "static_similarity_matrix" in names
+    assert "scores" in names
+    assert "alignment" in names
+    assert "document/match_time" in names
+
+
+def test_result_extend(sess):
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    r1 = index.find("old king rides", n=1)
+    r2 = index.find("grey horse", n=1)
+    n = len(r1) + len(r2)
+    r1.extend(r2)
+    assert len(r1) == n
+    scores = [m.score for m in r1]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_frequencies(sess):
+    session, emb = sess
+    p = session.partition("sentence")
+    freq = p.freq
+    assert freq.token_tf("horse") >= 2.0
+    assert freq.token_tf("zebra") == 0.0
+    # tf-idf of a token present in the single doc: log(1/(1+1)) < 0
+    assert freq.token_tf_idf("horse") <= 0.0
+    assert freq.tf.shape == (len(session.vocab),)
+
+
+def test_submatch_weight(sess):
+    """submatch_weight > 0 boosts partial matches (reference
+    reference_score, metric/alignment.h:84-106)."""
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    q = "old king sleeps quietly tonight"  # partial match only
+    r0 = index.find(q, n=1, min_score=0.01)
+    r1 = index.find(q, n=1, min_score=0.01, submatch_weight=0.5)
+    assert r0 and r1
+    assert r1[0].score > r0[0].score
+    assert r1[0].score <= 1.0

@@ -29,6 +29,31 @@ from vectorian_tpu.ops.search import (
 from vectorian_tpu.ops.simmatrix import compile_plan, compile_similarity
 from vectorian_tpu.session import Result
 
+def _reverse_plan(qp):
+    """Plan with the needle axis reversed (bidirectional matching)."""
+    from dataclasses import replace
+
+    return replace(
+        qp,
+        static_sims=[m[:, ::-1] for m in qp.static_sims],
+        ctx_queries=[
+            {k: np.asarray(v)[::-1] for k, v in q.items()} for q in qp.ctx_queries
+        ],
+    )
+
+
+def _reverse_tagw(tagw):
+    if tagw is None:
+        return None
+    from dataclasses import replace
+
+    return replace(
+        tagw,
+        t_pos_weights=tagw.t_pos_weights[::-1].copy(),
+        pos_t=tagw.pos_t[::-1].copy(),
+    )
+
+
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
 TokenMatch = namedtuple("TokenMatch", ["pos_s", "edges"])
 TokenMatchEdge = namedtuple("TokenMatchEdge", ["t", "flow", "distance", "metric"])
@@ -42,6 +67,16 @@ class Query:
         self._index = index
         self._text = text
         self._options = options
+        self._aborted = False
+
+    def abort(self):
+        """Cooperative cancellation (reference Query::abort, query.h:183-189;
+        checked per slice there, per bucket pass here)."""
+        self._aborted = True
+
+    @property
+    def aborted(self):
+        return self._aborted
 
     @property
     def index(self):
@@ -560,6 +595,9 @@ class BruteForceIndex(Index):
 
         doc_filter = self._doc_filter(query)
 
+        import time as _time
+
+        t_match0 = _time.time()
         scores = self._engine.score_all(
             qp,
             T,
@@ -571,18 +609,56 @@ class BruteForceIndex(Index):
             doc_filter=doc_filter,
             gap_costs=gap_costs,
         )
+        use_rev = None
+        if opts.get("bidirectional"):
+            # score the reversed needle as well and keep the better
+            # orientation per slice (reference 'bidirectional' option,
+            # query.cpp:81-84)
+            qp_rev = _reverse_plan(qp)
+            tagw_rev = _reverse_tagw(tagw)
+            scores_rev = self._engine.score_all(
+                qp_rev, T, gaps, self._locality, norm_total,
+                boost=boost, tag_weights=tagw_rev, doc_filter=doc_filter,
+                gap_costs=gap_costs,
+            )
+            use_rev = scores_rev > scores
+            scores = np.maximum(scores, scores_rev)
         if debug:
             debug("scores", {"scores": scores})
+            debug(
+                "document/match_time",
+                {"elapsed_us": int((_time.time() - t_match0) * 1e6)},
+            )
+        if query.query.aborted:
+            return []
 
         overfetch = n if submatch_weight == 0.0 else 4 * n
         top = self._engine.top_k(scores, overfetch, min_score=min_score)
         if not top:
             return []
 
-        mappings, edge_sims = self._engine.rescore_with_flows(
-            top, qp, T, gaps, self._locality, tag_weights=tagw,
-            doc_filter=doc_filter, gap_costs=gap_costs,
-        )
+        if use_rev is None:
+            mappings, edge_sims = self._engine.rescore_with_flows(
+                top, qp, T, gaps, self._locality, tag_weights=tagw,
+                doc_filter=doc_filter, gap_costs=gap_costs,
+            )
+        else:
+            fwd_ids = [sid for sid in top if not use_rev[sid]]
+            rev_ids = [sid for sid in top if use_rev[sid]]
+            m_f, s_f = self._engine.rescore_with_flows(
+                fwd_ids, qp, T, gaps, self._locality, tag_weights=tagw,
+                doc_filter=doc_filter, gap_costs=gap_costs,
+            )
+            m_r, s_r = self._engine.rescore_with_flows(
+                rev_ids, _reverse_plan(qp), T, gaps, self._locality,
+                tag_weights=_reverse_tagw(tagw), doc_filter=doc_filter,
+                gap_costs=gap_costs,
+            )
+            by_id = {sid: (m, s) for sid, m, s in zip(fwd_ids, m_f, s_f)}
+            for sid, m, s in zip(rev_ids, m_r, s_r):
+                by_id[sid] = (m[::-1].copy(), s[::-1].copy())  # un-reverse t
+            mappings = [by_id[sid][0] for sid in top]
+            edge_sims = [by_id[sid][1] for sid in top]
 
         matches = []
         packed = self._engine.packed

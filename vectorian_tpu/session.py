@@ -58,6 +58,17 @@ class Result:
     def __getitem__(self, i):
         return self._matches[i]
 
+    def extend(self, other: "Result", n: Optional[int] = None):
+        """Merge matches from another result (the reference's
+        ResultSet.extend seam for externally computed matches,
+        result_set.h:70-93 + ExternalMatcher matcher.h:114-139); keeps the
+        reference ordering (score desc, doc asc, slice asc)."""
+        self._matches.extend(other._matches)
+        self._matches.sort(key=lambda m: (-m.score, getattr(m, "slice_id", 0)))
+        if n is not None:
+            self._matches = self._matches[:n]
+        return self
+
     def to_json(self, context_size=10):
         return [m.to_json(context_size) for m in self._matches]
 
