@@ -72,7 +72,10 @@ def test_rwmd_scores_dedup_consistency(rng):
     mass_t = np.ones((T,), np.float32)
     got = np.asarray(
         _bucket_rwmd_scores(
-            jnp.asarray(tok), jnp.asarray(lengths), jnp.asarray(sim_vocab),
+            ("static", 0),
+            jnp.asarray(tok), jnp.asarray(lengths),
+            (jnp.asarray(sim_vocab),), (jnp.zeros((V,), jnp.float32),),
+            (), (), (),
             jnp.asarray(mass_t), jnp.asarray(T, jnp.int32),
             injective=False, symmetric=True, normalize_bow=True, chunk=N,
         )
@@ -185,3 +188,33 @@ def test_wmd_search_end_to_end():
         assert top.score > 0.9
         j = top.to_json()
         assert j["regions"], optimizer
+
+
+def test_contextual_wmd_wrd():
+    """WMD/WRD over contextual embeddings (position-unique BOW entries,
+    reference UniqueTokensBOWBuilder path)."""
+    from tests.test_contextual import ctx_fn, DIM
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.embedding.contextual import LambdaContextualEmbedding
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    ctx = LambdaContextualEmbedding("wmd-ctx", ctx_fn, DIM)
+    docs = [StringImporter()(
+        "the old king rides the grey horse. a cat sleeps.", title="d0")]
+    session = Session(docs, embeddings=[ctx])
+    p = session.partition("sentence")
+    for optimizer in [
+        WordMoversDistance.rwmd("nbow"),
+        WordMoversDistance.wmd("nbow"),
+        WordRotatorsDistance(),
+    ]:
+        index = p.index(OptimizedSpanSim(EmbeddingTokenSim(ctx), optimizer))
+        # scrambled word order: transport ignores order; contextual vectors
+        # differ slightly so expect high-but-not-perfect scores
+        r = index.find("horse grey the rides king old the", n=2, min_score=0.3)
+        assert len(r) >= 1, optimizer
+        assert r[0].score > 0.7, (optimizer, r[0].score)
+        assert r[0].to_json()["regions"], optimizer
+

@@ -788,21 +788,21 @@ class BruteForceIndex(Index):
         from vectorian_tpu.ops.transport import TransportEngine
 
         token_sim = self._args["metric"]["token_sim"]
-        if any(not getattr(e, "is_static", True) for e in token_sim.embeddings):
-            raise NotImplementedError(
-                "transport metrics (WMD/WRD) over contextual embeddings are "
-                "not yet supported on the TPU engine; use a static embedding"
-            )
         needs_mag = self._args["alignment"]["algorithm"] == "word-rotators-distance"
-        sim = compile_similarity(
+        qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,
             query.token_ids,
             query.token_strings,
+            query.contextual_vectors(self._session),
             needs_magnitudes=needs_mag,
         )
+        for name in qp.ctx_names:
+            self._engine.ensure_contextual(
+                name, self._session.documents, self._session._ctx_dims[name]
+            )
         engine = TransportEngine(self._engine, self._args["alignment"])
-        return engine.find(self, query, sim)
+        return engine.find(self, query, qp)
 
 
 class SpanEncoderIndex(Index):

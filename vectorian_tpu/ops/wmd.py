@@ -94,26 +94,43 @@ def _greedy_fill_cost(w1, D, cap, injective: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("injective", "symmetric", "normalize_bow", "chunk"),
+    static_argnames=(
+        "plan", "injective", "symmetric", "normalize_bow", "chunk",
+        "unique_masses",
+    ),
 )
 def _bucket_rwmd_scores(
+    plan: tuple,
     token_ids: jnp.ndarray,  # [N, L] i32, padded
     lengths: jnp.ndarray,  # [N]
-    sim_vocab: jnp.ndarray,  # [V, T]
+    static_sims: tuple,
+    static_mags: tuple,
+    ctx_chunks: tuple,
+    ctx_queries: tuple,
+    mixed_weights: tuple,
     mass_t: jnp.ndarray,  # [T] deduped query masses (counts)
     len_t: jnp.ndarray,  # scalar i32 actual token count of query
     injective: bool,
     symmetric: bool,
     normalize_bow: bool,
     chunk: int,
+    unique_masses: bool = False,
 ):
+    from vectorian_tpu.ops.simmatrix import eval_plan_chunk
+
     N, L = token_ids.shape
-    T = sim_vocab.shape[1]
+    T = mass_t.shape[0]
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, ln = args
-        mass_s = _device_masses(tok, ln)  # [c, L] counts
+        tok, ln, ctx = args
+        if unique_masses:
+            # contextual: every position is its own BOW entry (reference
+            # UniqueTokensBOWBuilder, alignment/bow.h:278-334)
+            pos = jnp.arange(L, dtype=jnp.int32)
+            mass_s = ((pos[None, :] < ln[:, None])).astype(jnp.float32)
+        else:
+            mass_s = _device_masses(tok, ln)  # [c, L] counts
         w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)
         w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)
         if normalize_bow:
@@ -123,7 +140,9 @@ def _bucket_rwmd_scores(
             m_s = mass_s
             m_t = jnp.broadcast_to(mass_t[None, :], (tok.shape[0], T))
 
-        S = sim_vocab[tok]  # [c, L, T]
+        S = eval_plan_chunk(
+            plan, tok, static_sims, static_mags, ctx, ctx_queries, mixed_weights
+        )["similarity"]  # [c, L, T]
         Dst = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [c, L, T] s x t
         Dts = jnp.swapaxes(Dst, 1, 2)  # [c, T, L]
 
@@ -145,42 +164,62 @@ def _bucket_rwmd_scores(
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
+        tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
     )
     return jax.lax.map(one_chunk, xs).reshape(N)
 
 
-@functools.partial(jax.jit, static_argnames=("use_magnitudes", "normalize_mass", "chunk", "n_iters"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "use_magnitudes", "normalize_mass", "chunk", "n_iters",
+        "unique_masses",
+    ),
+)
 def _bucket_emd_scores(
+    plan: tuple,
     token_ids: jnp.ndarray,  # [N, L]
     lengths: jnp.ndarray,  # [N]
-    sim_vocab: jnp.ndarray,  # [V, T]
+    static_sims: tuple,
+    static_mags: tuple,
+    ctx_chunks: tuple,
+    ctx_queries: tuple,
+    mixed_weights: tuple,
     mass_t: jnp.ndarray,  # [T] query masses (counts or magnitudes)
-    mag_vocab: jnp.ndarray,  # [V] vocab magnitudes (WRD) or ones
     eps: jnp.ndarray,
     use_magnitudes: bool,
     normalize_mass: bool,
     chunk: int,
     n_iters: int = 100,
+    unique_masses: bool = False,
 ):
     """Full WMD / WRD device ranking via Sinkhorn (exact rescore on host)."""
+    from vectorian_tpu.ops.simmatrix import eval_plan_chunk
+
     N, L = token_ids.shape
-    T = sim_vocab.shape[1]
+    T = mass_t.shape[0]
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, ln = args
+        tok, ln, ctx = args
+        out = eval_plan_chunk(
+            plan, tok, static_sims, static_mags, ctx, ctx_queries,
+            mixed_weights, needs_magnitudes=use_magnitudes,
+        )
+        S = out["similarity"]  # [c, L, T]
+        pos = jnp.arange(L, dtype=jnp.int32)
+        valid = pos[None, :] < ln[:, None]
         if use_magnitudes:
             # WRD: every position is its own entry, mass = |v| (wrd.h:62-146)
-            pos = jnp.arange(L, dtype=jnp.int32)
-            valid = pos[None, :] < ln[:, None]
-            m_s = jnp.where(valid, mag_vocab[tok], 0.0)
+            m_s = jnp.where(valid, out["magnitudes_s"], 0.0)
+        elif unique_masses:
+            m_s = valid.astype(jnp.float32)
         else:
             m_s = _device_masses(tok, ln)
         m_t = jnp.broadcast_to(mass_t[None, :], (tok.shape[0], T))
         if normalize_mass:
             m_s = m_s / jnp.maximum(jnp.sum(m_s, axis=1, keepdims=True), 1e-9)
             m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
-        S = sim_vocab[tok]  # [c, L, T]
         D = jnp.maximum(MAX_SIMILARITY - jnp.swapaxes(S, 1, 2), 0.0)  # [c, T, L]
         score = sinkhorn_emd_score(m_t, m_s, D, eps, n_iters)
         return jnp.where(ln > 0, score, NEG_SCORE)
@@ -188,6 +227,7 @@ def _bucket_emd_scores(
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
+        tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
     )
     return jax.lax.map(one_chunk, xs).reshape(N)
 
@@ -245,7 +285,7 @@ class WMDEngine:
         ids = np.asarray([hash(s) for s in strings])
         return dedup_masses(ids, valid)
 
-    def find(self, index, query, sim) -> List:
+    def find(self, index, query, qp) -> List:
         from vectorian_tpu.index import Match
 
         opts = query.options
@@ -253,31 +293,40 @@ class WMDEngine:
         min_score = float(opts.get("min_score", 0.2))
         debug = opts.get("debug")
 
-        sim_vocab = sim["similarity"]
         T = query.n_tokens
-        mass_t = self._query_masses(query)
         engine = self._engine
         a = self._args
+        # contextual (per-position) operands -> position-unique BOW entries
+        # (reference similarity_dependency()==POSITION selects
+        # UniqueTokensBOWBuilder, metric/alignment.h:551-576)
+        unique = not qp.is_static_only
+        mass_t = (
+            np.ones((T,), np.float32) if unique else self._query_masses(query)
+        )
 
         if self._algorithm == "word-movers-distance" and a["relaxed"]:
-            injective = bool(a["injective"])
-            symmetric = bool(a["symmetric"])
-            normalize_bow = bool(a["normalize_bow"])
             scores = self._score_buckets_rwmd(
-                sim_vocab, mass_t, T, injective, symmetric, normalize_bow
+                qp, mass_t, T,
+                bool(a["injective"]), bool(a["symmetric"]),
+                bool(a["normalize_bow"]), unique,
             )
         elif self._algorithm == "word-movers-distance":
             # device ranking always on normalized masses (Sinkhorn scale);
             # the exact host rescore below uses the requested bow/nbow masses
-            scores = self._score_buckets_emd(sim_vocab, mass_t, None, normalize=True)
-        elif self._algorithm == "word-rotators-distance":
-            mag_vocab = sim.get("magnitudes_s")
-            mass_t_mag = np.asarray(sim["magnitudes_t"], np.float32)
             scores = self._score_buckets_emd(
-                sim_vocab,
-                mass_t_mag,
-                mag_vocab,
+                qp, mass_t, use_magnitudes=False, normalize=True, unique=unique
+            )
+        elif self._algorithm == "word-rotators-distance":
+            mass_t_mag = np.asarray(qp.ctx_queries[0]["magnitudes"], np.float32) if (
+                unique and qp.ctx_queries
+            ) else None
+            if mass_t_mag is None:
+                # static: needle magnitudes from the embedding rows
+                mass_t_mag = self._static_needle_magnitudes(qp, query)
+            scores = self._score_buckets_emd(
+                qp, mass_t_mag, use_magnitudes=True,
                 normalize=bool(a.get("normalize_magnitudes", True)),
+                unique=unique,
             )
         else:
             raise ValueError(self._algorithm)
@@ -290,16 +339,19 @@ class WMDEngine:
             return []
 
         # host rescore + flows for the top-k
-        sim_np = np.asarray(sim_vocab)
         matches = []
         token_sim_name = index._args["metric"]["token_sim"].name
         for sid in top:
             tok, _ = engine._slice_tokens(sid)
             ln = int(engine.packed.slice_len[sid])
             ids = tok[:ln]
-            S = sim_np[ids]  # [ln, T]
+            Sw, Su = engine.slice_similarity(sid, qp)
+            S = Su[:, :T]  # [ln, T]
             D_ts = np.maximum(MAX_SIMILARITY - S.T, 0.0)  # [T, ln]
-            m_s = dedup_masses(ids, np.ones(ln, bool))
+            if unique:
+                m_s = np.ones((ln,), np.float32)
+            else:
+                m_s = dedup_masses(ids, np.ones(ln, bool))
             score = float(scores[sid])
             if self._algorithm == "word-movers-distance" and a["relaxed"]:
                 m_t = mass_t.copy()
@@ -311,9 +363,8 @@ class WMDEngine:
             else:
                 # exact EMD rescore (reference uses exact emd_hat)
                 if self._algorithm == "word-rotators-distance":
-                    mag_vocab_np = np.asarray(sim["magnitudes_s"])
-                    m_s_use = mag_vocab_np[ids]
-                    m_t = np.asarray(sim["magnitudes_t"], np.float64)
+                    m_t = np.asarray(mass_t_mag, np.float64)
+                    m_s_use = self._slice_magnitudes(qp, sid, ln)
                     if a.get("normalize_magnitudes", True):
                         m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
                         m_t = m_t / max(m_t.sum(), 1e-9)
@@ -361,45 +412,72 @@ class WMDEngine:
         )
         return matches[:n]
 
-    def _score_buckets_rwmd(self, sim_vocab, mass_t, len_t, injective, symmetric, normalize_bow):
+    def _static_needle_magnitudes(self, qp, query) -> np.ndarray:
+        mags = np.asarray(qp.static_mags[0])
+        ids = np.asarray(query.token_ids)
+        out = np.where(ids >= 0, mags[np.maximum(ids, 0)], 0.0)
+        return out.astype(np.float32)
+
+    def _slice_magnitudes(self, qp, sid, ln) -> np.ndarray:
+        engine = self._engine
+        if qp.is_static_only:
+            tok, _ = engine._slice_tokens(sid)
+            return np.asarray(qp.static_mags[0])[tok[:ln]].astype(np.float64)
+        bi, r = engine._slice_loc[sid]
+        name = qp.ctx_names[0]
+        ctx = np.asarray(engine._ctx_stores[name][bi][r][:ln])
+        return np.linalg.norm(ctx, axis=-1).astype(np.float64)
+
+    def _score_buckets_rwmd(self, qp, mass_t, len_t, injective, symmetric,
+                            normalize_bow, unique):
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
-        for db in engine._device_buckets:
+        for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
+            static_sims, static_mags, ctx, ctx_q, weights = engine._plan_args(qp, bi)
             scores = _bucket_rwmd_scores(
+                qp.plan,
                 db["tokens"],
                 db["lengths"],
-                jnp.asarray(sim_vocab),
+                static_sims,
+                static_mags,
+                ctx,
+                ctx_q,
+                weights,
                 jnp.asarray(mass_t),
                 jnp.asarray(len_t, jnp.int32),
                 injective=injective,
                 symmetric=symmetric,
                 normalize_bow=normalize_bow,
                 chunk=db["chunk"],
+                unique_masses=unique,
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
 
-    def _score_buckets_emd(self, sim_vocab, mass_t, mag_vocab, normalize):
+    def _score_buckets_emd(self, qp, mass_t, use_magnitudes, normalize, unique):
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
-        use_mag = mag_vocab is not None
-        if not use_mag:
-            mag_vocab = jnp.ones((sim_vocab.shape[0],), jnp.float32)
-        for db in engine._device_buckets:
+        for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
+            static_sims, static_mags, ctx, ctx_q, weights = engine._plan_args(qp, bi)
             scores = _bucket_emd_scores(
+                qp.plan,
                 db["tokens"],
                 db["lengths"],
-                jnp.asarray(sim_vocab),
+                static_sims,
+                static_mags,
+                ctx,
+                ctx_q,
+                weights,
                 jnp.asarray(mass_t, jnp.float32),
-                jnp.asarray(mag_vocab, jnp.float32),
                 jnp.asarray(0.02, jnp.float32),
-                use_magnitudes=use_mag,
+                use_magnitudes=use_magnitudes,
                 normalize_mass=normalize,
                 chunk=db["chunk"],
+                unique_masses=unique,
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
