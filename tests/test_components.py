@@ -153,3 +153,30 @@ def test_temporary_corpus():
     path = corpus.path
     corpus.close()
     assert not path.exists()
+
+
+def test_packed_corpus_disk_cache(tmp_path, monkeypatch):
+    """Packed arrays round-trip through the on-disk cache."""
+    monkeypatch.setenv("VECTORIAN_CACHE_HOME", str(tmp_path))
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.corpus.packing import load_packed, save_packed
+
+    emb = make_embedding(["king", "rides", "the", "horse"])
+    docs = [StringImporter()("the king rides the horse. the horse rides.", title="x")]
+    s1 = Session(docs, embeddings=[emb])
+    p1 = s1.packed_corpus(s1.partition("sentence").spec)
+    cache_files = list((tmp_path / "packed").glob("*.npz"))
+    assert len(cache_files) == 1
+
+    # second session with identical corpus loads from cache
+    s2 = Session(docs, embeddings=[emb])
+    p2 = s2.packed_corpus(s2.partition("sentence").spec)
+    np.testing.assert_array_equal(p1.slice_len, p2.slice_len)
+    np.testing.assert_array_equal(
+        p1.buckets[0].token_ids, p2.buckets[0].token_ids
+    )
+    # direct round trip
+    save_packed(p1, tmp_path / "direct.npz")
+    p3 = load_packed(tmp_path / "direct.npz")
+    assert p3.partition == p1.partition
+    np.testing.assert_array_equal(p3.slice_doc, p1.slice_doc)

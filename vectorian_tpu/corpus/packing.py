@@ -84,6 +84,58 @@ class PackedCorpus:
         return int(self.slice_len.max()) if self.n_slices else 0
 
 
+def save_packed(packed: PackedCorpus, path):
+    """Persist packed arrays (npz) — the cache layer that keeps the
+    reference's fast-loading contract (SURVEY §5 checkpoint hierarchy)."""
+    data = {
+        "partition": np.asarray(
+            [packed.partition.window_size, packed.partition.window_step]
+        ),
+        "level": np.asarray([packed.partition.level]),
+        "slice_doc": packed.slice_doc,
+        "slice_idx": packed.slice_idx,
+        "slice_start": packed.slice_start,
+        "slice_len": packed.slice_len,
+        "n_docs": np.asarray([packed.n_docs]),
+        "n_buckets": np.asarray([len(packed.buckets)]),
+    }
+    for i, b in enumerate(packed.buckets):
+        data[f"b{i}_cap"] = np.asarray([b.capacity])
+        data[f"b{i}_tok"] = b.token_ids
+        data[f"b{i}_pos"] = b.pos_ids
+        data[f"b{i}_tag"] = b.tag_ids
+        data[f"b{i}_len"] = b.lengths
+        data[f"b{i}_idx"] = b.slice_index
+    np.savez_compressed(path, **data)
+
+
+def load_packed(path) -> PackedCorpus:
+    z = np.load(path, allow_pickle=False)
+    level = str(z["level"][0])
+    ws, step = (int(x) for x in z["partition"])
+    buckets = []
+    for i in range(int(z["n_buckets"][0])):
+        buckets.append(
+            PackedBucket(
+                capacity=int(z[f"b{i}_cap"][0]),
+                token_ids=z[f"b{i}_tok"],
+                pos_ids=z[f"b{i}_pos"],
+                tag_ids=z[f"b{i}_tag"],
+                lengths=z[f"b{i}_len"],
+                slice_index=z[f"b{i}_idx"],
+            )
+        )
+    return PackedCorpus(
+        partition=Partition(level, ws, step),
+        buckets=buckets,
+        slice_doc=z["slice_doc"],
+        slice_idx=z["slice_idx"],
+        slice_start=z["slice_start"],
+        slice_len=z["slice_len"],
+        n_docs=int(z["n_docs"][0]),
+    )
+
+
 def pack_corpus(
     prepared_docs: Sequence,
     partition: Partition,

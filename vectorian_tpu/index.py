@@ -824,6 +824,17 @@ class SpanEncoderIndex(Index):
             )
         return self._corpus_vecs
 
+    def save(self, path):
+        """Persist the encoded corpus vectors (reference
+        SpanEncoderIndex.save npy dump, index.py:638-658)."""
+        np.save(path, np.asarray(self._corpus_vectors().unmodified))
+
+    def load(self, path):
+        from vectorian_tpu.embedding.vectors import Vectors
+
+        self._corpus_vecs = Vectors(np.load(path))
+        return self
+
     def _find(self, query: PreparedQuery) -> List[Match]:
         import jax.numpy as jnp
 

@@ -72,11 +72,45 @@ class Result:
     def to_json(self, context_size=10):
         return [m.to_json(context_size) for m in self._matches]
 
+    def format(self, render_spec) -> "Result":
+        """Pick renderers by spec string (reference LabResult.format,
+        session.py:339-389): comma-separated names with '+annotation' args,
+        e.g. "excerpt +tags, flow" — or a list of renderer instances."""
+        from vectorian_tpu.render.excerpt import ExcerptRenderer
+        from vectorian_tpu.render.matrix import MatrixRenderer
+        from vectorian_tpu.render.sankey import FlowRenderer
+
+        if isinstance(render_spec, (list, tuple)):
+            renderers = list(render_spec)
+        else:
+            lookup = {
+                "excerpt": ExcerptRenderer,
+                "flow": FlowRenderer,
+                "matrix": MatrixRenderer,
+            }
+            renderers = []
+            for desc in render_spec.split(","):
+                parts = desc.split()
+                if not parts:
+                    continue
+                klass = lookup[parts[0].strip()]
+                args = []
+                for part in parts[1:]:
+                    part = part.strip()
+                    if part.startswith("+"):
+                        args.append(part[1:].strip())
+                    else:
+                        raise ValueError(part)
+                renderers.append(klass(*args))
+        out = Result(self._index, self._matches, self._duration)
+        out._renderers = renderers
+        return out
+
     def _repr_html_(self):  # pragma: no cover
         from vectorian_tpu.render.render import Renderer
-        from vectorian_tpu.render.excerpt import ExcerptRenderer
 
-        return Renderer([ExcerptRenderer()]).to_html(self)
+        renderers = getattr(self, "_renderers", None)
+        return Renderer(renderers).to_html(self)
 
 
 class Frequencies:
@@ -296,11 +330,44 @@ class Session:
     def partition(self, level: str = "sentence", window_size: int = 1, window_step: int = 1) -> Partition:
         return Partition(self, level, window_size, window_step)
 
+    def _corpus_digest(self) -> str:
+        """Content digest over prepared token ids + flavor ident — keys the
+        on-disk packed-corpus cache."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(repr(self._normalization.ident).encode())
+        for pd in self._documents:
+            h.update(pd.token_ids.tobytes())
+            for arr in pd.spans.values():
+                h.update(np.ascontiguousarray(arr).tobytes())
+        return h.hexdigest()[:24]
+
     def packed_corpus(self, spec: PartitionSpec) -> PackedCorpus:
         packed = self._packed_cache.get(spec)
         if packed is None:
-            packed = pack_corpus(self._documents, spec)
+            packed = self._load_or_pack(spec)
             self._packed_cache[spec] = packed
+        return packed
+
+    def _load_or_pack(self, spec: PartitionSpec) -> PackedCorpus:
+        from vectorian_tpu.corpus.packing import load_packed, save_packed
+        from vectorian_tpu.embedding.static import cache_home
+
+        cdir = cache_home() / "packed"
+        cdir.mkdir(parents=True, exist_ok=True)
+        key = f"{self._corpus_digest()}-{spec.level}-{spec.window_size}-{spec.window_step}"
+        path = cdir / f"{key}.npz"
+        if path.exists():
+            try:
+                return load_packed(path)
+            except Exception:
+                pass
+        packed = pack_corpus(self._documents, spec)
+        try:
+            save_packed(packed, path)
+        except OSError:
+            pass
         return packed
 
     def engine(self, spec: PartitionSpec) -> BruteForceEngine:
