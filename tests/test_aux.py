@@ -96,3 +96,22 @@ def test_submatch_weight(sess):
     assert r0 and r1
     assert r1[0].score > r0[0].score
     assert r1[0].score <= 1.0
+
+
+def test_precision_recall(sess):
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    r = index.find("the old king rides the grey horse", n=2, min_score=0.1)
+    assert len(r) >= 1
+    relevant = {r[0].slice_id}
+    assert r.precision(relevant) == pytest.approx(1.0 / len(r))
+    assert r.recall(relevant) == pytest.approx(1.0)
+    assert r.recall({999999}) == 0.0
+
+
+def test_compile_and_build_time():
+    import vectorian_tpu as vt
+
+    ok = vt.compile()
+    if ok:
+        assert vt.backend_build_time() is not None

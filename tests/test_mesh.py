@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vectorian_tpu.ops.alignment import AffineGapParams, align_scores
+from vectorian_tpu.parallel.mesh import MeshSearch, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh_search():
+    assert len(jax.devices()) == 8, jax.devices()
+    return MeshSearch(make_mesh())
+
+
+def _problem(rng, N=64, L=12, T=4, V=300):
+    tokens = rng.integers(1, V, size=(N, L)).astype(np.int32)
+    lengths = rng.integers(1, L + 1, size=N).astype(np.int32)
+    sim = rng.uniform(0, 1, size=(V, T)).astype(np.float32)
+    return tokens, lengths, sim
+
+
+def test_sharded_matches_single_device(rng, mesh_search):
+    tokens, lengths, sim = _problem(rng)
+    T = sim.shape[1]
+    gaps = AffineGapParams.of(0.1, 0.05, 0.1, 0.05)
+
+    tok_d, len_d = mesh_search.shard_bucket(tokens, lengths)
+    sim_d = mesh_search.put_replicated(sim)
+    scores, idx = mesh_search.score_topk(
+        tok_d, len_d, sim_d, jnp.asarray(T, jnp.int32), gaps,
+        jnp.asarray(float(T), jnp.float32), locality="local", k=10,
+    )
+    # single-device reference
+    S = jnp.asarray(sim)[jnp.asarray(tokens)]
+    raw = np.asarray(
+        align_scores(S, jnp.asarray(np.maximum(lengths, 1)),
+                     jnp.full((len(lengths),), T, jnp.int32), gaps, "local")
+    )
+    want = raw / T
+    got_scores = np.asarray(scores)
+    got_idx = np.asarray(idx)
+    order = np.argsort(-want, kind="stable")[:10]
+    np.testing.assert_allclose(np.sort(got_scores), np.sort(want[order]), atol=1e-5)
+    for s, i in zip(got_scores, got_idx):
+        assert want[i] == pytest.approx(s, abs=1e-5)
+
+
+def test_shardmap_topk_matches(rng, mesh_search):
+    tokens, lengths, sim = _problem(rng, N=128)
+    T = sim.shape[1]
+    gaps = AffineGapParams.of(0.0, 0.0, 0.0, 0.0)
+    tok_d, len_d = mesh_search.shard_bucket(tokens, lengths)
+    sim_d = mesh_search.put_replicated(sim)
+    s1, i1 = mesh_search.score_topk(
+        tok_d, len_d, sim_d, jnp.asarray(T, jnp.int32), gaps,
+        jnp.asarray(float(T), jnp.float32), locality="local", k=8,
+    )
+    s2, i2 = mesh_search.score_topk_shardmap(
+        tok_d, len_d, sim_d, jnp.asarray(T, jnp.int32), gaps,
+        jnp.asarray(float(T), jnp.float32), locality="local", k=8,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    # indices may tie-swap only where scores tie
+    sa = np.asarray(s1)
+    for a, b, s in zip(np.asarray(i1), np.asarray(i2), sa):
+        if a != b:
+            assert np.isclose(s, sa[np.asarray(s2) == s][0], atol=1e-6)
+
+
+def test_graft_dryrun_runs():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

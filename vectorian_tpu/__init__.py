@@ -32,3 +32,24 @@ from vectorian_tpu import alignment, metrics, sim  # noqa: F401
 
 # alias matching the reference's dual naming (__init__.py:24-25)
 similarity = metrics
+
+
+def compile():
+    """Build the native host library now (reference's dev compile() hook,
+    __init__.py:5-23; normally built lazily on first use)."""
+    from vectorian_tpu import native
+
+    return native.available()
+
+
+def backend_build_time():
+    """Build timestamp of the native library (reference
+    backend_build_time(), core/cpp/module.cpp:20-34); None if not built."""
+    import datetime
+
+    from vectorian_tpu.native import _native_dir
+
+    so = _native_dir() / "libvectorian_native.so"
+    if not so.exists():
+        return None
+    return datetime.datetime.fromtimestamp(so.stat().st_mtime)

@@ -62,6 +62,57 @@ class MeshSearch:
         return jax.device_put(np.asarray(x), self._replicated)
 
     @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
+    def score_topk_shardmap(
+        self,
+        token_ids: jnp.ndarray,  # [N, L] sharded over 'data'
+        lengths: jnp.ndarray,  # [N] sharded
+        sim_vocab: jnp.ndarray,  # [V, T] replicated
+        len_t: jnp.ndarray,
+        gaps: AffineGapParams,
+        norm_total: jnp.ndarray,
+        locality: str = "local",
+        k: int = 10,
+    ):
+        """Explicit-collective variant: each shard computes its local top-k,
+        one all_gather of (score, global-index) pairs rides the ICI, and the
+        final merge runs replicated — communication is O(devices * k)
+        instead of O(N) (the ResultSet.extend merge, result_set.h:70-93,
+        as a collective)."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self.n_devices
+        shard_n = token_ids.shape[0] // n_dev
+
+        def shard_fn(tok, ln):
+            # tok: [N/d, L] local shard
+            S = sim_vocab[tok]
+            lt = jnp.full((tok.shape[0],), len_t, jnp.int32)
+            raw = align_scores(S, jnp.maximum(ln, 1), lt, gaps, locality)
+            scores = jnp.where(
+                ln > 0, raw / jnp.maximum(norm_total, 1e-9), -jnp.inf
+            )
+            loc_s, loc_i = jax.lax.top_k(scores, k)
+            my = jax.lax.axis_index(axis)
+            glob_i = loc_i + my * shard_n
+            all_s = jax.lax.all_gather(loc_s, axis)  # [d, k]
+            all_i = jax.lax.all_gather(glob_i, axis)
+            top_s, sel = jax.lax.top_k(all_s.reshape(-1), k)
+            return top_s, all_i.reshape(-1)[sel]
+
+        fn = shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(token_ids, lengths)
+
+    @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
     def score_topk(
         self,
         token_ids: jnp.ndarray,  # [N, L] sharded over 'data'

@@ -69,6 +69,34 @@ class Result:
             self._matches = self._matches[:n]
         return self
 
+    def precision(self, relevant) -> float:
+        """Fraction of returned matches that are relevant (reference
+        GroundTruth/precision stubs, result_set.h:8-15, 106-112);
+        ``relevant`` is a set of slice ids or (doc_index, slice_idx)."""
+        if not self._matches:
+            return 0.0
+        hits = sum(1 for m in self._matches if self._is_relevant(m, relevant))
+        return hits / len(self._matches)
+
+    def recall(self, relevant) -> float:
+        if not relevant:
+            return 0.0
+        hits = sum(1 for m in self._matches if self._is_relevant(m, relevant))
+        return hits / len(relevant)
+
+    def _is_relevant(self, m, relevant) -> bool:
+        if getattr(m, "slice_id", None) in relevant:
+            return True
+        idx = getattr(m, "index", None)
+        if idx is not None and hasattr(idx, "packed"):
+            packed = idx.packed
+            key = (
+                int(packed.slice_doc[m.slice_id]),
+                int(packed.slice_idx[m.slice_id]),
+            )
+            return key in relevant
+        return False
+
     def to_json(self, context_size=10):
         return [m.to_json(context_size) for m in self._matches]
 
