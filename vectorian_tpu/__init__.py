@@ -28,6 +28,30 @@ from vectorian_tpu.importers import (
 )
 from vectorian_tpu.utils.progress import set_verbose
 
+from vectorian_tpu.corpus.corpus import Corpus, TemporaryCorpus  # noqa: F401
+from vectorian_tpu.embedding.fasttext import (  # noqa: F401
+    CompressedFastTextVectors,
+    PretrainedFastText,
+)
+from vectorian_tpu.embedding.static import (  # noqa: F401
+    KeyedVectors,
+    OneHotEncoding,
+    PretrainedGloVe,
+    StackedEmbedding,
+    Word2VecVectors,
+)
+from vectorian_tpu.embedding.contextual import (  # noqa: F401
+    LambdaContextualEmbedding,
+    TransformerContextualEmbedding,
+)
+from vectorian_tpu.embedding.span import (  # noqa: F401
+    AggregatedTokenEmbedding,
+    SentenceEmbedding,
+    TextSpanEmbedding,
+)
+from vectorian_tpu.embedding.zoo import Zoo  # noqa: F401
+from vectorian_tpu.saliency import KeywordSignal, Saliency  # noqa: F401
+
 from vectorian_tpu import alignment, metrics, sim  # noqa: F401
 
 # alias matching the reference's dual naming (__init__.py:24-25)

@@ -337,7 +337,9 @@ class BruteForceEngine:
                 vecs = documents[d_i].contextual.get(name)
                 if vecs is not None and len(vecs):
                     arr[r, :l] = vecs[s0 : s0 + l]
-            store.append(jnp.asarray(arr))
+            # bf16 in HBM halves the bandwidth of the einsum-dominated
+            # contextual path; eval_plan_chunk upcasts to f32 per chunk
+            store.append(jnp.asarray(arr, dtype=jnp.bfloat16))
         self._ctx_stores[name] = store
 
     def _plan_args(self, qp: QueryPlan, bucket_index: int):
@@ -557,7 +559,10 @@ class BruteForceEngine:
         if sel is not None:
             pad = np.zeros((L,), np.int32)
             pad[: len(sel)] = sel
-            ctx = tuple(jnp.asarray(np.asarray(c[r])[pad])[None] for c in ctx_all)
+            ctx = tuple(
+                jnp.asarray(np.asarray(c[r], dtype=np.float32)[pad])[None]
+                for c in ctx_all
+            )
         else:
             ctx = tuple(c[r][None] for c in ctx_all)
         Sw, Su = _slice_similarity(

@@ -425,7 +425,7 @@ class WMDEngine:
             return np.asarray(qp.static_mags[0])[tok[:ln]].astype(np.float64)
         bi, r = engine._slice_loc[sid]
         name = qp.ctx_names[0]
-        ctx = np.asarray(engine._ctx_stores[name][bi][r][:ln])
+        ctx = np.asarray(engine._ctx_stores[name][bi][r][:ln], dtype=np.float32)
         return np.linalg.norm(ctx, axis=-1).astype(np.float64)
 
     def _score_buckets_rwmd(self, qp, mass_t, len_t, injective, symmetric,
