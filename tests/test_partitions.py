@@ -1,0 +1,96 @@
+"""Partition levels + edge cases: token windows, document level, empty and
+unicode corpora."""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+from .helpers import make_embedding
+
+
+def _session(text, words):
+    emb = make_embedding(words)
+    docs = [StringImporter()(text, title="d")]
+    return Session(docs, embeddings=[emb]), emb
+
+
+def test_token_level_partition():
+    session, emb = _session(
+        "one two three four five six seven eight nine ten",
+        ["one", "two", "three", "four", "five", "six", "seven", "eight",
+         "nine", "ten"],
+    )
+    p = session.partition("token", 4, 2)
+    packed = session.packed_corpus(p.spec)
+    # 10 tokens, windows of 4 stepping 2 -> ceil(10/2) = 5 slices
+    assert packed.n_slices == 5
+    assert packed.slice_len.max() == 4
+    index = p.index(EmbeddingTokenSim(emb))
+    r = index.find("three four five six", n=2)
+    assert r[0].score == pytest.approx(1.0, abs=1e-4)
+
+
+def test_document_level_partition():
+    session, emb = _session(
+        "one two. three four. five six.",
+        ["one", "two", "three", "four", "five", "six"],
+    )
+    p = session.partition("document")
+    packed = session.packed_corpus(p.spec)
+    assert packed.n_slices == 1
+    assert packed.slice_len[0] == 6  # punctuation dropped by vanilla flavor
+    index = p.index(EmbeddingTokenSim(emb))
+    r = index.find("three four", n=1)
+    assert len(r) == 1
+
+
+def test_sentence_window_span_arithmetic():
+    session, emb = _session(
+        "a b. c d. e f. g h.",
+        ["a", "b", "c", "d", "e", "f", "g", "h"],
+    )
+    p3 = session.partition("sentence", 2, 2)
+    packed = session.packed_corpus(p3.spec)
+    # 4 sentences, windows of 2 stepping 2 -> 2 slices of 4 tokens
+    assert packed.n_slices == 2
+    assert packed.slice_len.tolist() == [4, 4]
+
+
+def test_empty_document():
+    emb = make_embedding(["word"])
+    docs = [StringImporter()("", title="empty"),
+            StringImporter()("word here.", title="ok")]
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    r = index.find("word", n=5)
+    assert len(r) >= 1
+    assert r[0].doc.title == "ok"
+
+
+def test_unicode_text():
+    emb = make_embedding(["héllo", "wörld", "naïve", "café"])
+    docs = [StringImporter()("héllo wörld. the naïve café.", title="u")]
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    r = index.find("héllo wörld", n=2)
+    assert len(r) >= 1
+    assert r[0].score == pytest.approx(1.0, abs=1e-4)
+    j = r[0].to_json()
+    assert "héllo" in j["regions"][0]["s"] or any(
+        "héllo" in reg.get("s", "") for reg in j["regions"]
+    )
+
+
+def test_long_slice_truncation():
+    import string
+
+    words = ["w" + a + b for a in string.ascii_lowercase[:8]
+             for b in string.ascii_lowercase[:5]]  # 40 alphabetic words
+    text = " ".join(words * 40) + "."  # 1600-token sentence
+    emb = make_embedding(words)
+    docs = [StringImporter()(text, title="long")]
+    session = Session(docs, embeddings=[emb])
+    packed = session.packed_corpus(session.partition("sentence").spec)
+    assert packed.slice_len.max() <= 1024  # capped at the largest bucket

@@ -598,6 +598,30 @@ class BruteForceIndex(Index):
         import time as _time
 
         t_match0 = _time.time()
+        if debug is None and not opts.get("bidirectional"):
+            # low-latency path: device-side top-k, only O(buckets*k) values
+            # cross to the host
+            overfetch = n if submatch_weight == 0.0 else 4 * n
+            # with submatch_weight the final (rescored) score can exceed the
+            # device score — defer the min_score cut to _build_matches
+            eff_min = min_score if submatch_weight == 0.0 else -1e30
+            top, score_by_id = self._engine.score_topk(
+                qp, T, gaps, self._locality, norm_total,
+                k=overfetch, min_score=eff_min, boost=boost,
+                tag_weights=tagw, doc_filter=doc_filter, gap_costs=gap_costs,
+            )
+            if query.query.aborted or not top:
+                return []
+            mappings, edge_sims = self._engine.rescore_with_flows(
+                top, qp, T, gaps, self._locality, tag_weights=tagw,
+                doc_filter=doc_filter, gap_costs=gap_costs,
+            )
+            return self._build_matches(
+                query, token_sim, top, mappings, edge_sims,
+                score_by_id.__getitem__, submatch_weight, tagw, norm_total,
+                min_score, n, debug,
+            )
+
         scores = self._engine.score_all(
             qp,
             T,
@@ -633,7 +657,8 @@ class BruteForceIndex(Index):
             return []
 
         overfetch = n if submatch_weight == 0.0 else 4 * n
-        top = self._engine.top_k(scores, overfetch, min_score=min_score)
+        eff_min = min_score if submatch_weight == 0.0 else -1e30
+        top = self._engine.top_k(scores, overfetch, min_score=eff_min)
         if not top:
             return []
 
@@ -660,12 +685,24 @@ class BruteForceIndex(Index):
             mappings = [by_id[sid][0] for sid in top]
             edge_sims = [by_id[sid][1] for sid in top]
 
-        matches = []
+        return self._build_matches(
+            query, token_sim, top, mappings, edge_sims,
+            lambda sid: float(scores[sid]), submatch_weight, tagw, norm_total,
+            min_score, n, debug,
+        )
+
+    def _build_matches(
+        self, query, token_sim, top, mappings, edge_sims, score_of,
+        submatch_weight, tagw, norm_total, min_score, n, debug,
+    ) -> List[Match]:
+        T = query.n_tokens
         packed = self._engine.packed
+        matches = []
         for sid, mapping, sims in zip(top, mappings, edge_sims):
-            score = float(scores[sid])
+            score = score_of(sid)
             if submatch_weight != 0.0:
-                # exact rescore: matched max-sims vs total
+                # exact rescore: matched max-sims vs total (reference_score,
+                # metric/alignment.h:84-106)
                 if tagw is not None:
                     max_sims = tagw.t_pos_weights
                 else:

@@ -479,6 +479,106 @@ class BruteForceEngine:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
 
+    def score_topk(
+        self,
+        qp: QueryPlan,
+        len_t: int,
+        gaps: AffineGapParams,
+        locality: str,
+        norm_total: float,
+        k: int,
+        min_score: float = 0.2,
+        boost: Optional[np.ndarray] = None,
+        tag_weights: Optional[TagWeightingSpec] = None,
+        doc_filter: Optional[DocFilterSpec] = None,
+        gap_costs=None,
+    ):
+        """Top-k with device-side selection: only O(buckets * k) (score,
+        id) pairs ever reach the host — the low-latency single-query path
+        (the full score_all transfer is O(n_slices)).
+
+        Returns (slice_ids list, {slice_id: score}).
+        """
+        T = len_t
+        cand_scores, cand_ids = [], []
+        zero_t = jnp.zeros((T,), jnp.float32)
+        zero_t8 = jnp.zeros((T,), jnp.int8)
+        if doc_filter is not None:
+            flt = (
+                jnp.asarray(doc_filter.pos_exclude),
+                jnp.asarray(doc_filter.tag_exclude),
+                jnp.asarray(doc_filter.token_exclude),
+            )
+        else:
+            flt = (jnp.zeros((1,), bool),) * 3
+        for bi, db in enumerate(self._device_buckets):
+            if db["n"] == 0:
+                continue
+            if boost is not None:
+                bvec = np.ones((db["tokens"].shape[0],), np.float32)
+                bvec[: db["n"]] = boost[db["slice_index"]]
+                bvec = jnp.asarray(bvec)
+            else:
+                bvec = jnp.ones((db["tokens"].shape[0],), jnp.float32)
+            if tag_weights is not None:
+                tw = (
+                    jnp.asarray(tag_weights.t_pos_weights, jnp.float32),
+                    jnp.asarray(tag_weights.pos_t, jnp.int8),
+                    jnp.asarray(tag_weights.pos_mismatch_penalty, jnp.float32),
+                    jnp.asarray(tag_weights.similarity_threshold, jnp.float32),
+                )
+            else:
+                tw = (zero_t, zero_t8, jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32))
+            if gap_costs is not None:
+                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
+                gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
+            else:
+                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
+                gv_t = jnp.zeros((T + 1,), jnp.float32)
+            static_sims, static_mags, ctx, ctx_q, weights = self._plan_args(qp, bi)
+            scores = _bucket_scores(
+                qp.plan,
+                db["tokens"],
+                db["pos"],
+                db["tag"],
+                db["lengths"],
+                static_sims,
+                static_mags,
+                ctx,
+                ctx_q,
+                weights,
+                jnp.asarray(len_t, jnp.int32),
+                gaps,
+                bvec,
+                jnp.asarray(norm_total, jnp.float32),
+                *tw,
+                *flt,
+                gv_s,
+                gv_t,
+                locality=locality,
+                chunk=db["chunk"],
+                with_tags=tag_weights is not None,
+                with_filter=doc_filter is not None,
+                general_gaps=gap_costs is not None,
+                use_pallas=use_pallas_default() and gap_costs is None,
+            )
+            kk = min(k, db["n"])
+            vals, idx = jax.lax.top_k(scores[: db["n"]], kk)
+            cand_scores.append(np.asarray(vals))
+            cand_ids.append(db["slice_index"][np.asarray(idx)])
+        if not cand_scores:
+            return [], {}
+        vals = np.concatenate(cand_scores)
+        ids = np.concatenate(cand_ids)
+        keep = vals >= min_score
+        vals, ids = vals[keep], ids[keep]
+        packed = self._packed
+        order = np.lexsort(
+            (packed.slice_idx[ids], packed.slice_doc[ids], -vals.astype(np.float64))
+        )
+        top = [int(i) for i in ids[order][:k]]
+        return top, {int(i): float(v) for i, v in zip(ids, vals)}
+
     def top_k(
         self,
         scores: np.ndarray,
