@@ -73,10 +73,15 @@ def test_rwmd_scores_dedup_consistency(rng):
     got = np.asarray(
         _bucket_rwmd_scores(
             ("static", 0),
-            jnp.asarray(tok), jnp.asarray(lengths),
+            jnp.asarray(tok),
+            jnp.zeros((N, L), jnp.int8),
+            jnp.zeros((N, L), jnp.int16),
+            jnp.asarray(lengths),
             (jnp.asarray(sim_vocab),), (jnp.zeros((V,), jnp.float32),),
             (), (), (),
             jnp.asarray(mass_t), jnp.asarray(T, jnp.int32),
+            jnp.zeros((T,), jnp.float32), jnp.zeros((T,), jnp.int8),
+            jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
             injective=False, symmetric=True, normalize_bow=True, chunk=N,
         )
     )
@@ -188,6 +193,100 @@ def test_wmd_search_end_to_end():
         assert top.score > 0.9
         j = top.to_json()
         assert j["regions"], optimizer
+
+
+def test_tagged_rwmd_scores_vs_oracle(rng):
+    """Tag-weighted RWMD kernel: (id, tag) BOW identity + tag-weighted
+    similarity (reference TaggedTokenFactory, bow.h:150-202, selected by
+    similarity_dependency()==TAGS, metric/alignment.h:558-563)."""
+    V, T, L, N, n_pos = 40, 4, 8, 8, 5
+    sim_vocab = rng.uniform(0, 1, size=(V, T)).astype(np.float32)
+    tok = rng.integers(1, 8, size=(N, L)).astype(np.int32)  # many dup ids
+    tags = rng.integers(0, 3, size=(N, L)).astype(np.int16)  # dup (id,tag)
+    pos_s = rng.integers(0, n_pos, size=(N, L)).astype(np.int8)
+    lengths = np.full((N,), L, np.int32)
+    mass_t = np.ones((T,), np.float32)
+    tw_w = rng.uniform(0.2, 1.0, size=(T,)).astype(np.float32)
+    tw_pos = rng.integers(0, n_pos, size=(T,)).astype(np.int8)
+    penalty, threshold = 0.3, 0.15
+    got = np.asarray(
+        _bucket_rwmd_scores(
+            ("static", 0),
+            jnp.asarray(tok),
+            jnp.asarray(pos_s),
+            jnp.asarray(tags),
+            jnp.asarray(lengths),
+            (jnp.asarray(sim_vocab),), (jnp.zeros((V,), jnp.float32),),
+            (), (), (),
+            jnp.asarray(mass_t), jnp.asarray(T, jnp.int32),
+            jnp.asarray(tw_w), jnp.asarray(tw_pos),
+            jnp.asarray(penalty, jnp.float32),
+            jnp.asarray(threshold, jnp.float32),
+            injective=False, symmetric=True, normalize_bow=True, chunk=N,
+            with_tags=True,
+        )
+    )
+    for b in range(N):
+        S = sim_vocab[tok[b]]  # [L, T]
+        w = tw_w[None, :] * np.where(
+            pos_s[b][:, None] == tw_pos[None, :], 1.0, 1.0 - penalty
+        )
+        Sw = S * w
+        Sw = np.where(Sw > threshold, Sw, 0.0)
+        m_s = dedup_masses(
+            list(zip(tok[b].tolist(), tags[b].tolist())), np.ones(L, bool)
+        ) / L
+        m_t = mass_t / mass_t.sum()
+        D_st = np.maximum(1.0 - Sw, 0.0)
+        acc0 = greedy_oracle(m_t, D_st.T, m_s, False)
+        acc1 = greedy_oracle(m_s, D_st, m_t, False)
+        want = 1.0 - max(acc0, acc1)
+        assert got[b] == pytest.approx(want, abs=1e-4), b
+
+
+def test_tag_weighted_wmd_end_to_end():
+    """Tag weights through the public WMD index path (reference supports
+    tag-weighted slices under transport matchers too)."""
+    from tests.helpers import WORDS, make_corpus_texts, make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    rng = np.random.default_rng(7)
+    planted = ["the old king rides the grey horse"]
+    texts, locations = make_corpus_texts(
+        rng, n_docs=3, sents_per_doc=8, planted=planted
+    )
+    docs = [StringImporter()(t, title=f"d{i}") for i, t in enumerate(texts)]
+    words = sorted(set(WORDS) | set(planted[0].split()))
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    p = session.partition("sentence")
+
+    tag_weights = {"NN": 1.0, "VB": 0.9, "JJ": 0.7, "DT": 0.2}
+    for optimizer in [
+        WordMoversDistance.rwmd("nbow"),
+        WordMoversDistance.wmd("nbow"),
+        WordRotatorsDistance(),
+    ]:
+        index = p.index(
+            OptimizedSpanSim(
+                EmbeddingTokenSim(emb), optimizer, tag_weights=tag_weights,
+                pos_mismatch_penalty=0.2, similarity_threshold=0.1,
+            )
+        )
+        r = index.find("horse grey the rides king old the", n=5, min_score=0.05)
+        assert len(r) >= 1, optimizer
+        packed = index.packed
+        top = r[0]
+        d = int(packed.slice_doc[top.slice_id])
+        s = int(packed.slice_idx[top.slice_id])
+        assert (d, s) == locations[0], (optimizer, top.score)
+        # down-weighted tags must lower the score below the unweighted run
+        plain = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), optimizer))
+        r0 = plain.find("horse grey the rides king old the", n=5, min_score=0.05)
+        assert top.score <= r0[0].score + 1e-6, optimizer
 
 
 def test_contextual_wmd_wrd():

@@ -35,9 +35,11 @@ from vectorian_tpu.ops.sinkhorn import sinkhorn_emd_score
 MAX_SIMILARITY = 1.0
 
 
-def dedup_masses(ids: np.ndarray, valid: np.ndarray) -> np.ndarray:
+def dedup_masses(ids, valid) -> np.ndarray:
     """Host-side: mass per position = count of equal ids at first occurrence,
-    0 elsewhere (mirrors BOWBuilder dedup, bow.h:204-275)."""
+    0 elsewhere (mirrors BOWBuilder dedup, bow.h:204-275).  ``ids`` is any
+    sequence of hashables — (id, tag) tuples key the tagged variant
+    (TaggedTokenFactory, bow.h:150-202)."""
     n = len(ids)
     mass = np.zeros((n,), np.float32)
     seen = {}
@@ -53,12 +55,18 @@ def dedup_masses(ids: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return mass
 
 
-def _device_masses(tok: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """[n, L] first-occurrence count masses on device (O(L^2) per slice)."""
+def _device_masses(
+    tok: jnp.ndarray, lengths: jnp.ndarray, tag: jnp.ndarray = None
+) -> jnp.ndarray:
+    """[n, L] first-occurrence count masses on device (O(L^2) per slice).
+    With ``tag``, identity is (id, tag) — the reference's TaggedTokenFactory
+    (bow.h:150-202) selected by similarity_dependency()==TAGS."""
     n, L = tok.shape
     pos = jnp.arange(L, dtype=jnp.int32)
     valid = pos[None, :] < lengths[:, None]  # [n, L]
     eq = (tok[:, :, None] == tok[:, None, :]) & valid[:, :, None] & valid[:, None, :]
+    if tag is not None:
+        eq = eq & (tag[:, :, None] == tag[:, None, :])
     counts = jnp.sum(eq, axis=2).astype(jnp.float32)  # [n, L]
     first = jnp.argmax(eq, axis=1) == pos[None, :]  # first occurrence of own id
     return jnp.where(first & valid, counts, 0.0)
@@ -96,12 +104,14 @@ def _greedy_fill_cost(w1, D, cap, injective: bool):
     jax.jit,
     static_argnames=(
         "plan", "injective", "symmetric", "normalize_bow", "chunk",
-        "unique_masses",
+        "unique_masses", "with_tags",
     ),
 )
 def _bucket_rwmd_scores(
     plan: tuple,
     token_ids: jnp.ndarray,  # [N, L] i32, padded
+    pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
     lengths: jnp.ndarray,  # [N]
     static_sims: tuple,
     static_mags: tuple,
@@ -110,12 +120,18 @@ def _bucket_rwmd_scores(
     mixed_weights: tuple,
     mass_t: jnp.ndarray,  # [T] deduped query masses (counts)
     len_t: jnp.ndarray,  # scalar i32 actual token count of query
+    tw_weights: jnp.ndarray,  # [T] f32 (unused unless with_tags)
+    tw_pos_t: jnp.ndarray,  # [T] i8
+    tw_penalty: jnp.ndarray,  # scalar f32
+    tw_threshold: jnp.ndarray,  # scalar f32
     injective: bool,
     symmetric: bool,
     normalize_bow: bool,
     chunk: int,
     unique_masses: bool = False,
+    with_tags: bool = False,
 ):
+    from vectorian_tpu.ops.search import _apply_tag_weights
     from vectorian_tpu.ops.simmatrix import eval_plan_chunk
 
     N, L = token_ids.shape
@@ -123,12 +139,14 @@ def _bucket_rwmd_scores(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, ln, ctx = args
+        tok, pos, tag, ln, ctx = args
         if unique_masses:
             # contextual: every position is its own BOW entry (reference
             # UniqueTokensBOWBuilder, alignment/bow.h:278-334)
-            pos = jnp.arange(L, dtype=jnp.int32)
-            mass_s = ((pos[None, :] < ln[:, None])).astype(jnp.float32)
+            p = jnp.arange(L, dtype=jnp.int32)
+            mass_s = ((p[None, :] < ln[:, None])).astype(jnp.float32)
+        elif with_tags:
+            mass_s = _device_masses(tok, ln, tag)  # (id, tag) identity
         else:
             mass_s = _device_masses(tok, ln)  # [c, L] counts
         w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)
@@ -143,6 +161,10 @@ def _bucket_rwmd_scores(
         S = eval_plan_chunk(
             plan, tok, static_sims, static_mags, ctx, ctx_queries, mixed_weights
         )["similarity"]  # [c, L, T]
+        if with_tags:
+            S = _apply_tag_weights(
+                S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold
+            )
         Dst = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [c, L, T] s x t
         Dts = jnp.swapaxes(Dst, 1, 2)  # [c, T, L]
 
@@ -163,6 +185,8 @@ def _bucket_rwmd_scores(
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
+        pos_ids.reshape(n_chunks, chunk, L),
+        tag_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
         tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
     )
@@ -173,12 +197,14 @@ def _bucket_rwmd_scores(
     jax.jit,
     static_argnames=(
         "plan", "use_magnitudes", "normalize_mass", "chunk", "n_iters",
-        "unique_masses",
+        "unique_masses", "with_tags",
     ),
 )
 def _bucket_emd_scores(
     plan: tuple,
     token_ids: jnp.ndarray,  # [N, L]
+    pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
     lengths: jnp.ndarray,  # [N]
     static_sims: tuple,
     static_mags: tuple,
@@ -187,13 +213,19 @@ def _bucket_emd_scores(
     mixed_weights: tuple,
     mass_t: jnp.ndarray,  # [T] query masses (counts or magnitudes)
     eps: jnp.ndarray,
+    tw_weights: jnp.ndarray,  # [T] f32 (unused unless with_tags)
+    tw_pos_t: jnp.ndarray,  # [T] i8
+    tw_penalty: jnp.ndarray,  # scalar f32
+    tw_threshold: jnp.ndarray,  # scalar f32
     use_magnitudes: bool,
     normalize_mass: bool,
     chunk: int,
     n_iters: int = 100,
     unique_masses: bool = False,
+    with_tags: bool = False,
 ):
     """Full WMD / WRD device ranking via Sinkhorn (exact rescore on host)."""
+    from vectorian_tpu.ops.search import _apply_tag_weights
     from vectorian_tpu.ops.simmatrix import eval_plan_chunk
 
     N, L = token_ids.shape
@@ -201,19 +233,25 @@ def _bucket_emd_scores(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, ln, ctx = args
+        tok, pos, tag, ln, ctx = args
         out = eval_plan_chunk(
             plan, tok, static_sims, static_mags, ctx, ctx_queries,
             mixed_weights, needs_magnitudes=use_magnitudes,
         )
         S = out["similarity"]  # [c, L, T]
-        pos = jnp.arange(L, dtype=jnp.int32)
-        valid = pos[None, :] < ln[:, None]
+        if with_tags:
+            S = _apply_tag_weights(
+                S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold
+            )
+        p = jnp.arange(L, dtype=jnp.int32)
+        valid = p[None, :] < ln[:, None]
         if use_magnitudes:
             # WRD: every position is its own entry, mass = |v| (wrd.h:62-146)
             m_s = jnp.where(valid, out["magnitudes_s"], 0.0)
         elif unique_masses:
             m_s = valid.astype(jnp.float32)
+        elif with_tags:
+            m_s = _device_masses(tok, ln, tag)
         else:
             m_s = _device_masses(tok, ln)
         m_t = jnp.broadcast_to(mass_t[None, :], (tok.shape[0], T))
@@ -226,6 +264,8 @@ def _bucket_emd_scores(
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
+        pos_ids.reshape(n_chunks, chunk, L),
+        tag_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
         tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
     )
@@ -277,12 +317,16 @@ class WMDEngine:
         self._args = alignment_args
         self._algorithm = alignment_args["algorithm"]
 
-    def _query_masses(self, query) -> np.ndarray:
+    def _query_masses(self, query, tagged: bool = False) -> np.ndarray:
         """Dedup query tokens by string (the reference interns OOV tokens in
-        the query vocabulary, so duplicates share an id)."""
+        the query vocabulary, so duplicates share an id); by (string, tag)
+        when tag-weighted (TaggedTokenFactory, bow.h:150-202)."""
         strings = query.token_strings
         valid = np.ones((len(strings),), bool)
-        ids = np.asarray([hash(s) for s in strings])
+        if tagged:
+            ids = list(zip(strings, query.token_tag))
+        else:
+            ids = list(strings)
         return dedup_masses(ids, valid)
 
     def find(self, index, query, qp) -> List:
@@ -300,21 +344,30 @@ class WMDEngine:
         # (reference similarity_dependency()==POSITION selects
         # UniqueTokensBOWBuilder, metric/alignment.h:551-576)
         unique = not qp.is_static_only
+        # tag-weighted similarity -> (id, tag) BOW identity
+        # (similarity_dependency()==TAGS -> TaggedTokenFactory,
+        # metric/alignment.h:558-563 + bow.h:150-202); position-unique
+        # subsumes it when a contextual operand is present
+        tagw = index._tag_weighting(query)
+        tagged = tagw is not None and not unique
         mass_t = (
-            np.ones((T,), np.float32) if unique else self._query_masses(query)
+            np.ones((T,), np.float32)
+            if unique
+            else self._query_masses(query, tagged=tagged)
         )
 
         if self._algorithm == "word-movers-distance" and a["relaxed"]:
             scores = self._score_buckets_rwmd(
                 qp, mass_t, T,
                 bool(a["injective"]), bool(a["symmetric"]),
-                bool(a["normalize_bow"]), unique,
+                bool(a["normalize_bow"]), unique, tagw,
             )
         elif self._algorithm == "word-movers-distance":
             # device ranking always on normalized masses (Sinkhorn scale);
             # the exact host rescore below uses the requested bow/nbow masses
             scores = self._score_buckets_emd(
-                qp, mass_t, use_magnitudes=False, normalize=True, unique=unique
+                qp, mass_t, use_magnitudes=False, normalize=True,
+                unique=unique, tagw=tagw,
             )
         elif self._algorithm == "word-rotators-distance":
             mass_t_mag = np.asarray(qp.ctx_queries[0]["magnitudes"], np.float32) if (
@@ -326,7 +379,7 @@ class WMDEngine:
             scores = self._score_buckets_emd(
                 qp, mass_t_mag, use_magnitudes=True,
                 normalize=bool(a.get("normalize_magnitudes", True)),
-                unique=unique,
+                unique=unique, tagw=tagw,
             )
         else:
             raise ValueError(self._algorithm)
@@ -345,11 +398,17 @@ class WMDEngine:
             tok, _ = engine._slice_tokens(sid)
             ln = int(engine.packed.slice_len[sid])
             ids = tok[:ln]
-            Sw, Su = engine.slice_similarity(sid, qp)
-            S = Su[:, :T]  # [ln, T]
+            Sw, Su = engine.slice_similarity(sid, qp, tag_weights=tagw)
+            S = Sw[:, :T]  # [ln, T] (weighted == unmodified when no tags)
             D_ts = np.maximum(MAX_SIMILARITY - S.T, 0.0)  # [T, ln]
             if unique:
                 m_s = np.ones((ln,), np.float32)
+            elif tagged:
+                bi, r = engine._slice_loc[sid]
+                tags = np.asarray(engine._device_buckets[bi]["tag"][r])[:ln]
+                m_s = dedup_masses(
+                    list(zip(ids.tolist(), tags.tolist())), np.ones(ln, bool)
+                )
             else:
                 m_s = dedup_masses(ids, np.ones(ln, bool))
             score = float(scores[sid])
@@ -428,10 +487,27 @@ class WMDEngine:
         ctx = np.asarray(engine._ctx_stores[name][bi][r][:ln], dtype=np.float32)
         return np.linalg.norm(ctx, axis=-1).astype(np.float64)
 
+    @staticmethod
+    def _tagw_args(tagw, T):
+        if tagw is None:
+            return (
+                jnp.zeros((T,), jnp.float32),
+                jnp.zeros((T,), jnp.int8),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+            )
+        return (
+            jnp.asarray(tagw.t_pos_weights, jnp.float32),
+            jnp.asarray(tagw.pos_t, jnp.int8),
+            jnp.asarray(tagw.pos_mismatch_penalty, jnp.float32),
+            jnp.asarray(tagw.similarity_threshold, jnp.float32),
+        )
+
     def _score_buckets_rwmd(self, qp, mass_t, len_t, injective, symmetric,
-                            normalize_bow, unique):
+                            normalize_bow, unique, tagw=None):
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
+        tw = self._tagw_args(tagw, len(mass_t))
         for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
@@ -439,6 +515,8 @@ class WMDEngine:
             scores = _bucket_rwmd_scores(
                 qp.plan,
                 db["tokens"],
+                db["pos"],
+                db["tag"],
                 db["lengths"],
                 static_sims,
                 static_mags,
@@ -447,18 +525,22 @@ class WMDEngine:
                 weights,
                 jnp.asarray(mass_t),
                 jnp.asarray(len_t, jnp.int32),
+                *tw,
                 injective=injective,
                 symmetric=symmetric,
                 normalize_bow=normalize_bow,
                 chunk=db["chunk"],
                 unique_masses=unique,
+                with_tags=tagw is not None,
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
 
-    def _score_buckets_emd(self, qp, mass_t, use_magnitudes, normalize, unique):
+    def _score_buckets_emd(self, qp, mass_t, use_magnitudes, normalize, unique,
+                           tagw=None):
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
+        tw = self._tagw_args(tagw, len(mass_t))
         for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
@@ -466,6 +548,8 @@ class WMDEngine:
             scores = _bucket_emd_scores(
                 qp.plan,
                 db["tokens"],
+                db["pos"],
+                db["tag"],
                 db["lengths"],
                 static_sims,
                 static_mags,
@@ -474,10 +558,12 @@ class WMDEngine:
                 weights,
                 jnp.asarray(mass_t, jnp.float32),
                 jnp.asarray(0.02, jnp.float32),
+                *tw,
                 use_magnitudes=use_magnitudes,
                 normalize_mass=normalize,
                 chunk=db["chunk"],
                 unique_masses=unique,
+                with_tags=tagw is not None,
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
