@@ -5,8 +5,15 @@ import pytest
 
 import jax.numpy as jnp
 
-from vectorian_tpu.ops.alignment import AffineGapParams, align_scores
-from vectorian_tpu.ops.pallas_dp import pallas_align_scores
+from vectorian_tpu.ops.alignment import (
+    AffineGapParams,
+    align_scores,
+    align_scores_general,
+)
+from vectorian_tpu.ops.pallas_dp import (
+    pallas_align_scores,
+    pallas_align_scores_general,
+)
 
 
 @pytest.mark.parametrize("locality", ["local", "global", "semiglobal"])
@@ -28,6 +35,40 @@ def test_pallas_matches_jnp(rng, locality, gapset):
             jnp.asarray(len_s),
             jnp.asarray(lt, jnp.int32),
             gaps,
+            locality=locality,
+            block_b=128,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("locality", ["local", "global", "semiglobal"])
+@pytest.mark.parametrize("kind", ["exp", "rand"])
+def test_pallas_general_matches_jnp(rng, locality, kind):
+    """WSB kernel vs the (oracle-verified) jnp general-gap path."""
+    from tests.test_general_gaps import _gap_vecs
+
+    B, L, T = 16, 9, 5
+    S = rng.uniform(-0.4, 1.0, size=(B, L, T)).astype(np.float32)
+    len_s = rng.integers(1, L + 1, size=B).astype(np.int32)
+    lt = 4
+    len_t = np.full(B, lt, np.int32)
+    w_s = _gap_vecs(rng, L + 1, kind)
+    w_t = _gap_vecs(rng, lt + 1, kind)
+    want = np.asarray(
+        align_scores_general(
+            S[:, :, :lt], len_s, len_t, jnp.asarray(w_s), jnp.asarray(w_t),
+            locality,
+        )
+    )
+    got = np.asarray(
+        pallas_align_scores_general(
+            S[:, :, :lt],
+            jnp.asarray(len_s),
+            jnp.asarray(lt, jnp.int32),
+            jnp.asarray(w_s),
+            jnp.asarray(w_t),
             locality=locality,
             block_b=128,
             interpret=True,

@@ -289,6 +289,44 @@ def align_matrices(
     return H, E, F
 
 
+def gap_cost_closure(w: jnp.ndarray) -> jnp.ndarray:
+    """Min-plus transitive closure of a gap-cost vector: W*[g] = min over
+    compositions g = g1+..+gk of sum w[gi].
+
+    WSB semantics allow a "gap" to be any chain of gaps (the recurrence
+    maxes over *final* H values, which may themselves end in gaps — see
+    tests/oracle.wsb_align).  Replacing w by W* makes a single
+    shifted-max pass over gap lengths exact, removing the sequential
+    within-row column loop.  O(n^2 log n), tiny (n = padded length + 1).
+    """
+    n1 = w.shape[0]
+    idx = jnp.arange(n1)
+    diff = idx[None, :] - idx[:, None]  # [a, g] -> g - a
+    valid = (diff >= 1) & (idx[:, None] >= 1)
+
+    def round_(W, _):
+        # Z[a, g] = W[a] + W[g-a] for 1 <= a < g
+        Z = jnp.where(valid, W[:, None] + W[jnp.maximum(diff, 0)], jnp.inf)
+        return jnp.minimum(W, jnp.min(Z, axis=0)), None
+
+    rounds = max(int(np.ceil(np.log2(max(n1 - 1, 1)))), 1)
+    W, _ = jax.lax.scan(round_, w, None, length=rounds)
+    return W
+
+
+def _general_row_h(C, w_closure, T1):
+    """H = max(C, max_g shift(C, g) - W*[g]) along the last axis — the
+    single-pass horizontal-gap solution (exact given closure costs)."""
+    H = C
+    for g in range(1, T1):
+        shifted = jnp.pad(
+            C[..., :-g], [(0, 0)] * (C.ndim - 1) + [(g, 0)],
+            constant_values=NEG,
+        )
+        H = jnp.maximum(H, shifted - w_closure[g])
+    return H
+
+
 @functools.partial(jax.jit, static_argnames=("locality", "with_position"))
 def align_scores_general(
     similarity: jnp.ndarray,  # [B, Ls, Lt]
@@ -331,6 +369,9 @@ def align_scores_general(
 
     floor = 0.0 if locality == LOCAL else NEG
 
+    # single-pass horizontal gaps need the closure costs (see gap_cost_closure)
+    w_t_star = gap_cost_closure(w_t)
+
     # all previous rows live in the carry: Hall [S1, B, T1]
     Hall0 = jnp.full((S1, B, T1), NEG, f32).at[0].set(init_row)
     rr = jnp.arange(S1, dtype=jnp.int32)
@@ -339,7 +380,8 @@ def align_scores_general(
         Hall, best, best_pos = carry
         s_row, i = xs  # i: 1-based row
 
-        # vertical: max over r < i of Hall[r] - w_s[i - r]
+        # vertical: max over r < i of Hall[r] - w_s[i - r] (chains of
+        # vertical gaps are exact through the stored final rows)
         cost_r = jnp.where(rr < i, w_s[jnp.maximum(i - rr, 0)], jnp.inf)
         V = jnp.max(Hall - cost_r[:, None, None], axis=0)  # [B, T1]
 
@@ -355,20 +397,7 @@ def align_scores_general(
         else:
             C = C.at[:, 0].set(0.0)
 
-        # horizontal: sequential over j (general costs can't be decomposed)
-        def col_body(j, H):
-            # horizontal gap into column j from any source column jj < j,
-            # at cost w_t[j - jj]
-            E = jnp.max(
-                jnp.where(
-                    (jj[None, :] < j), H - jnp.where(jj < j, w_t[jnp.maximum(j - jj, 0)], jnp.inf)[None, :], NEG
-                ),
-                axis=1,
-            )
-            return H.at[:, j].set(jnp.maximum(C[:, j], E))
-
-        H = jax.lax.fori_loop(1, T1, col_body, C)
-
+        H = _general_row_h(C, w_t_star, T1)
         Hall = Hall.at[i].set(H)
 
         Hm = jnp.where(jmask, H, NEG)
@@ -454,6 +483,7 @@ def align_matrices_general(
     else:
         init_row = jnp.zeros((B, T1), f32)
     Hall0 = jnp.full((S1, B, T1), NEG, f32).at[0].set(init_row)
+    w_t_star = gap_cost_closure(w_t)
 
     def row_step(Hall, xs):
         s_row, i = xs
@@ -471,18 +501,7 @@ def align_matrices_general(
         else:
             C = C.at[:, 0].set(0.0)
 
-        def col_body(j, H):
-            E = jnp.max(
-                jnp.where(
-                    (jj[None, :] < j),
-                    H - jnp.where(jj < j, w_t[jnp.maximum(j - jj, 0)], jnp.inf)[None, :],
-                    NEG,
-                ),
-                axis=1,
-            )
-            return H.at[:, j].set(jnp.maximum(C[:, j], E))
-
-        H = jax.lax.fori_loop(1, T1, col_body, C)
+        H = _general_row_h(C, w_t_star, T1)
         Hall = Hall.at[i].set(H)
         return Hall, None
 

@@ -152,6 +152,180 @@ def _pallas_call_scores(S, lens, lt, gaps, locality, Bt, interpret):
     return out
 
 
+def _make_general_kernel(L, T1p, Bt, locality):
+    """Waterman-Smith-Beyer (arbitrary per-length gap costs) kernel.
+
+    Same layout as the affine kernel (T1p sublanes x Bt lanes).  All L+1 DP
+    rows stay resident in VMEM scratch so vertical gaps of any length are a
+    dynamic row load; horizontal gaps are a single pass of sublane rolls
+    against the *min-plus closure* of the t-side costs (exact — see
+    ops/alignment.gap_cost_closure)."""
+
+    def kernel(
+        ws_ref,  # SMEM [1, L+1] raw s-side costs
+        wt_star_ref,  # SMEM [1, T1p] closure t-side costs
+        lt_ref,  # VMEM [1, Bt]
+        lens_ref,  # VMEM [1, Bt]
+        init_ref,  # VMEM [T1p, Bt] row-0 boundary values
+        S_ref,  # VMEM [L, T1p, Bt]
+        out_ref,  # VMEM [1, Bt]
+        Hall_ref,  # scratch [L+1, T1p, Bt]
+        best_ref,  # scratch [1, Bt]
+    ):
+        lt = lt_ref[:]
+        lens = lens_ref[:]
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (T1p, Bt), 0)
+        jmask = (jidx >= 1) & (jidx <= lt)
+
+        Hall_ref[0] = jnp.where(jidx <= lt, init_ref[:], NEG)
+        if locality == GLOBAL:
+            best_ref[:] = jnp.full((1, Bt), NEG, jnp.float32)
+        else:
+            best_ref[:] = jnp.zeros((1, Bt), jnp.float32)
+
+        def row(i, _):
+            dp_i = i + 1
+            s_row = S_ref[i]
+            s_pad = _shift_down(s_row, 1, 0.0, jidx)
+            H_prev = Hall_ref[i]
+            M = _shift_down(H_prev, 1, NEG, jidx) + s_pad
+
+            # vertical gaps: max_g Hall[dp_i - g] - w_s[g] (chains are exact
+            # through stored final rows)
+            V = jnp.full((T1p, Bt), NEG, jnp.float32)
+            for g in range(1, L + 1):
+                prev = Hall_ref[jnp.maximum(dp_i - g, 0)]
+                cand = prev - ws_ref[0, g]
+                V = jnp.where(dp_i - g >= 0, jnp.maximum(V, cand), V)
+
+            C = jnp.maximum(M, V)
+            if locality == LOCAL:
+                C = jnp.maximum(C, 0.0)
+            if locality == GLOBAL:
+                init_col = -ws_ref[0, jnp.minimum(dp_i, L)]
+            else:
+                init_col = jnp.float32(0.0)
+            C = jnp.where(jidx == 0, init_col, C)
+
+            # horizontal gaps: one pass over lengths with closure costs
+            E = jnp.full((T1p, Bt), NEG, jnp.float32)
+            for g in range(1, T1p):
+                E = jnp.maximum(E, _shift_down(C, g, NEG, jidx) - wt_star_ref[0, g])
+            Hn = jnp.maximum(C, E)
+            Hall_ref[dp_i] = Hn
+
+            Hm = jnp.where(jmask, Hn, NEG)
+            colmax = jnp.max(Hm, axis=0, keepdims=True)
+            if locality == LOCAL:
+                valid = dp_i <= lens
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(valid, colmax, NEG)
+                )
+            elif locality == GLOBAL:
+                h_end = jnp.max(jnp.where(jidx == lt, Hn, NEG), axis=0, keepdims=True)
+                best_ref[:] = jnp.where(dp_i == lens, h_end, best_ref[:])
+            else:
+                h_end = jnp.max(jnp.where(jidx == lt, Hn, NEG), axis=0, keepdims=True)
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(dp_i <= lens, h_end, NEG)
+                )
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(dp_i == lens, colmax, NEG)
+                )
+            return 0
+
+        jax.lax.fori_loop(0, L, row, 0)
+        out_ref[:] = best_ref[:]
+
+    return kernel
+
+
+def _pallas_call_scores_general(S, lens, lt, init_row, w_s, w_t_star, locality,
+                                Bt, interpret):
+    """S [L, T1p, Bp]; lens/lt [1, Bp]; init_row [T1p, Bp];
+    w_s [1, L+1]; w_t_star [1, T1p]."""
+    L, T1p, Bp = S.shape
+    kernel = _make_general_kernel(L, T1p, Bt, locality)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        grid=(Bp // Bt,),
+        in_specs=[
+            pl.BlockSpec((1, L + 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T1p), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T1p, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, T1p, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((L + 1, T1p, Bt), jnp.float32),
+            pltpu.VMEM((1, Bt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w_s, w_t_star, lt, lens, init_row, S)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("locality", "block_b", "interpret"))
+def pallas_align_scores_general(
+    similarity: jnp.ndarray,  # [B, L, T] f32
+    len_s: jnp.ndarray,  # [B] i32
+    len_t: jnp.ndarray,  # scalar or [B] i32
+    gap_vec_s: jnp.ndarray,  # [L+1] raw costs
+    gap_vec_t: jnp.ndarray,  # [T+1] raw costs
+    locality: str = LOCAL,
+    block_b: int = 0,
+    interpret: bool = False,
+):
+    """Drop-in batched scorer matching ops/alignment.align_scores_general
+    (scores only)."""
+    from vectorian_tpu.ops.alignment import gap_cost_closure
+
+    if locality not in LOCALITIES:
+        raise ValueError(locality)
+    B, L, T = similarity.shape
+    T1p = _round_up(T + 1, 8)
+    if block_b == 0:
+        # fit (2L+1) rows of [T1p, Bt] f32 plus the S block in ~8 MB VMEM
+        budget = 8 * 1024 * 1024 // ((2 * L + 2) * T1p * 4)
+        Bt = max(128, min(512, (budget // 128) * 128))
+    else:
+        Bt = block_b
+    Bp = _round_up(max(B, Bt), Bt)
+
+    S = jnp.transpose(similarity.astype(jnp.float32), (1, 2, 0))  # [L, T, B]
+    S = jnp.pad(S, ((0, 0), (0, T1p - T), (0, Bp - B)))
+    lens = jnp.pad(len_s.astype(jnp.int32), (0, Bp - B)).reshape(1, Bp)
+    lt_vec = jnp.broadcast_to(jnp.asarray(len_t, jnp.int32), (B,))
+    lt = jnp.pad(lt_vec, (0, Bp - B), constant_values=1).reshape(1, Bp)
+
+    w_s = jnp.pad(gap_vec_s.astype(jnp.float32), (0, max(L + 1 - gap_vec_s.shape[0], 0)))
+    w_t = jnp.pad(gap_vec_t.astype(jnp.float32), (0, max(T1p - gap_vec_t.shape[0], 0)))
+    w_t_star = gap_cost_closure(w_t[: T + 1])
+    w_t_star = jnp.pad(w_t_star, (0, T1p - (T + 1)), constant_values=-NEG)
+
+    # row-0 boundary (raw costs, matching the scalar oracle): global pays
+    # -w_t[j]; local/semiglobal start free
+    jcol = jnp.arange(T1p)
+    if locality == GLOBAL:
+        init = jnp.where(jcol > 0, -w_t[jnp.minimum(jcol, T)], 0.0)
+        init = jnp.where(jcol <= T, init, NEG)
+    else:
+        init = jnp.zeros((T1p,), jnp.float32)
+    init_row = jnp.broadcast_to(init[:, None].astype(jnp.float32), (T1p, Bp))
+
+    out = _pallas_call_scores_general(
+        S, lens, lt, init_row,
+        w_s[: L + 1].reshape(1, L + 1), w_t_star.reshape(1, T1p),
+        locality, Bt, interpret,
+    )
+    return out[0, :B]
+
+
 @functools.partial(jax.jit, static_argnames=("locality", "block_b", "interpret"))
 def pallas_align_scores(
     similarity: jnp.ndarray,  # [B, L, T] f32

@@ -168,7 +168,13 @@ def _bucket_scores(
         if with_tags:
             S = _apply_tag_weights(S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
         ln1 = jnp.maximum(ln, 1)
-        if general_gaps:
+        if general_gaps and use_pallas:
+            from vectorian_tpu.ops.pallas_dp import pallas_align_scores_general
+
+            raw = pallas_align_scores_general(
+                S, ln1, len_t, gap_vec_s, gap_vec_t, locality
+            )
+        elif general_gaps:
             raw = align_scores_general(
                 S, ln1, lt_full, gap_vec_s, gap_vec_t, locality
             )
@@ -433,7 +439,7 @@ class BruteForceEngine:
                 with_tags=tag_weights is not None,
                 with_filter=doc_filter is not None,
                 general_gaps=gap_costs is not None,
-                use_pallas=use_pallas_default() and gap_costs is None,
+                use_pallas=use_pallas_default(),
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
@@ -560,7 +566,7 @@ class BruteForceEngine:
                 with_tags=tag_weights is not None,
                 with_filter=doc_filter is not None,
                 general_gaps=gap_costs is not None,
-                use_pallas=use_pallas_default() and gap_costs is None,
+                use_pallas=use_pallas_default(),
             )
             kk = min(k, db["n"])
             vals, idx = jax.lax.top_k(scores[: db["n"]], kk)
