@@ -39,7 +39,21 @@ def main():
     CHUNK = 1024
 
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(1, V, size=(N, L), dtype=np.int32))
+    tok_np = rng.integers(1, V, size=(N, L), dtype=np.int32)
+    tokens = jnp.asarray(tok_np)
+    # pack-time sorted gather streams (built once per corpus by
+    # BruteForceEngine; the uniform-random token draw here is the
+    # worst case — real corpora are Zipf-distributed and gather faster)
+    flat = tok_np.reshape(N // CHUNK, CHUNK * L)
+    order = np.argsort(flat, axis=1, kind="stable").astype(np.int32)
+    tok_sorted = jnp.asarray(np.take_along_axis(flat, order, axis=1))
+    inv = np.empty_like(order)
+    np.put_along_axis(
+        inv, order,
+        np.broadcast_to(np.arange(CHUNK * L, dtype=np.int32), order.shape),
+        axis=1,
+    )
+    sort_inv = jnp.asarray(inv)
     lengths = jnp.asarray(rng.integers(L // 2, L + 1, size=N).astype(np.int32))
     sim_multi = jnp.asarray(
         rng.uniform(0, 1, size=(V, Q, T)).astype(np.float32)
@@ -58,8 +72,8 @@ def main():
 
     def run_with(sim):
         return _bucket_scores_multiquery(
-            tokens, lengths, sim, len_t, gaps, norm_total,
-            locality="local", chunk=CHUNK, n_queries=Q,
+            tokens, tok_sorted, sort_inv, lengths, sim, len_t, gaps,
+            norm_total, locality="local", chunk=CHUNK, n_queries=Q,
             use_pallas=use_pallas,
         )
 

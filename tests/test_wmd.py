@@ -74,6 +74,8 @@ def test_rwmd_scores_dedup_consistency(rng):
         _bucket_rwmd_scores(
             ("static", 0),
             jnp.asarray(tok),
+            jnp.asarray(tok.reshape(1, N * L)),
+            jnp.arange(N * L, dtype=jnp.int32).reshape(1, N * L),
             jnp.zeros((N, L), jnp.int8),
             jnp.zeros((N, L), jnp.int16),
             jnp.asarray(lengths),
@@ -213,6 +215,8 @@ def test_tagged_rwmd_scores_vs_oracle(rng):
         _bucket_rwmd_scores(
             ("static", 0),
             jnp.asarray(tok),
+            jnp.asarray(tok.reshape(1, N * L)),
+            jnp.arange(N * L, dtype=jnp.int32).reshape(1, N * L),
             jnp.asarray(pos_s),
             jnp.asarray(tags),
             jnp.asarray(lengths),

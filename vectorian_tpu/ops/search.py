@@ -119,6 +119,8 @@ def _apply_tag_weights(S, pos_s, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
 def _bucket_scores(
     plan: tuple,
     token_ids: jnp.ndarray,  # [N, L] i32 (N padded to chunk multiple)
+    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L] sorted gather stream
+    sort_inv: jnp.ndarray,  # [n_chunks, chunk*L] inverse permutation
     pos_ids: jnp.ndarray,  # [N, L] i8
     tag_ids: jnp.ndarray,  # [N, L] i16
     lengths: jnp.ndarray,  # [N] i32 (0 for padding rows)
@@ -154,17 +156,17 @@ def _bucket_scores(
     lt_full = jnp.full((chunk,), len_t, jnp.int32)
 
     def one_chunk(args):
-        tok, pos, tag, ln, ctx = args
-        if with_filter:
-            perm, ln, _ = _compact_slices(tok, pos, tag, ln, flt_pos, flt_tag, flt_tok)
-            tok = jnp.take_along_axis(tok, perm, axis=1)
-            pos = jnp.take_along_axis(pos, perm, axis=1)
-            ctx = tuple(
-                jnp.take_along_axis(c, perm[:, :, None], axis=1) for c in ctx
-            )
+        tok, ts, inv, pos, tag, ln, ctx = args
         S = eval_plan_chunk(
-            plan, tok, static_sims, static_mags, ctx, ctx_queries, mixed_weights
+            plan, tok, static_sims, static_mags, ctx, ctx_queries,
+            mixed_weights, sorted_gather=(ts, inv),
         )["similarity"]
+        if with_filter:
+            # compact AFTER the gather (a row permutation of S) so the
+            # gather can keep its pack-time sorted stream
+            perm, ln, _ = _compact_slices(tok, pos, tag, ln, flt_pos, flt_tag, flt_tok)
+            S = jnp.take_along_axis(S, perm[:, :, None], axis=1)
+            pos = jnp.take_along_axis(pos, perm, axis=1)
         if with_tags:
             S = _apply_tag_weights(S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
         ln1 = jnp.maximum(ln, 1)
@@ -188,6 +190,8 @@ def _bucket_scores(
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
+        tok_sorted,
+        sort_inv,
         pos_ids.reshape(n_chunks, chunk, L),
         tag_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
@@ -203,6 +207,8 @@ def _bucket_scores(
 )
 def _bucket_scores_multiquery(
     token_ids: jnp.ndarray,  # [N, L] i32
+    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L]
+    sort_inv: jnp.ndarray,  # [n_chunks, chunk*L]
     lengths: jnp.ndarray,  # [N] i32
     sim_multi: jnp.ndarray,  # [V, Q, T] f32 — Q stacked query matrices
     len_t: jnp.ndarray,  # [Q] i32
@@ -215,19 +221,22 @@ def _bucket_scores_multiquery(
 ):
     """[N, Q] normalized scores — Q queries in one corpus pass.
 
-    The vocab-row gather is issue-rate-bound on TPU (cost ~ per index, not
-    per byte), so fetching Q*T similarity columns per token costs the same
-    as T: batching queries amortizes the dominant gather Q-fold.  This is
-    the TPU serving analogue of the reference's one-query-at-a-time loop.
+    The vocab-row gather dominates a corpus pass on TPU, and its cost is
+    per-index and locality-bound rather than per-byte: fetching Q*T
+    similarity columns per token costs little more than T, so batching
+    queries amortizes the gather Q-fold; the pack-time sorted index stream
+    (see BruteForceEngine) makes the reads coherent.  This is the TPU
+    serving analogue of the reference's one-query-at-a-time loop.
     """
     N, L = token_ids.shape
     Q, T = sim_multi.shape[1], sim_multi.shape[2]
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, ln = args  # [c, L], [c]
+        tok, ts, inv, ln = args  # [c, L], [c*L], [c*L], [c]
         c = tok.shape[0]
-        S4 = sim_multi[tok]  # [c, L, Q, T] — ONE gather for Q queries
+        # ONE gather serves Q queries; sorted stream + inverse permutation
+        S4 = sim_multi[ts][inv].reshape(c, L, Q, T)
         if use_pallas:
             from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi
 
@@ -244,6 +253,8 @@ def _bucket_scores_multiquery(
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
+        tok_sorted,
+        sort_inv,
         lengths.reshape(n_chunks, chunk),
     )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
@@ -303,11 +314,29 @@ class BruteForceEngine:
             ln = np.pad(b.lengths, (0, pad))
             self._slice_loc[b.slice_index, 0] = bi
             self._slice_loc[b.slice_index, 1] = np.arange(n, dtype=np.int32)
+            # pack-time sorted gather streams: vocab-row gathers are
+            # memory-locality bound on TPU, and the corpus is static — sort
+            # each chunk's token stream once, undo with the inverse
+            # permutation after the (now coherent) gather
+            L = tok.shape[1]
+            flat = tok.reshape(-1, chunk * L)  # [n_chunks, chunk*L]
+            order = np.argsort(flat, axis=1, kind="stable").astype(np.int32)
+            tok_sorted = np.take_along_axis(flat, order, axis=1)
+            inv = np.empty_like(order)
+            np.put_along_axis(
+                inv, order,
+                np.broadcast_to(
+                    np.arange(chunk * L, dtype=np.int32), order.shape
+                ),
+                axis=1,
+            )
             self._device_buckets.append(
                 {
                     "capacity": b.capacity,
                     "chunk": chunk,
                     "tokens": jnp.asarray(tok),
+                    "tok_sorted": jnp.asarray(tok_sorted),
+                    "sort_inv": jnp.asarray(inv),
                     "pos": jnp.asarray(pos.astype(np.int8)),
                     "tag": jnp.asarray(tag.astype(np.int16)),
                     "lengths": jnp.asarray(ln),
@@ -415,6 +444,8 @@ class BruteForceEngine:
             scores = _bucket_scores(
                 qp.plan,
                 db["tokens"],
+                db["tok_sorted"],
+                db["sort_inv"],
                 db["pos"],
                 db["tag"],
                 db["lengths"],
@@ -472,6 +503,8 @@ class BruteForceEngine:
                 continue
             scores = _bucket_scores_multiquery(
                 db["tokens"],
+                db["tok_sorted"],
+                db["sort_inv"],
                 db["lengths"],
                 sim_multi,
                 lt_arr,
@@ -545,6 +578,8 @@ class BruteForceEngine:
             scores = _bucket_scores(
                 qp.plan,
                 db["tokens"],
+                db["tok_sorted"],
+                db["sort_inv"],
                 db["pos"],
                 db["tag"],
                 db["lengths"],

@@ -248,21 +248,36 @@ def eval_plan_chunk(
     ctx_queries: Tuple[dict, ...],  # k -> query vector dicts
     mixed_weights: Tuple[jnp.ndarray, ...],
     needs_magnitudes: bool = False,
+    sorted_gather=None,  # optional ([c*L] sorted token stream, [c*L] inverse)
 ) -> dict:
     """Evaluate a plan for one chunk -> {'similarity': [c, L, T], ...}.
 
     Runs inside jit; `plan` is static.  Mirrors the reference's modifier
     application (metric/modifier.cpp:18-74) and the static-into-contextual
-    broadcast (metric/static.cpp:142-195)."""
+    broadcast (metric/static.cpp:142-195).
+
+    ``sorted_gather``: TPU vocab-row gathers are memory-locality bound; a
+    pack-time-sorted index stream makes the table reads coherent (measured
+    ~1.5x f32 / ~3.8x bf16 vs a scattered stream), and the inverse
+    permutation restores slice order with a second, cache-local gather.
+    Bit-exact: same rows, different fetch order."""
     c, L = tok.shape
+
+    def _gather(table):
+        if sorted_gather is None:
+            return table[tok]
+        ts, inv = sorted_gather
+        flat = table[ts]  # coherent reads
+        shape = (c, L) + table.shape[1:]
+        return flat[inv].reshape(shape)
 
     def rec(node) -> dict:
         kind = node[0]
         if kind == "static":
             k = node[1]
-            out = {"similarity": static_sims[k][tok]}  # [c, L, T] gather
+            out = {"similarity": _gather(static_sims[k])}  # [c, L, T]
             if needs_magnitudes:
-                out["magnitudes_s"] = static_mags[k][tok]  # [c, L]
+                out["magnitudes_s"] = _gather(static_mags[k])  # [c, L]
             return out
         if kind == "ctx":
             _, k, metric = node

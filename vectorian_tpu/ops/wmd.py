@@ -110,6 +110,8 @@ def _greedy_fill_cost(w1, D, cap, injective: bool):
 def _bucket_rwmd_scores(
     plan: tuple,
     token_ids: jnp.ndarray,  # [N, L] i32, padded
+    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L]
+    sort_inv: jnp.ndarray,  # [n_chunks, chunk*L]
     pos_ids: jnp.ndarray,  # [N, L] i8
     tag_ids: jnp.ndarray,  # [N, L] i16
     lengths: jnp.ndarray,  # [N]
@@ -139,7 +141,7 @@ def _bucket_rwmd_scores(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, pos, tag, ln, ctx = args
+        tok, ts, inv, pos, tag, ln, ctx = args
         if unique_masses:
             # contextual: every position is its own BOW entry (reference
             # UniqueTokensBOWBuilder, alignment/bow.h:278-334)
@@ -159,7 +161,8 @@ def _bucket_rwmd_scores(
             m_t = jnp.broadcast_to(mass_t[None, :], (tok.shape[0], T))
 
         S = eval_plan_chunk(
-            plan, tok, static_sims, static_mags, ctx, ctx_queries, mixed_weights
+            plan, tok, static_sims, static_mags, ctx, ctx_queries,
+            mixed_weights, sorted_gather=(ts, inv),
         )["similarity"]  # [c, L, T]
         if with_tags:
             S = _apply_tag_weights(
@@ -185,6 +188,8 @@ def _bucket_rwmd_scores(
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
+        tok_sorted,
+        sort_inv,
         pos_ids.reshape(n_chunks, chunk, L),
         tag_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
@@ -203,6 +208,8 @@ def _bucket_rwmd_scores(
 def _bucket_emd_scores(
     plan: tuple,
     token_ids: jnp.ndarray,  # [N, L]
+    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L]
+    sort_inv: jnp.ndarray,  # [n_chunks, chunk*L]
     pos_ids: jnp.ndarray,  # [N, L] i8
     tag_ids: jnp.ndarray,  # [N, L] i16
     lengths: jnp.ndarray,  # [N]
@@ -233,10 +240,11 @@ def _bucket_emd_scores(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, pos, tag, ln, ctx = args
+        tok, ts, inv, pos, tag, ln, ctx = args
         out = eval_plan_chunk(
             plan, tok, static_sims, static_mags, ctx, ctx_queries,
             mixed_weights, needs_magnitudes=use_magnitudes,
+            sorted_gather=(ts, inv),
         )
         S = out["similarity"]  # [c, L, T]
         if with_tags:
@@ -264,6 +272,8 @@ def _bucket_emd_scores(
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
+        tok_sorted,
+        sort_inv,
         pos_ids.reshape(n_chunks, chunk, L),
         tag_ids.reshape(n_chunks, chunk, L),
         lengths.reshape(n_chunks, chunk),
@@ -515,6 +525,8 @@ class WMDEngine:
             scores = _bucket_rwmd_scores(
                 qp.plan,
                 db["tokens"],
+                db["tok_sorted"],
+                db["sort_inv"],
                 db["pos"],
                 db["tag"],
                 db["lengths"],
@@ -548,6 +560,8 @@ class WMDEngine:
             scores = _bucket_emd_scores(
                 qp.plan,
                 db["tokens"],
+                db["tok_sorted"],
+                db["sort_inv"],
                 db["pos"],
                 db["tag"],
                 db["lengths"],

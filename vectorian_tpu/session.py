@@ -264,6 +264,7 @@ class Session:
             self._documents.append(
                 prepare_document(doc, i, normalization, self._vocab)
             )
+        self._reorder_vocab_by_frequency()
 
         self._embeddings = list(embeddings)
         self._compiled: Dict[str, CompiledEmbedding] = {}
@@ -282,6 +283,31 @@ class Session:
 
         self._packed_cache: Dict[PartitionSpec, PackedCorpus] = {}
         self._engine_cache: Dict[PartitionSpec, BruteForceEngine] = {}
+
+    def _reorder_vocab_by_frequency(self):
+        """Assign token ids by descending corpus frequency (PAD stays 0).
+
+        TPU vocab-row gathers are memory-locality bound (measured ~3x
+        between scattered and clustered index streams); natural-language
+        corpora are Zipf-distributed, so frequency-major ids concentrate
+        the gather's index stream in a small hot region of the similarity
+        matrix.  Purely an id relabeling — scores are unaffected."""
+        n = len(self._vocab.tokens)
+        if n <= 2:
+            return
+        counts = np.zeros((n,), np.int64)
+        for pd in self._documents:
+            if len(pd.token_ids):
+                counts += np.bincount(pd.token_ids, minlength=n)
+        old = np.arange(1, n)
+        # stable: count desc, then first-seen order
+        order = old[np.lexsort((old, -counts[1:]))]
+        perm = np.empty((n,), np.int32)
+        perm[0] = 0
+        perm[order] = np.arange(1, n, dtype=np.int32)
+        for pd in self._documents:
+            pd.token_ids = perm[pd.token_ids].astype(np.int32)
+        self._vocab.tokens.reorder(perm)
 
     def _compile_contextual(self, emb, docs):
         """Encode missing per-doc vectors (reference checks doc coverage,

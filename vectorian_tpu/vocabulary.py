@@ -59,6 +59,17 @@ class Lexicon:
     def strings(self) -> List[str]:
         return self._strings
 
+    def reorder(self, perm: np.ndarray) -> None:
+        """Relabel ids: new_id = perm[old_id] (perm[0] must be 0 — PAD is
+        pinned).  Used to assign ids by corpus frequency so that vocab-row
+        gathers on TPU hit a small hot region (Zipf locality)."""
+        assert perm[0] == 0
+        new_strings: List[str] = [""] * len(self._strings)
+        for old_id, s in enumerate(self._strings):
+            new_strings[int(perm[old_id])] = s
+        self._strings = new_strings
+        self._to_id = {s: i for i, s in enumerate(new_strings)}
+
     def freeze(self) -> "FrozenLexicon":
         return FrozenLexicon(self)
 
