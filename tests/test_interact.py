@@ -54,6 +54,47 @@ def test_mixer_and_algorithms(session):
         assert aw.make() is not None
 
 
+def test_falloff_and_gap_mask(session):
+    from vectorian_tpu.alignment import ConstantGapCost
+    from vectorian_tpu.sim.modifier import UnaryTokenSimilarityModifier
+
+    iq = InteractiveQuery(session)
+    # falloff != 1 wraps the similarity in a Power kernel
+    iq._mixer._falloff.value = 2.0
+    ts = iq._mixer.make()
+    assert isinstance(ts, UnaryTokenSimilarityModifier)
+    r = iq.run("old king rides horse", n=3)
+    assert len(r) >= 1
+
+    # unmasking the doc side replaces its gap cost with free gaps
+    aw = iq._alignment
+    aw._gap_s._value.value = 0.8
+    aw._gap_t._value.value = 0.8
+    aw._mask_s.value = False
+    # check via the compiled spec: s side free, t side costs 0.8
+    spec = iq.make_span_sim().to_args(_FakeIndex(session))
+    g = spec["alignment"]
+    assert g["gap_s"].costs(4)[1] == pytest.approx(0.0)
+    assert g["gap_t"].costs(4)[1] == pytest.approx(0.8)
+
+
+class _FakeIndex:
+    def __init__(self, session):
+        self.partition = session.partition("sentence")
+
+
+def test_render_spec_widget(session):
+    iq = InteractiveQuery(session)
+    qw = iq._query
+    qw._renderers.value = ("excerpt", "flow")
+    assert qw.render_spec() == "excerpt, flow"
+    qw._annotate.value = True
+    assert qw.render_spec() == "excerpt +tags +metric, flow"
+    r = iq.run("old king rides horse", n=2).format(qw.render_spec())
+    html = r._repr_html_()
+    assert "king" in html
+
+
 def test_tag_weights_widget(session):
     iq = InteractiveQuery(session)
     iq._tags._enabled.value = True

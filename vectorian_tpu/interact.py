@@ -23,11 +23,18 @@ from vectorian_tpu.alignment import (
     WordMoversDistance,
     WordRotatorsDistance,
 )
-from vectorian_tpu.sim.kernel import Bias, DistanceToSimilarity, RadialBasis, Scale
+from vectorian_tpu.sim.kernel import (
+    Bias,
+    DistanceToSimilarity,
+    Power,
+    RadialBasis,
+    Scale,
+)
 from vectorian_tpu.sim.modifier import (
     MaximumTokenSimilarity,
     MinimumTokenSimilarity,
     MixedTokenSimilarity,
+    UnaryTokenSimilarityModifier,
 )
 from vectorian_tpu.sim.span import OptimizedSpanSim
 from vectorian_tpu.sim.token import EmbeddingTokenSim
@@ -112,7 +119,12 @@ class EmbeddingMixerWidget:
         self._mix = w.FloatSlider(
             value=0.5, min=0.0, max=1.0, step=0.05, description="Mix:"
         )
-        self.widget = w.VBox([self._select, self._mode, self._mix])
+        # reference interact.py:312-327: log-scale Power falloff on the
+        # combined similarity
+        self._falloff = w.FloatLogSlider(
+            value=1.0, base=2, min=-2, max=2, step=0.25, description="Falloff:"
+        )
+        self.widget = w.VBox([self._select, self._mode, self._mix, self._falloff])
 
     def make(self) -> EmbeddingTokenSim:
         by_name = {e.name: e for e in self._session.embeddings}
@@ -120,17 +132,21 @@ class EmbeddingMixerWidget:
         metric = self._metric_widget.make()
         sims = [EmbeddingTokenSim(e, metric) for e in chosen]
         if len(sims) == 1 or self._mode.value == "single":
-            return sims[0]
-        if self._mode.value == "mixed":
+            sim = sims[0]
+        elif self._mode.value == "mixed":
             k = len(sims)
             if k == 2:
                 weights = [1.0 - self._mix.value, self._mix.value]
             else:
                 weights = [1.0 / k] * k
-            return MixedTokenSimilarity(sims, weights)
-        if self._mode.value == "maximum":
-            return MaximumTokenSimilarity(sims)
-        return MinimumTokenSimilarity(sims)
+            sim = MixedTokenSimilarity(sims, weights)
+        elif self._mode.value == "maximum":
+            sim = MaximumTokenSimilarity(sims)
+        else:
+            sim = MinimumTokenSimilarity(sims)
+        if abs(self._falloff.value - 1.0) > 1e-9:
+            sim = UnaryTokenSimilarityModifier(sim, [Power(self._falloff.value)])
+        return sim
 
 
 class GapCostWidget:
@@ -188,11 +204,25 @@ class AlignmentWidget:
         )
         self._gap_s = GapCostWidget("Gap (doc):")
         self._gap_t = GapCostWidget("Gap (query):")
-        self.widget = w.VBox([self._algo, self._gap_s.widget, self._gap_t.widget])
+        # gap mask (reference GapMaskWidget, interact.py:532-550 + :623-627):
+        # an unmasked side gets free gaps (ConstantGapCost(0))
+        self._mask_s = w.Checkbox(value=True, description="penalize doc gaps (s)")
+        self._mask_t = w.Checkbox(value=True, description="penalize query gaps (t)")
+        self.widget = w.VBox(
+            [
+                self._algo,
+                self._gap_s.widget,
+                self._gap_t.widget,
+                w.HBox([self._mask_s, self._mask_t]),
+            ]
+        )
 
     def make(self):
         a = self._algo.value
-        gap = {"s": self._gap_s.make(), "t": self._gap_t.make()}
+        gap = {
+            "s": self._gap_s.make() if self._mask_s.value else ConstantGapCost(0),
+            "t": self._gap_t.make() if self._mask_t.value else ConstantGapCost(0),
+        }
         if a.startswith("local"):
             return LocalAlignment(gap)
         if a.startswith("global"):
@@ -266,12 +296,32 @@ class QueryWidget:
             layout=w.Layout(width="60%"),
         )
         self._n = w.IntSlider(value=10, min=1, max=100, description="Matches:")
+        # renderer toggles (reference result-pane format options)
+        self._renderers = w.SelectMultiple(
+            options=["excerpt", "flow", "matrix"],
+            value=("excerpt",),
+            description="Render:",
+        )
+        self._annotate = w.Checkbox(value=False, description="annotate tags/metrics")
         self._button = w.Button(description="Search", button_style="primary")
         self._output = w.Output()
         self._button.on_click(self._on_search)
         self.widget = w.VBox(
-            [w.HBox([self._text, self._button]), self._n, self._output]
+            [
+                w.HBox([self._text, self._button]),
+                self._n,
+                w.HBox([self._renderers, self._annotate]),
+                self._output,
+            ]
         )
+
+    def render_spec(self) -> str:
+        names = list(self._renderers.value) or ["excerpt"]
+        if self._annotate.value:
+            names = [
+                "excerpt +tags +metric" if n == "excerpt" else n for n in names
+            ]
+        return ", ".join(names)
 
     def _on_search(self, _event=None):  # pragma: no cover
         from IPython.display import HTML, display
@@ -279,6 +329,7 @@ class QueryWidget:
         self._output.clear_output()
         with self._output:
             result = self._iquery.run(self._text.value, n=self._n.value)
+            result = result.format(self.render_spec())
             display(HTML(result._repr_html_()))
 
 
