@@ -56,6 +56,11 @@ from vectorian_tpu import alignment, metrics, sim  # noqa: F401
 
 # alias matching the reference's dual naming (__init__.py:24-25)
 similarity = metrics
+# make ``import vectorian_tpu.similarity`` work as a module alias
+# (reference __init__.py:24-25 registers vectorian.similarity)
+import sys as _sys
+
+_sys.modules[__name__ + ".similarity"] = metrics
 
 
 def compile():
