@@ -54,6 +54,32 @@ def test_find_batch_different_lengths(session_ix):
     assert batch[1][0].score == pytest.approx(1.0, abs=1e-4)
 
 
+def test_find_batch_tag_weighted_matches_single(session_ix):
+    """Tag-weighted batch search must replicate the single-query path."""
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim as ETS
+
+    session, index, locations = session_ix
+    emb = session.embeddings[0]
+    tw = {"NN": 1.0, "VB": 0.9, "JJ": 0.7, "DT": 0.2}
+    ix = session.partition("sentence").index(
+        OptimizedSpanSim(
+            ETS(emb), tag_weights=tw,
+            pos_mismatch_penalty=0.2, similarity_threshold=0.1,
+        )
+    )
+    queries = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+    ]
+    batch = ix.find_batch(queries, n=5, min_score=-5.0)
+    for q, br in zip(queries, batch):
+        sr = ix.find(q, n=5, min_score=-5.0)
+        got = [(m.slice_id, round(m.score, 4)) for m in br]
+        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        assert got == want, q
+
+
 def test_find_batch_empty_query(session_ix):
     session, index, locations = session_ix
     batch = index.find_batch(["", "king rides"], n=3)

@@ -751,18 +751,16 @@ class BruteForceIndex(Index):
         whose cost is per-index rather than per-byte; stacking the Q query
         similarity matrices column-wise makes the same gather serve every
         query, so batch throughput scales ~Q-fold.  Static-only alignment
-        metrics; per-query options (tag weights, boosters, filters) use the
-        single-query path."""
+        metrics; tag weighting is supported; boosters and doc-side filters
+        use the single-query path."""
         if self._algorithm != "alignment":
             raise NotImplementedError("find_batch supports alignment metrics")
         token_sim = self._args["metric"]["token_sim"]
         if any(not getattr(e, "is_static", True) for e in token_sim.embeddings):
             raise NotImplementedError("find_batch requires static embeddings")
-        if self._args.get("tag_weights"):
-            raise NotImplementedError("find_batch does not support tag weights")
 
         start_time = time.time()
-        prepared, plans, len_ts, norm_totals = [], [], [], []
+        prepared, plans, len_ts, norm_totals, tagws = [], [], [], [], []
         for text in texts:
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
@@ -787,13 +785,18 @@ class BruteForceIndex(Index):
             )
             plans.append(qp)
             len_ts.append(max(pq.n_tokens, 1))
-            norm_totals.append(float(max(pq.n_tokens, 1)))
+            tagw = self._tag_weighting(pq)
+            tagws.append(tagw)
+            norm_totals.append(
+                tagw.total if tagw is not None else float(max(pq.n_tokens, 1))
+            )
 
         gaps = self._affine_gaps()
         if gaps is None:
             raise NotImplementedError("find_batch requires affine gap costs")
         scores = self._engine.score_all_multi(
-            plans, len_ts, gaps, self._locality, norm_totals
+            plans, len_ts, gaps, self._locality, norm_totals,
+            tag_weights=tagws if any(t is not None for t in tagws) else None,
         )  # [n_slices, Q]
 
         results = []
@@ -803,7 +806,8 @@ class BruteForceIndex(Index):
                 continue
             top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
             mappings, edge_sims = self._engine.rescore_with_flows(
-                top, plans[qi], pq.n_tokens, gaps, self._locality
+                top, plans[qi], pq.n_tokens, gaps, self._locality,
+                tag_weights=tagws[qi],
             )
             matches = [
                 Match(

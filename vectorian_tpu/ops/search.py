@@ -203,19 +203,26 @@ def _bucket_scores(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("locality", "chunk", "n_queries", "use_pallas")
+    jax.jit,
+    static_argnames=("locality", "chunk", "n_queries", "use_pallas", "with_tags"),
 )
 def _bucket_scores_multiquery(
     token_ids: jnp.ndarray,  # [N, L] i32
+    pos_ids: jnp.ndarray,  # [N, L] i8 (unused unless with_tags)
     lengths: jnp.ndarray,  # [N] i32
     sim_multi: jnp.ndarray,  # [V, T, Q] f32 — Q stacked query matrices
     len_t: jnp.ndarray,  # [Q] i32
     gaps: AffineGapParams,
     norm_total: jnp.ndarray,  # [Q] f32
+    tw_weights: jnp.ndarray,  # [T, Q] f32 per-query tag weights
+    tw_pos_t: jnp.ndarray,  # [T, Q] i8 per-query needle pos ids
+    tw_penalty: jnp.ndarray,  # scalar f32
+    tw_threshold: jnp.ndarray,  # scalar f32
     locality: str,
     chunk: int,
     n_queries: int,
     use_pallas: bool = False,
+    with_tags: bool = False,
 ):
     """[N, Q] normalized scores — Q queries in one corpus pass.
 
@@ -233,10 +240,20 @@ def _bucket_scores_multiquery(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tokT, ln = args  # [L, c], [c]
+        tokT, posT, ln = args  # [L, c], [L, c], [c]
         c = tokT.shape[1]
         # ONE gather serves Q queries, in kernel-native layout
         S = sim_multi[tokT]  # [L, c, T, Q]
+        if with_tags:
+            # tag-weighted similarity per query (TagWeightedSlice semantics,
+            # slice/static.h:186-288, broadcast over the batch layout)
+            w = tw_weights[None, None, :, :] * jnp.where(
+                posT[:, :, None, None] == tw_pos_t[None, None, :, :],
+                1.0,
+                1.0 - tw_penalty,
+            )
+            Sw = S * w
+            S = jnp.where(Sw > tw_threshold, Sw, 0.0)
         if use_pallas:
             from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
 
@@ -254,8 +271,10 @@ def _bucket_scores_multiquery(
     # transpose the (tiny) index arrays once, outside the chunk loop, so the
     # (huge) gather consumes contiguous [L, c] index blocks
     tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
+    pos_T = jnp.swapaxes(pos_ids.reshape(n_chunks, chunk, L), 1, 2)
     xs = (
         tokens_T,
+        pos_T,
         lengths.reshape(n_chunks, chunk),
     )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
@@ -483,6 +502,7 @@ class BruteForceEngine:
         gaps: AffineGapParams,
         locality: str,
         norm_totals: List[float],
+        tag_weights: Optional[List[Optional[TagWeightingSpec]]] = None,
     ) -> np.ndarray:
         """[n_slices, Q] scores for a batch of static-only query plans with
         one corpus pass (the gather amortizes across queries)."""
@@ -499,21 +519,55 @@ class BruteForceEngine:
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 
+        with_tags = tag_weights is not None and any(
+            tw is not None for tw in tag_weights
+        )
+        if with_tags:
+            # per-query [Tpad] weight / needle-pos columns; queries without
+            # tag weights get all-ones (identity)
+            tw_w = np.ones((Tpad, Q), np.float32)
+            tw_p = np.full((Tpad, Q), -1, np.int8)
+            pen, thr = 0.0, 0.0
+            for qi, tw in enumerate(tag_weights):
+                if tw is None:
+                    continue
+                t = len(tw.t_pos_weights)
+                tw_w[:t, qi] = tw.t_pos_weights
+                tw_p[:t, qi] = tw.pos_t
+                pen = tw.pos_mismatch_penalty
+                thr = tw.similarity_threshold
+            tw_args = (
+                jnp.asarray(tw_w),
+                jnp.asarray(tw_p),
+                jnp.asarray(pen, jnp.float32),
+                jnp.asarray(thr, jnp.float32),
+            )
+        else:
+            tw_args = (
+                jnp.ones((Tpad, Q), jnp.float32),
+                jnp.full((Tpad, Q), -1, jnp.int8),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+            )
+
         out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
         for db in self._device_buckets:
             if db["n"] == 0:
                 continue
             scores = _bucket_scores_multiquery(
                 db["tokens"],
+                db["pos"],
                 db["lengths"],
                 sim_multi,
                 lt_arr,
                 gaps,
                 nt_arr,
+                *tw_args,
                 locality=locality,
                 chunk=db["chunk"],
                 n_queries=Q,
                 use_pallas=use_pallas_default(),
+                with_tags=with_tags,
             )
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
