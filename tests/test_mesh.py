@@ -71,6 +71,41 @@ def test_shardmap_topk_matches(rng, mesh_search):
             assert np.isclose(s, sa[np.asarray(s2) == s][0], atol=1e-6)
 
 
+def test_multiquery_mesh_matches_single_device(rng, mesh_search):
+    """Sharded serving batch: per-query global top-k must equal the
+    single-device per-query results."""
+    tokens, lengths, sim = _problem(rng, N=128, T=8)
+    T, Q, k = 8, 5, 6
+    sim_multi = rng.uniform(0, 1, size=(sim.shape[0], T, Q)).astype(np.float32)
+    gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+    len_t = rng.integers(1, T + 1, size=Q).astype(np.int32)
+
+    tok_d, len_d = mesh_search.shard_bucket(tokens, lengths)
+    sm_d = mesh_search.put_replicated(sim_multi)
+    s, i = mesh_search.score_topk_multiquery(
+        tok_d, len_d, sm_d, jnp.asarray(len_t), gaps,
+        jnp.asarray(len_t, jnp.float32), locality="local", k=k,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    assert s.shape == (Q, k)
+
+    # single-device reference, one query at a time
+    for q in range(Q):
+        S = jnp.asarray(sim_multi[:, :, q])[jnp.asarray(tokens)]
+        raw = np.asarray(
+            align_scores(
+                S, jnp.asarray(np.maximum(lengths, 1)),
+                jnp.full((len(lengths),), int(len_t[q]), jnp.int32),
+                gaps, "local",
+            )
+        )
+        want = raw / float(len_t[q])
+        top = np.sort(want)[::-1][:k]
+        np.testing.assert_allclose(np.sort(s[q])[::-1], top, atol=1e-5)
+        for sc, ii in zip(s[q], i[q]):
+            assert want[ii] == pytest.approx(sc, abs=1e-5)
+
+
 def test_graft_dryrun_runs():
     import __graft_entry__ as g
 

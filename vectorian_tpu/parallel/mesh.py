@@ -112,6 +112,79 @@ class MeshSearch:
         )
         return fn(token_ids, lengths)
 
+    @functools.partial(
+        jax.jit, static_argnames=("self", "locality", "k", "use_pallas")
+    )
+    def score_topk_multiquery(
+        self,
+        token_ids: jnp.ndarray,  # [N, L] sharded over 'data'
+        lengths: jnp.ndarray,  # [N] sharded
+        sim_multi: jnp.ndarray,  # [V, T, Q] replicated (kernel-native layout)
+        len_t: jnp.ndarray,  # [Q]
+        gaps: AffineGapParams,
+        norm_total: jnp.ndarray,  # [Q]
+        locality: str = "local",
+        k: int = 10,
+        use_pallas: bool = False,
+    ):
+        """Serving-batch scale-out: Q queries share each shard's vocab
+        gather; per-query local top-k, then one all_gather of
+        [Q, k] (score, global-index) pairs — communication is
+        O(devices * Q * k).  Returns ([Q, k] scores, [Q, k] indices)."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self.n_devices
+        shard_n = token_ids.shape[0] // n_dev
+        T, Q = sim_multi.shape[1], sim_multi.shape[2]
+
+        def shard_fn(tok, ln):
+            c = tok.shape[0]
+            S = sim_multi[tok.T]  # [L, c, T, Q] gather-native
+            if use_pallas:
+                from vectorian_tpu.ops.pallas_dp import (
+                    pallas_align_scores_multi_nt,
+                )
+
+                raw = pallas_align_scores_multi_nt(
+                    S, jnp.maximum(ln, 1), len_t, gaps, locality
+                )  # [c, Q]
+            else:
+                S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, tok.shape[1], T)
+                raw = align_scores(
+                    S2,
+                    jnp.repeat(jnp.maximum(ln, 1), Q),
+                    jnp.tile(len_t, c),
+                    gaps,
+                    locality,
+                ).reshape(c, Q)
+            scores = jnp.where(
+                ln[:, None] > 0, raw / jnp.maximum(norm_total[None, :], 1e-9),
+                -jnp.inf,
+            )
+            loc_s, loc_i = jax.lax.top_k(scores.T, k)  # [Q, k] per query
+            my = jax.lax.axis_index(axis)
+            glob_i = loc_i + my * shard_n
+            all_s = jax.lax.all_gather(loc_s, axis)  # [d, Q, k]
+            all_i = jax.lax.all_gather(glob_i, axis)
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(Q, n_dev * k)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, n_dev * k)
+            top_s, sel = jax.lax.top_k(all_s, k)  # [Q, k]
+            top_i = jnp.take_along_axis(all_i, sel, axis=1)
+            return top_s, top_i
+
+        fn = shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(token_ids, lengths)
+
     @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
     def score_topk(
         self,
