@@ -44,15 +44,24 @@ def main(n_slices=1_000_000):
     print(f"  packed+uploaded in {time.time()-t0:.1f}s "
           f"({tok.nbytes/1e9:.2f} GB tokens in HBM)", flush=True)
 
-    sim0 = jnp.asarray(rng.uniform(0, 1, size=(V, Q, T)).astype(np.float32))
+    sim0 = jnp.asarray(rng.uniform(0, 1, size=(V, T, Q)).astype(np.float32))
     lt = jnp.full((Q,), T, jnp.int32)
     nt = jnp.full((Q,), float(T), jnp.float32)
     gaps = AffineGapParams.of(0.0, 0.0, 0.0, 0.0)
     up = use_pallas_default()
+    pos_d = jnp.zeros(tokens_d.shape, jnp.int8)
+
+    def tw(q):
+        return (
+            jnp.ones((T, q), jnp.float32),
+            jnp.full((T, q), -1, jnp.int8),
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
 
     def run(sim):
         return _bucket_scores_multiquery(
-            tokens_d, lengths_d, sim, lt, gaps, nt,
+            tokens_d, pos_d, lengths_d, sim, lt, gaps, nt, *tw(Q),
             locality="local", chunk=CHUNK, n_queries=Q, use_pallas=up,
         )
 
@@ -77,12 +86,12 @@ def main(n_slices=1_000_000):
     )
 
     # single query (Q=1) latency
-    sim1 = sim0[:, :1, :]
+    sim1 = sim0[:, :, :1]
     lt1, nt1 = lt[:1], nt[:1]
 
     def run1(sim):
         return _bucket_scores_multiquery(
-            tokens_d, lengths_d, sim, lt1, gaps, nt1,
+            tokens_d, pos_d, lengths_d, sim, lt1, gaps, nt1, *tw(1),
             locality="local", chunk=CHUNK, n_queries=1, use_pallas=up,
         )
 

@@ -239,6 +239,11 @@ def _bucket_scores_multiquery(
     T, Q = sim_multi.shape[1], sim_multi.shape[2]
     n_chunks = N // chunk
 
+    # the gather-native (NT) kernel puts Q in lanes — only efficient when
+    # the batch fills them; smaller batches pack (slice x query) into lanes
+    # via the transpose-based kernel instead
+    nt = n_queries >= 128
+
     def one_chunk(args):
         tokT, posT, ln = args  # [L, c], [L, c], [c]
         c = tokT.shape[1]
@@ -254,11 +259,18 @@ def _bucket_scores_multiquery(
             )
             Sw = S * w
             S = jnp.where(Sw > tw_threshold, Sw, 0.0)
-        if use_pallas:
+        if use_pallas and nt:
             from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
 
             raw = pallas_align_scores_multi_nt(
                 S, jnp.maximum(ln, 1), len_t, gaps, locality
+            )
+        elif use_pallas:
+            from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi
+
+            S4 = jnp.transpose(S, (1, 0, 3, 2))  # [c, L, Q, T]
+            raw = pallas_align_scores_multi(
+                S4, jnp.maximum(ln, 1), len_t, gaps, locality
             )
         else:
             S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
