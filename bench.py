@@ -65,12 +65,13 @@ def main():
     pos_ids = _jnp.zeros((N, L), _jnp.int8)
     tw_w = _jnp.ones((T, Q), _jnp.float32)
     tw_p = _jnp.full((T, Q), -1, _jnp.int8)
-    zero = _jnp.asarray(0.0, _jnp.float32)
+    pen = _jnp.zeros((Q,), _jnp.float32)
+    thr = _jnp.full((Q,), -1.0, _jnp.float32)
 
     def run_with(sim):
         return _bucket_scores_multiquery(
             tokens, pos_ids, lengths, sim, len_t, gaps, norm_total,
-            tw_w, tw_p, zero, zero,
+            tw_w, tw_p, pen, thr,
             locality="local", chunk=CHUNK, n_queries=Q,
             use_pallas=use_pallas,
         )

@@ -77,9 +77,18 @@ def gather_layout(sim):
     return jax.lax.map(one, tokens.reshape(n_chunks, CHUNK, L))
 
 
+_pos = jnp.zeros((N, L), jnp.int8)
+_tw = (
+    jnp.ones((T, Q), jnp.float32),
+    jnp.full((T, Q), -1, jnp.int8),
+    jnp.zeros((Q,), jnp.float32),
+    jnp.full((Q,), -1.0, jnp.float32),
+)
+
+
 def full(sim):
     return _bucket_scores_multiquery(
-        tokens, lengths, sim, len_t, gaps, norm_total,
+        tokens, _pos, lengths, sim, len_t, gaps, norm_total, *_tw,
         locality="local", chunk=CHUNK, n_queries=Q,
         use_pallas=use_pallas_default(),
     )

@@ -55,8 +55,8 @@ def main(n_slices=1_000_000):
         return (
             jnp.ones((T, q), jnp.float32),
             jnp.full((T, q), -1, jnp.int8),
-            jnp.asarray(0.0, jnp.float32),
-            jnp.asarray(0.0, jnp.float32),
+            jnp.zeros((q,), jnp.float32),
+            jnp.full((q,), -1.0, jnp.float32),
         )
 
     def run(sim):

@@ -80,6 +80,68 @@ def test_find_batch_tag_weighted_matches_single(session_ix):
         assert got == want, q
 
 
+def test_find_batch_delegates_unsupported_options(session_ix):
+    """Boosters/filters are not batched — find_batch must return the exact
+    single-query results instead of silently ignoring the option."""
+    session, index, locations = session_ix
+    qs = ["the old king rides the grey horse", "a small bird sings"]
+    batch = index.find_batch(qs, n=4, min_score=-5.0, token_filter=["the"])
+    for q, br in zip(qs, batch):
+        sr = index.find(q, n=4, min_score=-5.0, token_filter=["the"])
+        got = [(m.slice_id, round(m.score, 4)) for m in br]
+        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        assert got == want, q
+
+
+def test_score_all_multi_mixed_tag_batch(session_ix):
+    """A mixed batch (one tagged, one untagged plan) must leave the
+    untagged query's scores untouched (per-query penalty/threshold)."""
+    import jax.numpy as jnp
+
+    from vectorian_tpu.ops.alignment import AffineGapParams
+    from vectorian_tpu.ops.search import TagWeightingSpec
+    from vectorian_tpu.ops.simmatrix import compile_plan
+
+    session, index, locations = session_ix
+    engine = index._engine
+    token_sim = index._args["metric"]["token_sim"]
+
+    pqs = [
+        index.make_query("the old king rides", n=5).prepare(index._nlp),
+        index.make_query("a small bird sings", n=5).prepare(index._nlp),
+    ]
+    plans, len_ts = [], []
+    for pq in pqs:
+        plans.append(
+            compile_plan(
+                token_sim, session.compiled_embeddings,
+                pq.token_ids, pq.token_strings, {},
+            )
+        )
+        len_ts.append(pq.n_tokens)
+    gaps = AffineGapParams.of(0.0, 0.0, 0.0, 0.0)
+    tagw0 = TagWeightingSpec(
+        t_pos_weights=np.full((len_ts[0],), 0.5, np.float32),
+        pos_t=pqs[0].pos_ids,
+        pos_mismatch_penalty=0.3,
+        similarity_threshold=0.2,
+    )
+    mixed = engine.score_all_multi(
+        plans, len_ts, gaps, "local",
+        [tagw0.total, float(len_ts[1])],
+        tag_weights=[tagw0, None],
+    )
+    plain = engine.score_all_multi(
+        plans, len_ts, gaps, "local",
+        [float(len_ts[0]), float(len_ts[1])],
+    )
+    # the untagged query (column 1) must be bit-identical to the plain run
+    np.testing.assert_array_equal(mixed[:, 1], plain[:, 1])
+    # the tagged query must differ (weights 0.5 halve everything)
+    valid = plain[:, 0] > -1e29
+    assert not np.allclose(mixed[valid, 0], plain[valid, 0])
+
+
 def test_find_batch_empty_query(session_ix):
     session, index, locations = session_ix
     batch = index.find_batch(["", "king rides"], n=3)

@@ -758,6 +758,12 @@ class BruteForceIndex(Index):
         token_sim = self._args["metric"]["token_sim"]
         if any(not getattr(e, "is_static", True) for e in token_sim.embeddings):
             raise NotImplementedError("find_batch requires static embeddings")
+        # options the batched kernel does not take — delegate to the exact
+        # single-query path rather than silently ignoring them
+        if {"booster", "pos_filter", "tag_filter", "token_filter"} & set(kwargs):
+            return [
+                self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
+            ]
 
         start_time = time.time()
         prepared, plans, len_ts, norm_totals, tagws = [], [], [], [], []

@@ -303,8 +303,18 @@ def pallas_align_scores_general(
     lt_vec = jnp.broadcast_to(jnp.asarray(len_t, jnp.int32), (B,))
     lt = jnp.pad(lt_vec, (0, Bp - B), constant_values=1).reshape(1, Bp)
 
-    w_s = jnp.pad(gap_vec_s.astype(jnp.float32), (0, max(L + 1 - gap_vec_s.shape[0], 0)))
-    w_t = jnp.pad(gap_vec_t.astype(jnp.float32), (0, max(T1p - gap_vec_t.shape[0], 0)))
+    # pad with prohibitive costs: a gap longer than the supplied vector must
+    # never be free (the jnp path clamps/errors; keep the kernels consistent)
+    w_s = jnp.pad(
+        gap_vec_s.astype(jnp.float32),
+        (0, max(L + 1 - gap_vec_s.shape[0], 0)),
+        constant_values=-NEG,
+    )
+    w_t = jnp.pad(
+        gap_vec_t.astype(jnp.float32),
+        (0, max(T1p - gap_vec_t.shape[0], 0)),
+        constant_values=-NEG,
+    )
     w_t_star = gap_cost_closure(w_t[: T + 1])
     w_t_star = jnp.pad(w_t_star, (0, T1p - (T + 1)), constant_values=-NEG)
 
@@ -356,7 +366,7 @@ def pallas_align_scores(
     return out[0, :B]
 
 
-def _make_multiq_kernel(L, T1p, Q, locality):
+def _make_multiq_kernel(L, T1p, Q, CB, locality):
     """Multi-query DP kernel consuming the gather output layout directly.
 
     S block: [L, 1, Tp, Q] — one grid step per slice, exactly what
@@ -367,7 +377,6 @@ def _make_multiq_kernel(L, T1p, Q, locality):
     horizontal gaps solved by the decayed-prefix-max sublane rolls (see
     _make_kernel)."""
     Tp = T1p - 8  # S's padded query axis (boundary column lives in scratch)
-    CB = 8  # slices per grid step (static unroll; out block = [8, Q])
 
     def kernel(gaps_ref, lt_ref, lens_ref, S_ref, out_ref, H_ref, F_ref, best_ref):
         open_s = gaps_ref[0, 0]
@@ -477,7 +486,7 @@ def pallas_align_scores_multi_nt(
     len_t: jnp.ndarray,  # [Q] i32
     gaps,
     locality: str = LOCAL,
-    block_c: int = 16,
+    block_c: int = 0,  # 0 = auto from the VMEM budget
     interpret: bool = False,
 ):
     """No-transpose multi-query scorer; returns [c, Q] f32 raw scores."""
@@ -485,14 +494,27 @@ def pallas_align_scores_multi_nt(
         raise ValueError(locality)
     L, c, Tp, Q = S.shape
     T1p = Tp + 8  # boundary column + headroom, sublane-aligned
-    CB = 8
+    CB = block_c or 8  # 8 slices per grid step (larger unrolls run slower)
+    # VMEM guard: a double-buffered [L, CB, Tp, Q] block must fit; split the
+    # query axis (lane groups of 128) when it would not
+    if L * CB * Tp * Q * 4 * 2 > 8 * 1024 * 1024 and Q > 128:
+        half = (Q // 2 + 127) // 128 * 128
+        a = pallas_align_scores_multi_nt(
+            S[:, :, :, :half], len_s, len_t[:half], gaps, locality,
+            block_c=block_c, interpret=interpret,
+        )
+        b = pallas_align_scores_multi_nt(
+            S[:, :, :, half:], len_s, len_t[half:], gaps, locality,
+            block_c=block_c, interpret=interpret,
+        )
+        return jnp.concatenate([a, b], axis=1)
     cp = _round_up(c, CB)
     if cp != c:
         S = jnp.pad(S, ((0, 0), (0, cp - c), (0, 0), (0, 0)))
     lens = jnp.pad(len_s.astype(jnp.int32), (0, cp - c)).reshape(1, cp)
     lt = len_t.astype(jnp.int32).reshape(1, Q)
     gap_arr = jnp.stack([jnp.asarray(g, jnp.float32) for g in gaps]).reshape(1, 4)
-    kernel = _make_multiq_kernel(L, T1p, Q, locality)
+    kernel = _make_multiq_kernel(L, T1p, Q, CB, locality)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cp, Q), jnp.float32),

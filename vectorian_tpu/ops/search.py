@@ -71,6 +71,25 @@ class TagWeightingSpec:
     def total(self) -> float:
         return float(np.sum(self.t_pos_weights))
 
+    def device_args(self):
+        return (
+            jnp.asarray(self.t_pos_weights, jnp.float32),
+            jnp.asarray(self.pos_t, jnp.int8),
+            jnp.asarray(self.pos_mismatch_penalty, jnp.float32),
+            jnp.asarray(self.similarity_threshold, jnp.float32),
+        )
+
+    @staticmethod
+    def identity_args(T: int):
+        """Inert (weight 1 is NOT needed: with_tags=False skips weighting;
+        these only placate jit argument shapes)."""
+        return (
+            jnp.zeros((T,), jnp.float32),
+            jnp.zeros((T,), jnp.int8),
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
+
 
 @dataclass
 class DocFilterSpec:
@@ -216,8 +235,8 @@ def _bucket_scores_multiquery(
     norm_total: jnp.ndarray,  # [Q] f32
     tw_weights: jnp.ndarray,  # [T, Q] f32 per-query tag weights
     tw_pos_t: jnp.ndarray,  # [T, Q] i8 per-query needle pos ids
-    tw_penalty: jnp.ndarray,  # scalar f32
-    tw_threshold: jnp.ndarray,  # scalar f32
+    tw_penalty: jnp.ndarray,  # [Q] f32 per-query mismatch penalty
+    tw_threshold: jnp.ndarray,  # [Q] f32 per-query similarity threshold
     locality: str,
     chunk: int,
     n_queries: int,
@@ -251,14 +270,16 @@ def _bucket_scores_multiquery(
         S = sim_multi[tokT]  # [L, c, T, Q]
         if with_tags:
             # tag-weighted similarity per query (TagWeightedSlice semantics,
-            # slice/static.h:186-288, broadcast over the batch layout)
+            # slice/static.h:186-288, broadcast over the batch layout);
+            # penalty/threshold are per-query so untagged queries in a mixed
+            # batch stay identity (penalty 0, threshold -1)
             w = tw_weights[None, None, :, :] * jnp.where(
                 posT[:, :, None, None] == tw_pos_t[None, None, :, :],
                 1.0,
-                1.0 - tw_penalty,
+                1.0 - tw_penalty[None, None, None, :],
             )
             Sw = S * w
-            S = jnp.where(Sw > tw_threshold, Sw, 0.0)
+            S = jnp.where(Sw > tw_threshold[None, None, None, :], Sw, 0.0)
         if use_pallas and nt:
             from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
 
@@ -434,8 +455,6 @@ class BruteForceEngine:
         """Normalized score for every slice in the corpus ([n_slices] f32)."""
         T = len_t
         out = np.full((self._packed.n_slices,), NEG_SCORE, np.float32)
-        zero_t = jnp.zeros((T,), jnp.float32)
-        zero_t8 = jnp.zeros((T,), jnp.int8)
         if doc_filter is not None:
             flt = (
                 jnp.asarray(doc_filter.pos_exclude),
@@ -458,14 +477,9 @@ class BruteForceEngine:
             else:
                 bvec = jnp.ones((db["tokens"].shape[0],), jnp.float32)
             if tag_weights is not None:
-                tw_w = jnp.asarray(tag_weights.t_pos_weights, jnp.float32)
-                tw_p = jnp.asarray(tag_weights.pos_t, jnp.int8)
-                tw_pen = jnp.asarray(tag_weights.pos_mismatch_penalty, jnp.float32)
-                tw_thr = jnp.asarray(tag_weights.similarity_threshold, jnp.float32)
+                tw_w, tw_p, tw_pen, tw_thr = tag_weights.device_args()
             else:
-                tw_w, tw_p = zero_t, zero_t8
-                tw_pen = jnp.asarray(0.0, jnp.float32)
-                tw_thr = jnp.asarray(0.0, jnp.float32)
+                tw_w, tw_p, tw_pen, tw_thr = TagWeightingSpec.identity_args(T)
             if gap_costs is not None:
                 gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
                 gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
@@ -534,33 +548,28 @@ class BruteForceEngine:
         with_tags = tag_weights is not None and any(
             tw is not None for tw in tag_weights
         )
+        # per-query weight / needle-pos / penalty / threshold columns;
+        # queries without tag weights stay identity: weight 1, penalty 0
+        # (the pos sentinel then never matters), threshold -1 (keeps all)
+        tw_w = np.ones((Tpad, Q), np.float32)
+        tw_p = np.full((Tpad, Q), -1, np.int8)
+        pen = np.zeros((Q,), np.float32)
+        thr = np.full((Q,), -1.0, np.float32)
         if with_tags:
-            # per-query [Tpad] weight / needle-pos columns; queries without
-            # tag weights get all-ones (identity)
-            tw_w = np.ones((Tpad, Q), np.float32)
-            tw_p = np.full((Tpad, Q), -1, np.int8)
-            pen, thr = 0.0, 0.0
             for qi, tw in enumerate(tag_weights):
                 if tw is None:
                     continue
                 t = len(tw.t_pos_weights)
                 tw_w[:t, qi] = tw.t_pos_weights
                 tw_p[:t, qi] = tw.pos_t
-                pen = tw.pos_mismatch_penalty
-                thr = tw.similarity_threshold
-            tw_args = (
-                jnp.asarray(tw_w),
-                jnp.asarray(tw_p),
-                jnp.asarray(pen, jnp.float32),
-                jnp.asarray(thr, jnp.float32),
-            )
-        else:
-            tw_args = (
-                jnp.ones((Tpad, Q), jnp.float32),
-                jnp.full((Tpad, Q), -1, jnp.int8),
-                jnp.asarray(0.0, jnp.float32),
-                jnp.asarray(0.0, jnp.float32),
-            )
+                pen[qi] = tw.pos_mismatch_penalty
+                thr[qi] = tw.similarity_threshold
+        tw_args = (
+            jnp.asarray(tw_w),
+            jnp.asarray(tw_p),
+            jnp.asarray(pen),
+            jnp.asarray(thr),
+        )
 
         out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
         for db in self._device_buckets:
@@ -606,8 +615,6 @@ class BruteForceEngine:
         """
         T = len_t
         cand_scores, cand_ids = [], []
-        zero_t = jnp.zeros((T,), jnp.float32)
-        zero_t8 = jnp.zeros((T,), jnp.int8)
         if doc_filter is not None:
             flt = (
                 jnp.asarray(doc_filter.pos_exclude),
@@ -626,14 +633,9 @@ class BruteForceEngine:
             else:
                 bvec = jnp.ones((db["tokens"].shape[0],), jnp.float32)
             if tag_weights is not None:
-                tw = (
-                    jnp.asarray(tag_weights.t_pos_weights, jnp.float32),
-                    jnp.asarray(tag_weights.pos_t, jnp.int8),
-                    jnp.asarray(tag_weights.pos_mismatch_penalty, jnp.float32),
-                    jnp.asarray(tag_weights.similarity_threshold, jnp.float32),
-                )
+                tw = tag_weights.device_args()
             else:
-                tw = (zero_t, zero_t8, jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32))
+                tw = TagWeightingSpec.identity_args(T)
             if gap_costs is not None:
                 gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
                 gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
@@ -749,19 +751,9 @@ class BruteForceEngine:
             pos = db["pos"][r][None]
         T = qp.static_sims[0].shape[1] if qp.static_sims else qp.ctx_queries[0]["unmodified"].shape[0]
         if tag_weights is not None:
-            tw = (
-                jnp.asarray(tag_weights.t_pos_weights, jnp.float32),
-                jnp.asarray(tag_weights.pos_t, jnp.int8),
-                jnp.asarray(tag_weights.pos_mismatch_penalty, jnp.float32),
-                jnp.asarray(tag_weights.similarity_threshold, jnp.float32),
-            )
+            tw = tag_weights.device_args()
         else:
-            tw = (
-                jnp.zeros((T,), jnp.float32),
-                jnp.zeros((T,), jnp.int8),
-                jnp.asarray(0.0, jnp.float32),
-                jnp.asarray(0.0, jnp.float32),
-            )
+            tw = TagWeightingSpec.identity_args(T)
         static_sims, static_mags, ctx_all, ctx_q, weights = self._plan_args(qp, bi)
         if sel is not None:
             pad = np.zeros((L,), np.int32)

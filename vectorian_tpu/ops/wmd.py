@@ -499,19 +499,11 @@ class WMDEngine:
 
     @staticmethod
     def _tagw_args(tagw, T):
+        from vectorian_tpu.ops.search import TagWeightingSpec
+
         if tagw is None:
-            return (
-                jnp.zeros((T,), jnp.float32),
-                jnp.zeros((T,), jnp.int8),
-                jnp.asarray(0.0, jnp.float32),
-                jnp.asarray(0.0, jnp.float32),
-            )
-        return (
-            jnp.asarray(tagw.t_pos_weights, jnp.float32),
-            jnp.asarray(tagw.pos_t, jnp.int8),
-            jnp.asarray(tagw.pos_mismatch_penalty, jnp.float32),
-            jnp.asarray(tagw.similarity_threshold, jnp.float32),
-        )
+            return TagWeightingSpec.identity_args(T)
+        return tagw.device_args()
 
     def _score_buckets_rwmd(self, qp, mass_t, len_t, injective, symmetric,
                             normalize_bow, unique, tagw=None):
