@@ -142,6 +142,28 @@ void vn_lexicon_lookup_many(void* h, const char* words, const int64_t* offsets,
   }
 }
 
+// ---------------------------------------------------------------- packing
+
+// Fill padded, length-bucketed slice matrices from flat per-corpus arrays
+// (the reference's Spans::iterate + unpack_tokens hot loop,
+// document.h:147-169 + vocabulary.cpp:8-54, as straight memcpy rows).
+//
+// flat_*: concatenated per-document token columns; starts[i] is slice i's
+// absolute offset into them, lens[i] its token count (<= cap).  out_* are
+// zero-initialised [n, cap] row-major buffers.
+void vn_pack_fill(const int32_t* flat_tok, const int8_t* flat_pos,
+                  const int16_t* flat_tag, const int64_t* starts,
+                  const int32_t* lens, int64_t n, int64_t cap,
+                  int32_t* out_tok, int8_t* out_pos, int16_t* out_tag) {
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t s = starts[i];
+    const int64_t l = lens[i];
+    std::memcpy(out_tok + i * cap, flat_tok + s, sizeof(int32_t) * l);
+    std::memcpy(out_pos + i * cap, flat_pos + s, sizeof(int8_t) * l);
+    std::memcpy(out_tag + i * cap, flat_tag + s, sizeof(int16_t) * l);
+  }
+}
+
 // Copy string i into buf (returns length; buf may be null to query size).
 int64_t vn_lexicon_get(void* h, int64_t i, char* buf, int64_t buf_len) {
   auto* lex = static_cast<Lexicon*>(h);

@@ -161,18 +161,25 @@ class PreparedDocument:
         if k == 0:
             return out
         if partition.level == "token":
-            for i in range(k):
-                s = i * partition.window_step
-                out[i] = (s, min(s + partition.window_size, self.n_tokens))
+            s = np.arange(k, dtype=np.int32) * partition.window_step
+            out[:, 0] = s
+            out[:, 1] = np.minimum(s + partition.window_size, self.n_tokens)
         elif partition.level == "document":
             out[0] = (0, self.n_tokens)
         else:
             table = self.spans[partition.level]
             idxs = table[:, 0]
             lens = table[:, 1] - table[:, 0]
-            for i in range(k):
-                s, e = xspan(idxs, lens, i, partition.window_size, partition.window_step)
-                out[i] = (s, min(e, self.n_tokens))
+            if partition.window_size == 1 and partition.window_step == 1:
+                # the default sentence partition — straight span rows
+                out[:, 0] = idxs[:k]
+                out[:, 1] = np.minimum(idxs[:k] + lens[:k], self.n_tokens)
+            else:
+                for i in range(k):
+                    s, e = xspan(
+                        idxs, lens, i, partition.window_size, partition.window_step
+                    )
+                    out[i] = (s, min(e, self.n_tokens))
         return out
 
 

@@ -148,21 +148,57 @@ def pack_corpus(
     (corpus/document.py:49-51, match/matcher.h:58)."""
     cap = max_len or bucket_sizes[-1]
 
-    slice_doc, slice_idx, slice_start, slice_len = [], [], [], []
+    doc_parts, idx_parts, start_parts, len_parts = [], [], [], []
     for pd in prepared_docs:
-        ranges = pd.span_ranges(partition)
-        for i, (s, e) in enumerate(ranges):
-            slice_doc.append(pd.doc_index)
-            slice_idx.append(i)
-            slice_start.append(int(s))
-            slice_len.append(min(int(e - s), cap))
+        ranges = np.asarray(pd.span_ranges(partition), np.int32).reshape(-1, 2)
+        k = len(ranges)
+        if k == 0:
+            continue
+        doc_parts.append(np.full((k,), pd.doc_index, np.int32))
+        idx_parts.append(np.arange(k, dtype=np.int32))
+        start_parts.append(ranges[:, 0])
+        len_parts.append(np.minimum(ranges[:, 1] - ranges[:, 0], cap))
 
-    slice_doc = np.asarray(slice_doc, np.int32)
-    slice_idx = np.asarray(slice_idx, np.int32)
-    slice_start = np.asarray(slice_start, np.int32)
-    slice_len = np.asarray(slice_len, np.int32)
+    if doc_parts:
+        slice_doc = np.concatenate(doc_parts)
+        slice_idx = np.concatenate(idx_parts)
+        slice_start = np.concatenate(start_parts)
+        slice_len = np.concatenate(len_parts).astype(np.int32)
+    else:
+        slice_doc = np.zeros((0,), np.int32)
+        slice_idx = np.zeros((0,), np.int32)
+        slice_start = np.zeros((0,), np.int32)
+        slice_len = np.zeros((0,), np.int32)
 
-    docs_by_index: Dict[int, object] = {pd.doc_index: pd for pd in prepared_docs}
+    # flat corpus columns + absolute per-slice offsets: bucket fills become
+    # row memcpys (native) or one fancy gather (numpy) instead of a
+    # per-slice python loop — the reference does this walk in C++
+    # (Spans::iterate document.h:147-169, unpack_tokens vocabulary.cpp:8-54)
+    doc_offsets = {}
+    off = 0
+    flat_tok_parts, flat_pos_parts, flat_tag_parts = [], [], []
+    for pd in prepared_docs:
+        doc_offsets[pd.doc_index] = off
+        flat_tok_parts.append(np.asarray(pd.token_ids, np.int32))
+        flat_pos_parts.append(np.asarray(pd.pos_ids, np.int8))
+        flat_tag_parts.append(np.asarray(pd.tag_ids, np.int16))
+        off += len(pd.token_ids)
+    flat_tok = np.concatenate(flat_tok_parts) if flat_tok_parts else np.zeros(0, np.int32)
+    flat_pos = np.concatenate(flat_pos_parts) if flat_pos_parts else np.zeros(0, np.int8)
+    flat_tag = np.concatenate(flat_tag_parts) if flat_tag_parts else np.zeros(0, np.int16)
+    n_doc_ids = max(doc_offsets, default=-1) + 1
+    off_by_doc = np.zeros((max(n_doc_ids, 1),), np.int64)
+    for d, o in doc_offsets.items():
+        off_by_doc[d] = o
+    abs_start = off_by_doc[slice_doc] + slice_start
+
+    try:
+        from vectorian_tpu.native import available as _native_available
+        from vectorian_tpu.native import pack_fill as _native_pack_fill
+
+        use_native = _native_available()
+    except ImportError:  # pragma: no cover
+        use_native = False
 
     buckets: List[PackedBucket] = []
     nonempty = np.flatnonzero(slice_len > 0)
@@ -180,24 +216,26 @@ def pack_corpus(
         lo = hi
         if ids.size == 0:
             continue
-        n = ids.size
-        tok = np.zeros((n, cap_i), np.int32)
-        pos = np.zeros((n, cap_i), np.int8)
-        tag = np.zeros((n, cap_i), np.int16)
-        for r, sid in enumerate(ids):
-            pd = docs_by_index[int(slice_doc[sid])]
-            s = int(slice_start[sid])
-            l = int(slice_len[sid])
-            tok[r, :l] = pd.token_ids[s : s + l]
-            pos[r, :l] = pd.pos_ids[s : s + l]
-            tag[r, :l] = pd.tag_ids[s : s + l]
+        starts_b = abs_start[ids]
+        lens_b = slice_len[ids]
+        if use_native:
+            tok, pos, tag = _native_pack_fill(
+                flat_tok, flat_pos, flat_tag, starts_b, lens_b, cap_i
+            )
+        else:
+            idx = starts_b[:, None] + np.arange(cap_i, dtype=np.int64)[None, :]
+            mask = np.arange(cap_i)[None, :] < lens_b[:, None]
+            idx = np.minimum(idx, max(len(flat_tok) - 1, 0))
+            tok = np.where(mask, flat_tok[idx], 0).astype(np.int32)
+            pos = np.where(mask, flat_pos[idx], 0).astype(np.int8)
+            tag = np.where(mask, flat_tag[idx], 0).astype(np.int16)
         buckets.append(
             PackedBucket(
                 capacity=cap_i,
                 token_ids=tok,
                 pos_ids=pos,
                 tag_ids=tag,
-                lengths=slice_len[ids],
+                lengths=lens_b,
                 slice_index=ids.astype(np.int32),
             )
         )

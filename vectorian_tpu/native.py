@@ -52,6 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vn_lexicon_size.restype = ctypes.c_int64
     lib.vn_lexicon_size.argtypes = [ctypes.c_void_p]
     lib.vn_lexicon_get.restype = ctypes.c_int64
+    lib.vn_pack_fill.restype = None
     _LIB = lib
     return _LIB
 
@@ -94,6 +95,37 @@ def fasttext_encode_batch(model, words: Sequence[str]) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def pack_fill(flat_tok, flat_pos, flat_tag, starts, lens, cap: int):
+    """Fill padded [n, cap] slice matrices from flat corpus arrays via the
+    C++ row-memcpy loop (reference Spans::iterate, document.h:147-169).
+    Returns (tok, pos, tag); raises ImportError when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library unavailable")
+    n = len(starts)
+    flat_tok = np.ascontiguousarray(flat_tok, np.int32)
+    flat_pos = np.ascontiguousarray(flat_pos, np.int8)
+    flat_tag = np.ascontiguousarray(flat_tag, np.int16)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    tok = np.zeros((n, cap), np.int32)
+    pos = np.zeros((n, cap), np.int8)
+    tag = np.zeros((n, cap), np.int16)
+    lib.vn_pack_fill(
+        flat_tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flat_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        flat_tag.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n),
+        ctypes.c_int64(cap),
+        tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        tag.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return tok, pos, tag
 
 
 class NativeLexicon:
