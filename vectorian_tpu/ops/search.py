@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -340,6 +340,48 @@ def _slice_similarity(
     return S[0], S_un[0]
 
 
+@functools.partial(jax.jit, static_argnames=("plan", "with_tags", "with_sel"))
+def _slices_similarity_batch(
+    plan: tuple,
+    tokens: jnp.ndarray,  # [N, L] whole bucket (device-resident)
+    pos_all: jnp.ndarray,  # [N, L] i8
+    rows: jnp.ndarray,  # [g] i32 bucket rows to rescore
+    sel_pad: jnp.ndarray,  # [g, L] i32 kept in-slice offsets (with_sel only)
+    static_sims: tuple,
+    static_mags: tuple,
+    ctx_stores: tuple,  # k -> [N, L, d] whole bucket stores
+    ctx_queries: tuple,
+    mixed_weights: tuple,
+    tw_weights: jnp.ndarray,
+    tw_pos_t: jnp.ndarray,
+    tw_penalty: jnp.ndarray,
+    tw_threshold: jnp.ndarray,
+    with_tags: bool,
+    with_sel: bool,
+):
+    """(S_weighted [g, L, T], S_unmodified) for a batch of slices of ONE
+    bucket — a single device dispatch.  The per-slice variant costs a
+    tunnel round trip each; the top-k finalizer rescored ~2s of pure
+    latency before this batch path."""
+    tok = tokens[rows]
+    pos = pos_all[rows]
+    ctx = tuple(c[rows] for c in ctx_stores)
+    if with_sel:
+        tok = jnp.take_along_axis(tok, sel_pad, axis=1)
+        pos = jnp.take_along_axis(pos, sel_pad, axis=1)
+        ctx = tuple(
+            jnp.take_along_axis(c, sel_pad[:, :, None], axis=1) for c in ctx
+        )
+    out = eval_plan_chunk(
+        plan, tok, static_sims, static_mags, ctx, ctx_queries, mixed_weights
+    )
+    S = out["similarity"]
+    S_un = S
+    if with_tags:
+        S = _apply_tag_weights(S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
+    return S, S_un
+
+
 @dataclass
 class Candidate:
     slice_id: int
@@ -395,6 +437,11 @@ class BruteForceEngine:
                     "lengths": jnp.asarray(ln),
                     "slice_index": b.slice_index,
                     "n": n,
+                    # host copies: rescore/finalizer paths read per-slice
+                    # rows — a device pull per slice costs a tunnel RTT
+                    "tokens_np": tok,
+                    "pos_np": pos.astype(np.int8),
+                    "tag_np": tag.astype(np.int16),
                 }
             )
 
@@ -455,6 +502,7 @@ class BruteForceEngine:
         """Normalized score for every slice in the corpus ([n_slices] f32)."""
         T = len_t
         out = np.full((self._packed.n_slices,), NEG_SCORE, np.float32)
+        pending = []
         if doc_filter is not None:
             flt = (
                 jnp.asarray(doc_filter.pos_exclude),
@@ -518,6 +566,10 @@ class BruteForceEngine:
                 general_gaps=gap_costs is not None,
                 use_pallas=use_pallas_default(),
             )
+            pending.append((db, scores))
+        # collect after all buckets are dispatched: device work and host
+        # transfers overlap instead of paying a tunnel RTT per bucket
+        for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
 
@@ -572,6 +624,7 @@ class BruteForceEngine:
         )
 
         out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
+        pending = []
         for db in self._device_buckets:
             if db["n"] == 0:
                 continue
@@ -590,6 +643,8 @@ class BruteForceEngine:
                 use_pallas=use_pallas_default(),
                 with_tags=with_tags,
             )
+            pending.append((db, scores))
+        for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
 
@@ -615,6 +670,7 @@ class BruteForceEngine:
         """
         T = len_t
         cand_scores, cand_ids = [], []
+        pending = []
         if doc_filter is not None:
             flt = (
                 jnp.asarray(doc_filter.pos_exclude),
@@ -673,6 +729,8 @@ class BruteForceEngine:
             )
             kk = min(k, db["n"])
             vals, idx = jax.lax.top_k(scores[: db["n"]], kk)
+            pending.append((db, vals, idx))
+        for db, vals, idx in pending:
             cand_scores.append(np.asarray(vals))
             cand_ids.append(db["slice_index"][np.asarray(idx)])
         if not cand_scores:
@@ -715,15 +773,85 @@ class BruteForceEngine:
         ln = int(self._packed.slice_len[sid])
         if doc_filter is None:
             return np.arange(ln, dtype=np.int32)
-        tok, pos = self._slice_tokens(sid)
         bi, r = self._slice_loc[sid]
-        tag = np.asarray(self._device_buckets[bi]["tag"][r])
+        db = self._device_buckets[bi]
+        tok = db["tokens_np"][r]
+        pos = db["pos_np"][r]
+        tag = db["tag_np"][r]
         keep = (
             ~doc_filter.pos_exclude[pos[:ln]]
             & ~doc_filter.tag_exclude[tag[:ln]]
             & ~doc_filter.token_exclude[tok[:ln]]
         )
         return np.flatnonzero(keep).astype(np.int32)
+
+    def batch_slice_similarity(
+        self,
+        sids: Sequence[int],
+        qp: QueryPlan,
+        tag_weights: Optional[TagWeightingSpec] = None,
+        sels: Optional[List[np.ndarray]] = None,
+    ):
+        """[(S_weighted [len_i, T], S_unmodified)] for many slices with ONE
+        device dispatch per touched bucket — the per-slice path costs a
+        tunnel round trip each, which dominated interactive latency."""
+        T = (
+            qp.static_sims[0].shape[1]
+            if qp.static_sims
+            else qp.ctx_queries[0]["unmodified"].shape[0]
+        )
+        if tag_weights is not None:
+            tw = tag_weights.device_args()
+        else:
+            tw = TagWeightingSpec.identity_args(T)
+        out: List = [None] * len(sids)
+        by_bucket: Dict[int, List[int]] = {}
+        for j, sid in enumerate(sids):
+            bi = int(self._slice_loc[sid, 0])
+            if bi < 0:
+                raise KeyError(sid)
+            by_bucket.setdefault(bi, []).append(j)
+        for bi, idxs in by_bucket.items():
+            db = self._device_buckets[bi]
+            L = db["capacity"]
+            rows = np.asarray(
+                [self._slice_loc[sids[j], 1] for j in idxs], np.int32
+            )
+            if sels is not None:
+                sel_pad = np.zeros((len(idxs), L), np.int32)
+                for k2, j in enumerate(idxs):
+                    s = sels[j]
+                    sel_pad[k2, : len(s)] = s
+            else:
+                sel_pad = np.zeros((1, L), np.int32)  # placeholder
+            static_sims, static_mags, ctx_all, ctx_q, weights = self._plan_args(
+                qp, bi
+            )
+            Sw, Su = _slices_similarity_batch(
+                qp.plan,
+                db["tokens"],
+                db["pos"],
+                jnp.asarray(rows),
+                jnp.asarray(sel_pad),
+                static_sims,
+                static_mags,
+                ctx_all,
+                ctx_q,
+                weights,
+                *tw,
+                with_tags=tag_weights is not None,
+                with_sel=sels is not None,
+            )
+            Sw = np.asarray(Sw)
+            Su = np.asarray(Su)
+            for k2, j in enumerate(idxs):
+                ln = (
+                    len(sels[j])
+                    if sels is not None
+                    else int(self._packed.slice_len[sids[j]])
+                )
+                out[j] = (Sw[k2, :ln], Su[k2, :ln])
+        return out
 
     def slice_similarity(
         self,
@@ -786,35 +914,57 @@ class BruteForceEngine:
         flows via host traceback (the reference's finalizer pass,
         matcher_impl.h:172-174).  Mappings are translated back to unfiltered
         in-slice offsets when a doc filter is active.
-        Returns (mappings, per-edge unmodified sims [T])."""
-        mappings, edge_sims = [], []
-        for sid in slice_ids:
-            sel = self.filtered_positions(sid, doc_filter)
-            ln = len(sel)
-            if ln == 0:
-                mappings.append(np.full((len_t,), -1, np.int32))
-                edge_sims.append(np.zeros((len_t,), np.float32))
-                continue
-            Sw, Su = self.slice_similarity(
-                sid, qp, tag_weights, sel=sel if doc_filter is not None else None
-            )
-            S = Sw[:, :len_t].astype(np.float32)
-            if gap_costs is not None:
-                w_s = gap_costs[0].costs(ln + 1)
-                w_t = gap_costs[1].costs(len_t + 1)
-                H = np.asarray(
-                    align_matrices_general(
-                        S[None], jnp.asarray(w_s), jnp.asarray(w_t), locality
-                    )
+        Returns (mappings, per-edge unmodified sims [T]).
+
+        Batched: one similarity dispatch per touched bucket + one batched
+        DP-matrix dispatch for all slices (tunnel round trips, not compute,
+        dominate the finalizer's latency)."""
+        k = len(slice_ids)
+        mappings = [np.full((len_t,), -1, np.int32) for _ in range(k)]
+        edge_sims = [np.zeros((len_t,), np.float32) for _ in range(k)]
+        if k == 0:
+            return mappings, edge_sims
+
+        sels = [self.filtered_positions(sid, doc_filter) for sid in slice_ids]
+        live = [j for j in range(k) if len(sels[j]) > 0]
+        if not live:
+            return mappings, edge_sims
+        sims_list = self.batch_slice_similarity(
+            [slice_ids[j] for j in live],
+            qp,
+            tag_weights,
+            sels=[sels[j] for j in live] if doc_filter is not None else None,
+        )
+
+        # one padded DP batch over all live slices
+        Lmax = max(len(sels[j]) for j in live)
+        S_batch = np.zeros((len(live), Lmax, len_t), np.float32)
+        for b, (Sw, _) in enumerate(sims_list):
+            S_batch[b, : Sw.shape[0]] = Sw[:, :len_t]
+        if gap_costs is not None:
+            w_s = gap_costs[0].costs(Lmax + 1)
+            w_t = gap_costs[1].costs(len_t + 1)
+            H_all = np.asarray(
+                align_matrices_general(
+                    S_batch, jnp.asarray(w_s), jnp.asarray(w_t), locality
                 )
+            )
+        else:
+            H_all, _, _ = (
+                np.asarray(x) for x in align_matrices(S_batch, gaps, locality)
+            )
+
+        for b, j in enumerate(live):
+            sel = sels[j]
+            ln = len(sel)
+            Sw, Su = sims_list[b]
+            S = S_batch[b]
+            if gap_costs is not None:
                 mapping = traceback_general(
-                    H[0], S, ln, len_t, w_s, w_t, locality
+                    H_all[b], S, ln, len_t, w_s, w_t, locality
                 )
             else:
-                H, E, F = (
-                    np.asarray(x) for x in align_matrices(S[None], gaps, locality)
-                )
-                mapping = traceback(H[0], S, ln, len_t, gaps, locality)
+                mapping = traceback(H_all[b], S, ln, len_t, gaps, locality)
             # per-edge similarity before tag weighting (ScoreComputer,
             # metric/alignment.h:307-352), indexed in filtered space
             sims = np.zeros((len_t,), np.float32)
@@ -823,8 +973,8 @@ class BruteForceEngine:
                     sims[jt] = Su[sf, jt]
             # translate filtered offsets back to original slice offsets
             mapping = np.where(mapping >= 0, sel[np.maximum(mapping, 0)], -1)
-            mappings.append(mapping.astype(np.int32))
-            edge_sims.append(sims)
+            mappings[j] = mapping.astype(np.int32)
+            edge_sims[j] = sims
         return mappings, edge_sims
 
     def _slice_tokens(self, slice_id: int):
@@ -832,7 +982,7 @@ class BruteForceEngine:
         if bi < 0:
             raise KeyError(slice_id)
         db = self._device_buckets[bi]
-        return np.asarray(db["tokens"][r]), np.asarray(db["pos"][r])
+        return db["tokens_np"][r], db["pos_np"][r]
 
 
 def _next_pow2(n: int) -> int:

@@ -58,25 +58,25 @@ class _DeviceVectors:
         self.magnitudes = magnitudes
 
 
-def _leaf_matrix(
-    sim: EmbeddingTokenSim,
-    compiled: Dict[str, CompiledEmbedding],
-    needle_token_ids: np.ndarray,  # [T] corpus-vocab ids (or -1 for OOV)
-    needle_strings: Sequence[str],
-    needs_magnitudes: bool,
-) -> dict:
-    emb = compiled[sim.embedding.name]
-    t_vecs = emb.encode_query(needle_strings)
-    s = _DeviceVectors(emb.unmodified, emb.normalized, emb.magnitudes)
-    t = _DeviceVectors(
-        jnp.asarray(t_vecs.unmodified),
-        jnp.asarray(t_vecs.normalized),
-        jnp.asarray(t_vecs.magnitudes),
-    )
-    matrix = sim.metric.compute(s, t)  # [V, T]
+import functools
 
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "needs_magnitudes"))
+def _leaf_matrix_device(
+    metric,
+    s_unmod, s_norm, s_mag,
+    t_unmod, t_norm, t_mag,
+    ids,  # [T] i32 corpus-vocab ids (-1 for OOV)
+    needs_magnitudes: bool,
+):
+    """Device side of the leaf similarity build as ONE dispatch (each bare
+    jnp op outside jit costs a tunnel round trip interactively)."""
+    s = _DeviceVectors(s_unmod, s_norm, s_mag)
+    t = _DeviceVectors(t_unmod, t_norm, t_mag)
+    matrix = metric.compute(s, t)  # [V, T]
     # exact-token-match override: needle token j IS vocab token k -> sim 1.0
-    ids = jnp.asarray(needle_token_ids, jnp.int32)
     T = ids.shape[0]
     cols = jnp.arange(T, dtype=jnp.int32)
     valid = ids >= 0
@@ -86,14 +86,37 @@ def _leaf_matrix(
     matrix = jnp.clip(matrix, 0.0, 1.0)
     # PAD row (vocab id 0) must never contribute similarity
     matrix = matrix.at[0, :].set(0.0)
+    if needs_magnitudes:
+        mag_t = jnp.where(valid, s_mag[jnp.maximum(ids, 0)], 0.0)
+        # OOV needle tokens still have their own (encoder) magnitude
+        mag_t = jnp.where(valid, mag_t, t_mag)
+    else:
+        mag_t = t_mag
+    return matrix, mag_t
 
+
+def _leaf_matrix(
+    sim: EmbeddingTokenSim,
+    compiled: Dict[str, CompiledEmbedding],
+    needle_token_ids: np.ndarray,  # [T] corpus-vocab ids (or -1 for OOV)
+    needle_strings: Sequence[str],
+    needs_magnitudes: bool,
+) -> dict:
+    emb = compiled[sim.embedding.name]
+    t_vecs = emb.encode_query(needle_strings)
+    matrix, mag_t = _leaf_matrix_device(
+        sim.metric,
+        emb.unmodified, emb.normalized, emb.magnitudes,
+        jnp.asarray(t_vecs.unmodified),
+        jnp.asarray(t_vecs.normalized),
+        jnp.asarray(t_vecs.magnitudes),
+        jnp.asarray(needle_token_ids, jnp.int32),
+        needs_magnitudes=needs_magnitudes,
+    )
     out = {"similarity": matrix}
     if needs_magnitudes:
         out["magnitudes_s"] = emb.magnitudes
-        mag_t = jnp.where(valid, emb.magnitudes[jnp.maximum(ids, 0)], 0.0)
-        # OOV needle tokens still have their own (encoder) magnitude
-        enc_mag = jnp.asarray(t_vecs.magnitudes)
-        out["magnitudes_t"] = jnp.where(valid, mag_t, enc_mag)
+        out["magnitudes_t"] = mag_t
     return out
 
 

@@ -401,14 +401,15 @@ class WMDEngine:
         if not top:
             return []
 
-        # host rescore + flows for the top-k
+        # host rescore + flows for the top-k (similarities batched: one
+        # device dispatch per bucket instead of a tunnel RTT per slice)
         matches = []
         token_sim_name = index._args["metric"]["token_sim"].name
-        for sid in top:
+        sims_list = engine.batch_slice_similarity(top, qp, tag_weights=tagw)
+        for sid, (Sw, Su) in zip(top, sims_list):
             tok, _ = engine._slice_tokens(sid)
             ln = int(engine.packed.slice_len[sid])
             ids = tok[:ln]
-            Sw, Su = engine.slice_similarity(sid, qp, tag_weights=tagw)
             S = Sw[:, :T]  # [ln, T] (weighted == unmodified when no tags)
             D_ts = np.maximum(MAX_SIMILARITY - S.T, 0.0)  # [T, ln]
             if unique:
@@ -490,8 +491,10 @@ class WMDEngine:
     def _slice_magnitudes(self, qp, sid, ln) -> np.ndarray:
         engine = self._engine
         if qp.is_static_only:
+            if not hasattr(self, "_static_mags_np"):
+                self._static_mags_np = np.asarray(qp.static_mags[0])
             tok, _ = engine._slice_tokens(sid)
-            return np.asarray(qp.static_mags[0])[tok[:ln]].astype(np.float64)
+            return self._static_mags_np[tok[:ln]].astype(np.float64)
         bi, r = engine._slice_loc[sid]
         name = qp.ctx_names[0]
         ctx = np.asarray(engine._ctx_stores[name][bi][r][:ln], dtype=np.float32)
@@ -510,6 +513,7 @@ class WMDEngine:
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         tw = self._tagw_args(tagw, len(mass_t))
+        pending = []
         for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
@@ -537,6 +541,8 @@ class WMDEngine:
                 unique_masses=unique,
                 with_tags=tagw is not None,
             )
+            pending.append((db, scores))
+        for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
 
@@ -545,6 +551,7 @@ class WMDEngine:
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         tw = self._tagw_args(tagw, len(mass_t))
+        pending = []
         for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
@@ -571,5 +578,7 @@ class WMDEngine:
                 unique_masses=unique,
                 with_tags=tagw is not None,
             )
+            pending.append((db, scores))
+        for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
