@@ -382,14 +382,6 @@ def _slices_similarity_batch(
     return S, S_un
 
 
-@dataclass
-class Candidate:
-    slice_id: int
-    score: float
-    raw_score: float
-    mapping: Optional[np.ndarray] = None
-
-
 class BruteForceEngine:
     """Scores a PackedCorpus against a compiled query plan."""
 
