@@ -87,15 +87,20 @@ def _greedy_fill_cost(w1, D, cap, injective: bool):
         d_best = jnp.min(D, axis=2)  # [B, n1]
         d_best = jnp.where(jnp.isfinite(d_best), d_best, MAX_SIMILARITY)
         return jnp.sum(w1 * d_best, axis=1)
-    order = jnp.argsort(D, axis=2)  # ascending
-    d_sorted = jnp.take_along_axis(D, order, axis=2)
-    cap_sorted = jnp.take_along_axis(
-        jnp.broadcast_to(cap[:, None, :], D.shape), order, axis=2
-    )
-    prefix = jnp.cumsum(cap_sorted, axis=2) - cap_sorted  # capacity before k
-    moved = jnp.clip(w1[:, :, None] - prefix, 0.0, cap_sorted)
-    d_sorted_f = jnp.where(jnp.isfinite(d_sorted), d_sorted, 0.0)
-    cost = jnp.sum(moved * d_sorted_f, axis=2)
+    # ascending-distance fill WITHOUT a sort (TPU argsort is slow): the
+    # capacity available before target j is the capacity of all targets
+    # strictly closer (ties broken by index, matching a stable sort)
+    n2 = D.shape[2]
+    idx = jnp.arange(n2, dtype=jnp.int32)
+    Dk = D[:, :, None, :]  # [B, n1, 1, n2] candidate k
+    Dj = D[:, :, :, None]  # [B, n1, n2, 1] target j
+    closer = (Dk < Dj) | ((Dk == Dj) & (idx[None, None, None, :] < idx[None, None, :, None]))
+    prefix = jnp.sum(
+        closer * cap[:, None, None, :], axis=3
+    )  # [B, n1, n2] capacity ahead of j
+    moved = jnp.clip(w1[:, :, None] - prefix, 0.0, cap[:, None, :])
+    Df = jnp.where(jnp.isfinite(D), D, 0.0)
+    cost = jnp.sum(moved * Df, axis=2)
     leftover = jnp.maximum(w1 - jnp.sum(moved, axis=2), 0.0)
     return jnp.sum(cost + leftover * MAX_SIMILARITY, axis=1)
 
