@@ -180,3 +180,53 @@ def test_packed_corpus_disk_cache(tmp_path, monkeypatch):
     p3 = load_packed(tmp_path / "direct.npz")
     assert p3.partition == p1.partition
     np.testing.assert_array_equal(p3.slice_doc, p1.slice_doc)
+
+
+def test_custom_vector_metric_end_to_end(small_session):
+    """User-defined VectorSim subclasses run on device inside the engine
+    (the reference's python-metric plugin point, metric/static.cpp:42-55 +
+    sim/vector.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+    from vectorian_tpu.sim.vector import VectorSim
+
+    class SoftCosine(VectorSim):
+        """cosine^p — a parameterized custom metric."""
+
+        def __init__(self, power):
+            self._power = float(power)
+
+        @property
+        def ident(self):  # jit-cache identity must cover parameters
+            return (type(self).__name__, self._power)
+
+        def compute(self, a, b):
+            c = jnp.dot(
+                jnp.asarray(a.normalized),
+                jnp.asarray(b.normalized).T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.clip(c, 0.0, 1.0) ** self._power
+
+        @property
+        def name(self):
+            return f"soft-cosine-{self._power}"
+
+    session, emb, _ = small_session
+    p = session.partition("sentence")
+    ix = p.index(
+        OptimizedSpanSim(EmbeddingTokenSim(emb, SoftCosine(2.0)))
+    )
+    r = ix.find("the king rides the horse", n=3, min_score=-5)
+    assert len(r) >= 1
+    # exact self-match still scores 1 (exact-token override precedes ^p)
+    assert r[0].score == pytest.approx(1.0, abs=1e-4)
+    # squaring reduces sub-1 similarities: a fuzzier query scores lower
+    # under SoftCosine(2) than under SoftCosine(1)
+    ix1 = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb, SoftCosine(1.0))))
+    r2a = ix1.find("king horse rides", n=1, min_score=-5)
+    r2b = ix.find("king horse rides", n=1, min_score=-5)
+    assert r2b[0].score <= r2a[0].score + 1e-6
