@@ -138,3 +138,43 @@ def test_contextual_oracle_score(ctx_session):
         raw, _, _, _ = gotoh_align(S, 0, 0, 0, 0, "local")
         want = raw / S.shape[1]
         assert m.score == pytest.approx(want, abs=2e-3), sid
+
+
+def test_contextual_lazy_corpus_roundtrip(tmp_path):
+    """Stored contextual vectors load lazily (h5 refs; no data read at
+    session build) and produce identical search results to the in-memory
+    session (reference ExternalMemoryVectors/OpenedVectorsCache,
+    embedding/vectors.py:245-309)."""
+    from vectorian_tpu import Corpus, Session, StringImporter
+    from vectorian_tpu.embedding.contextual import LambdaContextualEmbedding
+    from vectorian_tpu.embedding.vectors import ExternalMemoryVectors, LazyVectors
+
+    ctx = LambdaContextualEmbedding("lazy-ctx", ctx_fn, DIM)
+    text = "the old king rides the grey horse. a cat sleeps. the sun shines."
+    docs = [StringImporter()(text, title="d0")]
+    mem_session = Session(docs, embeddings=[ctx])  # encodes + stores vectors
+
+    with Corpus(tmp_path / "c") as corpus:
+        for d in mem_session.documents:
+            corpus.add_doc(d.doc)
+
+    with Corpus(tmp_path / "c") as corpus:
+        loaded = corpus.docs
+        # stored vectors come back as lazy h5 references
+        assert isinstance(
+            loaded[0].contextual_embeddings["lazy-ctx"], ExternalMemoryVectors
+        )
+        session = Session(loaded, embeddings=[ctx])
+        pd = session.documents[0]
+        lv = pd.contextual["lazy-ctx"]
+        assert isinstance(lv, LazyVectors)
+        assert lv._data is None, "session build must not read vector data"
+
+        from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+        q = "old king rides grey horse"
+        ix = session.partition("sentence").index(EmbeddingTokenSim(ctx))
+        mem_ix = mem_session.partition("sentence").index(EmbeddingTokenSim(ctx))
+        got = [(m.slice_id, round(m.score, 4)) for m in ix.find(q, n=3)]
+        want = [(m.slice_id, round(m.score, 4)) for m in mem_ix.find(q, n=3)]
+        assert got == want and got

@@ -106,7 +106,17 @@ class Document:
         spans = {k: np.asarray(v) for k, v in grp["spans"].items()}
         ctx = {}
         if "contextual" in grp:
-            ctx = {k: np.asarray(v) for k, v in grp["contextual"].items()}
+            # lazy references: vector bytes are read only when a contextual
+            # query first needs them (reference ExternalMemoryVectors,
+            # embedding/vectors.py:245-292)
+            from vectorian_tpu.embedding.vectors import ExternalMemoryVectors
+
+            fname = grp.file.filename
+            base = grp.name
+            ctx = {
+                k: ExternalMemoryVectors(fname, f"{base}/contextual/{k}")
+                for k in grp["contextual"]
+            }
         return Document(
             text=text,
             idx=np.asarray(grp["idx"]),
@@ -213,8 +223,10 @@ def prepare_document(
         arr = np.asarray(arr, np.int32)
         spans[level] = np.stack([cum[arr[:, 0]], cum[arr[:, 1]]], axis=1)
 
+    from vectorian_tpu.embedding.vectors import LazyVectors
+
     contextual = {
-        name: np.asarray(vecs)[keep]
+        name: LazyVectors(vecs, keep)
         for name, vecs in doc.contextual_embeddings.items()
         if len(vecs)
     }

@@ -141,6 +141,115 @@ class MaskedVectors(AbstractVectors):
         return self._v.magnitudes[self._mask]
 
 
+class OpenedVectorsCache:
+    """LRU cache of open h5 file handles for lazy vector references
+    (reference OpenedVectorsCache, embedding/vectors.py:295-309)."""
+
+    def __init__(self, maxsize: int = 8):
+        self._maxsize = maxsize
+        self._open: "OrderedDict" = __import__("collections").OrderedDict()
+
+    def open(self, path: str):
+        import h5py
+
+        f = self._open.get(path)
+        if f is not None and f.id.valid:
+            self._open.move_to_end(path)
+            return f
+        f = h5py.File(path, "r")
+        self._open[path] = f
+        while len(self._open) > self._maxsize:
+            _, old = self._open.popitem(last=False)
+            try:
+                old.close()
+            except Exception:
+                pass
+        return f
+
+    def close_all(self):
+        for f in self._open.values():
+            try:
+                f.close()
+            except Exception:
+                pass
+        self._open.clear()
+
+
+_OPENED = OpenedVectorsCache()
+
+
+class ExternalMemoryVectors:
+    """A lazy h5-backed vector matrix (reference ExternalMemoryVectors +
+    VectorsRef family, embedding/vectors.py:245-366): shape comes from h5
+    metadata; data is read only on first access — session construction over
+    a large stored corpus never touches contextual vector bytes."""
+
+    def __init__(self, path: str, dataset: str):
+        self._path = str(path)
+        self._dataset = dataset
+        self._data: Optional[np.ndarray] = None
+
+    @property
+    def shape(self):
+        if self._data is not None:
+            return self._data.shape
+        return tuple(_OPENED.open(self._path)[self._dataset].shape)
+
+    def __len__(self):
+        return int(self.shape[0])
+
+    def load(self) -> np.ndarray:
+        if self._data is None:
+            self._data = np.asarray(
+                _OPENED.open(self._path)[self._dataset], np.float32
+            )
+        return self._data
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.load()
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, key):
+        return self.load()[key]
+
+
+class LazyVectors:
+    """A row-subset view over a (possibly lazy) vector source, materialized
+    on first data access — PreparedDocument keeps these so that binding a
+    stored corpus to a session stays metadata-only."""
+
+    def __init__(self, source, keep: np.ndarray):
+        self._source = source
+        self._keep = np.asarray(keep)
+        self._data: Optional[np.ndarray] = None
+
+    @property
+    def shape(self):
+        if self._data is not None:
+            return self._data.shape
+        src_shape = (
+            self._source.shape
+            if hasattr(self._source, "shape")
+            else np.asarray(self._source).shape
+        )
+        return (int(self._keep.shape[0]),) + tuple(src_shape[1:])
+
+    def __len__(self):
+        return int(self._keep.shape[0])
+
+    def materialize(self) -> np.ndarray:
+        if self._data is None:
+            self._data = np.asarray(self._source, np.float32)[self._keep]
+        return self._data
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.materialize()
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, key):
+        return self.materialize()[key]
+
+
 class StackedVectors(AbstractVectors):
     """Horizontal stack over multiple embeddings (reference vectors.py:164)."""
 

@@ -323,23 +323,32 @@ class Session:
         fitted = []
         for tfm in getattr(emb, "transforms", ()):
             all_vecs = np.concatenate(
-                [pd.contextual[emb.name] for pd in self._documents if len(pd.contextual.get(emb.name, ()))],
+                [
+                    np.asarray(pd.contextual[emb.name], np.float32)
+                    for pd in self._documents
+                    if len(pd.contextual.get(emb.name, ()))
+                ],
                 axis=0,
             )
             ft = tfm.fit(all_vecs)
             for pd in self._documents:
                 if len(pd.contextual.get(emb.name, ())):
                     pd.contextual[emb.name] = np.asarray(
-                        ft.apply(pd.contextual[emb.name]), np.float32
+                        ft.apply(np.asarray(pd.contextual[emb.name], np.float32)),
+                        np.float32,
                     )
             fitted.append(ft)
         self._ctx_fitted[emb.name] = fitted
-        dims = [
-            pd.contextual[emb.name].shape[1]
-            for pd in self._documents
-            if len(pd.contextual.get(emb.name, ()))
-        ]
-        self._ctx_dims[emb.name] = dims[0] if dims else 0
+        # dimension from metadata of the first covered doc only — stored
+        # corpora keep contextual vectors lazy (h5 refs) until a contextual
+        # query actually packs them
+        dim = 0
+        for pd in self._documents:
+            v = pd.contextual.get(emb.name)
+            if v is not None and len(v):
+                dim = int(v.shape[1])
+                break
+        self._ctx_dims[emb.name] = dim
 
     @property
     def contextual_embeddings(self):
