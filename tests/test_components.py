@@ -230,3 +230,38 @@ def test_custom_vector_metric_end_to_end(small_session):
     r2a = ix1.find("king horse rides", n=1, min_score=-5)
     r2b = ix.find("king horse rides", n=1, min_score=-5)
     assert r2b[0].score <= r2a[0].score + 1e-6
+
+
+def test_parameterized_metric_jit_identity(small_session):
+    """Metrics with parameters must key the jit cache on those parameters —
+    two RBF gammas must give different scores (regression: ident collision
+    reused the first trace)."""
+    from vectorian_tpu.sim.kernel import DistanceToSimilarity, RadialBasis
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+    from vectorian_tpu.sim.vector import ModifiedVectorSim, PNormDistance
+
+    from vectorian_tpu.ops.simmatrix import compile_similarity
+
+    session, emb, _ = small_session
+
+    def matrix(gamma):
+        m = ModifiedVectorSim(
+            PNormDistance(2), DistanceToSimilarity(), RadialBasis(gamma)
+        )
+        # OOV needle id (-1) so the exact-match override can't mask the
+        # metric values
+        out = compile_similarity(
+            EmbeddingTokenSim(emb, m),
+            session.compiled_embeddings,
+            np.asarray([-1], np.int32),
+            ["king"],
+        )
+        return np.asarray(out["similarity"])
+
+    m1, m2 = matrix(0.5), matrix(8.0)
+    assert not np.allclose(m1, m2, atol=1e-6)
+    # idents differ, so the two compiles were distinct
+    m1 = ModifiedVectorSim(PNormDistance(2), RadialBasis(0.5))
+    m2 = ModifiedVectorSim(PNormDistance(2), RadialBasis(8.0))
+    assert m1.ident != m2.ident and hash(m1) != hash(m2)

@@ -94,3 +94,35 @@ def test_long_slice_truncation():
     session = Session(docs, embeddings=[emb])
     packed = session.packed_corpus(session.partition("sentence").spec)
     assert packed.slice_len.max() <= 1024  # capped at the largest bucket
+
+
+def test_span_ranges_non_tiling_matches_xspan():
+    """The vectorized sentence fast path must keep xspan's semantics: a
+    window ends at the NEXT span's start, so gap tokens between spans stay
+    in the earlier slice (reference corpus/document.py:123-131)."""
+    import numpy as np
+
+    from vectorian_tpu.corpus.document import PreparedDocument, xspan
+    from vectorian_tpu.corpus.packing import Partition
+
+    # spans with a 2-token gap between them (tokens 5-6 belong to no span)
+    spans = {"sentence": np.asarray([[0, 5], [7, 10], [10, 14]], np.int32)}
+    n = 14
+    pd = PreparedDocument(
+        doc=None, doc_index=0,
+        token_ids=np.arange(n, dtype=np.int32) + 1,
+        pos_ids=np.zeros(n, np.int8),
+        tag_ids=np.zeros(n, np.int16),
+        orig_index=np.arange(n, dtype=np.int32),
+        spans=spans,
+        contextual={},
+    )
+    part = Partition("sentence", 1, 1)
+    got = pd.span_ranges(part)
+    idxs = spans["sentence"][:, 0]
+    lens = spans["sentence"][:, 1] - spans["sentence"][:, 0]
+    for i in range(len(idxs)):
+        s, e = xspan(idxs, lens, i, 1, 1)
+        assert (got[i, 0], got[i, 1]) == (s, min(e, n)), i
+    # the gap tokens (5, 6) are inside slice 0, matching xspan
+    assert got[0, 1] == 7

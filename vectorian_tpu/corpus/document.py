@@ -181,9 +181,14 @@ class PreparedDocument:
             idxs = table[:, 0]
             lens = table[:, 1] - table[:, 0]
             if partition.window_size == 1 and partition.window_step == 1:
-                # the default sentence partition — straight span rows
+                # the default sentence partition, vectorized with xspan's
+                # exact semantics: window i ends at the NEXT span's start
+                # (gap tokens stay in the earlier slice), last span ends at
+                # its own end (reference corpus/document.py:123-131)
                 out[:, 0] = idxs[:k]
-                out[:, 1] = np.minimum(idxs[:k] + lens[:k], self.n_tokens)
+                out[: k - 1, 1] = idxs[1:k]
+                out[k - 1, 1] = idxs[k - 1] + lens[k - 1]
+                np.minimum(out[:, 1], self.n_tokens, out=out[:, 1])
             else:
                 for i in range(k):
                     s, e = xspan(

@@ -44,15 +44,19 @@ def _load() -> Optional[ctypes.CDLL]:
     except (OSError, subprocess.SubprocessError, FileNotFoundError):
         return None
 
-    lib.vn_ft_hash.restype = ctypes.c_uint32
-    lib.vn_ft_hash.argtypes = [ctypes.c_char_p, ctypes.c_int64]
-    lib.vn_ft_encode_batch.restype = None
-    lib.vn_lexicon_new.restype = ctypes.c_void_p
-    lib.vn_lexicon_free.argtypes = [ctypes.c_void_p]
-    lib.vn_lexicon_size.restype = ctypes.c_int64
-    lib.vn_lexicon_size.argtypes = [ctypes.c_void_p]
-    lib.vn_lexicon_get.restype = ctypes.c_int64
-    lib.vn_pack_fill.restype = None
+    try:
+        lib.vn_ft_hash.restype = ctypes.c_uint32
+        lib.vn_ft_hash.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.vn_ft_encode_batch.restype = None
+        lib.vn_lexicon_new.restype = ctypes.c_void_p
+        lib.vn_lexicon_free.argtypes = [ctypes.c_void_p]
+        lib.vn_lexicon_size.restype = ctypes.c_int64
+        lib.vn_lexicon_size.argtypes = [ctypes.c_void_p]
+        lib.vn_lexicon_get.restype = ctypes.c_int64
+        lib.vn_pack_fill.restype = None
+    except AttributeError:
+        # stale library missing newer entry points — fall back to python
+        return None
     _LIB = lib
     return _LIB
 

@@ -806,11 +806,15 @@ class BruteForceEngine:
         for bi, idxs in by_bucket.items():
             db = self._device_buckets[bi]
             L = db["capacity"]
-            rows = np.asarray(
-                [self._slice_loc[sids[j], 1] for j in idxs], np.int32
-            )
+            # pad the group to the next power of two (dummy rows repeat row
+            # 0) so the jit cache sees a handful of shapes, not one trace
+            # per way the top-k happens to distribute across buckets
+            g = len(idxs)
+            gp = _next_pow2(g)
+            rows = np.zeros((gp,), np.int32)
+            rows[:g] = [self._slice_loc[sids[j], 1] for j in idxs]
             if sels is not None:
-                sel_pad = np.zeros((len(idxs), L), np.int32)
+                sel_pad = np.zeros((gp, L), np.int32)
                 for k2, j in enumerate(idxs):
                     s = sels[j]
                     sel_pad[k2, : len(s)] = s

@@ -14,8 +14,10 @@ with pure jnp ops.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,11 +58,6 @@ class _DeviceVectors:
         self.unmodified = unmodified
         self.normalized = normalized
         self.magnitudes = magnitudes
-
-
-import functools
-
-import jax
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "needs_magnitudes"))
@@ -104,7 +101,12 @@ def _leaf_matrix(
 ) -> dict:
     emb = compiled[sim.embedding.name]
     t_vecs = emb.encode_query(needle_strings)
-    matrix, mag_t = _leaf_matrix_device(
+    leaf = (
+        _leaf_matrix_device.__wrapped__
+        if getattr(sim.metric, "host_only", False)
+        else _leaf_matrix_device
+    )
+    matrix, mag_t = leaf(
         sim.metric,
         emb.unmodified, emb.normalized, emb.magnitudes,
         jnp.asarray(t_vecs.unmodified),

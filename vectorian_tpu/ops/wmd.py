@@ -87,18 +87,33 @@ def _greedy_fill_cost(w1, D, cap, injective: bool):
         d_best = jnp.min(D, axis=2)  # [B, n1]
         d_best = jnp.where(jnp.isfinite(d_best), d_best, MAX_SIMILARITY)
         return jnp.sum(w1 * d_best, axis=1)
-    # ascending-distance fill WITHOUT a sort (TPU argsort is slow): the
-    # capacity available before target j is the capacity of all targets
-    # strictly closer (ties broken by index, matching a stable sort)
     n2 = D.shape[2]
-    idx = jnp.arange(n2, dtype=jnp.int32)
-    Dk = D[:, :, None, :]  # [B, n1, 1, n2] candidate k
-    Dj = D[:, :, :, None]  # [B, n1, n2, 1] target j
-    closer = (Dk < Dj) | ((Dk == Dj) & (idx[None, None, None, :] < idx[None, None, :, None]))
-    prefix = jnp.sum(
-        closer * cap[:, None, None, :], axis=3
-    )  # [B, n1, n2] capacity ahead of j
-    moved = jnp.clip(w1[:, :, None] - prefix, 0.0, cap[:, None, :])
+    if n2 <= 128:
+        # ascending-distance fill WITHOUT a sort (TPU argsort costs ~10x):
+        # the capacity available before target j is the capacity of all
+        # targets strictly closer (ties broken by index, matching a stable
+        # sort).  O(n2^2) memory — long-slice buckets fall through to the
+        # sort path below.
+        idx = jnp.arange(n2, dtype=jnp.int32)
+        Dk = D[:, :, None, :]  # [B, n1, 1, n2] candidate k
+        Dj = D[:, :, :, None]  # [B, n1, n2, 1] target j
+        closer = (Dk < Dj) | (
+            (Dk == Dj) & (idx[None, None, None, :] < idx[None, None, :, None])
+        )
+        prefix = jnp.sum(
+            closer * cap[:, None, None, :], axis=3
+        )  # [B, n1, n2] capacity ahead of j
+        moved = jnp.clip(w1[:, :, None] - prefix, 0.0, cap[:, None, :])
+    else:
+        order = jnp.argsort(D, axis=2)  # ascending, stable
+        cap_sorted = jnp.take_along_axis(
+            jnp.broadcast_to(cap[:, None, :], D.shape), order, axis=2
+        )
+        before = jnp.cumsum(cap_sorted, axis=2) - cap_sorted
+        moved_sorted = jnp.clip(w1[:, :, None] - before, 0.0, cap_sorted)
+        # scatter back to target order so the cost term below is uniform
+        inv = jnp.argsort(order, axis=2)
+        moved = jnp.take_along_axis(moved_sorted, inv, axis=2)
     Df = jnp.where(jnp.isfinite(D), D, 0.0)
     cost = jnp.sum(moved * Df, axis=2)
     leftover = jnp.maximum(w1 - jnp.sum(moved, axis=2), 0.0)
@@ -421,7 +436,7 @@ class WMDEngine:
                 m_s = np.ones((ln,), np.float32)
             elif tagged:
                 bi, r = engine._slice_loc[sid]
-                tags = np.asarray(engine._device_buckets[bi]["tag"][r])[:ln]
+                tags = engine._device_buckets[bi]["tag_np"][r][:ln]
                 m_s = dedup_masses(
                     list(zip(ids.tolist(), tags.tolist())), np.ones(ln, bool)
                 )

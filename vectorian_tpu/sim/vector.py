@@ -161,6 +161,12 @@ class DirectionalDistance(VectorSim):
     def __init__(self, dir):
         self._dir = jnp.asarray(dir)
 
+    @property
+    def ident(self):
+        import numpy as _np
+
+        return (type(self).__name__, _np.asarray(self._dir).tobytes())
+
     def compute(self, a, b):
         d = jnp.asarray(a.unmodified)[:, None, :] - jnp.asarray(b.unmodified)[None, :, :]
         return jnp.einsum("abd,kd->ab", d, jnp.atleast_2d(self._dir))
@@ -172,11 +178,18 @@ class DirectionalDistance(VectorSim):
 
 class LoggingSimilarity(VectorSim):
     """Records every (a, b) pair fed to the wrapped metric (reference
-    sim/vector.py:48-60) — debugging/tracing aid."""
+    sim/vector.py:48-60) — debugging/tracing aid.  ``host_only`` keeps it
+    out of jit (it writes a file with concrete values per call)."""
+
+    host_only = True
 
     def __init__(self, path, base):
         self._path = path
         self._base = base
+
+    @property
+    def ident(self):
+        return (type(self).__name__, str(self._path), self._base.ident)
 
     def compute(self, a, b):
         import json
@@ -204,6 +217,12 @@ class ModifiedVectorSim(VectorSim):
     def __init__(self, source: VectorSim, *operators: List[UnaryOperator]):
         self._source = source
         self._kernel = Kernel(operators)
+
+    @property
+    def ident(self):
+        # parameterized: the jit cache must key on source AND operator
+        # parameters (a bare class name would silently reuse stale traces)
+        return (type(self).__name__, self._source.ident, self._kernel.ident)
 
     def compute(self, a, b):
         return self._kernel(self._source(a, b))
