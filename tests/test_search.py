@@ -188,3 +188,98 @@ def test_window_partition(corpus_session):
     # window slices must be longer than single sentences on average
     single = session.packed_corpus(session.partition("sentence").spec)
     assert packed.slice_len.mean() > single.slice_len.mean()
+
+
+def test_fuzz_random_configs_vs_oracle(corpus_session):
+    """Randomized end-to-end parity sweep: random affine gaps, localities,
+    tag weighting and doc-side token filters, every trial checked against
+    the independent scalar oracle."""
+    session, emb, locations = corpus_session
+    rng = np.random.default_rng(1234)
+    known = sorted(set(emb._words))
+    localities = {
+        "local": LocalAlignment,
+        "global": GlobalAlignment,
+        "semiglobal": SemiGlobalAlignment,
+    }
+    from vectorian_tpu.alignment import AffineGapCost
+
+    p = session.partition("sentence")
+    vocab_strings = session.vocab.tokens.strings
+    w_to_id = {w: i for i, w in enumerate(vocab_strings)}
+
+    for trial in range(6):
+        qwords = [str(w) for w in rng.choice(known, size=rng.integers(3, 7))]
+        loc = str(rng.choice(list(localities)))
+        o, e = float(rng.uniform(0, 0.6)), float(rng.uniform(0, 0.4))
+        use_tags = trial % 2 == 1
+        use_filter = trial % 3 == 0
+        kwargs = {}
+        if use_tags:
+            kwargs = {
+                "tag_weights": {"NN": 0.8, "VB": 1.2, "DT": 0.3, "JJ": 0.6},
+                "pos_mismatch_penalty": 0.25,
+                "similarity_threshold": 0.15,
+            }
+        opt = localities[loc](AffineGapCost(o, e))
+        index = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), opt, **kwargs))
+        find_kwargs = {}
+        filter_words = []
+        if use_filter:
+            filter_words = ["the", "a"]
+            find_kwargs["token_filter"] = filter_words
+        result = index.find(
+            " ".join(qwords), n=10, min_score=-100.0, **find_kwargs
+        )
+        pq = index.make_query(" ".join(qwords)).prepare(index._nlp)
+
+        # --- independent oracle ---
+        def normed(v):
+            n = np.linalg.norm(v)
+            return v / n if n > 1e-9 else v
+
+        sim_vocab = np.zeros((len(vocab_strings), len(qwords)), np.float32)
+        qv = [normed(word_vector(w)) for w in qwords]
+        for i, w in enumerate(vocab_strings):
+            vi = normed(word_vector(w)) if w in emb._words and w != "<pad>" else None
+            for j in range(len(qwords)):
+                sim_vocab[i, j] = float(np.dot(vi, qv[j])) if vi is not None else 0.0
+        for j, w in enumerate(qwords):
+            i = w_to_id.get(w, -1)
+            if i >= 0:
+                sim_vocab[i, j] = 1.0
+        sim_vocab = np.clip(sim_vocab, 0.0, 1.0)
+        sim_vocab[0, :] = 0.0
+
+        if use_tags:
+            tw = kwargs["tag_weights"]
+            weights = np.asarray(
+                [tw.get(t, 1.0) for t in pq.token_tag], np.float32
+            )
+            norm_total = float(weights.sum())
+        else:
+            norm_total = float(len(qwords))
+        excluded = {w_to_id.get(w, -2) for w in filter_words}
+
+        packed = index.packed
+        got = {m.slice_id: m.score for m in result.matches}
+        for sid, score in got.items():
+            d = int(packed.slice_doc[sid])
+            s0 = int(packed.slice_start[sid])
+            ln = int(packed.slice_len[sid])
+            pd = session.documents[d]
+            ids = pd.token_ids[s0 : s0 + ln]
+            pos = pd.pos_ids[s0 : s0 + ln]
+            keep = np.asarray([t not in excluded for t in ids], bool)
+            ids, pos = ids[keep], pos[keep]
+            if len(ids) == 0:
+                continue
+            S = sim_vocab[ids].copy()
+            if use_tags:
+                mism = pos[:, None] != pq.pos_ids[None, :]
+                Sw = S * weights[None, :] * np.where(mism, 0.75, 1.0)
+                S = np.where(Sw > 0.15, Sw, 0.0)
+            raw, _, _, _ = gotoh_align(S, o, e, o, e, loc)
+            assert score == pytest.approx(raw / norm_total, abs=3e-4), (
+                trial, loc, o, e, use_tags, use_filter, sid
+            )
