@@ -29,28 +29,42 @@ from vectorian_tpu.ops.search import (
 from vectorian_tpu.ops.simmatrix import compile_plan, compile_similarity
 from vectorian_tpu.session import Result
 
-def _reverse_plan(qp):
-    """Plan with the needle axis reversed (bidirectional matching)."""
+def _reverse_plan(qp, n_tokens: int):
+    """Plan with the needle axis reversed (bidirectional matching).  Only
+    the first ``n_tokens`` columns are real — needle padding stays at the
+    tail so the runtime len_t mask keeps working."""
+    import jax.numpy as jnp
     from dataclasses import replace
+
+    def rev(m):
+        m = jnp.asarray(m)
+        return jnp.concatenate([m[:, :n_tokens][:, ::-1], m[:, n_tokens:]], axis=1)
+
+    def rev_rows(v):
+        v = np.asarray(v)
+        return np.concatenate([v[:n_tokens][::-1], v[n_tokens:]], axis=0)
 
     return replace(
         qp,
-        static_sims=[m[:, ::-1] for m in qp.static_sims],
+        static_sims=[rev(m) for m in qp.static_sims],
         ctx_queries=[
-            {k: np.asarray(v)[::-1] for k, v in q.items()} for q in qp.ctx_queries
+            {k: rev_rows(v) for k, v in q.items()} for q in qp.ctx_queries
         ],
     )
 
 
-def _reverse_tagw(tagw):
+def _reverse_tagw(tagw, n_tokens: int):
     if tagw is None:
         return None
     from dataclasses import replace
 
+    def rev(v):
+        return np.concatenate([v[:n_tokens][::-1], v[n_tokens:]], axis=0).copy()
+
     return replace(
         tagw,
-        t_pos_weights=tagw.t_pos_weights[::-1].copy(),
-        pos_t=tagw.pos_t[::-1].copy(),
+        t_pos_weights=rev(tagw.t_pos_weights),
+        pos_t=rev(tagw.pos_t),
     )
 
 
@@ -532,7 +546,9 @@ class BruteForceIndex(Index):
                 tok_ex[i] = True
         return DocFilterSpec(pos_ex, tag_ex, tok_ex)
 
-    def _tag_weighting(self, query: PreparedQuery) -> Optional[TagWeightingSpec]:
+    def _tag_weighting(
+        self, query: PreparedQuery, width: Optional[int] = None
+    ) -> Optional[TagWeightingSpec]:
         tw = self._args.get("tag_weights")
         if not tw:
             return None
@@ -541,9 +557,15 @@ class BruteForceIndex(Index):
         weights = np.asarray(
             [float(tw.get(t, 1.0)) for t in query.token_tag], np.float32
         )
+        pos_t = np.asarray(query.pos_ids, np.int8)
+        if width is not None and width > len(weights):
+            d = width - len(weights)
+            # padded needle columns: weight 0, pos sentinel (masked by len_t)
+            weights = np.concatenate([weights, np.zeros((d,), np.float32)])
+            pos_t = np.concatenate([pos_t, np.full((d,), -1, np.int8)])
         return TagWeightingSpec(
             t_pos_weights=weights,
-            pos_t=query.pos_ids,
+            pos_t=pos_t,
             pos_mismatch_penalty=float(self._args.get("pos_mismatch_penalty", 0.0)),
             similarity_threshold=float(self._args.get("similarity_threshold", 0.0)),
         )
@@ -562,12 +584,28 @@ class BruteForceIndex(Index):
             return self._find_transport(query)
 
         token_sim = self._args["metric"]["token_sim"]
+        # pad the needle to a multiple of 4 BEFORE the leaf build so one
+        # compiled (leaf GEMM, bucket kernel) pipeline serves a range of
+        # query lengths; the DP masks columns past the runtime len_t
+        T = query.n_tokens
+        Tpad = max(4, -(-T // 4) * 4)
+        pad_n = Tpad - T
+        tok_ids_p = np.concatenate(
+            [np.asarray(query.token_ids, np.int32), np.full((pad_n,), -1, np.int32)]
+        )
+        strings_p = list(query.token_strings) + [""] * pad_n
+        ctx_q = query.contextual_vectors(self._session)
+        for name, d in ctx_q.items():
+            ctx_q[name] = {
+                k: np.pad(np.asarray(v), ((0, pad_n),) + ((0, 0),) * (np.ndim(v) - 1))
+                for k, v in d.items()
+            }
         qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,
-            query.token_ids,
-            query.token_strings,
-            query.contextual_vectors(self._session),
+            tok_ids_p,
+            strings_p,
+            ctx_q,
         )
         for name in qp.ctx_names:
             self._engine.ensure_contextual(
@@ -579,8 +617,7 @@ class BruteForceIndex(Index):
                 {"similarity": np.asarray(qp.static_sims[0])},
             )
 
-        T = query.n_tokens
-        tagw = self._tag_weighting(query)
+        tagw = self._tag_weighting(query, width=Tpad)
         norm_total = tagw.total if tagw is not None else float(T)
         gaps = self._affine_gaps()
         if gaps is None:
@@ -638,8 +675,8 @@ class BruteForceIndex(Index):
             # score the reversed needle as well and keep the better
             # orientation per slice (reference 'bidirectional' option,
             # query.cpp:81-84)
-            qp_rev = _reverse_plan(qp)
-            tagw_rev = _reverse_tagw(tagw)
+            qp_rev = _reverse_plan(qp, T)
+            tagw_rev = _reverse_tagw(tagw, T)
             scores_rev = self._engine.score_all(
                 qp_rev, T, gaps, self._locality, norm_total,
                 boost=boost, tag_weights=tagw_rev, doc_filter=doc_filter,
@@ -675,8 +712,8 @@ class BruteForceIndex(Index):
                 doc_filter=doc_filter, gap_costs=gap_costs,
             )
             m_r, s_r = self._engine.rescore_with_flows(
-                rev_ids, _reverse_plan(qp), T, gaps, self._locality,
-                tag_weights=_reverse_tagw(tagw), doc_filter=doc_filter,
+                rev_ids, _reverse_plan(qp, T), T, gaps, self._locality,
+                tag_weights=_reverse_tagw(tagw, T), doc_filter=doc_filter,
                 gap_costs=gap_costs,
             )
             by_id = {sid: (m, s) for sid, m, s in zip(fwd_ids, m_f, s_f)}

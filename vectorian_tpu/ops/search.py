@@ -469,6 +469,14 @@ class BruteForceEngine:
             store.append(jnp.asarray(arr, dtype=jnp.bfloat16))
         self._ctx_stores[name] = store
 
+    @staticmethod
+    def _plan_width(qp: QueryPlan) -> int:
+        return (
+            int(qp.static_sims[0].shape[1])
+            if qp.static_sims
+            else int(qp.ctx_queries[0]["unmodified"].shape[0])
+        )
+
     def _plan_args(self, qp: QueryPlan, bucket_index: int):
         ctx = tuple(self._ctx_stores[nm][bucket_index] for nm in qp.ctx_names)
         return (
@@ -492,7 +500,7 @@ class BruteForceEngine:
         gap_costs=None,  # (GapCost_s, GapCost_t) -> general-gap DP path
     ) -> np.ndarray:
         """Normalized score for every slice in the corpus ([n_slices] f32)."""
-        T = len_t
+        T = self._plan_width(qp)  # padded needle width (>= len_t)
         out = np.full((self._packed.n_slices,), NEG_SCORE, np.float32)
         pending = []
         if doc_filter is not None:
@@ -660,7 +668,7 @@ class BruteForceEngine:
 
         Returns (slice_ids list, {slice_id: score}).
         """
-        T = len_t
+        T = self._plan_width(qp)  # padded needle width (>= len_t)
         cand_scores, cand_ids = [], []
         pending = []
         if doc_filter is not None:
@@ -932,14 +940,16 @@ class BruteForceEngine:
             sels=[sels[j] for j in live] if doc_filter is not None else None,
         )
 
-        # one padded DP batch over all live slices
+        # one padded DP batch over all live slices, at the plan's padded
+        # needle width so the DP-matrix jit is shared across query lengths
+        Tw = self._plan_width(qp)
         Lmax = max(len(sels[j]) for j in live)
-        S_batch = np.zeros((len(live), Lmax, len_t), np.float32)
+        S_batch = np.zeros((len(live), Lmax, Tw), np.float32)
         for b, (Sw, _) in enumerate(sims_list):
-            S_batch[b, : Sw.shape[0]] = Sw[:, :len_t]
+            S_batch[b, : Sw.shape[0]] = Sw[:, :Tw]
         if gap_costs is not None:
             w_s = gap_costs[0].costs(Lmax + 1)
-            w_t = gap_costs[1].costs(len_t + 1)
+            w_t = gap_costs[1].costs(Tw + 1)
             H_all = np.asarray(
                 align_matrices_general(
                     S_batch, jnp.asarray(w_s), jnp.asarray(w_t), locality
