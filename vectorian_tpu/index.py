@@ -873,12 +873,26 @@ class BruteForceIndex(Index):
 
         token_sim = self._args["metric"]["token_sim"]
         needs_mag = self._args["alignment"]["algorithm"] == "word-rotators-distance"
+        # needle padded to a length bucket (see _find): transport kernels
+        # mask zero-mass entries, so one compile serves a range of lengths
+        T = query.n_tokens
+        pad_n = max(4, -(-T // 4) * 4) - T
+        tok_ids_p = np.concatenate(
+            [np.asarray(query.token_ids, np.int32), np.full((pad_n,), -1, np.int32)]
+        )
+        strings_p = list(query.token_strings) + [""] * pad_n
+        ctx_q = query.contextual_vectors(self._session)
+        for name, d in ctx_q.items():
+            ctx_q[name] = {
+                k: np.pad(np.asarray(v), ((0, pad_n),) + ((0, 0),) * (np.ndim(v) - 1))
+                for k, v in d.items()
+            }
         qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,
-            query.token_ids,
-            query.token_strings,
-            query.contextual_vectors(self._session),
+            tok_ids_p,
+            strings_p,
+            ctx_q,
             needs_magnitudes=needs_mag,
         )
         for name in qp.ctx_names:

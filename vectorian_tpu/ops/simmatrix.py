@@ -192,34 +192,6 @@ class QueryPlan:
         return self.static_sims[0]
 
 
-def pad_plan(qp: "QueryPlan", t_pad: int) -> "QueryPlan":
-    """Zero-pad the needle axis of a compiled plan to ``t_pad`` columns.
-
-    The DP masks columns past the runtime ``len_t``, so padding the needle
-    to small multiples means one kernel compile serves a whole range of
-    query lengths (instead of one multi-second compile per distinct token
-    count)."""
-    from dataclasses import replace
-
-    T = (
-        int(qp.static_sims[0].shape[1])
-        if qp.static_sims
-        else int(qp.ctx_queries[0]["unmodified"].shape[0])
-    )
-    if t_pad <= T:
-        return qp
-    d = t_pad - T
-    return replace(
-        qp,
-        static_sims=[jnp.pad(m, ((0, 0), (0, d))) for m in qp.static_sims],
-        ctx_queries=[
-            {k: jnp.pad(jnp.asarray(v), ((0, d),) + ((0, 0),) * (np.ndim(v) - 1))
-             for k, v in q.items()}
-            for q in qp.ctx_queries
-        ],
-    )
-
-
 def compile_plan(
     token_sim,
     compiled: Dict[str, CompiledEmbedding],

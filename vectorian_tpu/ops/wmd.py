@@ -370,6 +370,9 @@ class WMDEngine:
         T = query.n_tokens
         engine = self._engine
         a = self._args
+        # padded needle width (see index._find_transport): kernel shapes use
+        # Tpad, masses beyond T are zero (masked by the transport solvers)
+        Tpad = engine._plan_width(qp) if (qp.static_sims or qp.ctx_queries) else T
         # contextual (per-position) operands -> position-unique BOW entries
         # (reference similarity_dependency()==POSITION selects
         # UniqueTokensBOWBuilder, metric/alignment.h:551-576)
@@ -378,13 +381,14 @@ class WMDEngine:
         # (similarity_dependency()==TAGS -> TaggedTokenFactory,
         # metric/alignment.h:558-563 + bow.h:150-202); position-unique
         # subsumes it when a contextual operand is present
-        tagw = index._tag_weighting(query)
+        tagw = index._tag_weighting(query, width=Tpad)
         tagged = tagw is not None and not unique
         mass_t = (
             np.ones((T,), np.float32)
             if unique
             else self._query_masses(query, tagged=tagged)
         )
+        mass_t = np.pad(mass_t, (0, Tpad - T))
 
         if self._algorithm == "word-movers-distance" and a["relaxed"]:
             scores = self._score_buckets_rwmd(
@@ -444,7 +448,7 @@ class WMDEngine:
                 m_s = dedup_masses(ids, np.ones(ln, bool))
             score = float(scores[sid])
             if self._algorithm == "word-movers-distance" and a["relaxed"]:
-                m_t = mass_t.copy()
+                m_t = mass_t[:T].copy()
                 m_s_use = m_s.copy()
                 if a["normalize_bow"]:
                     m_t = m_t / max(m_t.sum(), 1e-9)
@@ -453,13 +457,13 @@ class WMDEngine:
             else:
                 # exact EMD rescore (reference uses exact emd_hat)
                 if self._algorithm == "word-rotators-distance":
-                    m_t = np.asarray(mass_t_mag, np.float64)
+                    m_t = np.asarray(mass_t_mag[:T], np.float64)
                     m_s_use = self._slice_magnitudes(qp, sid, ln)
                     if a.get("normalize_magnitudes", True):
                         m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
                         m_t = m_t / max(m_t.sum(), 1e-9)
                 else:
-                    m_t = mass_t.copy()
+                    m_t = mass_t[:T].copy()
                     m_s_use = m_s
                     if a["normalize_bow"]:
                         m_t = m_t / max(m_t.sum(), 1e-9)
@@ -505,8 +509,9 @@ class WMDEngine:
     def _static_needle_magnitudes(self, qp, query) -> np.ndarray:
         mags = np.asarray(qp.static_mags[0])
         ids = np.asarray(query.token_ids)
-        out = np.where(ids >= 0, mags[np.maximum(ids, 0)], 0.0)
-        return out.astype(np.float32)
+        out = np.where(ids >= 0, mags[np.maximum(ids, 0)], 0.0).astype(np.float32)
+        width = self._engine._plan_width(qp)
+        return np.pad(out, (0, max(width - len(out), 0)))
 
     def _slice_magnitudes(self, qp, sid, ln) -> np.ndarray:
         engine = self._engine
