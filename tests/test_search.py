@@ -283,3 +283,13 @@ def test_fuzz_random_configs_vs_oracle(corpus_session):
             assert score == pytest.approx(raw / norm_total, abs=3e-4), (
                 trial, loc, o, e, use_tags, use_filter, sid
             )
+
+
+def test_warmup_precompiles_buckets(corpus_session):
+    """index.warmup() runs dummy queries over each needle-length bucket and
+    returns self; real queries afterwards work unchanged."""
+    session, emb, locations = corpus_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    assert index.warmup(max_tokens=8) is index
+    r = index.find("old king rides horse", n=3)
+    assert len(r) >= 1

@@ -507,6 +507,21 @@ class BruteForceIndex(Index):
             return None
         return {"s": self._gap_s, "t": self._gap_t}
 
+    def warmup(self, max_tokens: int = 12) -> "BruteForceIndex":
+        """Pre-compile the query pipeline for every needle-length bucket up
+        to ``max_tokens`` (first queries otherwise pay multi-second XLA
+        compiles; with length bucketing one dummy query per multiple of 4
+        covers the whole range).  Returns self for chaining."""
+        vocab_words = [
+            w for w in self._session.vocab.tokens.strings[1:] if w
+        ][: max(max_tokens, 1)]
+        if not vocab_words:
+            return self
+        for t in range(4, max(max_tokens, 4) + 1, 4):
+            words = [vocab_words[i % len(vocab_words)] for i in range(t)]
+            self.find(" ".join(words), n=1, min_score=2.0)
+        return self
+
     def _affine_gaps(self) -> Optional[AffineGapParams]:
         """Affine params when the gap model is exactly affine (fast Gotoh
         kernel), else None — the engine then uses the general-gap WSB DP."""
