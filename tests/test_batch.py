@@ -147,3 +147,29 @@ def test_find_batch_empty_query(session_ix):
     batch = index.find_batch(["", "king rides"], n=3)
     assert len(batch[0]) == 0
     assert len(batch[1]) >= 1
+
+
+def test_find_batch_contextual_matches_single():
+    """Contextual batch serving: one stacked-GEMM corpus pass must match
+    the single-query contextual path exactly."""
+    from tests.test_contextual import DIM, ctx_fn
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.embedding.contextual import LambdaContextualEmbedding
+    from vectorian_tpu.sim.token import EmbeddingTokenSim as ETS
+
+    ctx = LambdaContextualEmbedding("batch-ctx", ctx_fn, DIM)
+    docs = [StringImporter()(
+        "the old king rides the grey horse. a cat sleeps. the sun shines over the sea.",
+        title="d0",
+    )]
+    session = Session(docs, embeddings=[ctx])
+    ix = session.partition("sentence").index(ETS(ctx))
+    queries = ["the old king rides the grey horse", "the sun shines", "cat sleeps"]
+    batch = ix.find_batch(queries, n=3, min_score=-5.0)
+    assert len(batch) == 3
+    for q, br in zip(queries, batch):
+        sr = ix.find(q, n=3, min_score=-5.0)
+        got = [(m.slice_id, round(m.score, 3)) for m in br]
+        want = [(m.slice_id, round(m.score, 3)) for m in sr]
+        assert got == want, q
+    assert batch[0][0].score > 0.9

@@ -808,8 +808,18 @@ class BruteForceIndex(Index):
         if self._algorithm != "alignment":
             raise NotImplementedError("find_batch supports alignment metrics")
         token_sim = self._args["metric"]["token_sim"]
-        if any(not getattr(e, "is_static", True) for e in token_sim.embeddings):
-            raise NotImplementedError("find_batch requires static embeddings")
+        from vectorian_tpu.sim.token import EmbeddingTokenSim as _ETS
+
+        embs = list(token_sim.embeddings)
+        statics = [getattr(e, "is_static", True) for e in embs]
+        if not all(statics):
+            if isinstance(token_sim, _ETS) and not self._args.get("tag_weights"):
+                return self._find_batch_ctx(
+                    texts, n=n, min_score=min_score, **kwargs
+                )
+            raise NotImplementedError(
+                "find_batch supports static or single-contextual metrics"
+            )
         # options the batched kernel does not take — delegate to the exact
         # single-query path rather than silently ignoring them
         if {"booster", "pos_filter", "tag_filter", "token_filter"} & set(kwargs):
@@ -866,6 +876,75 @@ class BruteForceIndex(Index):
             mappings, edge_sims = self._engine.rescore_with_flows(
                 top, plans[qi], pq.n_tokens, gaps, self._locality,
                 tag_weights=tagws[qi],
+            )
+            matches = [
+                Match(
+                    self,
+                    pq,
+                    slice_id=sid,
+                    score=float(scores[sid, qi]),
+                    metric=token_sim.name,
+                    mapping=mapping,
+                    similarities=sims,
+                )
+                for sid, mapping, sims in zip(top, mappings, edge_sims)
+            ]
+            matches = [m for m in matches if m.score >= min_score][:n]
+            results.append(Result(self, matches, time.time() - start_time))
+        return results
+
+    def _find_batch_ctx(
+        self, texts, n: int = 100, min_score: float = 0.2, **kwargs
+    ) -> List[Result]:
+        """Batched search over ONE contextual embedding: the per-chunk
+        metric evaluation becomes a single GEMM against the Q stacked query
+        matrices (the contextual analogue of the static table batching)."""
+        if {"booster", "pos_filter", "tag_filter", "token_filter"} & set(kwargs):
+            return [
+                self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
+            ]
+        token_sim = self._args["metric"]["token_sim"]
+        emb = token_sim.embeddings[0]
+        name = emb.name
+        self._engine.ensure_contextual(
+            name, self._session.documents, self._session._ctx_dims[name]
+        )
+        gaps = self._affine_gaps()
+        if gaps is None:
+            raise NotImplementedError("find_batch requires affine gap costs")
+
+        start_time = time.time()
+        prepared, plans, len_ts, norm_totals, ctx_qs = [], [], [], [], []
+        for text in texts:
+            q = self.make_query(text, n=n, min_score=min_score, **kwargs)
+            pq = q.prepare(self._nlp)
+            prepared.append(pq)
+            ctx = pq.contextual_vectors(self._session)[name]
+            ctx_qs.append(ctx)
+            qp = compile_plan(
+                token_sim,
+                self._session.compiled_embeddings,
+                pq.token_ids,
+                pq.token_strings,
+                {name: ctx},
+            )
+            plans.append(qp)
+            len_ts.append(max(pq.n_tokens, 1))
+            norm_totals.append(float(max(pq.n_tokens, 1)))
+
+        scores = self._engine.score_all_multi_ctx(
+            name, token_sim.metric, ctx_qs, len_ts, gaps, self._locality,
+            norm_totals,
+        )  # [n_slices, Q]
+
+        results = []
+        for qi, pq in enumerate(prepared):
+            if pq.n_tokens == 0:
+                results.append(Result(self, [], 0.0))
+                continue
+            top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
+            mappings, edge_sims = self._engine.rescore_with_flows(
+                top, plans[qi], pq.n_tokens, gaps, self._locality
             )
             matches = [
                 Match(

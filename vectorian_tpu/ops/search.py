@@ -313,6 +313,72 @@ def _bucket_scores_multiquery(
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "locality", "chunk", "n_queries", "use_pallas"),
+)
+def _bucket_scores_multiquery_ctx(
+    ctx_store: jnp.ndarray,  # [N, L, d] per-token contextual vectors
+    lengths: jnp.ndarray,  # [N] i32
+    q_norm: jnp.ndarray,  # [T*Q, d] stacked normalized query vectors (q-minor)
+    q_unmod: jnp.ndarray,  # [T*Q, d] unmodified
+    q_mags: jnp.ndarray,  # [T*Q]
+    len_t: jnp.ndarray,  # [Q] i32
+    gaps: AffineGapParams,
+    norm_total: jnp.ndarray,  # [Q] f32
+    metric,
+    locality: str,
+    chunk: int,
+    n_queries: int,
+    use_pallas: bool = False,
+):
+    """[N, Q] scores for Q contextual queries in one corpus pass: the
+    per-chunk metric evaluation is ONE GEMM against the [T*Q, d] stacked
+    query matrix, and its [c, L, T, Q] output is already the DP kernel's
+    native tiling."""
+    from vectorian_tpu.ops.simmatrix import _ChunkVectors
+
+    N, L, d = ctx_store.shape
+    Q = n_queries
+    T = q_norm.shape[0] // Q
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        ctx, ln = args  # [c, L, d], [c]
+        c = ctx.shape[0]
+        flat = ctx.astype(jnp.float32).reshape(c * L, d)
+        mags = jnp.linalg.norm(flat, axis=-1)
+        normed = flat / jnp.maximum(mags, 1e-9)[:, None]
+        a = _ChunkVectors(flat, normed, mags)
+        b = _ChunkVectors(q_unmod, q_norm, q_mags)
+        S = metric.compute(a, b)  # [c*L, T*Q]
+        S = jnp.clip(S, 0.0, 1.0)
+        S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L, c, T, Q]
+        if use_pallas and Q >= 128:
+            from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
+
+            raw = pallas_align_scores_multi_nt(
+                S, jnp.maximum(ln, 1), len_t, gaps, locality
+            )
+        else:
+            S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
+            raw = align_scores(
+                S2,
+                jnp.repeat(jnp.maximum(ln, 1), Q),
+                jnp.tile(len_t, c),
+                gaps,
+                locality,
+            ).reshape(c, Q)
+        scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+        return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
+
+    xs = (
+        ctx_store.reshape(n_chunks, chunk, L, d),
+        lengths.reshape(n_chunks, chunk),
+    )
+    return jax.lax.map(one_chunk, xs).reshape(N, Q)
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "with_tags"))
 def _slice_similarity(
     plan: tuple,
@@ -642,6 +708,62 @@ class BruteForceEngine:
                 n_queries=Q,
                 use_pallas=use_pallas_default(),
                 with_tags=with_tags,
+            )
+            pending.append((db, scores))
+        for db, scores in pending:
+            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        return out
+
+    def score_all_multi_ctx(
+        self,
+        name: str,
+        metric,
+        ctx_queries: List[dict],  # q -> {unmodified, normalized, magnitudes}
+        len_ts: List[int],
+        gaps: AffineGapParams,
+        locality: str,
+        norm_totals: List[float],
+    ) -> np.ndarray:
+        """[n_slices, Q] scores for a batch of single-contextual-embedding
+        queries in one corpus pass (per-chunk metric evaluation = one GEMM
+        against the stacked query matrix)."""
+        Q = len(ctx_queries)
+        Tmax = max(len_ts)
+        Tpad = -(-Tmax // 8) * 8
+        d = int(np.asarray(ctx_queries[0]["unmodified"]).shape[1])
+
+        def stack(key):
+            out = np.zeros((Tpad, Q) + np.asarray(ctx_queries[0][key]).shape[1:], np.float32)
+            for q, dq in enumerate(ctx_queries):
+                v = np.asarray(dq[key], np.float32)
+                out[: v.shape[0], q] = v
+            return jnp.asarray(out.reshape((Tpad * Q,) + out.shape[2:]))
+
+        q_unmod = stack("unmodified")
+        q_norm = stack("normalized")
+        q_mags = stack("magnitudes")
+        lt_arr = jnp.asarray(len_ts, jnp.int32)
+        nt_arr = jnp.asarray(norm_totals, jnp.float32)
+
+        out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
+        pending = []
+        for bi, db in enumerate(self._device_buckets):
+            if db["n"] == 0:
+                continue
+            scores = _bucket_scores_multiquery_ctx(
+                self._ctx_stores[name][bi],
+                db["lengths"],
+                q_norm,
+                q_unmod,
+                q_mags,
+                lt_arr,
+                gaps,
+                nt_arr,
+                metric=metric,
+                locality=locality,
+                chunk=db["chunk"],
+                n_queries=Q,
+                use_pallas=use_pallas_default(),
             )
             pending.append((db, scores))
         for db, scores in pending:
