@@ -514,22 +514,51 @@ class BruteForceEngine:
     def ensure_contextual(self, name: str, documents, dim: int):
         """Pack per-token contextual vectors [Npad, L, d] per bucket (the
         TPU analogue of the reference's per-doc h5 vector open,
-        metric/contextual.cpp:26-75) — built once, cached."""
+        metric/contextual.cpp:26-75) — built once, cached.
+
+        Vectorized like pack_corpus: per-doc vectors concatenate into one
+        flat [total_tokens, d] matrix (materializing lazy h5 refs here, on
+        first contextual query), then each bucket fills with one masked
+        fancy-index gather instead of a per-slice python loop."""
         if name in self._ctx_stores:
             return
         packed = self._packed
+        flat_parts, off_by_doc, off = [], {}, 0
+        for d_i, pd in enumerate(documents):
+            vecs = pd.contextual.get(name)
+            off_by_doc[d_i] = off
+            if vecs is not None and len(vecs):
+                flat_parts.append(np.asarray(vecs, np.float32))
+                off += len(vecs)
+        if flat_parts:
+            flat = np.concatenate(flat_parts, axis=0)
+        else:
+            flat = np.zeros((1, dim), np.float32)
+        offs = np.zeros((max(len(documents), 1),), np.int64)
+        for d_i, o in off_by_doc.items():
+            offs[d_i] = o
+        has_vecs = np.asarray(
+            [
+                1 if len(documents[d_i].contextual.get(name, ())) else 0
+                for d_i in range(len(documents))
+            ],
+            bool,
+        )
+
         store = []
         for db in self._device_buckets:
             npad = int(db["tokens"].shape[0])
             L = db["capacity"]
+            n = db["n"]
+            sids = db["slice_index"]
+            docs_b = packed.slice_doc[sids]
+            starts = offs[docs_b] + packed.slice_start[sids]
+            lens_b = packed.slice_len[sids] * has_vecs[docs_b]
+            idx = starts[:, None] + np.arange(L, dtype=np.int64)[None, :]
+            mask = np.arange(L)[None, :] < lens_b[:, None]
+            idx = np.minimum(np.where(mask, idx, 0), len(flat) - 1)
             arr = np.zeros((npad, L, dim), np.float32)
-            for r, sid in enumerate(db["slice_index"]):
-                d_i = int(packed.slice_doc[sid])
-                s0 = int(packed.slice_start[sid])
-                l = int(packed.slice_len[sid])
-                vecs = documents[d_i].contextual.get(name)
-                if vecs is not None and len(vecs):
-                    arr[r, :l] = vecs[s0 : s0 + l]
+            arr[:n] = np.where(mask[:, :, None], flat[idx], 0.0)
             # bf16 in HBM halves the bandwidth of the einsum-dominated
             # contextual path; eval_plan_chunk upcasts to f32 per chunk
             store.append(jnp.asarray(arr, dtype=jnp.bfloat16))
