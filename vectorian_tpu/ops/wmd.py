@@ -10,9 +10,12 @@ TPU re-architecture:
   to the reference's vocab-level problem and fully vectorizable (O(L^2)
   equality comparisons per slice, batched on the VPU).
 * RelaxedSolver (wmd.h:273-417): the per-token greedy heap fill becomes a
-  sort + prefix-sum along the target axis — each source token fills
-  capacities in ascending-distance order; leftover mass costs the maximum
-  distance 1.0.  Both directions batched; `symmetric` takes the tighter.
+  sort-free capacity prefix — the mass available before each target is the
+  total capacity of strictly-closer targets, computed from a pairwise
+  distance-comparison mask (TPU argsort costs ~10x; the sort path remains
+  for long-slice buckets).  Each source token fills capacities in
+  ascending-distance order; leftover mass costs the maximum distance 1.0.
+  Both directions batched; `symmetric` takes the tighter.
 * FullSolver / WRD exact EMD (wmd.h:194-270, wrd.h:62-146): device ranking
   via batched log-domain Sinkhorn (ops/sinkhorn.py), exact host EMD rescore
   of the top-k (ops/emd_exact.py) so reported scores match the exact
