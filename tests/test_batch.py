@@ -173,3 +173,40 @@ def test_find_batch_contextual_matches_single():
         want = [(m.slice_id, round(m.score, 3)) for m in sr]
         assert got == want, q
     assert batch[0][0].score > 0.9
+
+
+def test_find_batch_rwmd_matches_single(session_ix):
+    """Batched relaxed WMD shares one corpus pass and must match the
+    single-query transport path exactly."""
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim as ETS
+
+    session, index, locations = session_ix
+    emb = session.embeddings[0]
+    ix = session.partition("sentence").index(
+        OptimizedSpanSim(ETS(emb), WordMoversDistance.rwmd("nbow"))
+    )
+    queries = [
+        "horse grey the rides king old the",
+        "bird sings tree",
+        "the old king",
+    ]
+    batch = ix.find_batch(queries, n=4, min_score=-5.0)
+    assert len(batch) == 3
+    for q, br in zip(queries, batch):
+        sr = ix.find(q, n=4, min_score=-5.0)
+        got = [(m.slice_id, round(m.score, 4)) for m in br]
+        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        assert got == want, q
+
+    # unsupported transport configs fall back to exact per-query results
+    ix2 = session.partition("sentence").index(
+        OptimizedSpanSim(ETS(emb), WordRotatorsDistance())
+    )
+    b2 = ix2.find_batch(queries[:2], n=3, min_score=-5.0)
+    for q, br in zip(queries[:2], b2):
+        sr = ix2.find(q, n=3, min_score=-5.0)
+        assert [(m.slice_id, round(m.score, 4)) for m in br] == [
+            (m.slice_id, round(m.score, 4)) for m in sr
+        ], q

@@ -806,7 +806,9 @@ class BruteForceIndex(Index):
         metrics; tag weighting is supported; boosters and doc-side filters
         use the single-query path."""
         if self._algorithm != "alignment":
-            raise NotImplementedError("find_batch supports alignment metrics")
+            return self._find_batch_transport(
+                texts, n=n, min_score=min_score, **kwargs
+            )
         token_sim = self._args["metric"]["token_sim"]
         from vectorian_tpu.sim.token import EmbeddingTokenSim as _ETS
 
@@ -892,6 +894,63 @@ class BruteForceIndex(Index):
             matches = [m for m in matches if m.score >= min_score][:n]
             results.append(Result(self, matches, time.time() - start_time))
         return results
+
+    def _find_batch_transport(
+        self, texts, n: int = 100, min_score: float = 0.2, **kwargs
+    ) -> List[Result]:
+        """Batched transport search.  Relaxed WMD over static plans shares
+        one corpus pass across Q queries; other transport configs fall back
+        to exact per-query passes."""
+        from vectorian_tpu.ops.wmd import WMDEngine
+
+        a = self._args["alignment"]
+        token_sim = self._args["metric"]["token_sim"]
+        supported = (
+            a["algorithm"] == "word-movers-distance"
+            and a.get("relaxed")
+            and all(getattr(e, "is_static", True) for e in token_sim.embeddings)
+            and not self._args.get("tag_weights")
+            and not (
+                {"booster", "pos_filter", "tag_filter", "token_filter"}
+                & set(kwargs)
+            )
+        )
+        if not supported:
+            return [
+                self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
+            ]
+
+        start_time = time.time()
+        queries, qps, order = [], [], []
+        results: List[Optional[Result]] = [None] * len(texts)
+        for ti, text in enumerate(texts):
+            q = self.make_query(text, n=n, min_score=min_score, **kwargs)
+            pq = q.prepare(self._nlp)
+            if pq.n_tokens == 0:
+                results[ti] = Result(self, [], 0.0)
+                continue
+            T = pq.n_tokens
+            pad_n = max(4, -(-T // 4) * 4) - T
+            qp = compile_plan(
+                token_sim,
+                self._session.compiled_embeddings,
+                np.concatenate(
+                    [np.asarray(pq.token_ids, np.int32),
+                     np.full((pad_n,), -1, np.int32)]
+                ),
+                list(pq.token_strings) + [""] * pad_n,
+                {},
+            )
+            queries.append(pq)
+            qps.append(qp)
+            order.append(ti)
+        if queries:
+            wmd = WMDEngine(self._engine, a)
+            match_lists = wmd.find_batch(self, queries, qps, n, min_score)
+            dur = time.time() - start_time
+            for ti, ml in zip(order, match_lists):
+                results[ti] = Result(self, ml, dur)
+        return [r if r is not None else Result(self, [], 0.0) for r in results]
 
     def _find_batch_ctx(
         self, texts, n: int = 100, min_score: float = 0.2, **kwargs

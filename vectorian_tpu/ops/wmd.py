@@ -224,6 +224,68 @@ def _bucket_rwmd_scores(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "injective", "symmetric", "normalize_bow", "chunk", "n_queries",
+    ),
+)
+def _bucket_rwmd_scores_multi(
+    token_ids: jnp.ndarray,  # [N, L] i32
+    lengths: jnp.ndarray,  # [N] i32
+    sim_multi: jnp.ndarray,  # [V, T, Q] stacked query similarity tables
+    mass_t: jnp.ndarray,  # [T, Q] per-query deduped masses (0-padded)
+    len_t: jnp.ndarray,  # [Q] i32 real token counts
+    injective: bool,
+    symmetric: bool,
+    normalize_bow: bool,
+    chunk: int,
+    n_queries: int,
+):
+    """[N, Q] relaxed-WMD scores — Q static queries share one corpus pass
+    (the vocab gather, like the alignment serving batch)."""
+    N, L = token_ids.shape
+    T, Q = sim_multi.shape[1], sim_multi.shape[2]
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tokT, ln = args  # [L, c], [c]
+        c = ln.shape[0]
+        S = sim_multi[tokT]  # [L, c, T, Q]
+        mass_s = _device_masses(tokT.T, ln)  # [c, L] shared across queries
+        w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)  # [c]
+        w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)  # [Q]
+        if normalize_bow:
+            m_s = mass_s / w_sum_s[:, None]
+            m_t = mass_t / w_sum_t[None, :]
+        else:
+            m_s = mass_s
+            m_t = mass_t
+        D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
+        Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
+        m_t_b = jnp.tile(m_t.T[None], (c, 1, 1)).reshape(c * Q, T)
+        m_s_b = jnp.repeat(m_s, Q, axis=0)  # [c*Q, L], b = ci*Q + q
+        acc0 = _greedy_fill_cost(m_t_b, Dts, m_s_b, injective)  # [c*Q]
+        if not normalize_bow:
+            acc0 = acc0 / jnp.tile(w_sum_t, c)
+        if symmetric:
+            Dst = jnp.transpose(D, (1, 3, 0, 2)).reshape(c * Q, L, T)
+            acc1 = _greedy_fill_cost(m_s_b, Dst, m_t_b, injective)
+            if not normalize_bow:
+                acc1 = acc1 / jnp.repeat(w_sum_s, Q)
+            cost = jnp.maximum(acc0, acc1)
+        else:
+            cost = acc0
+        # cost_to_score (wmd.h:139-141): max_cost = 1 (nbow) or len_t (bow)
+        max_cost = 1.0 if normalize_bow else jnp.tile(w_sum_t, c)
+        score = ((max_cost - cost) / max_cost).reshape(c, Q)
+        return jnp.where(ln[:, None] > 0, score, NEG_SCORE)
+
+    tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
+    xs = (tokens_T, lengths.reshape(n_chunks, chunk))
+    return jax.lax.map(one_chunk, xs).reshape(N, Q)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "plan", "use_magnitudes", "normalize_mass", "chunk", "n_iters",
         "unique_masses", "with_tags",
     ),
@@ -363,13 +425,115 @@ class WMDEngine:
         return dedup_masses(ids, valid)
 
     def find(self, index, query, qp) -> List:
-        from vectorian_tpu.index import Match
-
         opts = query.options
         n = int(opts.get("max_matches", 100))
         min_score = float(opts.get("min_score", 0.2))
         debug = opts.get("debug")
 
+        state = self._score(index, query, qp)
+        scores = state["scores"]
+        if debug:
+            debug("scores", {"scores": scores})
+        top = self._engine.top_k(scores, n, min_score=min_score)
+        if not top:
+            return []
+        matches = self._host_rescore(
+            index, query, qp, state, top, min_score, debug
+        )
+        packed = self._engine.packed
+        matches.sort(
+            key=lambda m: (
+                -m.score,
+                int(packed.slice_doc[m.slice_id]),
+                int(packed.slice_idx[m.slice_id]),
+            )
+        )
+        return matches[:n]
+
+    def find_batch(self, index, queries, qps, n: int, min_score: float) -> List:
+        """Batched relaxed-WMD over static plans: one corpus pass serves
+        Q queries (the gather amortizes like the alignment serving batch),
+        then the per-query host rescore/flows run as usual."""
+        engine = self._engine
+        a = self._args
+        Q = len(queries)
+        widths = [engine._plan_width(qp) for qp in qps]
+        Tmax = max(widths)
+        sim_multi = jnp.stack(
+            [
+                jnp.pad(qp.static_sims[0], ((0, 0), (0, Tmax - w)))
+                for qp, w in zip(qps, widths)
+            ],
+            axis=2,
+        )  # [V, Tmax, Q]
+        mass_t = np.zeros((Tmax, Q), np.float32)
+        states = []
+        for qi, (query, qp) in enumerate(zip(queries, qps)):
+            m = self._query_masses(query)
+            mass_t[: len(m), qi] = m
+            states.append(
+                {
+                    "mass_t": np.pad(m, (0, widths[qi] - len(m))),
+                    "mass_t_mag": None,
+                    "tagw": None,
+                    "tagged": False,
+                    "unique": False,
+                    "T": query.n_tokens,
+                }
+            )
+        len_ts = jnp.asarray([q.n_tokens for q in queries], jnp.int32)
+
+        out = np.full((engine.packed.n_slices, Q), NEG_SCORE, np.float32)
+        pending = []
+        for db in engine._device_buckets:
+            if db["n"] == 0:
+                continue
+            # the greedy-fill mask is O(L^2) per (slice, query): shrink the
+            # chunk so chunk*Q stays bounded
+            chunk = db["chunk"]
+            while chunk > 64 and chunk * Q > 4096:
+                chunk //= 2
+            scores = _bucket_rwmd_scores_multi(
+                db["tokens"],
+                db["lengths"],
+                sim_multi,
+                jnp.asarray(mass_t),
+                len_ts,
+                injective=bool(a["injective"]),
+                symmetric=bool(a["symmetric"]),
+                normalize_bow=bool(a["normalize_bow"]),
+                chunk=chunk,
+                n_queries=Q,
+            )
+            pending.append((db, scores))
+        for db, scores in pending:
+            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+
+        results = []
+        packed = engine.packed
+        for qi, (query, qp) in enumerate(zip(queries, qps)):
+            states[qi]["scores"] = out[:, qi]
+            top = engine.top_k(out[:, qi], n, min_score=min_score)
+            matches = (
+                self._host_rescore(
+                    index, query, qp, states[qi], top, min_score, None
+                )
+                if top
+                else []
+            )
+            matches.sort(
+                key=lambda m: (
+                    -m.score,
+                    int(packed.slice_doc[m.slice_id]),
+                    int(packed.slice_idx[m.slice_id]),
+                )
+            )
+            results.append(matches[:n])
+        return results
+
+    def _score(self, index, query, qp) -> dict:
+        """Device ranking pass; returns scores plus the mass/tag state the
+        host rescore needs."""
         T = query.n_tokens
         engine = self._engine
         a = self._args
@@ -392,6 +556,7 @@ class WMDEngine:
             else self._query_masses(query, tagged=tagged)
         )
         mass_t = np.pad(mass_t, (0, Tpad - T))
+        mass_t_mag = None
 
         if self._algorithm == "word-movers-distance" and a["relaxed"]:
             scores = self._score_buckets_rwmd(
@@ -421,15 +586,34 @@ class WMDEngine:
         else:
             raise ValueError(self._algorithm)
 
-        if debug:
-            debug("scores", {"scores": scores})
+        return {
+            "scores": scores,
+            "mass_t": mass_t,
+            "mass_t_mag": mass_t_mag,
+            "tagw": tagw,
+            "tagged": tagged,
+            "unique": unique,
+            "T": T,
+        }
 
-        top = engine.top_k(scores, n, min_score=min_score)
-        if not top:
-            return []
+    def _host_rescore(
+        self, index, query, qp, state, top, min_score, debug
+    ) -> List:
+        """Exact host rescore + flow extraction for the chosen slices
+        (similarities batched: one device dispatch per bucket instead of a
+        tunnel RTT per slice)."""
+        from vectorian_tpu.index import Match
 
-        # host rescore + flows for the top-k (similarities batched: one
-        # device dispatch per bucket instead of a tunnel RTT per slice)
+        engine = self._engine
+        a = self._args
+        scores = state["scores"]
+        mass_t = state["mass_t"]
+        mass_t_mag = state["mass_t_mag"]
+        tagw = state["tagw"]
+        tagged = state["tagged"]
+        unique = state["unique"]
+        T = state["T"]
+
         matches = []
         token_sim_name = index._args["metric"]["token_sim"].name
         sims_list = engine.batch_slice_similarity(top, qp, tag_weights=tagw)
@@ -499,15 +683,7 @@ class WMDEngine:
                     edge_list=edges,
                 )
             )
-        packed = engine.packed
-        matches.sort(
-            key=lambda m: (
-                -m.score,
-                int(packed.slice_doc[m.slice_id]),
-                int(packed.slice_idx[m.slice_id]),
-            )
-        )
-        return matches[:n]
+        return matches
 
     def _static_needle_magnitudes(self, qp, query) -> np.ndarray:
         mags = np.asarray(qp.static_mags[0])
