@@ -174,12 +174,14 @@ class StaticEmbeddingEncoder:
         return self._matrix[i]
 
     def encode_tokens(self, tokens: Sequence[str]) -> Vectors:
-        out = np.zeros((len(tokens), self.dimension), np.float32)
+        # one fancy gather instead of a per-token row copy (the reference's
+        # session-compile hot spot, keyed.py:104-109)
         get = self._word_to_row.get
-        for i, t in enumerate(tokens):
-            j = get(t)
-            if j is not None:
-                out[i] = self._matrix[j]
+        rows = np.fromiter((get(t, -1) for t in tokens), np.int64, len(tokens))
+        out = np.zeros((len(tokens), self.dimension), np.float32)
+        found = rows >= 0
+        if found.any():
+            out[found] = self._matrix[rows[found]]
         return Vectors(out)
 
     def transform_query(self, vectors: np.ndarray) -> np.ndarray:
