@@ -293,3 +293,51 @@ def test_warmup_precompiles_buckets(corpus_session):
     assert index.warmup(max_tokens=8) is index
     r = index.find("old king rides horse", n=3)
     assert len(r) >= 1
+
+
+def test_ctx_multiquery_kernel_vs_oracle(rng):
+    """Contextual multi-query bucket kernel vs a scalar cosine+Gotoh oracle
+    per (slice, query)."""
+    import jax.numpy as jnp
+
+    from vectorian_tpu.ops.alignment import AffineGapParams
+    from vectorian_tpu.ops.search import _bucket_scores_multiquery_ctx
+    from vectorian_tpu.sim.vector import CosineSim
+
+    N, L, d, T, Q = 8, 6, 12, 8, 3
+    ctx = rng.normal(size=(N, L, d)).astype(np.float32)
+    lengths = rng.integers(1, L + 1, size=N).astype(np.int32)
+    len_t = rng.integers(1, T + 1, size=Q).astype(np.int32)
+    qv = rng.normal(size=(T, Q, d)).astype(np.float32)
+    for q in range(Q):
+        qv[len_t[q]:, q] = 0.0
+    q_flat = qv.reshape(T * Q, d)
+    mags = np.linalg.norm(q_flat, axis=-1)
+    q_norm = q_flat / np.maximum(mags, 1e-9)[:, None]
+    gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+    got = np.asarray(
+        _bucket_scores_multiquery_ctx(
+            jnp.asarray(ctx), jnp.asarray(lengths),
+            jnp.asarray(q_norm), jnp.asarray(q_flat), jnp.asarray(mags),
+            jnp.asarray(len_t), gaps,
+            jnp.asarray(len_t, jnp.float32),
+            metric=CosineSim(), locality="local", chunk=N, n_queries=Q,
+        )
+    )
+
+    def normed(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 1e-9 else v
+
+    for b in range(N):
+        ln = int(lengths[b])
+        for q in range(Q):
+            lt = int(len_t[q])
+            S = np.zeros((ln, lt), np.float32)
+            for i in range(ln):
+                for j in range(lt):
+                    S[i, j] = float(np.dot(normed(ctx[b, i]), normed(qv[j, q])))
+            S = np.clip(S, 0.0, 1.0)
+            raw, _, _, _ = gotoh_align(S, 0.2, 0.1, 0.2, 0.1, "local")
+            want = raw / lt
+            assert got[b, q] == pytest.approx(want, abs=2e-4), (b, q)

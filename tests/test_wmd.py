@@ -321,3 +321,40 @@ def test_contextual_wmd_wrd():
         assert r[0].score > 0.7, (optimizer, r[0].score)
         assert r[0].to_json()["regions"], optimizer
 
+
+
+def test_rwmd_multi_kernel_vs_oracle(rng):
+    """Multi-query RWMD kernel vs the scalar greedy oracle per (slice,
+    query) — independent of the single-query device kernel."""
+    from vectorian_tpu.ops.wmd import _bucket_rwmd_scores_multi
+
+    V, T, Q, L, N = 40, 4, 3, 8, 8
+    sim_multi = rng.uniform(0, 1, size=(V, T, Q)).astype(np.float32)
+    tok = rng.integers(1, 12, size=(N, L)).astype(np.int32)
+    lengths = rng.integers(2, L + 1, size=N).astype(np.int32)
+    # masses are dedup counts of the query tokens, so they sum to len_t
+    mass_t = np.zeros((T, Q), np.float32)
+    len_t = rng.integers(1, T + 1, size=Q).astype(np.int32)
+    for q in range(Q):
+        qtok = rng.integers(0, 3, size=len_t[q])
+        mass_t[: len_t[q], q] = dedup_masses(qtok, np.ones(len_t[q], bool))
+    got = np.asarray(
+        _bucket_rwmd_scores_multi(
+            jnp.asarray(tok), jnp.asarray(lengths), jnp.asarray(sim_multi),
+            jnp.asarray(mass_t), jnp.asarray(len_t),
+            injective=False, symmetric=True, normalize_bow=True,
+            chunk=N, n_queries=Q,
+        )
+    )
+    for b in range(N):
+        ln = int(lengths[b])
+        ids = tok[b, :ln]
+        m_s = dedup_masses(ids, np.ones(ln, bool)) / ln
+        for q in range(Q):
+            S = sim_multi[ids, :, q]  # [ln, T]
+            D_st = np.maximum(1.0 - S, 0.0)
+            m_t = mass_t[:, q] / float(len_t[q])
+            acc0 = greedy_oracle(m_t, D_st.T, m_s, False)
+            acc1 = greedy_oracle(m_s, D_st, m_t, False)
+            want = 1.0 - max(acc0, acc1)
+            assert got[b, q] == pytest.approx(want, abs=1e-4), (b, q)

@@ -68,6 +68,31 @@ def _reverse_tagw(tagw, n_tokens: int):
     )
 
 
+def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True):
+    """Pad the needle to a length bucket (multiple of 4): padded ids are -1,
+    strings empty, contextual rows zero.  One compiled pipeline then serves
+    a range of query lengths (the DP masks columns past the runtime len_t).
+    Returns (token_ids, strings, ctx_queries, Tpad)."""
+    T = query.n_tokens
+    Tpad = max(4, -(-T // 4) * 4)
+    pad_n = Tpad - T
+    tok_ids = np.concatenate(
+        [np.asarray(query.token_ids, np.int32), np.full((pad_n,), -1, np.int32)]
+    )
+    strings = list(query.token_strings) + [""] * pad_n
+    ctx_q = {}
+    if with_ctx:
+        ctx_q = query.contextual_vectors(session)
+        for name, d in ctx_q.items():
+            ctx_q[name] = {
+                k: np.pad(
+                    np.asarray(v), ((0, pad_n),) + ((0, 0),) * (np.ndim(v) - 1)
+                )
+                for k, v in d.items()
+            }
+    return tok_ids, strings, ctx_q, Tpad
+
+
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
 TokenMatch = namedtuple("TokenMatch", ["pos_s", "edges"])
 TokenMatchEdge = namedtuple("TokenMatchEdge", ["t", "flow", "distance", "metric"])
@@ -599,22 +624,8 @@ class BruteForceIndex(Index):
             return self._find_transport(query)
 
         token_sim = self._args["metric"]["token_sim"]
-        # pad the needle to a multiple of 4 BEFORE the leaf build so one
-        # compiled (leaf GEMM, bucket kernel) pipeline serves a range of
-        # query lengths; the DP masks columns past the runtime len_t
         T = query.n_tokens
-        Tpad = max(4, -(-T // 4) * 4)
-        pad_n = Tpad - T
-        tok_ids_p = np.concatenate(
-            [np.asarray(query.token_ids, np.int32), np.full((pad_n,), -1, np.int32)]
-        )
-        strings_p = list(query.token_strings) + [""] * pad_n
-        ctx_q = query.contextual_vectors(self._session)
-        for name, d in ctx_q.items():
-            ctx_q[name] = {
-                k: np.pad(np.asarray(v), ((0, pad_n),) + ((0, 0),) * (np.ndim(v) - 1))
-                for k, v in d.items()
-            }
+        tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(query, self._session)
         qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,
@@ -756,7 +767,9 @@ class BruteForceIndex(Index):
                 # exact rescore: matched max-sims vs total (reference_score,
                 # metric/alignment.h:84-106)
                 if tagw is not None:
-                    max_sims = tagw.t_pos_weights
+                    # the spec is padded to the needle bucket; mappings are
+                    # sized by the real token count
+                    max_sims = tagw.t_pos_weights[:T]
                 else:
                     max_sims = np.ones((T,), np.float32)
                 matched = float(np.sum(max_sims[mapping >= 0]))
@@ -824,7 +837,10 @@ class BruteForceIndex(Index):
             )
         # options the batched kernel does not take — delegate to the exact
         # single-query path rather than silently ignoring them
-        if {"booster", "pos_filter", "tag_filter", "token_filter"} & set(kwargs):
+        if {
+            "booster", "pos_filter", "tag_filter", "token_filter",
+            "bidirectional", "submatch_weight", "debug",
+        } & set(kwargs):
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -905,13 +921,16 @@ class BruteForceIndex(Index):
 
         a = self._args["alignment"]
         token_sim = self._args["metric"]["token_sim"]
+        from vectorian_tpu.sim.token import EmbeddingTokenSim as _ETS
+
         supported = (
             a["algorithm"] == "word-movers-distance"
             and a.get("relaxed")
+            and isinstance(token_sim, _ETS)
             and all(getattr(e, "is_static", True) for e in token_sim.embeddings)
             and not self._args.get("tag_weights")
             and not (
-                {"booster", "pos_filter", "tag_filter", "token_filter"}
+                {"booster", "pos_filter", "tag_filter", "token_filter", "debug"}
                 & set(kwargs)
             )
         )
@@ -929,16 +948,12 @@ class BruteForceIndex(Index):
             if pq.n_tokens == 0:
                 results[ti] = Result(self, [], 0.0)
                 continue
-            T = pq.n_tokens
-            pad_n = max(4, -(-T // 4) * 4) - T
+            tok_ids_p, strings_p, _, _ = _pad_needle(pq, self._session, with_ctx=False)
             qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
-                np.concatenate(
-                    [np.asarray(pq.token_ids, np.int32),
-                     np.full((pad_n,), -1, np.int32)]
-                ),
-                list(pq.token_strings) + [""] * pad_n,
+                tok_ids_p,
+                strings_p,
                 {},
             )
             queries.append(pq)
@@ -958,7 +973,10 @@ class BruteForceIndex(Index):
         """Batched search over ONE contextual embedding: the per-chunk
         metric evaluation becomes a single GEMM against the Q stacked query
         matrices (the contextual analogue of the static table batching)."""
-        if {"booster", "pos_filter", "tag_filter", "token_filter"} & set(kwargs):
+        if {
+            "booster", "pos_filter", "tag_filter", "token_filter",
+            "bidirectional", "submatch_weight", "debug",
+        } & set(kwargs):
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -974,9 +992,14 @@ class BruteForceIndex(Index):
 
         start_time = time.time()
         prepared, plans, len_ts, norm_totals, ctx_qs = [], [], [], [], []
-        for text in texts:
+        order, results = [], [None] * len(texts)
+        for ti, text in enumerate(texts):
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
+            if pq.n_tokens == 0:
+                results[ti] = Result(self, [], 0.0)
+                continue
+            order.append(ti)
             prepared.append(pq)
             ctx = pq.contextual_vectors(self._session)[name]
             ctx_qs.append(ctx)
@@ -991,16 +1014,14 @@ class BruteForceIndex(Index):
             len_ts.append(max(pq.n_tokens, 1))
             norm_totals.append(float(max(pq.n_tokens, 1)))
 
+        if not prepared:
+            return [r if r is not None else Result(self, [], 0.0) for r in results]
         scores = self._engine.score_all_multi_ctx(
             name, token_sim.metric, ctx_qs, len_ts, gaps, self._locality,
             norm_totals,
         )  # [n_slices, Q]
 
-        results = []
         for qi, pq in enumerate(prepared):
-            if pq.n_tokens == 0:
-                results.append(Result(self, [], 0.0))
-                continue
             top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
             mappings, edge_sims = self._engine.rescore_with_flows(
                 top, plans[qi], pq.n_tokens, gaps, self._locality
@@ -1018,28 +1039,17 @@ class BruteForceIndex(Index):
                 for sid, mapping, sims in zip(top, mappings, edge_sims)
             ]
             matches = [m for m in matches if m.score >= min_score][:n]
-            results.append(Result(self, matches, time.time() - start_time))
-        return results
+            results[order[qi]] = Result(self, matches, time.time() - start_time)
+        return [r if r is not None else Result(self, [], 0.0) for r in results]
 
     def _find_transport(self, query: PreparedQuery) -> List[Match]:
         from vectorian_tpu.ops.transport import TransportEngine
 
         token_sim = self._args["metric"]["token_sim"]
         needs_mag = self._args["alignment"]["algorithm"] == "word-rotators-distance"
-        # needle padded to a length bucket (see _find): transport kernels
-        # mask zero-mass entries, so one compile serves a range of lengths
-        T = query.n_tokens
-        pad_n = max(4, -(-T // 4) * 4) - T
-        tok_ids_p = np.concatenate(
-            [np.asarray(query.token_ids, np.int32), np.full((pad_n,), -1, np.int32)]
-        )
-        strings_p = list(query.token_strings) + [""] * pad_n
-        ctx_q = query.contextual_vectors(self._session)
-        for name, d in ctx_q.items():
-            ctx_q[name] = {
-                k: np.pad(np.asarray(v), ((0, pad_n),) + ((0, 0),) * (np.ndim(v) - 1))
-                for k, v in d.items()
-            }
+        # needle padded to a length bucket (see _pad_needle): transport
+        # kernels mask zero-mass entries
+        tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(query, self._session)
         qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,

@@ -545,6 +545,25 @@ class BruteForceEngine:
             bool,
         )
 
+        # a document's vector table must cover its token span — clamped
+        # gathers would silently read a neighbor's vectors
+        n_vecs = np.zeros((max(len(documents), 1),), np.int64)
+        for d_i, pd in enumerate(documents):
+            v = pd.contextual.get(name)
+            n_vecs[d_i] = len(v) if v is not None else 0
+        ends = packed.slice_start + packed.slice_len
+        bad = np.flatnonzero(
+            (n_vecs[packed.slice_doc] > 0) & (ends > n_vecs[packed.slice_doc])
+        )
+        if bad.size:
+            sid = int(bad[0])
+            raise ValueError(
+                f"contextual embedding {name!r}: document "
+                f"{int(packed.slice_doc[sid])} has "
+                f"{int(n_vecs[packed.slice_doc[sid]])} vectors but slice "
+                f"{sid} needs tokens up to {int(ends[sid])}"
+            )
+
         store = []
         for db in self._device_buckets:
             npad = int(db["tokens"].shape[0])
@@ -759,7 +778,6 @@ class BruteForceEngine:
         Q = len(ctx_queries)
         Tmax = max(len_ts)
         Tpad = -(-Tmax // 8) * 8
-        d = int(np.asarray(ctx_queries[0]["unmodified"]).shape[1])
 
         def stack(key):
             out = np.zeros((Tpad, Q) + np.asarray(ctx_queries[0][key]).shape[1:], np.float32)

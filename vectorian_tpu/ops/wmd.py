@@ -456,6 +456,11 @@ class WMDEngine:
         then the per-query host rescore/flows run as usual."""
         engine = self._engine
         a = self._args
+        # only plain single-table plans stack into [V, T, Q] — modifier
+        # trees must be collapsed by the caller (index dispatch guards this)
+        assert all(qp.plan == ("static", 0) for qp in qps), (
+            "WMDEngine.find_batch requires collapsed static plans"
+        )
         Q = len(queries)
         widths = [engine._plan_width(qp) for qp in qps]
         Tmax = max(widths)
