@@ -106,3 +106,11 @@ def test_tag_weights_widget(session):
     assert len(r) >= 1
     # NN weight 0.8, DT 0.7 etc. -> top score below 1 but high
     assert 0.5 < r[0].score <= 1.0
+
+
+def test_describe(session):
+    iq = InteractiveQuery(session)
+    iq._tags._enabled.value = True
+    d = iq.describe()
+    assert "local alignment" in d and "cosine" in d and "POST-STSS" in d
+    assert "sentence partition" in d

@@ -98,6 +98,12 @@ class VectorMetricWidget:
             )
         return metric
 
+    def describe(self) -> str:
+        s = f"the **{self._dropdown.value}** vector metric"
+        if self._rbf.value > 0:
+            s += f" through an RBF kernel (gamma={self._rbf.value:g})"
+        return s
+
 
 class EmbeddingMixerWidget:
     """Pick embeddings and how to combine them (reference
@@ -147,6 +153,15 @@ class EmbeddingMixerWidget:
         if abs(self._falloff.value - 1.0) > 1e-9:
             sim = UnaryTokenSimilarityModifier(sim, [Power(self._falloff.value)])
         return sim
+
+    def describe(self) -> str:
+        names = ", ".join(self._select.value) or "the first embedding"
+        s = f"**{names}**"
+        if len(self._select.value) > 1 and self._mode.value != "single":
+            s += f" combined via **{self._mode.value}**"
+        if abs(self._falloff.value - 1.0) > 1e-9:
+            s += f", with a falloff of {self._falloff.value:.2f}"
+        return s
 
 
 class GapCostWidget:
@@ -240,6 +255,23 @@ class AlignmentWidget:
         if a == "wmd (bow)":
             return WordMoversDistance.wmd("bow")
         return WordRotatorsDistance()
+
+    def describe(self) -> str:
+        s = f"**{self._algo.value}**"
+        masks = []
+        if not self._mask_s.value:
+            masks.append("document gaps free")
+        if not self._mask_t.value:
+            masks.append("query gaps free")
+        if self._algo.value.split()[0] in ("local", "global", "semiglobal"):
+            s += (
+                f" with {self._gap_s._kind.value} gap costs "
+                f"(doc {self._gap_s._value.value:g}, "
+                f"query {self._gap_t._value.value:g})"
+            )
+            if masks:
+                s += " (" + ", ".join(masks) + ")"
+        return s
 
 
 class TagWeightsWidget:
@@ -360,6 +392,28 @@ class InteractiveQuery:
 
     def run(self, text: str, n: int = 10):
         return self.make_index().find(text, n=n)
+
+    def describe(self) -> str:
+        """Prose summary of the configured query (reference interact.py
+        describe() chains)."""
+        parts = [
+            "Matching with", self._alignment.describe(),
+            "over", self._mixer.describe(),
+            "scored by", self._metric.describe(),
+        ]
+        tw = self._tags.make()
+        if tw:
+            parts.append(
+                f"with POST-STSS tag weights (pos mismatch penalty "
+                f"{tw['pos_mismatch_penalty']:g}, similarity threshold "
+                f"{tw['similarity_threshold']:g})"
+            )
+        parts.append(
+            f"on the {self._partition._level.value} partition "
+            f"(window {self._partition._size.value}, "
+            f"step {self._partition._step.value})."
+        )
+        return " ".join(parts)
 
     @property
     def widget(self):
