@@ -62,7 +62,7 @@ def wmd_sinkhorn(sim):
         ("static", 0), tokens, ts, inv, pos, tag, lengths,
         (sim,), (mags,), (), (), (),
         mass_t, jnp.asarray(0.02, jnp.float32), *tw,
-        use_magnitudes=False, normalize_mass=True, chunk=CHUNK, n_iters=100,
+        use_magnitudes=False, normalize_mass=True, chunk=CHUNK,
     )
 
 
@@ -71,12 +71,12 @@ def wrd(sim):
         ("static", 0), tokens, ts, inv, pos, tag, lengths,
         (sim,), (mags,), (), (), (),
         mass_t, jnp.asarray(0.02, jnp.float32), *tw,
-        use_magnitudes=True, normalize_mass=True, chunk=CHUNK, n_iters=100,
+        use_magnitudes=True, normalize_mass=True, chunk=CHUNK,
     )
 
 
 timed("RWMD (nbow symmetric)", rwmd)
-timed("full WMD (Sinkhorn-100 ranking)", wmd_sinkhorn)
-timed("WRD (Sinkhorn-100 ranking)", wrd)
+timed("full WMD (Sinkhorn ranking)", wmd_sinkhorn)
+timed("WRD (Sinkhorn ranking)", wrd)
 
 os._exit(0)

@@ -312,7 +312,8 @@ def _bucket_emd_scores(
     use_magnitudes: bool,
     normalize_mass: bool,
     chunk: int,
-    n_iters: int = 100,
+    # 50 iters @ eps=0.02 matches 100 to ~2e-3 (measured)
+    n_iters: int = 50,
     unique_masses: bool = False,
     with_tags: bool = False,
 ):
