@@ -178,3 +178,28 @@ def test_contextual_lazy_corpus_roundtrip(tmp_path):
         got = [(m.slice_id, round(m.score, 4)) for m in ix.find(q, n=3)]
         want = [(m.slice_id, round(m.score, 4)) for m in mem_ix.find(q, n=3)]
         assert got == want and got
+
+
+def test_cache_contextual_embeddings(tmp_path):
+    """Preloading materializes lazy refs and pre-packs device stores
+    (reference Session.cache_contextual_embeddings)."""
+    from vectorian_tpu import Corpus, Session, StringImporter
+    from vectorian_tpu.embedding.contextual import LambdaContextualEmbedding
+    from vectorian_tpu.embedding.vectors import LazyVectors
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    ctx = LambdaContextualEmbedding("pre-ctx", ctx_fn, DIM)
+    docs = [StringImporter()("the old king rides. a cat sleeps.", title="d")]
+    mem = Session(docs, embeddings=[ctx])
+    with Corpus(tmp_path / "c") as corpus:
+        for d in mem.documents:
+            corpus.add_doc(d.doc)
+        session = Session(corpus.docs, embeddings=[ctx])
+        p = session.partition("sentence")
+        ix = p.index(EmbeddingTokenSim(ctx))  # builds the engine
+        session.cache_contextual_embeddings()
+        lv = session.documents[0].contextual["pre-ctx"]
+        assert isinstance(lv, LazyVectors) and lv._data is not None
+        assert "pre-ctx" in ix._engine._ctx_stores
+        r = ix.find("old king rides", n=2, min_score=-5)
+        assert len(r) >= 1

@@ -354,6 +354,22 @@ class Session:
     def contextual_embeddings(self):
         return self._ctx_embeddings
 
+    def cache_contextual_embeddings(self):
+        """Preload every contextual vector (reference
+        Session.cache_contextual_embeddings, session.py:237-239):
+        materializes lazy h5 references and pre-packs the device bucket
+        stores of already-built partitions, so the first contextual query
+        pays no load."""
+        for pd in _progress(self._documents, desc="loading vectors"):
+            for name, v in pd.contextual.items():
+                if hasattr(v, "materialize"):
+                    v.materialize()
+        for engine in self._engine_cache.values():
+            for name in self._ctx_embeddings:
+                engine.ensure_contextual(
+                    name, self._documents, self._ctx_dims[name]
+                )
+
     def encode_contextual_query(self, name: str, sdoc, text: str, keep) -> dict:
         """Query-side contextual vectors with fitted transforms replayed
         (the reference's ONNX-transform-on-query path,
