@@ -47,13 +47,22 @@ NEG_SCORE = -1e30
 
 
 def use_pallas_default() -> bool:
-    """Pallas DP kernel on real TPU hardware; jnp scan elsewhere (the
-    Mosaic kernel only compiles for TPU targets)."""
+    """Pallas DP kernels compile for TPU targets only; additionally they
+    only pay off when the per-pass DP volume is large — measured: 3x faster
+    at Q>=512 serving batches and 16x for general-gap WSB, but 1.2-7x
+    SLOWER than the fused jnp scan for single-query/contextual/small-batch
+    passes (per-chunk launch + layout-copy overhead).  Call sites gate on
+    both this and their workload shape."""
     import os
 
     if os.environ.get("VECTORIAN_NO_PALLAS"):
         return False
     return jax.default_backend() == "tpu"
+
+
+# measured crossover: the lane-native multi-query kernel beats the jnp scan
+# from roughly this many queries per pass
+PALLAS_MIN_BATCH = 256
 
 
 @dataclass
@@ -199,11 +208,9 @@ def _bucket_scores(
             raw = align_scores_general(
                 S, ln1, lt_full, gap_vec_s, gap_vec_t, locality
             )
-        elif use_pallas:
-            from vectorian_tpu.ops.pallas_dp import pallas_align_scores
-
-            raw = pallas_align_scores(S, ln1, len_t, gaps, locality)
         else:
+            # single-query affine: the fused jnp scan beats the Pallas
+            # kernel here (~4.8x — per-chunk launch/layout overhead)
             raw = align_scores(S, ln1, lt_full, gaps, locality)
         return jnp.where(ln > 0, raw, NEG_SCORE)
 
@@ -259,9 +266,9 @@ def _bucket_scores_multiquery(
     n_chunks = N // chunk
 
     # the gather-native (NT) kernel puts Q in lanes — only efficient when
-    # the batch fills them; smaller batches pack (slice x query) into lanes
-    # via the transpose-based kernel instead
-    nt = n_queries >= 128
+    # the batch fills them; below PALLAS_MIN_BATCH the fused jnp scan wins
+    # outright (measured)
+    nt = n_queries >= PALLAS_MIN_BATCH
 
     def one_chunk(args):
         tokT, posT, ln = args  # [L, c], [L, c], [c]
@@ -285,13 +292,6 @@ def _bucket_scores_multiquery(
 
             raw = pallas_align_scores_multi_nt(
                 S, jnp.maximum(ln, 1), len_t, gaps, locality
-            )
-        elif use_pallas:
-            from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi
-
-            S4 = jnp.transpose(S, (1, 0, 3, 2))  # [c, L, Q, T]
-            raw = pallas_align_scores_multi(
-                S4, jnp.maximum(ln, 1), len_t, gaps, locality
             )
         else:
             S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
@@ -354,7 +354,7 @@ def _bucket_scores_multiquery_ctx(
         S = metric.compute(a, b)  # [c*L, T*Q]
         S = jnp.clip(S, 0.0, 1.0)
         S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L, c, T, Q]
-        if use_pallas and Q >= 128:
+        if use_pallas and Q >= PALLAS_MIN_BATCH:
             from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
 
             raw = pallas_align_scores_multi_nt(
