@@ -115,3 +115,25 @@ def test_compile_and_build_time():
     ok = vt.compile()
     if ok:
         assert vt.backend_build_time() is not None
+
+
+def test_contextual_debug_hook():
+    """Contextual queries emit per-slice similarity blocks through the
+    debug hook (reference contextual_similarity_matrix,
+    metric/contextual.cpp:77-99)."""
+    from tests.test_contextual import DIM, ctx_fn
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.embedding.contextual import LambdaContextualEmbedding
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    ctx = LambdaContextualEmbedding("dbg-ctx", ctx_fn, DIM)
+    docs = [StringImporter()("the old king rides. a cat sleeps.", title="d")]
+    session = Session(docs, embeddings=[ctx])
+    ix = session.partition("sentence").index(EmbeddingTokenSim(ctx))
+    seen = []
+    ix.find("old king rides", n=2, min_score=-5,
+            debug=lambda name, payload: seen.append((name, payload)))
+    names = [n for n, _ in seen]
+    assert "contextual_similarity_matrix" in names
+    payload = dict(seen)["contextual_similarity_matrix"]
+    assert payload["similarity"].shape[1] == 3

@@ -725,6 +725,19 @@ class BruteForceIndex(Index):
         if not top:
             return []
 
+        if debug and not qp.is_static_only:
+            # per-slice contextual similarity blocks for the survivors
+            # (reference contextual_similarity_matrix hook,
+            # metric/contextual.cpp:77-99 — emitted per document there;
+            # here per retained slice, the TPU unit of work)
+            for sid, (Sw, Su) in zip(
+                top, self._engine.batch_slice_similarity(top, qp, tagw)
+            ):
+                debug(
+                    "contextual_similarity_matrix",
+                    {"slice": sid, "similarity": Su[:, :T]},
+                )
+
         if use_rev is None:
             mappings, edge_sims = self._engine.rescore_with_flows(
                 top, qp, T, gaps, self._locality, tag_weights=tagw,
