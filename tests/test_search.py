@@ -209,7 +209,7 @@ def test_fuzz_random_configs_vs_oracle(corpus_session):
     w_to_id = {w: i for i, w in enumerate(vocab_strings)}
 
     for trial in range(8):
-        qwords = [str(w) for w in rng.choice(known, size=rng.integers(1, 10))]
+        qwords = [str(w) for w in rng.choice(known, size=rng.integers(1, 11))]
         loc = str(rng.choice(list(localities)))
         o, e = float(rng.uniform(0, 0.6)), float(rng.uniform(0, 0.4))
         use_tags = trial % 2 == 1

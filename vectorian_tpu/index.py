@@ -725,35 +725,36 @@ class BruteForceIndex(Index):
         if not top:
             return []
 
+        # per-slice contextual similarity blocks for the survivors,
+        # observed from the finalizer's own similarity pass — no extra
+        # dispatch, and consistent with the plan orientation actually used
+        # (reference contextual_similarity_matrix hook,
+        # metric/contextual.cpp:77-99 — per document there; per retained
+        # slice here, the TPU unit of work)
+        on_sims = None
         if debug and not qp.is_static_only:
-            # per-slice contextual similarity blocks for the survivors
-            # (reference contextual_similarity_matrix hook,
-            # metric/contextual.cpp:77-99 — emitted per document there;
-            # here per retained slice, the TPU unit of work)
-            for sid, (Sw, Su) in zip(
-                top, self._engine.batch_slice_similarity(top, qp, tagw)
-            ):
+            def on_sims(sid, Sw, Su):
                 debug(
                     "contextual_similarity_matrix",
-                    {"slice": sid, "similarity": Su[:, :T]},
+                    {"slice": sid, "similarity": Su},
                 )
 
         if use_rev is None:
             mappings, edge_sims = self._engine.rescore_with_flows(
                 top, qp, T, gaps, self._locality, tag_weights=tagw,
-                doc_filter=doc_filter, gap_costs=gap_costs,
+                doc_filter=doc_filter, gap_costs=gap_costs, on_sims=on_sims,
             )
         else:
             fwd_ids = [sid for sid in top if not use_rev[sid]]
             rev_ids = [sid for sid in top if use_rev[sid]]
             m_f, s_f = self._engine.rescore_with_flows(
                 fwd_ids, qp, T, gaps, self._locality, tag_weights=tagw,
-                doc_filter=doc_filter, gap_costs=gap_costs,
+                doc_filter=doc_filter, gap_costs=gap_costs, on_sims=on_sims,
             )
             m_r, s_r = self._engine.rescore_with_flows(
                 rev_ids, _reverse_plan(qp, T), T, gaps, self._locality,
                 tag_weights=_reverse_tagw(tagw, T), doc_filter=doc_filter,
-                gap_costs=gap_costs,
+                gap_costs=gap_costs, on_sims=on_sims,
             )
             by_id = {sid: (m, s) for sid, m, s in zip(fwd_ids, m_f, s_f)}
             for sid, m, s in zip(rev_ids, m_r, s_r):

@@ -258,19 +258,16 @@ class AlignmentWidget:
 
     def describe(self) -> str:
         s = f"**{self._algo.value}**"
-        masks = []
-        if not self._mask_s.value:
-            masks.append("document gaps free")
-        if not self._mask_t.value:
-            masks.append("query gaps free")
         if self._algo.value.split()[0] in ("local", "global", "semiglobal"):
+            def side(gap_w, masked):
+                if masked:
+                    return "free"
+                return f"{gap_w._kind.value} {gap_w._value.value:g}"
+
             s += (
-                f" with {self._gap_s._kind.value} gap costs "
-                f"(doc {self._gap_s._value.value:g}, "
-                f"query {self._gap_t._value.value:g})"
+                f" with gap costs (doc: {side(self._gap_s, not self._mask_s.value)}, "
+                f"query: {side(self._gap_t, not self._mask_t.value)})"
             )
-            if masks:
-                s += " (" + ", ".join(masks) + ")"
         return s
 
 

@@ -1082,6 +1082,7 @@ class BruteForceEngine:
         tag_weights: Optional[TagWeightingSpec] = None,
         doc_filter: Optional[DocFilterSpec] = None,
         gap_costs=None,
+        on_sims=None,  # optional (sid, S_weighted, S_unmodified) observer
     ):
         """Recompute DP matrices for the chosen slices and extract injective
         flows via host traceback (the reference's finalizer pass,
@@ -1133,6 +1134,8 @@ class BruteForceEngine:
             sel = sels[j]
             ln = len(sel)
             Sw, Su = sims_list[b]
+            if on_sims is not None:
+                on_sims(slice_ids[j], Sw[:, :len_t], Su[:, :len_t])
             S = S_batch[b]
             if gap_costs is not None:
                 mapping = traceback_general(

@@ -435,7 +435,13 @@ class WMDEngine:
         scores = state["scores"]
         if debug:
             debug("scores", {"scores": scores})
-        top = self._engine.top_k(scores, n, min_score=min_score)
+        # Sinkhorn-ranked algorithms (full WMD/WRD) overfetch: the device
+        # ranking is approximate (~2e-3) and the exact host rescore below
+        # re-sorts, so borderline true top-n candidates must be in the pool
+        a = self._args
+        relaxed = self._algorithm == "word-movers-distance" and a["relaxed"]
+        overfetch = n if relaxed else 4 * n
+        top = self._engine.top_k(scores, overfetch, min_score=min_score)
         if not top:
             return []
         matches = self._host_rescore(

@@ -361,8 +361,9 @@ class Session:
         stores of already-built partitions, so the first contextual query
         pays no load."""
         for pd in _progress(self._documents, desc="loading vectors"):
-            for name, v in pd.contextual.items():
-                if hasattr(v, "materialize"):
+            for name in self._ctx_embeddings:
+                v = pd.contextual.get(name)
+                if v is not None and hasattr(v, "materialize"):
                     v.materialize()
         for engine in self._engine_cache.values():
             for name in self._ctx_embeddings:
