@@ -126,3 +126,31 @@ def test_span_ranges_non_tiling_matches_xspan():
         assert (got[i, 0], got[i, 1]) == (s, min(e, n)), i
     # the gap tokens (5, 6) are inside slice 0, matching xspan
     assert got[0, 1] == 7
+
+
+def test_transport_on_token_windows():
+    """Transport metrics work over sliding token windows, not just
+    sentences."""
+    from tests.helpers import make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordMoversDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    words = ["the", "old", "king", "rides", "grey", "horse", "cat", "sleeps"]
+    emb = make_embedding(words)
+    docs = [StringImporter()(
+        "the old king rides the grey horse and the cat sleeps", title="d")]
+    session = Session(docs, embeddings=[emb])
+    ix = session.partition("token", 5, 2).index(
+        OptimizedSpanSim(EmbeddingTokenSim(emb), WordMoversDistance.rwmd("nbow"))
+    )
+    r = ix.find("king rides grey", n=3, min_score=-5)
+    assert len(r) >= 1
+    # the best window covers the query tokens
+    packed = ix.packed
+    s0 = int(packed.slice_start[r[0].slice_id])
+    ln = int(packed.slice_len[r[0].slice_id])
+    texts = session.documents[0].doc.token_texts()
+    window = texts[s0 : s0 + ln]
+    assert "king" in window and "rides" in window
