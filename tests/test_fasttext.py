@@ -123,3 +123,65 @@ def test_session_with_fasttext(tmp_path):
     # morphological OOV variant still matches via shared ngrams
     r2 = index.find("kings rides horses", n=2, min_score=0.05)
     assert len(r2) >= 1
+
+
+def test_product_quantized_fasttext(tmp_path):
+    """Native PQ compression: decode error small, OOV still works, npz
+    round-trips, and search end-to-end (the package-free equivalent of
+    compress_fasttext, reference fasttext.py:15-45)."""
+    from vectorian_tpu.embedding.fasttext import (
+        FastTextModel,
+        QuantizedFastText,
+        QuantizedFastTextModel,
+    )
+
+    words = ["king", "queen", "rides", "horse", "grey", "old", "the", "cat"]
+    binp = tmp_path / "m.bin"
+    write_fake_bin(binp, words, dim=8, bucket=64)
+    model = FastTextModel.load(binp)
+    q = QuantizedFastTextModel.compress(
+        model, n_subvectors=4, n_codes=32, n_train=1000, n_iters=8
+    )
+    # decode error bounded (tiny random matrix, 32 codes per 2-dim block)
+    dec = q.decode_rows(np.arange(model.input_matrix.shape[0]))
+    err = np.abs(dec - model.input_matrix).mean()
+    assert err < 0.25 * np.abs(model.input_matrix).mean() + 0.2
+    # quantized word vectors track the dense ones
+    for w in ["king", "zzzunknown"]:
+        dv = model.word_vector(w)
+        qv = q.word_vector(w)
+        assert qv.shape == dv.shape
+        if np.linalg.norm(dv) > 1e-6:
+            cos = float(
+                np.dot(dv, qv) / (np.linalg.norm(dv) * np.linalg.norm(qv))
+            )
+            assert cos > 0.7, w
+
+    # save/load + end-to-end search
+    npz = tmp_path / "m.quant.npz"
+    q.save(npz)
+    emb = QuantizedFastText(npz, name="qft")
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    docs = [StringImporter()("the old king rides the grey horse. a cat.", title="d")]
+    session = Session(docs, embeddings=[emb])
+    ix = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    r = ix.find("old king rides grey horse", n=2, min_score=-5)
+    assert len(r) >= 1
+    assert r[0].score == pytest.approx(1.0, abs=1e-4)  # exact-match override
+
+
+def test_quantized_compress_entrypoint(tmp_path):
+    from vectorian_tpu.embedding.fasttext import QuantizedFastText
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    binp = tmp_path / "m2.bin"
+    write_fake_bin(binp, words, dim=8, bucket=32)
+    emb = QuantizedFastText.compress(
+        binp, tmp_path / "m2.npz", n_subvectors=4, n_codes=16, n_iters=4
+    )
+    enc = emb.create_encoder()
+    v = enc.encode_tokens(["alpha", "unknownword"])
+    assert v.unmodified.shape == (2, 8)
+    assert np.abs(v.unmodified).sum() > 0

@@ -150,17 +150,19 @@ class FastTextEncoder:
         return v
 
     def encode_tokens(self, tokens: Sequence[str]) -> Vectors:
-        try:
-            from vectorian_tpu.native import fasttext_encode_batch
+        if hasattr(self._model, "input_matrix"):  # dense model: C++ batch path
+            try:
+                from vectorian_tpu.native import fasttext_encode_batch
 
-            return Vectors(
-                fasttext_encode_batch(self._model, list(tokens))
-            )
-        except (ImportError, OSError):
-            out = np.zeros((len(tokens), self._model.dim), np.float32)
-            for i, t in enumerate(tokens):
-                out[i] = self.word_vec(t)
-            return Vectors(out)
+                return Vectors(
+                    fasttext_encode_batch(self._model, list(tokens))
+                )
+            except (ImportError, OSError):
+                pass
+        out = np.zeros((len(tokens), self._model.dim), np.float32)
+        for i, t in enumerate(tokens):
+            out[i] = self.word_vec(t)
+        return Vectors(out)
 
     def transform_query(self, vectors):
         return vectors
@@ -194,6 +196,157 @@ class PretrainedFastText(StaticEmbedding):
                     f"no network egress)"
                 )
             self._model = FastTextModel.load(self._path)
+        return self._model
+
+    def create_encoder(self, normalization=None):
+        return FastTextEncoder(self.name, self.model)
+
+
+def pq_compress(
+    matrix: np.ndarray,
+    n_subvectors: int = 15,
+    n_codes: int = 256,
+    n_train: int = 65536,
+    n_iters: int = 12,
+    seed: int = 0,
+):
+    """Product-quantize a [rows, dim] matrix: split dim into
+    ``n_subvectors`` blocks, k-means each block to ``n_codes`` centroids.
+    Returns (codebooks [n_sub, n_codes, d_sub], codes [rows, n_sub] u8).
+    ~dim*4/n_subvectors bytes-per-row compression (e.g. 300d f32 -> 15
+    bytes, 80x)."""
+    rows, dim = matrix.shape
+    if dim % n_subvectors:
+        raise ValueError(f"dim {dim} not divisible by {n_subvectors}")
+    d_sub = dim // n_subvectors
+    rng = np.random.default_rng(seed)
+    train = matrix[rng.choice(rows, size=min(n_train, rows), replace=False)]
+    codebooks = np.zeros((n_subvectors, n_codes, d_sub), np.float32)
+    codes = np.zeros((rows, n_subvectors), np.uint8)
+    for s in range(n_subvectors):
+        X = np.ascontiguousarray(train[:, s * d_sub : (s + 1) * d_sub])
+        C = X[rng.choice(len(X), size=min(n_codes, len(X)), replace=False)]
+        if len(C) < n_codes:
+            C = np.concatenate([C, np.zeros((n_codes - len(C), d_sub), np.float32)])
+        for _ in range(n_iters):
+            # assign: argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+            a = np.argmin(d2, axis=1)
+            for k in range(n_codes):
+                m = a == k
+                if m.any():
+                    C[k] = X[m].mean(axis=0)
+        codebooks[s] = C
+        # encode all rows in chunks
+        full = matrix[:, s * d_sub : (s + 1) * d_sub]
+        for lo in range(0, rows, 262144):
+            Xc = full[lo : lo + 262144]
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (Xc @ C.T)
+            codes[lo : lo + 262144, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codebooks, codes
+
+
+class QuantizedFastTextModel:
+    """A product-quantized fastText model: the [nwords + bucket, dim] input
+    matrix stored as PQ codes + codebooks (the package-free, TPU-friendly
+    equivalent of compress_fasttext, reference fasttext.py:15-45 — decoding
+    a row is one small gather + concat)."""
+
+    def __init__(self, words, dim, bucket, minn, maxn, codebooks, codes):
+        self.words = list(words)
+        self.word_index = {w: i for i, w in enumerate(self.words)}
+        self.nwords = len(self.words)
+        self.dim = dim
+        self.bucket = bucket
+        self.minn = minn
+        self.maxn = maxn
+        self.codebooks = codebooks  # [n_sub, n_codes, d_sub]
+        self.codes = codes  # [rows, n_sub] u8
+
+    @staticmethod
+    def compress(model: FastTextModel, **pq_kwargs) -> "QuantizedFastTextModel":
+        codebooks, codes = pq_compress(model.input_matrix, **pq_kwargs)
+        return QuantizedFastTextModel(
+            model.words, model.dim, model.bucket, model.minn, model.maxn,
+            codebooks, codes,
+        )
+
+    def decode_rows(self, ids) -> np.ndarray:
+        """[k, dim] decoded rows: per subvector, one codebook gather."""
+        ids = np.asarray(ids)
+        parts = [
+            self.codebooks[s][self.codes[ids, s]]
+            for s in range(self.codebooks.shape[0])
+        ]
+        return np.concatenate(parts, axis=-1)
+
+    def word_vector(self, word: str) -> np.ndarray:
+        ids = []
+        wi = self.word_index.get(word)
+        if wi is not None:
+            ids.append(wi)
+        if word != EOS and self.maxn > 0:
+            for ng in word_ngrams(word, self.minn, self.maxn):
+                h = fnv1a_hash(ng.encode("utf-8"))
+                ids.append(self.nwords + (h % self.bucket))
+        if not ids:
+            return np.zeros((self.dim,), np.float32)
+        return self.decode_rows(np.asarray(ids)).mean(axis=0)
+
+    def save(self, path):
+        import json
+
+        np.savez_compressed(
+            path,
+            words=np.asarray(self.words, dtype=object),
+            meta=np.asarray(
+                [json.dumps({"dim": self.dim, "bucket": self.bucket,
+                             "minn": self.minn, "maxn": self.maxn})]
+            ),
+            codebooks=self.codebooks,
+            codes=self.codes,
+        )
+
+    @staticmethod
+    def load(path) -> "QuantizedFastTextModel":
+        import json
+
+        z = np.load(path, allow_pickle=True)
+        meta = json.loads(str(z["meta"][0]))
+        return QuantizedFastTextModel(
+            [str(w) for w in z["words"]],
+            meta["dim"], meta["bucket"], meta["minn"], meta["maxn"],
+            z["codebooks"], z["codes"],
+        )
+
+
+class QuantizedFastText(StaticEmbedding):
+    """Product-quantized fastText embedding (native equivalent of
+    compress_fasttext models): load a ``.npz`` produced by
+    ``QuantizedFastText.compress`` (~80x smaller than the .bin), still
+    OOV-capable via hashed subwords."""
+
+    def __init__(self, path, name: Optional[str] = None):
+        self._path = Path(path)
+        self._name = name or f"quantized-fasttext-{self._path.stem}"
+        self._model: Optional[QuantizedFastTextModel] = None
+
+    @staticmethod
+    def compress(bin_path, out_path, **pq_kwargs) -> "QuantizedFastText":
+        """One-time offline compression of a fastText .bin."""
+        model = FastTextModel.load(bin_path)
+        q = QuantizedFastTextModel.compress(model, **pq_kwargs)
+        q.save(out_path)
+        return QuantizedFastText(out_path)
+
+    @property
+    def name(self):
+        return self._name
+
+    @property
+    def model(self) -> QuantizedFastTextModel:
+        if self._model is None:
+            self._model = QuantizedFastTextModel.load(self._path)
         return self._model
 
     def create_encoder(self, normalization=None):
