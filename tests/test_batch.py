@@ -210,3 +210,52 @@ def test_find_batch_rwmd_matches_single(session_ix):
         assert [(m.slice_id, round(m.score, 4)) for m in br] == [
             (m.slice_id, round(m.score, 4)) for m in sr
         ], q
+
+
+def test_find_batch_bf16_equals_f32(session_ix):
+    """bf16 ranking + exact rescore must be bit-identical to pure f32
+    (the cut-safety loop guarantees this by construction)."""
+    session, index, locations = session_ix
+    queries = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+        "quickly the fish jumps",
+        "king horse",
+    ]
+    b16 = index.find_batch(queries, n=6, min_score=0.1)
+    f32 = index.find_batch(queries, n=6, min_score=0.1, sim_precision="float32")
+    for q, r16, r32 in zip(queries, b16, f32):
+        got = [(m.slice_id, m.score, tuple(m._mapping)) for m in r16]
+        want = [(m.slice_id, m.score, tuple(m._mapping)) for m in r32]
+        assert got == want, q
+
+
+def test_find_batch_bf16_cut_expansion(session_ix, monkeypatch):
+    """A huge rounding bound forces the overfetch loop to expand (possibly
+    to the whole corpus) — results must still equal the f32 path."""
+    from vectorian_tpu.index import BruteForceIndex
+
+    session, index, locations = session_ix
+    monkeypatch.setattr(BruteForceIndex, "BF16_SCORE_EPS", 0.5)
+    queries = ["the old king rides the grey horse", "bird sings"]
+    b16 = index.find_batch(queries, n=4, min_score=0.1)
+    f32 = index.find_batch(queries, n=4, min_score=0.1, sim_precision="float32")
+    for q, r16, r32 in zip(queries, b16, f32):
+        got = [(m.slice_id, m.score) for m in r16]
+        want = [(m.slice_id, m.score) for m in r32]
+        assert got == want, q
+
+
+def test_top_k_with_next(session_ix):
+    session, index, locations = session_ix
+    eng = index._engine
+    scores = np.asarray([0.9, 0.1, 0.8, 0.5, 0.3], np.float32)
+    # m covers everything above thresh -> complete, -inf sentinel
+    ids, nxt = eng.top_k_with_next(scores, 10, 0.2)
+    assert sorted(ids) == [0, 2, 3, 4] and nxt == float("-inf")
+    # m truncates -> sentinel is the best excluded score
+    ids, nxt = eng.top_k_with_next(scores, 2, 0.2)
+    assert sorted(ids) == [0, 2] and nxt == np.float32(0.5)
+    # partition boundary below thresh -> complete above thresh
+    ids, nxt = eng.top_k_with_next(scores, 3, 0.6)
+    assert sorted(ids) == [0, 2] and nxt == float("-inf")

@@ -13,6 +13,7 @@ recomputed for the global top-k only.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import namedtuple
 from typing import Dict, List, Optional
@@ -822,6 +823,7 @@ class BruteForceIndex(Index):
         texts: List[str],
         n: int = 100,
         min_score: float = 0.2,
+        sim_precision: str = "bfloat16",
         **kwargs,
     ) -> List[Result]:
         """Batched search: score Q queries in one corpus pass.
@@ -831,7 +833,15 @@ class BruteForceIndex(Index):
         similarity matrices column-wise makes the same gather serve every
         query, so batch throughput scales ~Q-fold.  Static-only alignment
         metrics; tag weighting is supported; boosters and doc-side filters
-        use the single-query path."""
+        use the single-query path.
+
+        ``sim_precision="bfloat16"`` (the default) ranks with a bf16
+        similarity table — halving the corpus pass's HBM traffic — and then
+        rescores an overfetched candidate set exactly in f32, expanding the
+        set until the cut is *provably* below any score bf16 rounding could
+        have displaced (results are identical to ``"float32"``).  Batches
+        with tag weighting force f32 (the similarity threshold is a
+        discontinuity no rounding bound survives)."""
         if self._algorithm != "alignment":
             return self._find_batch_transport(
                 texts, n=n, min_score=min_score, **kwargs
@@ -894,9 +904,20 @@ class BruteForceIndex(Index):
         gaps = self._affine_gaps()
         if gaps is None:
             raise NotImplementedError("find_batch requires affine gap costs")
+        any_tags = any(t is not None for t in tagws)
+        use_bf16 = (
+            sim_precision == "bfloat16"
+            and os.environ.get("VECTORIAN_SIM_PRECISION", "") != "float32"
+            and not any_tags
+        )
+        if sim_precision not in ("bfloat16", "float32"):
+            raise ValueError(sim_precision)
+        import jax.numpy as jnp
+
         scores = self._engine.score_all_multi(
             plans, len_ts, gaps, self._locality, norm_totals,
-            tag_weights=tagws if any(t is not None for t in tagws) else None,
+            tag_weights=tagws if any_tags else None,
+            sim_dtype=jnp.bfloat16 if use_bf16 else None,
         )  # [n_slices, Q]
 
         results = []
@@ -904,26 +925,90 @@ class BruteForceIndex(Index):
             if pq.n_tokens == 0:
                 results.append(Result(self, [], 0.0))
                 continue
-            top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
-            mappings, edge_sims = self._engine.rescore_with_flows(
-                top, plans[qi], pq.n_tokens, gaps, self._locality,
-                tag_weights=tagws[qi],
-            )
-            matches = [
-                Match(
-                    self,
-                    pq,
-                    slice_id=sid,
-                    score=float(scores[sid, qi]),
-                    metric=token_sim.name,
-                    mapping=mapping,
-                    similarities=sims,
+            if use_bf16:
+                matches = self._finalize_bf16(
+                    scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
+                    token_sim.name, n, min_score,
                 )
-                for sid, mapping, sims in zip(top, mappings, edge_sims)
-            ]
-            matches = [m for m in matches if m.score >= min_score][:n]
+            else:
+                top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
+                mappings, edge_sims = self._engine.rescore_with_flows(
+                    top, plans[qi], pq.n_tokens, gaps, self._locality,
+                    tag_weights=tagws[qi],
+                )
+                matches = [
+                    Match(
+                        self,
+                        pq,
+                        slice_id=sid,
+                        score=float(scores[sid, qi]),
+                        metric=token_sim.name,
+                        mapping=mapping,
+                        similarities=sims,
+                    )
+                    for sid, mapping, sims in zip(top, mappings, edge_sims)
+                ]
+                matches = [m for m in matches if m.score >= min_score][:n]
             results.append(Result(self, matches, time.time() - start_time))
         return results
+
+    # normalized-score slack covering bf16 rounding of the ranking pass:
+    # similarity entries carry <= 2^-9 relative rounding, a DP path sums
+    # <= len_t of them and is divided by norm_total (= len_t with no tag
+    # weights), so the normalized error is <= 2^-9 ~ 0.002; 0.004 is 2x
+    # headroom (measured max drift on random tables: 1.6e-3)
+    BF16_SCORE_EPS = 0.004
+
+    def _finalize_bf16(
+        self, bf16_scores, plan, pq, gaps, norm_total, metric_name,
+        n: int, min_score: float,
+    ) -> List["Match"]:
+        """Exact top-n from approximate (bf16) ranking scores.
+
+        Overfetch candidates by bf16 score, rescore them exactly in f32
+        (one batched finalizer dispatch), and accept the cut only when the
+        best bf16 score OUTSIDE the candidate set is provably below the
+        exact n-th score minus the rounding bound — otherwise double the
+        overfetch.  The returned matches (ids, scores, flows, order) are
+        bit-identical to the pure-f32 path."""
+        eps = self.BF16_SCORE_EPS
+        packed = self._engine.packed
+        m = n + 32
+        while True:
+            cand, rest_max = self._engine.top_k_with_next(
+                bf16_scores, m, min_score - eps
+            )
+            mappings, edge_sims, raw = self._engine.rescore_with_flows(
+                cand, plan, pq.n_tokens, gaps, self._locality,
+                with_scores=True,
+            )
+            exact = raw / max(norm_total, 1e-9)
+            order = np.lexsort(
+                (
+                    [packed.slice_idx[c] for c in cand],
+                    [packed.slice_doc[c] for c in cand],
+                    -exact.astype(np.float64),
+                )
+            )
+            keep = [j for j in order if exact[j] >= min_score][:n]
+            s_cut = float(exact[keep[-1]]) if keep and len(keep) == n else min_score
+            if rest_max < s_cut - eps:
+                break
+            if m >= bf16_scores.shape[0]:
+                break  # candidate set already covers the whole corpus
+            m *= 2
+        return [
+            Match(
+                self,
+                pq,
+                slice_id=cand[j],
+                score=float(exact[j]),
+                metric=metric_name,
+                mapping=mappings[j],
+                similarities=edge_sims[j],
+            )
+            for j in keep
+        ]
 
     def _find_batch_transport(
         self, texts, n: int = 100, min_score: float = 0.2, **kwargs

@@ -273,8 +273,13 @@ def _bucket_scores_multiquery(
     def one_chunk(args):
         tokT, posT, ln = args  # [L, c], [L, c], [c]
         c = tokT.shape[1]
-        # ONE gather serves Q queries, in kernel-native layout
+        # ONE gather serves Q queries, in kernel-native layout.  A bf16
+        # table halves the gather's HBM traffic (the pass is near the HBM
+        # roofline); the Pallas kernel consumes the bf16 block directly and
+        # accumulates in f32, the jnp path upcasts right after the gather.
         S = sim_multi[tokT]  # [L, c, T, Q]
+        if not (use_pallas and nt):
+            S = S.astype(jnp.float32)
         if with_tags:
             # tag-weighted similarity per query (TagWeightedSlice semantics,
             # slice/static.h:186-288, broadcast over the batch layout);
@@ -695,9 +700,16 @@ class BruteForceEngine:
         locality: str,
         norm_totals: List[float],
         tag_weights: Optional[List[Optional[TagWeightingSpec]]] = None,
+        sim_dtype=None,
     ) -> np.ndarray:
         """[n_slices, Q] scores for a batch of static-only query plans with
-        one corpus pass (the gather amortizes across queries)."""
+        one corpus pass (the gather amortizes across queries).
+
+        ``sim_dtype=jnp.bfloat16`` stores the stacked [V, T, Q] table in
+        bf16, halving the gather's HBM traffic (~24% faster full pass,
+        measured); DP still accumulates in f32.  Scores then carry bf16
+        input rounding (<~2e-3) — callers must rescore their final top-k
+        exactly (see BruteForceIndex.find_batch's cut-safety loop)."""
         Q = len(plans)
         Tmax = max(len_ts)
         Tpad = -(-Tmax // 8) * 8  # sublane-aligned for the kernel layout
@@ -708,6 +720,8 @@ class BruteForceEngine:
             m = qp.static_sims[0]
             sims.append(jnp.pad(m, ((0, 0), (0, Tpad - int(m.shape[1])))))
         sim_multi = jnp.stack(sims, axis=2)  # [V, Tpad, Q]
+        if sim_dtype is not None:
+            sim_multi = sim_multi.astype(sim_dtype)
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 
@@ -936,6 +950,25 @@ class BruteForceEngine:
         )
         return [int(c) for c in cand[order][:k]]
 
+    def top_k_with_next(self, scores: np.ndarray, m: int, thresh: float):
+        """Unordered candidate ids with score >= ``thresh`` among the m
+        largest, plus the best score OUTSIDE the returned set (-inf when
+        the set is complete above ``thresh``).  Used by the approximate-
+        ranking (bf16) paths to prove their exact-rescore cut is safe: any
+        slice not returned scores at most ``next``."""
+        n = scores.shape[0]
+        if m >= n:
+            cand = np.flatnonzero(scores >= thresh)
+            return [int(c) for c in cand], float("-inf")
+        ap = np.argpartition(-scores, m)
+        cand = ap[:m]
+        kept = cand[scores[cand] >= thresh]
+        if len(kept) < m:
+            # the partition boundary is below thresh, so everything
+            # excluded is too: the candidate set is complete
+            return [int(c) for c in kept], float("-inf")
+        return [int(c) for c in kept], float(scores[ap[m]])
+
     def filtered_positions(self, sid: int, doc_filter: Optional[DocFilterSpec]):
         """Host-side replica of the device compaction for one slice:
         original in-slice offsets of the kept tokens."""
@@ -1083,12 +1116,16 @@ class BruteForceEngine:
         doc_filter: Optional[DocFilterSpec] = None,
         gap_costs=None,
         on_sims=None,  # optional (sid, S_weighted, S_unmodified) observer
+        with_scores: bool = False,
     ):
         """Recompute DP matrices for the chosen slices and extract injective
         flows via host traceback (the reference's finalizer pass,
         matcher_impl.h:172-174).  Mappings are translated back to unfiltered
         in-slice offsets when a doc filter is active.
-        Returns (mappings, per-edge unmodified sims [T]).
+        Returns (mappings, per-edge unmodified sims [T]); with
+        ``with_scores`` also the exact f32 raw DP scores [k] (NEG_SCORE for
+        empty slices) — the exact-rescore half of approximate (bf16) device
+        ranking.
 
         Batched: one similarity dispatch per touched bucket + one batched
         DP-matrix dispatch for all slices (tunnel round trips, not compute,
@@ -1096,13 +1133,14 @@ class BruteForceEngine:
         k = len(slice_ids)
         mappings = [np.full((len_t,), -1, np.int32) for _ in range(k)]
         edge_sims = [np.zeros((len_t,), np.float32) for _ in range(k)]
+        raw_scores = np.full((k,), NEG_SCORE, np.float32)
         if k == 0:
-            return mappings, edge_sims
+            return (mappings, edge_sims, raw_scores) if with_scores else (mappings, edge_sims)
 
         sels = [self.filtered_positions(sid, doc_filter) for sid in slice_ids]
         live = [j for j in range(k) if len(sels[j]) > 0]
         if not live:
-            return mappings, edge_sims
+            return (mappings, edge_sims, raw_scores) if with_scores else (mappings, edge_sims)
         sims_list = self.batch_slice_similarity(
             [slice_ids[j] for j in live],
             qp,
@@ -1129,6 +1167,22 @@ class BruteForceEngine:
             H_all, _, _ = (
                 np.asarray(x) for x in align_matrices(S_batch, gaps, locality)
             )
+        if with_scores:
+            ln_arr = jnp.asarray([len(sels[j]) for j in live], jnp.int32)
+            lt_arr = jnp.full((len(live),), len_t, jnp.int32)
+            Sj = jnp.asarray(S_batch)
+            if gap_costs is not None:
+                raw_live = np.asarray(
+                    align_scores_general(
+                        Sj, ln_arr, lt_arr,
+                        jnp.asarray(w_s), jnp.asarray(w_t), locality,
+                    )
+                )
+            else:
+                raw_live = np.asarray(
+                    align_scores(Sj, ln_arr, lt_arr, gaps, locality)
+                )
+            raw_scores[np.asarray(live)] = raw_live
 
         for b, j in enumerate(live):
             sel = sels[j]
@@ -1153,6 +1207,8 @@ class BruteForceEngine:
             mapping = np.where(mapping >= 0, sel[np.maximum(mapping, 0)], -1)
             mappings[j] = mapping.astype(np.int32)
             edge_sims[j] = sims
+        if with_scores:
+            return mappings, edge_sims, raw_scores
         return mappings, edge_sims
 
     def _slice_tokens(self, slice_id: int):
