@@ -46,13 +46,16 @@ def main():
     tokens = jnp.asarray(rng.integers(1, V, size=(N, L), dtype=np.int32))
     lengths = jnp.asarray(rng.integers(L // 2, L + 1, size=N).astype(np.int32))
     # [V, T, Q]: (T, Q)-minor so the gather output is kernel-native.
-    # bf16 is the production serving-table dtype (index.find_batch default):
-    # it halves the pass's HBM traffic; the DP accumulates in f32 and the
-    # final top-k is exactly rescored in f32 with a provable cut bound
-    # (BruteForceIndex._finalize_bf16), so results equal the f32 path.
-    sim_multi = jnp.asarray(
-        rng.uniform(0, 1, size=(V, T, Q)).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    # int8 is the production serving-table dtype (index.find_batch default):
+    # it quarters the pass's HBM traffic; max-plus homogeneity runs the
+    # quantized units through the unchanged f32 DP (gaps scaled in, raw
+    # scores scaled out) and the final top-k is exactly rescored in f32
+    # with a provable cut bound (BruteForceIndex._finalize_quantized), so
+    # results equal the f32 path.
+    sim_f32 = rng.uniform(0, 1, size=(V, T, Q)).astype(np.float32)
+    sim_scale = float(np.abs(sim_f32).max()) / 127.0
+    sim_multi = jnp.asarray(np.round(sim_f32 / sim_scale).astype(np.int8))
+    sim_scale = jnp.asarray(sim_scale, jnp.float32)
     len_t = jnp.full((Q,), T, jnp.int32)
     norm_total = jnp.full((Q,), float(T), jnp.float32)
     gaps = AffineGapParams.of(0.0, 0.0, 0.0, 0.0)
@@ -78,7 +81,7 @@ def main():
             tokens, pos_ids, lengths, sim, len_t, gaps, norm_total,
             tw_w, tw_p, pen, thr,
             locality="local", chunk=CHUNK, n_queries=Q,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, sim_scale=sim_scale,
         )
 
     out = run_with(sim0)

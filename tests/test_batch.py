@@ -212,9 +212,10 @@ def test_find_batch_rwmd_matches_single(session_ix):
         ], q
 
 
-def test_find_batch_bf16_equals_f32(session_ix):
-    """bf16 ranking + exact rescore must be bit-identical to pure f32
-    (the cut-safety loop guarantees this by construction)."""
+def test_find_batch_quantized_equals_f32(session_ix):
+    """quantized ranking + exact rescore must be bit-identical to pure f32
+    (the cut-safety loop guarantees this by construction) — for both
+    the int8 default and bf16."""
     session, index, locations = session_ix
     queries = [
         "the old king rides the grey horse",
@@ -222,12 +223,15 @@ def test_find_batch_bf16_equals_f32(session_ix):
         "quickly the fish jumps",
         "king horse",
     ]
-    b16 = index.find_batch(queries, n=6, min_score=0.1)
     f32 = index.find_batch(queries, n=6, min_score=0.1, sim_precision="float32")
-    for q, r16, r32 in zip(queries, b16, f32):
-        got = [(m.slice_id, m.score, tuple(m._mapping)) for m in r16]
-        want = [(m.slice_id, m.score, tuple(m._mapping)) for m in r32]
-        assert got == want, q
+    want_all = [
+        [(m.slice_id, m.score, tuple(m._mapping)) for m in r] for r in f32
+    ]
+    for prec in ("int8", "bfloat16"):
+        got_res = index.find_batch(queries, n=6, min_score=0.1, sim_precision=prec)
+        for q, rq, want in zip(queries, got_res, want_all):
+            got = [(m.slice_id, m.score, tuple(m._mapping)) for m in rq]
+            assert got == want, (prec, q)
 
 
 def test_find_batch_bf16_cut_expansion(session_ix, monkeypatch):
@@ -236,7 +240,7 @@ def test_find_batch_bf16_cut_expansion(session_ix, monkeypatch):
     from vectorian_tpu.index import BruteForceIndex
 
     session, index, locations = session_ix
-    monkeypatch.setattr(BruteForceIndex, "BF16_SCORE_EPS", 0.5)
+    monkeypatch.setattr(BruteForceIndex, "QUANT_SCORE_EPS", 0.5)
     queries = ["the old king rides the grey horse", "bird sings"]
     b16 = index.find_batch(queries, n=4, min_score=0.1)
     f32 = index.find_batch(queries, n=4, min_score=0.1, sim_precision="float32")

@@ -905,30 +905,34 @@ class BruteForceIndex(Index):
         if gaps is None:
             raise NotImplementedError("find_batch requires affine gap costs")
         any_tags = any(t is not None for t in tagws)
-        use_bf16 = (
-            sim_precision == "bfloat16"
-            and os.environ.get("VECTORIAN_SIM_PRECISION", "") != "float32"
-            and not any_tags
-        )
-        if sim_precision not in ("bfloat16", "float32"):
+        if sim_precision not in ("int8", "bfloat16", "float32"):
             raise ValueError(sim_precision)
-        import jax.numpy as jnp
+        env = os.environ.get("VECTORIAN_SIM_PRECISION", "")
+        if env:
+            sim_precision = env
+        quantize = sim_precision != "float32" and not any_tags
 
-        scores = self._engine.score_all_multi(
-            plans, len_ts, gaps, self._locality, norm_totals,
-            tag_weights=tagws if any_tags else None,
-            sim_dtype=jnp.bfloat16 if use_bf16 else None,
-        )  # [n_slices, Q]
+        entry_err = 0.0
+        if quantize:
+            scores, entry_err = self._engine.score_all_multi(
+                plans, len_ts, gaps, self._locality, norm_totals,
+                sim_dtype=sim_precision, with_err=True,
+            )  # [n_slices, Q]
+        else:
+            scores = self._engine.score_all_multi(
+                plans, len_ts, gaps, self._locality, norm_totals,
+                tag_weights=tagws if any_tags else None,
+            )
 
         results = []
         for qi, pq in enumerate(prepared):
             if pq.n_tokens == 0:
                 results.append(Result(self, [], 0.0))
                 continue
-            if use_bf16:
-                matches = self._finalize_bf16(
+            if quantize:
+                matches = self._finalize_quantized(
                     scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
-                    token_sim.name, n, min_score,
+                    token_sim.name, n, min_score, entry_err,
                 )
             else:
                 top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
@@ -952,31 +956,37 @@ class BruteForceIndex(Index):
             results.append(Result(self, matches, time.time() - start_time))
         return results
 
-    # normalized-score slack covering bf16 rounding of the ranking pass:
-    # similarity entries carry <= 2^-9 relative rounding, a DP path sums
-    # <= len_t of them and is divided by norm_total (= len_t with no tag
-    # weights), so the normalized error is <= 2^-9 ~ 0.002; 0.004 is 2x
-    # headroom (measured max drift on random tables: 1.6e-3)
-    BF16_SCORE_EPS = 0.004
+    # floor on the normalized-score slack covering quantized ranking (the
+    # per-batch bound is dynamic — see _finalize_quantized); also absorbs
+    # f32 DP summation-order differences between the ranking kernel and
+    # the exact rescore (~1e-6)
+    QUANT_SCORE_EPS = 1e-4
 
-    def _finalize_bf16(
-        self, bf16_scores, plan, pq, gaps, norm_total, metric_name,
-        n: int, min_score: float,
+    def _finalize_quantized(
+        self, q_scores, plan, pq, gaps, norm_total, metric_name,
+        n: int, min_score: float, entry_err: float,
     ) -> List["Match"]:
-        """Exact top-n from approximate (bf16) ranking scores.
+        """Exact top-n from approximate (int8/bf16) ranking scores.
 
-        Overfetch candidates by bf16 score, rescore them exactly in f32
-        (one batched finalizer dispatch), and accept the cut only when the
-        best bf16 score OUTSIDE the candidate set is provably below the
-        exact n-th score minus the rounding bound — otherwise double the
-        overfetch.  The returned matches (ids, scores, flows, order) are
-        bit-identical to the pure-f32 path."""
-        eps = self.BF16_SCORE_EPS
+        A DP path matches at most len_t similarity entries, each carrying
+        at most ``entry_err`` rounding (gap costs are exact), so the
+        normalized ranking score drifts at most
+        entry_err * len_t / norm_total.  Overfetch candidates by quantized
+        score, rescore them exactly in f32 (one batched finalizer
+        dispatch), and accept the cut only when the best quantized score
+        OUTSIDE the candidate set is provably below the exact n-th score
+        minus that bound — otherwise double the overfetch.  The returned
+        matches (ids, scores, flows, order) are bit-identical to the
+        pure-f32 path."""
+        eps = max(
+            2.0 * entry_err * max(pq.n_tokens, 1) / max(norm_total, 1e-9),
+            self.QUANT_SCORE_EPS,
+        )
         packed = self._engine.packed
         m = n + 32
         while True:
             cand, rest_max = self._engine.top_k_with_next(
-                bf16_scores, m, min_score - eps
+                q_scores, m, min_score - eps
             )
             mappings, edge_sims, raw = self._engine.rescore_with_flows(
                 cand, plan, pq.n_tokens, gaps, self._locality,
@@ -994,7 +1004,7 @@ class BruteForceIndex(Index):
             s_cut = float(exact[keep[-1]]) if keep and len(keep) == n else min_score
             if rest_max < s_cut - eps:
                 break
-            if m >= bf16_scores.shape[0]:
+            if m >= q_scores.shape[0]:
                 break  # candidate set already covers the whole corpus
             m *= 2
         return [

@@ -249,6 +249,7 @@ def _bucket_scores_multiquery(
     n_queries: int,
     use_pallas: bool = False,
     with_tags: bool = False,
+    sim_scale=1.0,  # traced f32: sim table is in units of sim_scale (int8)
 ):
     """[N, Q] normalized scores — Q queries in one corpus pass.
 
@@ -264,6 +265,15 @@ def _bucket_scores_multiquery(
     N, L = token_ids.shape
     T, Q = sim_multi.shape[1], sim_multi.shape[2]
     n_chunks = N // chunk
+
+    # int8 tables quarter the gather's HBM traffic.  Max-plus DP is
+    # positively homogeneous — align(S/c, gaps/c) = align(S, gaps)/c,
+    # including the local zero floor — so quantized units flow through the
+    # UNCHANGED kernels: divide the gap params by sim_scale going in,
+    # multiply the raw scores by sim_scale coming out.
+    gaps = AffineGapParams(
+        *(jnp.asarray(g, jnp.float32) / sim_scale for g in gaps)
+    )
 
     # the gather-native (NT) kernel puts Q in lanes — only efficient when
     # the batch fills them; below PALLAS_MIN_BATCH the fused jnp scan wins
@@ -303,6 +313,7 @@ def _bucket_scores_multiquery(
             ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
             lt_rep = jnp.tile(len_t, c)
             raw = align_scores(S2, ln_rep, lt_rep, gaps, locality).reshape(c, Q)
+        raw = raw * sim_scale  # back from quantized units (no-op at 1.0)
         scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
         return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
 
@@ -701,15 +712,22 @@ class BruteForceEngine:
         norm_totals: List[float],
         tag_weights: Optional[List[Optional[TagWeightingSpec]]] = None,
         sim_dtype=None,
-    ) -> np.ndarray:
+        with_err: bool = False,
+    ):
         """[n_slices, Q] scores for a batch of static-only query plans with
         one corpus pass (the gather amortizes across queries).
 
-        ``sim_dtype=jnp.bfloat16`` stores the stacked [V, T, Q] table in
-        bf16, halving the gather's HBM traffic (~24% faster full pass,
-        measured); DP still accumulates in f32.  Scores then carry bf16
-        input rounding (<~2e-3) — callers must rescore their final top-k
-        exactly (see BruteForceIndex.find_batch's cut-safety loop)."""
+        ``sim_dtype`` quantizes the stacked [V, T, Q] table to cut the
+        gather's HBM traffic (the pass is near the HBM roofline):
+        ``"bfloat16"`` halves it (~24% faster full pass, measured),
+        ``"int8"`` quarters it (~38%; symmetric scale = max|sim|/127,
+        max-plus homogeneity keeps the DP kernels unchanged).  DP still
+        accumulates in f32.  Scores then carry per-entry input rounding —
+        callers must rescore their final top-k exactly (see
+        BruteForceIndex.find_batch's cut-safety loop).  ``with_err`` also
+        returns the max per-entry absolute rounding bound (0.0 exact);
+        quantization requires ``tag_weights=None`` (the tag threshold is a
+        discontinuity no rounding bound survives)."""
         Q = len(plans)
         Tmax = max(len_ts)
         Tpad = -(-Tmax // 8) * 8  # sublane-aligned for the kernel layout
@@ -720,8 +738,22 @@ class BruteForceEngine:
             m = qp.static_sims[0]
             sims.append(jnp.pad(m, ((0, 0), (0, Tpad - int(m.shape[1])))))
         sim_multi = jnp.stack(sims, axis=2)  # [V, Tpad, Q]
+        sim_scale = 1.0
+        entry_err = 0.0
         if sim_dtype is not None:
-            sim_multi = sim_multi.astype(sim_dtype)
+            if tag_weights is not None and any(
+                tw is not None for tw in tag_weights
+            ):
+                raise ValueError("quantized ranking requires tag_weights=None")
+            max_abs = float(jnp.maximum(jnp.max(jnp.abs(sim_multi)), 1e-9))
+            if sim_dtype in ("int8", jnp.int8):
+                scale = max_abs / 127.0
+                sim_multi = jnp.round(sim_multi / scale).astype(jnp.int8)
+                sim_scale = jnp.asarray(scale, jnp.float32)
+                entry_err = scale / 2.0  # round-to-nearest
+            else:  # bfloat16
+                sim_multi = sim_multi.astype(jnp.bfloat16)
+                entry_err = max_abs * 2.0 ** -9  # bf16 RN rel. error
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 
@@ -770,10 +802,13 @@ class BruteForceEngine:
                 n_queries=Q,
                 use_pallas=use_pallas_default(),
                 with_tags=with_tags,
+                sim_scale=sim_scale,
             )
             pending.append((db, scores))
         for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        if with_err:
+            return out, entry_err
         return out
 
     def score_all_multi_ctx(
