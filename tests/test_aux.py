@@ -109,6 +109,32 @@ def test_precision_recall(sess):
     assert r.recall({999999}) == 0.0
 
 
+def test_ndcg(sess):
+    """NDCG (the reference's de-facto regression metric, __init__.py:29-31):
+    perfect ranking -> 1.0; graded gains discount by log2(rank+1)."""
+    import numpy as np
+
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    r = index.find("the old king rides the grey horse", n=3, min_score=0.01)
+    assert len(r) >= 2
+    # best match alone, gain 1 -> the top-ranked hit gives NDCG 1.0
+    assert r.ndcg({r[0].slice_id}) == pytest.approx(1.0)
+    # relevant item ranked second: dcg = 1/log2(3), idcg = 1/log2(2)
+    assert r.ndcg({r[1].slice_id: 1.0}) == pytest.approx(1.0 / np.log2(3.0))
+    # graded gains in result order -> perfect ranking
+    gains = {m.slice_id: g for m, g in zip(r, [3.0, 2.0, 1.0])}
+    assert r.ndcg(gains) == pytest.approx(1.0)
+    # a missing relevant slice lowers the score below 1
+    gains[999999] = 5.0
+    assert r.ndcg(gains) < 1.0
+    assert r.ndcg({}) == 0.0
+    # (doc_index, slice_idx) keys work like in precision/recall
+    packed = index.packed
+    key = (int(packed.slice_doc[r[0].slice_id]), int(packed.slice_idx[r[0].slice_id]))
+    assert r.ndcg({key: 1.0}) == pytest.approx(1.0)
+
+
 def test_compile_and_build_time():
     import vectorian_tpu as vt
 

@@ -110,3 +110,31 @@ def test_graft_dryrun_runs():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_multiquery_mesh_quantized(rng, mesh_search):
+    """int8 table through the sharded serving batch: homogeneity keeps the
+    ranking within the quantization bound of the f32 mesh results."""
+    tokens, lengths, sim = _problem(rng, N=128, T=8)
+    T, Q, k = 8, 4, 6
+    sim_multi = rng.uniform(0, 1, size=(sim.shape[0], T, Q)).astype(np.float32)
+    gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+    len_t = np.full((Q,), T, np.int32)
+
+    scale = float(np.abs(sim_multi).max()) / 127.0
+    sim_q = np.round(sim_multi / scale).astype(np.int8)
+
+    tok_d, len_d = mesh_search.shard_bucket(tokens, lengths)
+    nt = jnp.asarray(len_t, jnp.float32)
+    s_f, i_f = mesh_search.score_topk_multiquery(
+        tok_d, len_d, mesh_search.put_replicated(sim_multi),
+        jnp.asarray(len_t), gaps, nt, locality="local", k=k,
+    )
+    s_q, i_q = mesh_search.score_topk_multiquery(
+        tok_d, len_d, mesh_search.put_replicated(sim_q),
+        jnp.asarray(len_t), gaps, nt, locality="local", k=k,
+        sim_scale=jnp.asarray(scale, jnp.float32),
+    )
+    # entry_err = scale/2 per matched cell, <= T cells, / norm_total (= T)
+    eps = scale / 2.0 + 1e-5
+    np.testing.assert_allclose(np.asarray(s_q), np.asarray(s_f), atol=eps)

@@ -126,11 +126,18 @@ class MeshSearch:
         locality: str = "local",
         k: int = 10,
         use_pallas: bool = False,
+        sim_scale=1.0,  # traced f32: table in quantized units (int8/bf16)
     ):
         """Serving-batch scale-out: Q queries share each shard's vocab
         gather; per-query local top-k, then one all_gather of
         [Q, k] (score, global-index) pairs — communication is
-        O(devices * Q * k).  Returns ([Q, k] scores, [Q, k] indices)."""
+        O(devices * Q * k).  Returns ([Q, k] scores, [Q, k] indices).
+
+        ``sim_multi`` may be an int8/bf16 quantized table with
+        ``sim_scale`` its unit (see ops/search score_all_multi): max-plus
+        homogeneity runs the quantized units through the unchanged DP —
+        gap params scaled in, raw scores scaled out.  Callers rescore the
+        merged top-k exactly (BruteForceIndex._finalize_quantized)."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -140,6 +147,9 @@ class MeshSearch:
         n_dev = self.n_devices
         shard_n = token_ids.shape[0] // n_dev
         T, Q = sim_multi.shape[1], sim_multi.shape[2]
+        gaps_q = AffineGapParams(
+            *(jnp.asarray(g, jnp.float32) / sim_scale for g in gaps)
+        )
 
         def shard_fn(tok, ln):
             c = tok.shape[0]
@@ -150,17 +160,19 @@ class MeshSearch:
                 )
 
                 raw = pallas_align_scores_multi_nt(
-                    S, jnp.maximum(ln, 1), len_t, gaps, locality
+                    S, jnp.maximum(ln, 1), len_t, gaps_q, locality
                 )  # [c, Q]
             else:
                 S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, tok.shape[1], T)
+                S2 = S2.astype(jnp.float32)
                 raw = align_scores(
                     S2,
                     jnp.repeat(jnp.maximum(ln, 1), Q),
                     jnp.tile(len_t, c),
-                    gaps,
+                    gaps_q,
                     locality,
                 ).reshape(c, Q)
+            raw = raw * sim_scale  # back from quantized units (no-op at 1.0)
             scores = jnp.where(
                 ln[:, None] > 0, raw / jnp.maximum(norm_total[None, :], 1e-9),
                 -jnp.inf,

@@ -84,6 +84,45 @@ class Result:
         hits = sum(1 for m in self._matches if self._is_relevant(m, relevant))
         return hits / len(relevant)
 
+    def ndcg(self, gains, n: Optional[int] = None) -> float:
+        """Normalized discounted cumulative gain over the match ranking —
+        the reference's de-facto regression metric (its companion notebook
+        suite validated releases by NDCG on known queries; see the h5py
+        regression note, reference __init__.py:29-31).
+
+        ``gains`` maps slice ids (or (doc_index, slice_idx) pairs, as in
+        ``precision``) to graded relevance; a set/list counts as gain 1.0.
+        The ideal ranking uses ALL provided gains, so missing relevant
+        slices lower the score."""
+        if not isinstance(gains, dict):
+            gains = {k: 1.0 for k in gains}
+        if not gains:
+            return 0.0
+        matches = self._matches if n is None else self._matches[:n]
+        k = len(matches) if n is None else n
+
+        def gain(m):
+            sid = getattr(m, "slice_id", None)
+            if sid in gains:
+                return float(gains[sid])
+            idx = getattr(m, "index", None)
+            if idx is not None and hasattr(idx, "packed"):
+                packed = idx.packed
+                key = (
+                    int(packed.slice_doc[m.slice_id]),
+                    int(packed.slice_idx[m.slice_id]),
+                )
+                return float(gains.get(key, 0.0))
+            return 0.0
+
+        dcg = sum(
+            g / np.log2(i + 2.0)
+            for i, g in enumerate(gain(m) for m in matches)
+        )
+        ideal = sorted((float(g) for g in gains.values()), reverse=True)[:k]
+        idcg = sum(g / np.log2(i + 2.0) for i, g in enumerate(ideal))
+        return float(dcg / idcg) if idcg > 0 else 0.0
+
     def _is_relevant(self, m, relevant) -> bool:
         if getattr(m, "slice_id", None) in relevant:
             return True
