@@ -263,3 +263,47 @@ def test_top_k_with_next(session_ix):
     # partition boundary below thresh -> complete above thresh
     ids, nxt = eng.top_k_with_next(scores, 3, 0.6)
     assert sorted(ids) == [0, 2] and nxt == float("-inf")
+
+
+def test_fuzz_quantized_batch_parity(session_ix):
+    """Randomized configs: quantized (int8/bf16) find_batch must be
+    bit-identical to the f32 path — ids, scores, order — for random gap
+    costs, localities and query mixes (the cut-safety loop's guarantee)."""
+    from vectorian_tpu.alignment import (
+        AffineGapCost,
+        GlobalAlignment,
+        LocalAlignment,
+        SemiGlobalAlignment,
+    )
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim as ETS
+
+    session, index, locations = session_ix
+    emb = session.embeddings[0]
+    p = session.partition("sentence")
+    rng = np.random.default_rng(77)
+    locs = [LocalAlignment, GlobalAlignment, SemiGlobalAlignment]
+    pool = [
+        "the old king rides the grey horse",
+        "small bird tree",
+        "king",
+        "grey horse rides",
+        "a b c unknownwords",
+    ]
+    for trial in range(4):
+        opt = locs[trial % 3](
+            AffineGapCost(float(rng.uniform(0, 0.5)), float(rng.uniform(0, 0.3)))
+        )
+        ix = p.index(OptimizedSpanSim(ETS(emb), opt))
+        queries = [str(q) for q in rng.choice(pool, size=3, replace=False)]
+        ms = float(rng.uniform(-1.0, 0.3))
+        want = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(queries, n=5, min_score=ms, sim_precision="float32")
+        ]
+        for prec in ("int8", "bfloat16"):
+            got = [
+                [(m.slice_id, m.score) for m in r]
+                for r in ix.find_batch(queries, n=5, min_score=ms, sim_precision=prec)
+            ]
+            assert got == want, (trial, prec, ms)
