@@ -138,3 +138,38 @@ def test_multiquery_mesh_quantized(rng, mesh_search):
     # entry_err = scale/2 per matched cell, <= T cells, / norm_total (= T)
     eps = scale / 2.0 + 1e-5
     np.testing.assert_allclose(np.asarray(s_q), np.asarray(s_f), atol=eps)
+
+
+def test_multiquery_mesh_with_next_bound(rng, mesh_search):
+    """with_next: next_best must upper-bound (and exactly equal the max of)
+    every score OUTSIDE the returned candidate set — the mesh analogue of
+    top_k_with_next for the quantized cut proof."""
+    tokens, lengths, sim = _problem(rng, N=128, T=8)
+    T, Q, k = 8, 3, 4
+    sim_multi = rng.uniform(0, 1, size=(sim.shape[0], T, Q)).astype(np.float32)
+    gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+    len_t = np.full((Q,), T, np.int32)
+
+    tok_d, len_d = mesh_search.shard_bucket(tokens, lengths)
+    nt = jnp.asarray(len_t, jnp.float32)
+    s, i, nxt = mesh_search.score_topk_multiquery(
+        tok_d, len_d, mesh_search.put_replicated(sim_multi),
+        jnp.asarray(len_t), gaps, nt, locality="local", k=k, with_next=True,
+    )
+    s, i, nxt = np.asarray(s), np.asarray(i), np.asarray(nxt)
+
+    # dense single-device reference scores
+    npad = tok_d.shape[0]
+    for q in range(Q):
+        S = jnp.asarray(sim_multi[:, :, q])[jnp.asarray(tokens)]
+        raw = np.asarray(
+            align_scores(
+                S, jnp.asarray(np.maximum(lengths, 1)),
+                jnp.full((len(lengths),), T, jnp.int32), gaps, "local",
+            )
+        )
+        dense = raw / float(T)
+        outside = np.setdiff1d(np.arange(len(dense)), i[q][i[q] < len(dense)])
+        if len(outside):
+            assert nxt[q] >= dense[outside].max() - 1e-5
+            np.testing.assert_allclose(nxt[q], dense[outside].max(), atol=1e-5)

@@ -25,6 +25,7 @@ from vectorian_tpu.ops.alignment import AffineGapParams
 from vectorian_tpu.ops.search import (
     BruteForceEngine,
     TagWeightingSpec,
+    order_by_score,
     reference_score,
 )
 from vectorian_tpu.ops.simmatrix import compile_plan, compile_similarity
@@ -823,7 +824,7 @@ class BruteForceIndex(Index):
         texts: List[str],
         n: int = 100,
         min_score: float = 0.2,
-        sim_precision: str = "bfloat16",
+        sim_precision: Optional[str] = None,
         **kwargs,
     ) -> List[Result]:
         """Batched search: score Q queries in one corpus pass.
@@ -835,13 +836,15 @@ class BruteForceIndex(Index):
         metrics; tag weighting is supported; boosters and doc-side filters
         use the single-query path.
 
-        ``sim_precision="bfloat16"`` (the default) ranks with a bf16
-        similarity table — halving the corpus pass's HBM traffic — and then
-        rescores an overfetched candidate set exactly in f32, expanding the
-        set until the cut is *provably* below any score bf16 rounding could
-        have displaced (results are identical to ``"float32"``).  Batches
-        with tag weighting force f32 (the similarity threshold is a
-        discontinuity no rounding bound survives)."""
+        ``sim_precision``: ``"int8"`` (the default) ranks with a symmetric
+        int8 similarity table — quartering the corpus pass's HBM traffic —
+        and then rescores an overfetched candidate set exactly in f32,
+        expanding the set until the cut is *provably* below any score the
+        quantization could have displaced (results are identical to
+        ``"float32"``); ``"bfloat16"`` is the halved-traffic variant.  An
+        explicit argument wins over the ``VECTORIAN_SIM_PRECISION`` env
+        default.  Batches with tag weighting force f32 (the similarity
+        threshold is a discontinuity no rounding bound survives)."""
         if self._algorithm != "alignment":
             return self._find_batch_transport(
                 texts, n=n, min_score=min_score, **kwargs
@@ -905,11 +908,10 @@ class BruteForceIndex(Index):
         if gaps is None:
             raise NotImplementedError("find_batch requires affine gap costs")
         any_tags = any(t is not None for t in tagws)
+        if sim_precision is None:
+            sim_precision = os.environ.get("VECTORIAN_SIM_PRECISION") or "int8"
         if sim_precision not in ("int8", "bfloat16", "float32"):
-            raise ValueError(sim_precision)
-        env = os.environ.get("VECTORIAN_SIM_PRECISION", "")
-        if env:
-            sim_precision = env
+            raise ValueError(f"unknown sim_precision {sim_precision!r}")
         quantize = sim_precision != "float32" and not any_tags
 
         entry_err = 0.0
@@ -993,13 +995,7 @@ class BruteForceIndex(Index):
                 with_scores=True,
             )
             exact = raw / max(norm_total, 1e-9)
-            order = np.lexsort(
-                (
-                    [packed.slice_idx[c] for c in cand],
-                    [packed.slice_doc[c] for c in cand],
-                    -exact.astype(np.float64),
-                )
-            )
+            order = order_by_score(packed, cand, exact)
             keep = [j for j in order if exact[j] >= min_score][:n]
             s_cut = float(exact[keep[-1]]) if keep and len(keep) == n else min_score
             if rest_max < s_cut - eps:
@@ -1220,10 +1216,7 @@ class SpanEncoderIndex(Index):
         sims = np.asarray(sims)[:, 0]
         k = min(n, sims.shape[0])
         cand = np.argpartition(-sims, k - 1)[:k]
-        packed = self.packed
-        order = np.lexsort(
-            (packed.slice_idx[cand], packed.slice_doc[cand], -sims[cand].astype(np.float64))
-        )
+        order = order_by_score(self.packed, cand, sims[cand])
         out = []
         for sid in cand[order]:
             score = float(sims[sid])

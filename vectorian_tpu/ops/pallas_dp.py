@@ -496,8 +496,9 @@ def pallas_align_scores_multi_nt(
     T1p = Tp + 8  # boundary column + headroom, sublane-aligned
     CB = block_c or 8  # 8 slices per grid step (larger unrolls run slower)
     # VMEM guard: a double-buffered [L, CB, Tp, Q] block must fit; split the
-    # query axis (lane groups of 128) when it would not
-    if L * CB * Tp * Q * 4 * 2 > 8 * 1024 * 1024 and Q > 128:
+    # query axis (lane groups of 128) when it would not (quantized int8/bf16
+    # tables shrink the block, letting larger Q through in one call)
+    if L * CB * Tp * Q * S.dtype.itemsize * 2 > 8 * 1024 * 1024 and Q > 128:
         half = (Q // 2 + 127) // 128 * 128
         a = pallas_align_scores_multi_nt(
             S[:, :, :, :half], len_s, len_t[:half], gaps, locality,

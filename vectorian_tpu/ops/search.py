@@ -46,6 +46,20 @@ DEFAULT_CHUNK = 4096
 NEG_SCORE = -1e30
 
 
+def order_by_score(packed, ids, scores) -> np.ndarray:
+    """Positions of ``ids`` in the reference's deterministic match order:
+    score desc, then doc id asc, then slice idx asc (match_impl.h:8-42).
+    The single home of this tie-break — every top-k/merge path uses it."""
+    ids = np.asarray(ids)
+    return np.lexsort(
+        (
+            packed.slice_idx[ids],
+            packed.slice_doc[ids],
+            -np.asarray(scores).astype(np.float64),
+        )
+    )
+
+
 def use_pallas_default() -> bool:
     """Pallas DP kernels compile for TPU targets only; additionally they
     only pay off when the per-pass DP volume is large — measured: 3x faster
@@ -739,21 +753,23 @@ class BruteForceEngine:
             sims.append(jnp.pad(m, ((0, 0), (0, Tpad - int(m.shape[1])))))
         sim_multi = jnp.stack(sims, axis=2)  # [V, Tpad, Q]
         sim_scale = 1.0
-        entry_err = 0.0
+        max_abs_dev = None
         if sim_dtype is not None:
+            if sim_dtype not in ("int8", jnp.int8, "bfloat16", jnp.bfloat16):
+                raise ValueError(f"unknown sim_dtype {sim_dtype!r}")
             if tag_weights is not None and any(
                 tw is not None for tw in tag_weights
             ):
                 raise ValueError("quantized ranking requires tag_weights=None")
-            max_abs = float(jnp.maximum(jnp.max(jnp.abs(sim_multi)), 1e-9))
+            # quantize on device, read max_abs back only AFTER dispatching
+            # the corpus pass — the host read overlaps the scoring work
+            # instead of stalling it for a tunnel round trip
+            max_abs_dev = jnp.maximum(jnp.max(jnp.abs(sim_multi)), 1e-9)
             if sim_dtype in ("int8", jnp.int8):
-                scale = max_abs / 127.0
-                sim_multi = jnp.round(sim_multi / scale).astype(jnp.int8)
-                sim_scale = jnp.asarray(scale, jnp.float32)
-                entry_err = scale / 2.0  # round-to-nearest
+                sim_scale = max_abs_dev / 127.0
+                sim_multi = jnp.round(sim_multi / sim_scale).astype(jnp.int8)
             else:  # bfloat16
                 sim_multi = sim_multi.astype(jnp.bfloat16)
-                entry_err = max_abs * 2.0 ** -9  # bf16 RN rel. error
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 
@@ -805,6 +821,16 @@ class BruteForceEngine:
                 sim_scale=sim_scale,
             )
             pending.append((db, scores))
+        entry_err = 0.0
+        if max_abs_dev is not None:
+            max_abs = float(max_abs_dev)
+            if sim_dtype in ("int8", jnp.int8):
+                entry_err = max_abs / 127.0 / 2.0  # round-to-nearest
+            else:
+                # bf16 RN absolute error: half-ulp of max_abs's binade,
+                # 2^(floor(log2(m))-9) <= m * 2^-9 only at the binade's
+                # low end — use the safe 2^-8 * m upper bound
+                entry_err = max_abs * 2.0 ** -8
         for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         if with_err:
@@ -957,10 +983,7 @@ class BruteForceEngine:
         ids = np.concatenate(cand_ids)
         keep = vals >= min_score
         vals, ids = vals[keep], ids[keep]
-        packed = self._packed
-        order = np.lexsort(
-            (packed.slice_idx[ids], packed.slice_doc[ids], -vals.astype(np.float64))
-        )
+        order = order_by_score(self._packed, ids, vals)
         top = [int(i) for i in ids[order][:k]]
         return top, {int(i): float(v) for i, v in zip(ids, vals)}
 
@@ -979,10 +1002,7 @@ class BruteForceEngine:
         k = min(k, n)
         cand = np.argpartition(-scores, min(4 * k, n - 1))[: min(4 * k, n)]
         cand = cand[scores[cand] >= min_score]
-        packed = self._packed
-        order = np.lexsort(
-            (packed.slice_idx[cand], packed.slice_doc[cand], -scores[cand].astype(np.float64))
-        )
+        order = order_by_score(self._packed, cand, scores[cand])
         return [int(c) for c in cand[order][:k]]
 
     def top_k_with_next(self, scores: np.ndarray, m: int, thresh: float):

@@ -113,7 +113,8 @@ class MeshSearch:
         return fn(token_ids, lengths)
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "locality", "k", "use_pallas")
+        jax.jit,
+        static_argnames=("self", "locality", "k", "use_pallas", "with_next"),
     )
     def score_topk_multiquery(
         self,
@@ -127,17 +128,24 @@ class MeshSearch:
         k: int = 10,
         use_pallas: bool = False,
         sim_scale=1.0,  # traced f32: table in quantized units (int8/bf16)
+        with_next: bool = False,
     ):
         """Serving-batch scale-out: Q queries share each shard's vocab
         gather; per-query local top-k, then one all_gather of
         [Q, k] (score, global-index) pairs — communication is
-        O(devices * Q * k).  Returns ([Q, k] scores, [Q, k] indices).
+        O(devices * Q * k).  Returns ([Q, k] scores, [Q, k] indices), plus
+        a [Q] ``next_best`` bound when ``with_next``.
 
         ``sim_multi`` may be an int8/bf16 quantized table with
         ``sim_scale`` its unit (see ops/search score_all_multi): max-plus
         homogeneity runs the quantized units through the unchanged DP —
-        gap params scaled in, raw scores scaled out.  Callers rescore the
-        merged top-k exactly (BruteForceIndex._finalize_quantized)."""
+        gap params scaled in, raw scores scaled out.  Quantized ranking
+        callers MUST overfetch (k > n) with ``with_next=True``:
+        ``next_best[q]`` upper-bounds every score outside the returned
+        set, so after exact f32 rescoring of the k candidates the cut is
+        provably safe iff ``next_best < exact_nth - eps`` (the mesh
+        analogue of BruteForceIndex._finalize_quantized's loop; re-query
+        with larger k otherwise)."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -177,22 +185,49 @@ class MeshSearch:
                 ln[:, None] > 0, raw / jnp.maximum(norm_total[None, :], 1e-9),
                 -jnp.inf,
             )
-            loc_s, loc_i = jax.lax.top_k(scores.T, k)  # [Q, k] per query
+            # fetch one extra per shard: its score bounds everything the
+            # shard did NOT contribute (needed for the quantized cut proof)
+            kk = min(k + 1, shard_n) if with_next else k
+            loc_s, loc_i = jax.lax.top_k(scores.T, kk)  # [Q, kk] per query
+            if with_next:
+                if kk > k:
+                    shard_next = loc_s[:, k]  # [Q]
+                else:  # the shard is fully contributed — nothing outside
+                    shard_next = jnp.full((Q,), -jnp.inf, loc_s.dtype)
+                loc_s, loc_i = loc_s[:, :k], loc_i[:, :k]
             my = jax.lax.axis_index(axis)
             glob_i = loc_i + my * shard_n
             all_s = jax.lax.all_gather(loc_s, axis)  # [d, Q, k]
             all_i = jax.lax.all_gather(glob_i, axis)
             all_s = jnp.moveaxis(all_s, 0, 1).reshape(Q, n_dev * k)
             all_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, n_dev * k)
+            if with_next:
+                # best score outside the merged set: either beyond some
+                # shard's local k, or gathered but cut by the global merge
+                kk2 = min(k + 1, n_dev * k)
+                top_s1, sel1 = jax.lax.top_k(all_s, kk2)
+                top_s = top_s1[:, :k]
+                top_i = jnp.take_along_axis(all_i, sel1[:, :k], axis=1)
+                merge_next = (
+                    top_s1[:, k]
+                    if kk2 > k
+                    else jnp.full((Q,), -jnp.inf, top_s1.dtype)
+                )
+                next_best = jnp.maximum(
+                    jnp.max(jax.lax.all_gather(shard_next, axis), axis=0),
+                    merge_next,
+                )
+                return top_s, top_i, next_best
             top_s, sel = jax.lax.top_k(all_s, k)  # [Q, k]
             top_i = jnp.take_along_axis(all_i, sel, axis=1)
             return top_s, top_i
 
+        out_specs = (P(), P(), P()) if with_next else (P(), P())
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
             in_specs=(P(axis), P(axis)),
-            out_specs=(P(), P()),
+            out_specs=out_specs,
             check_vma=False,
         )
         return fn(token_ids, lengths)

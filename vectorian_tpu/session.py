@@ -92,8 +92,12 @@ class Result:
 
         ``gains`` maps slice ids (or (doc_index, slice_idx) pairs, as in
         ``precision``) to graded relevance; a set/list counts as gain 1.0.
-        The ideal ranking uses ALL provided gains, so missing relevant
-        slices lower the score."""
+        Standard NDCG@k with k = ``n`` (or the number of returned matches):
+        the ideal ranking is the k best gains, so a missed relevant slice
+        lowers the score whenever its gain would have made that ideal cut —
+        pass ``n`` >= len(gains) to penalize every miss (pure recall holes
+        among equal top grades are invisible at smaller k, as usual for
+        NDCG@k; use ``recall`` for those)."""
         if not isinstance(gains, dict):
             gains = {k: 1.0 for k in gains}
         if not gains:
