@@ -173,3 +173,58 @@ def test_multiquery_mesh_with_next_bound(rng, mesh_search):
         if len(outside):
             assert nxt[q] >= dense[outside].max() - 1e-5
             np.testing.assert_allclose(nxt[q], dense[outside].max(), atol=1e-5)
+
+
+def test_find_batch_mesh_public_api(session_ix_mesh):
+    """index.find_batch(mesh=...) must return exactly the single-chip
+    results — ids, scores, order — for int8 (default) and f32 ranking."""
+    session, index = session_ix_mesh
+    queries = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+        "king horse",
+        "",
+    ]
+    want = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(queries, n=5, min_score=0.1,
+                                  sim_precision="float32")
+    ]
+    ms = MeshSearch(make_mesh())
+    for prec in ("int8", "float32"):
+        got_res = index.find_batch(
+            queries, n=5, min_score=0.1, sim_precision=prec, mesh=ms,
+        )
+        got = [[(m.slice_id, m.score) for m in r] for r in got_res]
+        assert got == want, prec
+    # a raw jax Mesh is accepted too
+    got_res = index.find_batch(queries[:2], n=5, min_score=0.1,
+                               mesh=make_mesh())
+    got = [[(m.slice_id, m.score) for m in r] for r in got_res]
+    assert got == want[:2]
+
+
+@pytest.fixture(scope="module")
+def session_ix_mesh():
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    from .helpers import WORDS, make_corpus_texts, make_embedding
+
+    rng = np.random.default_rng(5)
+    planted = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+    ]
+    texts, _ = make_corpus_texts(rng, n_docs=4, sents_per_doc=10, planted=planted)
+    imp = StringImporter()
+    docs = [imp(t, title=f"d{i}") for i, t in enumerate(texts)]
+    words = sorted(
+        set(WORDS)
+        | {"old", "king", "rides", "grey", "horse", "small", "bird", "sings",
+           "tree", "the", "a", "in"}
+    )
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    return session, index

@@ -825,6 +825,7 @@ class BruteForceIndex(Index):
         n: int = 100,
         min_score: float = 0.2,
         sim_precision: Optional[str] = None,
+        mesh=None,
         **kwargs,
     ) -> List[Result]:
         """Batched search: score Q queries in one corpus pass.
@@ -844,7 +845,12 @@ class BruteForceIndex(Index):
         ``"float32"``); ``"bfloat16"`` is the halved-traffic variant.  An
         explicit argument wins over the ``VECTORIAN_SIM_PRECISION`` env
         default.  Batches with tag weighting force f32 (the similarity
-        threshold is a discontinuity no rounding bound survives)."""
+        threshold is a discontinuity no rounding bound survives).
+
+        ``mesh``: a ``jax.sharding.Mesh`` or ``parallel.mesh.MeshSearch``
+        shards the corpus pass over the mesh's devices (data-parallel
+        slice sharding, per-query top-k merged over one all-gather) with
+        the same exact-results guarantee."""
         if self._algorithm != "alignment":
             return self._find_batch_transport(
                 texts, n=n, min_score=min_score, **kwargs
@@ -873,46 +879,18 @@ class BruteForceIndex(Index):
             ]
 
         start_time = time.time()
-        prepared, plans, len_ts, norm_totals, tagws = [], [], [], [], []
-        for text in texts:
-            q = self.make_query(text, n=n, min_score=min_score, **kwargs)
-            pq = q.prepare(self._nlp)
-            prepared.append(pq)
-            # collapse the full (static-only) token-sim tree to one matrix
-            sim = compile_similarity(
-                token_sim,
-                self._session.compiled_embeddings,
-                pq.token_ids,
-                pq.token_strings,
-            )
-            from vectorian_tpu.ops.simmatrix import QueryPlan
-            import jax.numpy as jnp
-
-            qp = QueryPlan(
-                plan=("static", 0),
-                static_sims=[sim["similarity"]],
-                static_mags=[jnp.zeros((sim["similarity"].shape[0],))],
-                ctx_names=[],
-                ctx_queries=[],
-                mixed_weights=[],
-            )
-            plans.append(qp)
-            len_ts.append(max(pq.n_tokens, 1))
-            tagw = self._tag_weighting(pq)
-            tagws.append(tagw)
-            norm_totals.append(
-                tagw.total if tagw is not None else float(max(pq.n_tokens, 1))
-            )
-
-        gaps = self._affine_gaps()
-        if gaps is None:
-            raise NotImplementedError("find_batch requires affine gap costs")
+        (
+            prepared, plans, len_ts, norm_totals, tagws, gaps,
+            sim_precision, quantize,
+        ) = self._prepare_static_batch(texts, n, min_score, sim_precision, kwargs)
         any_tags = any(t is not None for t in tagws)
-        if sim_precision is None:
-            sim_precision = os.environ.get("VECTORIAN_SIM_PRECISION") or "int8"
-        if sim_precision not in ("int8", "bfloat16", "float32"):
-            raise ValueError(f"unknown sim_precision {sim_precision!r}")
-        quantize = sim_precision != "float32" and not any_tags
+
+        if mesh is not None:
+            return self._find_batch_mesh(
+                prepared, plans, len_ts, norm_totals, tagws, gaps,
+                sim_precision, quantize, token_sim.name, n, min_score,
+                mesh, start_time,
+            )
 
         entry_err = 0.0
         if quantize:
@@ -958,6 +936,57 @@ class BruteForceIndex(Index):
             results.append(Result(self, matches, time.time() - start_time))
         return results
 
+    def _prepare_static_batch(self, texts, n, min_score, sim_precision, kwargs):
+        """Shared find_batch front half: prepare Q queries, collapse their
+        static token-sim trees to single matrices, resolve gap params and
+        the ranking precision."""
+        token_sim = self._args["metric"]["token_sim"]
+        prepared, plans, len_ts, norm_totals, tagws = [], [], [], [], []
+        for text in texts:
+            q = self.make_query(text, n=n, min_score=min_score, **kwargs)
+            pq = q.prepare(self._nlp)
+            prepared.append(pq)
+            # collapse the full (static-only) token-sim tree to one matrix
+            sim = compile_similarity(
+                token_sim,
+                self._session.compiled_embeddings,
+                pq.token_ids,
+                pq.token_strings,
+            )
+            from vectorian_tpu.ops.simmatrix import QueryPlan
+            import jax.numpy as jnp
+
+            qp = QueryPlan(
+                plan=("static", 0),
+                static_sims=[sim["similarity"]],
+                static_mags=[jnp.zeros((sim["similarity"].shape[0],))],
+                ctx_names=[],
+                ctx_queries=[],
+                mixed_weights=[],
+            )
+            plans.append(qp)
+            len_ts.append(max(pq.n_tokens, 1))
+            tagw = self._tag_weighting(pq)
+            tagws.append(tagw)
+            norm_totals.append(
+                tagw.total if tagw is not None else float(max(pq.n_tokens, 1))
+            )
+
+        gaps = self._affine_gaps()
+        if gaps is None:
+            raise NotImplementedError("find_batch requires affine gap costs")
+        if sim_precision is None:
+            sim_precision = os.environ.get("VECTORIAN_SIM_PRECISION") or "int8"
+        if sim_precision not in ("int8", "bfloat16", "float32"):
+            raise ValueError(f"unknown sim_precision {sim_precision!r}")
+        quantize = sim_precision != "float32" and not any(
+            t is not None for t in tagws
+        )
+        return (
+            prepared, plans, len_ts, norm_totals, tagws, gaps,
+            sim_precision, quantize,
+        )
+
     # floor on the normalized-score slack covering quantized ranking (the
     # per-batch bound is dynamic — see _finalize_quantized); also absorbs
     # f32 DP summation-order differences between the ranking kernel and
@@ -980,29 +1009,46 @@ class BruteForceIndex(Index):
         minus that bound — otherwise double the overfetch.  The returned
         matches (ids, scores, flows, order) are bit-identical to the
         pure-f32 path."""
-        eps = max(
-            2.0 * entry_err * max(pq.n_tokens, 1) / max(norm_total, 1e-9),
-            self.QUANT_SCORE_EPS,
-        )
-        packed = self._engine.packed
+        eps = self._quant_eps(entry_err, pq, norm_total)
         m = n + 32
         while True:
             cand, rest_max = self._engine.top_k_with_next(
                 q_scores, m, min_score - eps
             )
-            mappings, edge_sims, raw = self._engine.rescore_with_flows(
-                cand, plan, pq.n_tokens, gaps, self._locality,
-                with_scores=True,
+            complete = m >= q_scores.shape[0]
+            matches = self._try_exact_cut(
+                cand, rest_max, plan, pq, gaps, norm_total, metric_name,
+                n, min_score, eps, force=complete,
             )
-            exact = raw / max(norm_total, 1e-9)
-            order = order_by_score(packed, cand, exact)
-            keep = [j for j in order if exact[j] >= min_score][:n]
-            s_cut = float(exact[keep[-1]]) if keep and len(keep) == n else min_score
-            if rest_max < s_cut - eps:
-                break
-            if m >= q_scores.shape[0]:
-                break  # candidate set already covers the whole corpus
+            if matches is not None:
+                return matches
             m *= 2
+
+    def _quant_eps(self, entry_err: float, pq, norm_total: float) -> float:
+        return max(
+            2.0 * entry_err * max(pq.n_tokens, 1) / max(norm_total, 1e-9),
+            self.QUANT_SCORE_EPS,
+        )
+
+    def _try_exact_cut(
+        self, cand, rest_max, plan, pq, gaps, norm_total, metric_name,
+        n: int, min_score: float, eps: float, force: bool = False,
+    ) -> Optional[List["Match"]]:
+        """Exact-rescore a candidate set and accept the top-n cut only when
+        provably safe: the best approximate score OUTSIDE the set
+        (``rest_max``) must be below the exact n-th score minus ``eps``.
+        Returns None when unsafe (caller fetches more candidates);
+        ``force`` accepts regardless (the set already covers everything)."""
+        mappings, edge_sims, raw = self._engine.rescore_with_flows(
+            cand, plan, pq.n_tokens, gaps, self._locality,
+            with_scores=True,
+        )
+        exact = raw / max(norm_total, 1e-9)
+        order = order_by_score(self._engine.packed, cand, exact)
+        keep = [j for j in order if exact[j] >= min_score][:n]
+        s_cut = float(exact[keep[-1]]) if keep and len(keep) == n else min_score
+        if not force and rest_max >= s_cut - eps:
+            return None
         return [
             Match(
                 self,
@@ -1015,6 +1061,115 @@ class BruteForceIndex(Index):
             )
             for j in keep
         ]
+
+    def _mesh_shards(self, ms):
+        """Bucket arrays sharded over the mesh's slice axis, cached per
+        device set (the corpus upload happens once, like the reference's
+        per-session document preparation)."""
+        key = tuple(str(d) for d in ms.mesh.devices.flat)
+        cache = getattr(self, "_mesh_shard_cache", None)
+        if cache is None:
+            cache = self._mesh_shard_cache = {}
+        if key not in cache:
+            shards = []
+            for db in self._engine._device_buckets:
+                if db["n"] == 0:
+                    continue
+                lengths = np.asarray(db["lengths"], np.int32)
+                tok_d, len_d = ms.shard_bucket(db["tokens_np"], lengths)
+                shards.append((db, tok_d, len_d))
+            cache[key] = shards
+        return cache[key]
+
+    def _find_batch_mesh(
+        self, prepared, plans, len_ts, norm_totals, tagws, gaps,
+        sim_precision, quantize, metric_name, n, min_score, mesh, start_time,
+    ) -> List[Result]:
+        """Mesh-sharded serving batch: every bucket's slice axis is sharded
+        over the mesh (SURVEY.md §2.4 — the reference's document ThreadPool
+        becomes data parallelism over ICI), Q queries share each shard's
+        vocab gather, and the per-query top-k merges over one all-gather.
+        Exactness matches the single-chip path: candidates are overfetched
+        with a per-query next-best bound and exactly rescored in f32, the
+        cut accepted only when provably safe (``_try_exact_cut``)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vectorian_tpu.ops.search import (
+            quantization_entry_err,
+            stack_query_tables,
+            use_pallas_default,
+        )
+        from vectorian_tpu.parallel.mesh import MeshSearch
+
+        if any(t is not None for t in tagws):
+            raise NotImplementedError(
+                "mesh find_batch does not support tag weighting"
+            )
+        ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
+        shards = self._mesh_shards(ms)
+        Q = len(plans)
+        sim_dtype = sim_precision if quantize else None
+        sim_multi, sim_scale, max_abs_dev, _ = stack_query_tables(
+            plans, len_ts, sim_dtype
+        )
+        table = jax.device_put(sim_multi, NamedSharding(ms.mesh, P()))
+        lt_arr = jnp.asarray(len_ts, jnp.int32)
+        nt_arr = jnp.asarray(norm_totals, jnp.float32)
+        up = use_pallas_default()
+
+        entry_err = None
+        m = n + 32
+        while True:
+            pending = []
+            complete = True
+            for db, tok_d, len_d in shards:
+                # k >= the bucket's total rows makes the merge return every
+                # slice (score_topk_multiquery's kout), i.e. full coverage
+                complete = complete and m >= tok_d.shape[0]
+                out = ms.score_topk_multiquery(
+                    tok_d, len_d, table, lt_arr, gaps, nt_arr,
+                    locality=self._locality, k=min(m, tok_d.shape[0]),
+                    use_pallas=up, sim_scale=sim_scale, with_next=True,
+                )
+                pending.append((db, out))
+            if entry_err is None:
+                # deferred host read overlaps the dispatched shard passes
+                entry_err = quantization_entry_err(sim_dtype, max_abs_dev)
+
+            cands = [[] for _ in range(Q)]
+            rest_max = np.full((Q,), -np.inf)
+            for db, (s, i, nxt) in pending:
+                s, i = np.asarray(s), np.asarray(i)
+                rest_max = np.maximum(rest_max, np.asarray(nxt))
+                for q in range(Q):
+                    valid = (i[q] < db["n"]) & np.isfinite(s[q])
+                    cands[q].extend(
+                        int(x) for x in db["slice_index"][i[q][valid]]
+                    )
+
+            results = []
+            retry = False
+            for q, pq in enumerate(prepared):
+                if pq.n_tokens == 0:
+                    results.append(Result(self, [], 0.0))
+                    continue
+                eps = self._quant_eps(entry_err, pq, norm_totals[q])
+                matches = self._try_exact_cut(
+                    cands[q], float(rest_max[q]), plans[q], pq, gaps,
+                    norm_totals[q], metric_name, n, min_score, eps,
+                    force=complete,
+                )
+                if matches is None:
+                    retry = True
+                    break
+                results.append(
+                    Result(self, matches, time.time() - start_time)
+                )
+            if not retry:
+                return results
+            m *= 2
 
     def _find_batch_transport(
         self, texts, n: int = 100, min_score: float = 0.2, **kwargs

@@ -46,6 +46,56 @@ DEFAULT_CHUNK = 4096
 NEG_SCORE = -1e30
 
 
+def stack_query_tables(plans, len_ts, sim_dtype=None):
+    """Stack Q static query plans into the serving table [V, Tpad, Q]
+    ((T, Q)-minor so the vocab gather's output is already the DP kernel's
+    native tiling), optionally quantized.
+
+    ``sim_dtype``: None keeps f32; ``"bfloat16"`` halves the table's HBM
+    traffic; ``"int8"`` quarters it (symmetric scale = max|sim|/127 —
+    max-plus homogeneity runs the quantized units through the unchanged DP
+    kernels via ``sim_scale``).  Quantization happens on device; the
+    max|sim| needed for the host-side error bound is returned as an
+    UNREAD device scalar so callers can overlap the read with the pass
+    (``quantization_entry_err``).  Returns
+    (sim_multi, sim_scale, max_abs_dev, Tpad)."""
+    Tmax = max(len_ts)
+    Tpad = -(-Tmax // 8) * 8  # sublane-aligned for the kernel layout
+    sims = []
+    for qp in plans:
+        assert qp.is_static_only and qp.plan == ("static", 0)
+        m = qp.static_sims[0]
+        sims.append(jnp.pad(m, ((0, 0), (0, Tpad - int(m.shape[1])))))
+    sim_multi = jnp.stack(sims, axis=2)  # [V, Tpad, Q]
+    sim_scale = 1.0
+    max_abs_dev = None
+    if sim_dtype is not None:
+        if sim_dtype not in ("int8", jnp.int8, "bfloat16", jnp.bfloat16):
+            raise ValueError(f"unknown sim_dtype {sim_dtype!r}")
+        max_abs_dev = jnp.maximum(jnp.max(jnp.abs(sim_multi)), 1e-9)
+        if sim_dtype in ("int8", jnp.int8):
+            sim_scale = max_abs_dev / 127.0
+            sim_multi = jnp.round(sim_multi / sim_scale).astype(jnp.int8)
+        else:  # bfloat16
+            sim_multi = sim_multi.astype(jnp.bfloat16)
+    return sim_multi, sim_scale, max_abs_dev, Tpad
+
+
+def quantization_entry_err(sim_dtype, max_abs_dev) -> float:
+    """Max per-entry absolute rounding of a quantized table (0.0 exact).
+    Forces the deferred max|sim| host read — call it AFTER dispatching the
+    scoring passes so the tunnel round trip overlaps the compute."""
+    if max_abs_dev is None:
+        return 0.0
+    max_abs = float(max_abs_dev)
+    if sim_dtype in ("int8", jnp.int8):
+        return max_abs / 127.0 / 2.0  # round-to-nearest
+    # bf16 RN absolute error: half-ulp of max_abs's binade — the safe
+    # upper bound is 2^-8 * max_abs (2^-9 relative only holds at the
+    # binade's low end)
+    return max_abs * 2.0 ** -8
+
+
 def order_by_score(packed, ids, scores) -> np.ndarray:
     """Positions of ``ids`` in the reference's deterministic match order:
     score desc, then doc id asc, then slice idx asc (match_impl.h:8-42).
@@ -742,34 +792,14 @@ class BruteForceEngine:
         returns the max per-entry absolute rounding bound (0.0 exact);
         quantization requires ``tag_weights=None`` (the tag threshold is a
         discontinuity no rounding bound survives)."""
+        if sim_dtype is not None and tag_weights is not None and any(
+            tw is not None for tw in tag_weights
+        ):
+            raise ValueError("quantized ranking requires tag_weights=None")
         Q = len(plans)
-        Tmax = max(len_ts)
-        Tpad = -(-Tmax // 8) * 8  # sublane-aligned for the kernel layout
-        V = int(plans[0].static_sims[0].shape[0])
-        sims = []
-        for qp, lt in zip(plans, len_ts):
-            assert qp.is_static_only and qp.plan == ("static", 0)
-            m = qp.static_sims[0]
-            sims.append(jnp.pad(m, ((0, 0), (0, Tpad - int(m.shape[1])))))
-        sim_multi = jnp.stack(sims, axis=2)  # [V, Tpad, Q]
-        sim_scale = 1.0
-        max_abs_dev = None
-        if sim_dtype is not None:
-            if sim_dtype not in ("int8", jnp.int8, "bfloat16", jnp.bfloat16):
-                raise ValueError(f"unknown sim_dtype {sim_dtype!r}")
-            if tag_weights is not None and any(
-                tw is not None for tw in tag_weights
-            ):
-                raise ValueError("quantized ranking requires tag_weights=None")
-            # quantize on device, read max_abs back only AFTER dispatching
-            # the corpus pass — the host read overlaps the scoring work
-            # instead of stalling it for a tunnel round trip
-            max_abs_dev = jnp.maximum(jnp.max(jnp.abs(sim_multi)), 1e-9)
-            if sim_dtype in ("int8", jnp.int8):
-                sim_scale = max_abs_dev / 127.0
-                sim_multi = jnp.round(sim_multi / sim_scale).astype(jnp.int8)
-            else:  # bfloat16
-                sim_multi = sim_multi.astype(jnp.bfloat16)
+        sim_multi, sim_scale, max_abs_dev, Tpad = stack_query_tables(
+            plans, len_ts, sim_dtype
+        )
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 
@@ -821,16 +851,7 @@ class BruteForceEngine:
                 sim_scale=sim_scale,
             )
             pending.append((db, scores))
-        entry_err = 0.0
-        if max_abs_dev is not None:
-            max_abs = float(max_abs_dev)
-            if sim_dtype in ("int8", jnp.int8):
-                entry_err = max_abs / 127.0 / 2.0  # round-to-nearest
-            else:
-                # bf16 RN absolute error: half-ulp of max_abs's binade,
-                # 2^(floor(log2(m))-9) <= m * 2^-9 only at the binade's
-                # low end — use the safe 2^-8 * m upper bound
-                entry_err = max_abs * 2.0 ** -8
+        entry_err = quantization_entry_err(sim_dtype, max_abs_dev)
         for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         if with_err:

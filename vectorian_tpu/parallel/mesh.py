@@ -131,10 +131,12 @@ class MeshSearch:
         with_next: bool = False,
     ):
         """Serving-batch scale-out: Q queries share each shard's vocab
-        gather; per-query local top-k, then one all_gather of
-        [Q, k] (score, global-index) pairs — communication is
-        O(devices * Q * k).  Returns ([Q, k] scores, [Q, k] indices), plus
-        a [Q] ``next_best`` bound when ``with_next``.
+        gather; per-query local top-min(k, shard_n), then one all_gather of
+        the per-shard candidates — communication is O(devices * Q * k).
+        Returns ([Q, kout] scores, [Q, kout] indices) with
+        kout = min(k, devices * min(k, shard_n)) — so a k >= the bucket's
+        total rows returns EVERY slice — plus a [Q] ``next_best`` bound
+        when ``with_next``.
 
         ``sim_multi`` may be an int8/bf16 quantized table with
         ``sim_scale`` its unit (see ops/search score_all_multi): max-plus
@@ -158,6 +160,9 @@ class MeshSearch:
         gaps_q = AffineGapParams(
             *(jnp.asarray(g, jnp.float32) / sim_scale for g in gaps)
         )
+
+        ks = min(k, shard_n)  # per-shard contribution
+        kout = min(k, n_dev * ks)  # merged result width
 
         def shard_fn(tok, ln):
             c = tok.shape[0]
@@ -187,30 +192,30 @@ class MeshSearch:
             )
             # fetch one extra per shard: its score bounds everything the
             # shard did NOT contribute (needed for the quantized cut proof)
-            kk = min(k + 1, shard_n) if with_next else k
-            loc_s, loc_i = jax.lax.top_k(scores.T, kk)  # [Q, kk] per query
+            kf = min(ks + 1, shard_n) if with_next else ks
+            loc_s, loc_i = jax.lax.top_k(scores.T, kf)  # [Q, kf] per query
             if with_next:
-                if kk > k:
-                    shard_next = loc_s[:, k]  # [Q]
+                if kf > ks:
+                    shard_next = loc_s[:, ks]  # [Q]
                 else:  # the shard is fully contributed — nothing outside
                     shard_next = jnp.full((Q,), -jnp.inf, loc_s.dtype)
-                loc_s, loc_i = loc_s[:, :k], loc_i[:, :k]
+                loc_s, loc_i = loc_s[:, :ks], loc_i[:, :ks]
             my = jax.lax.axis_index(axis)
             glob_i = loc_i + my * shard_n
-            all_s = jax.lax.all_gather(loc_s, axis)  # [d, Q, k]
+            all_s = jax.lax.all_gather(loc_s, axis)  # [d, Q, ks]
             all_i = jax.lax.all_gather(glob_i, axis)
-            all_s = jnp.moveaxis(all_s, 0, 1).reshape(Q, n_dev * k)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, n_dev * k)
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(Q, n_dev * ks)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, n_dev * ks)
             if with_next:
                 # best score outside the merged set: either beyond some
-                # shard's local k, or gathered but cut by the global merge
-                kk2 = min(k + 1, n_dev * k)
+                # shard's local ks, or gathered but cut by the global merge
+                kk2 = min(kout + 1, n_dev * ks)
                 top_s1, sel1 = jax.lax.top_k(all_s, kk2)
-                top_s = top_s1[:, :k]
-                top_i = jnp.take_along_axis(all_i, sel1[:, :k], axis=1)
+                top_s = top_s1[:, :kout]
+                top_i = jnp.take_along_axis(all_i, sel1[:, :kout], axis=1)
                 merge_next = (
-                    top_s1[:, k]
-                    if kk2 > k
+                    top_s1[:, kout]
+                    if kk2 > kout
                     else jnp.full((Q,), -jnp.inf, top_s1.dtype)
                 )
                 next_best = jnp.maximum(
@@ -218,7 +223,7 @@ class MeshSearch:
                     merge_next,
                 )
                 return top_s, top_i, next_best
-            top_s, sel = jax.lax.top_k(all_s, k)  # [Q, k]
+            top_s, sel = jax.lax.top_k(all_s, kout)  # [Q, kout]
             top_i = jnp.take_along_axis(all_i, sel, axis=1)
             return top_s, top_i
 
