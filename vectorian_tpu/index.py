@@ -909,7 +909,13 @@ class BruteForceIndex(Index):
             if pq.n_tokens == 0:
                 results.append(Result(self, [], 0.0))
                 continue
-            if quantize:
+            if not any_tags:
+                # untagged batches always report the FINALIZER's exact f32
+                # scores (entry_err 0.0 on the f32 path, where the cut
+                # loop only guards tie-breaks) — so every sim_precision
+                # returns byte-identical matches AND scores; device scores
+                # can differ from the rescore by ~1 ulp (XLA lowers the
+                # normalization divide as a reciprocal multiply)
                 matches = self._finalize_quantized(
                     scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
                     token_sim.name, n, min_score, entry_err,
@@ -997,7 +1003,9 @@ class BruteForceIndex(Index):
         self, q_scores, plan, pq, gaps, norm_total, metric_name,
         n: int, min_score: float, entry_err: float,
     ) -> List["Match"]:
-        """Exact top-n from approximate (int8/bf16) ranking scores.
+        """Exact top-n from approximate (int8/bf16) ranking scores — or
+        from exact f32 ranking with ``entry_err=0.0``, where the loop's
+        only job is guarding (doc, slice) tie-breaks at the cut boundary.
 
         A DP path matches at most len_t similarity entries, each carrying
         at most ``entry_err`` rounding (gap costs are exact), so the
