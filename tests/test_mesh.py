@@ -228,3 +228,23 @@ def session_ix_mesh():
     session = Session(docs, embeddings=[emb])
     index = session.partition("sentence").index(EmbeddingTokenSim(emb))
     return session, index
+
+
+def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
+    """A requested mesh must never be silently ignored: transport metrics,
+    contextual metrics and per-query options raise instead of falling back
+    to a single-chip path."""
+    from vectorian_tpu.alignment import WordMoversDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    session, index = session_ix_mesh
+    ms = MeshSearch(make_mesh())
+    with pytest.raises(NotImplementedError):
+        index.find_batch(["king"], n=2, mesh=ms, token_filter=["the"])
+    emb = session.embeddings[0]
+    wix = session.partition("sentence").index(
+        OptimizedSpanSim(EmbeddingTokenSim(emb), WordMoversDistance.rwmd("nbow"))
+    )
+    with pytest.raises(NotImplementedError):
+        wix.find_batch(["king"], n=2, mesh=ms)

@@ -852,6 +852,10 @@ class BruteForceIndex(Index):
         slice sharding, per-query top-k merged over one all-gather) with
         the same exact-results guarantee."""
         if self._algorithm != "alignment":
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh find_batch supports static alignment metrics only"
+                )
             return self._find_batch_transport(
                 texts, n=n, min_score=min_score, **kwargs
             )
@@ -861,6 +865,10 @@ class BruteForceIndex(Index):
         embs = list(token_sim.embeddings)
         statics = [getattr(e, "is_static", True) for e in embs]
         if not all(statics):
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh find_batch supports static alignment metrics only"
+                )
             if isinstance(token_sim, _ETS) and not self._args.get("tag_weights"):
                 return self._find_batch_ctx(
                     texts, n=n, min_score=min_score, **kwargs
@@ -874,6 +882,11 @@ class BruteForceIndex(Index):
             "booster", "pos_filter", "tag_filter", "token_filter",
             "bidirectional", "submatch_weight", "debug",
         } & set(kwargs):
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh find_batch does not take per-query options "
+                    f"({sorted(set(kwargs))}); use the single-chip path"
+                )
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
