@@ -265,3 +265,26 @@ def test_parameterized_metric_jit_identity(small_session):
     m1 = ModifiedVectorSim(PNormDistance(2), RadialBasis(0.5))
     m2 = ModifiedVectorSim(PNormDistance(2), RadialBasis(8.0))
     assert m1.ident != m2.ident and hash(m1) != hash(m2)
+
+
+def test_span_encoder_find_batch(small_session):
+    """Batched span-encoder search: one corpus GEMM serves Q queries and
+    must replicate the single-query results exactly."""
+    session, emb, locations = small_session
+    span_emb = SentenceEmbedding(emb, agg="mean")
+    index = session.partition("sentence").index(EmbeddedSpanSim(span_emb))
+    queries = [
+        "the old king rides the grey horse",
+        "a quick fox",
+        "",
+    ]
+    batch = index.find_batch(queries, n=4, min_score=-5.0)
+    assert len(batch) == 3
+    for q, br in zip(queries, batch):
+        sr = index.find(q, n=4, min_score=-5.0)
+        # ids and order match exactly; scores agree to GEMM-tiling rounding
+        # (a [S,d]x[d,Q] matmul reduces in a different order than [S,d]x[d,1])
+        assert [m.slice_id for m in br] == [m.slice_id for m in sr], q
+        np.testing.assert_allclose(
+            [m.score for m in br], [m.score for m in sr], atol=1e-5
+        )

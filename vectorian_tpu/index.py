@@ -1378,34 +1378,64 @@ class SpanEncoderIndex(Index):
         return self
 
     def _find(self, query: PreparedQuery) -> List[Match]:
-        import jax.numpy as jnp
-
-        from vectorian_tpu.embedding.vectors import Vectors
-
         opts = query.options
         n = int(opts.get("max_matches", 100))
         min_score = float(opts.get("min_score", 0.2))
-
-        corpus_vecs = self._corpus_vectors()  # Vectors [S, d]
         qv = self._encoder.encode_text(query.text)  # Vectors [1, d]
-        sims = self._span_sim.vector_sim.compute(corpus_vecs, qv)  # [S, 1]
-        sims = np.asarray(sims)[:, 0]
-        k = min(n, sims.shape[0])
-        cand = np.argpartition(-sims, k - 1)[:k]
-        order = order_by_score(self.packed, cand, sims[cand])
-        out = []
-        for sid in cand[order]:
-            score = float(sims[sid])
-            if score < min_score:
-                continue
-            out.append(
-                Match(
-                    self,
-                    query,
-                    slice_id=int(sid),
-                    score=score,
-                    metric=self._span_sim.vector_sim.name,
-                    level="span",
+        return self._topk_from_query_vectors(qv, query, n, min_score)[0]
+
+    def _topk_from_query_vectors(self, qv, queries, n, min_score):
+        """[S, Q] metric GEMM + per-query top-k.  ``queries`` is one
+        PreparedQuery or a list of Q of them (batched serving: Q query
+        vectors share one corpus GEMM)."""
+        single = not isinstance(queries, list)
+        qlist = [queries] if single else queries
+        corpus_vecs = self._corpus_vectors()  # Vectors [S, d]
+        sims = np.asarray(
+            self._span_sim.vector_sim.compute(corpus_vecs, qv)
+        )  # [S, Q]
+        out_all = []
+        for qi, query in enumerate(qlist):
+            col = sims[:, qi]
+            k = min(n, col.shape[0])
+            cand = np.argpartition(-col, k - 1)[:k]
+            order = order_by_score(self.packed, cand, col[cand])
+            out = []
+            for sid in cand[order]:
+                score = float(col[sid])
+                if score < min_score:
+                    continue
+                out.append(
+                    Match(
+                        self,
+                        query,
+                        slice_id=int(sid),
+                        score=score,
+                        metric=self._span_sim.vector_sim.name,
+                        level="span",
+                    )
                 )
-            )
-        return out[:n]
+            out_all.append(out[:n])
+        return out_all
+
+    def find_batch(
+        self, texts: List[str], n: int = 100, min_score: float = 0.2, **kwargs
+    ) -> List[Result]:
+        """Batched span-encoder search: Q query spans encode and score in
+        ONE corpus GEMM (the span-level analogue of the brute-force
+        multi-query batching)."""
+        from vectorian_tpu.embedding.vectors import Vectors
+
+        start_time = time.time()
+        prepared, qvs = [], []
+        for text in texts:
+            q = self.make_query(text, n=n, min_score=min_score, **kwargs)
+            prepared.append(q.prepare(self._nlp))
+            qvs.append(self._encoder.encode_text(text))
+        stacked = Vectors(
+            np.concatenate([np.asarray(v.unmodified) for v in qvs], axis=0)
+        )
+        matches = self._topk_from_query_vectors(stacked, prepared, n, min_score)
+        return [
+            Result(self, ms, time.time() - start_time) for ms in matches
+        ]
