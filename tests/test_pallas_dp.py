@@ -119,3 +119,27 @@ def test_pallas_block_padding(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_multi_nt_vmem_fallback_matches_jnp():
+    """A block too large for VMEM even at CB=1 must fall back to the jnp
+    scorer instead of handing Mosaic an over-budget allocation."""
+    import numpy as np
+
+    from vectorian_tpu.ops.alignment import AffineGapParams, align_scores
+    from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
+
+    # L * Tp * Q * 4 bytes * 2 > 8MB with CB=1 and Q <= 128 (no further
+    # query split) -> jnp fallback path
+    L, c, Tp, Q = 1024, 2, 16, 128
+    rng = np.random.default_rng(0)
+    S = jnp.asarray(rng.uniform(0, 1, size=(L, c, Tp, Q)).astype(np.float32))
+    ln = jnp.full((c,), L, jnp.int32)
+    lt = jnp.full((Q,), Tp, jnp.int32)
+    gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+    got = np.asarray(pallas_align_scores_multi_nt(S, ln, lt, gaps, "local"))
+    S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, Tp)
+    want = np.asarray(
+        align_scores(S2, jnp.repeat(ln, Q), jnp.tile(lt, c), gaps, "local")
+    ).reshape(c, Q)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -341,3 +341,30 @@ def test_ctx_multiquery_kernel_vs_oracle(rng):
             raw, _, _, _ = gotoh_align(S, 0.2, 0.1, 0.2, 0.1, "local")
             want = raw / lt
             assert got[b, q] == pytest.approx(want, abs=2e-4), (b, q)
+
+
+def test_top_k_tie_break_across_partition_boundary(corpus_session):
+    """Score-tied slices at the k-th boundary must resolve by the reference
+    (doc asc, slice asc) order — an argpartition candidate pool would keep
+    an arbitrary tied subset (review repro)."""
+    session, emb, locations = corpus_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    eng = index._engine
+    n = eng.packed.n_slices
+    assert n >= 8
+    scores = np.full((n,), 0.5, np.float32)
+    scores[n - 1] = 0.9
+    scores[n - 2] = 0.9
+    got = eng.top_k(scores, 3, min_score=0.0)
+    # third place: the (doc, slice)-smallest among ALL 0.5-tied slices
+    packed = eng.packed
+    ties = np.arange(n - 2)
+    order = np.lexsort((packed.slice_idx[ties], packed.slice_doc[ties]))
+    want_third = int(ties[order][0])
+    assert got[2] == want_third
+    # the two 0.9s come first, ordered by (doc, slice) as well
+    first_two = sorted(
+        [n - 1, n - 2],
+        key=lambda s: (packed.slice_doc[s], packed.slice_idx[s]),
+    )
+    assert got[:2] == [int(x) for x in first_two]

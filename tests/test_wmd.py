@@ -82,6 +82,7 @@ def test_rwmd_scores_dedup_consistency(rng):
             (jnp.asarray(sim_vocab),), (jnp.zeros((V,), jnp.float32),),
             (), (), (),
             jnp.asarray(mass_t), jnp.asarray(T, jnp.int32),
+            jnp.asarray(float(T), jnp.float32),
             jnp.zeros((T,), jnp.float32), jnp.zeros((T,), jnp.int8),
             jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
             injective=False, symmetric=True, normalize_bow=True, chunk=N,
@@ -223,6 +224,7 @@ def test_tagged_rwmd_scores_vs_oracle(rng):
             (jnp.asarray(sim_vocab),), (jnp.zeros((V,), jnp.float32),),
             (), (), (),
             jnp.asarray(mass_t), jnp.asarray(T, jnp.int32),
+            jnp.asarray(float(tw_w.sum()), jnp.float32),
             jnp.asarray(tw_w), jnp.asarray(tw_pos),
             jnp.asarray(penalty, jnp.float32),
             jnp.asarray(threshold, jnp.float32),
@@ -358,3 +360,115 @@ def test_rwmd_multi_kernel_vs_oracle(rng):
             acc1 = greedy_oracle(m_s, D_st, m_t, False)
             want = 1.0 - max(acc0, acc1)
             assert got[b, q] == pytest.approx(want, abs=1e-4), (b, q)
+
+
+def test_tagged_rwmd_bow_mode_max_cost(rng):
+    """bow mode (normalize_bow=False) with tag weights: max_cost is the
+    tag-weight sum (reference max_sum_of_similarities of TagWeightedSlice,
+    wmd.h:411-412 + slice/static.h:285), not len_t."""
+    V, T, L, N, n_pos = 30, 4, 6, 6, 4
+    sim_vocab = rng.uniform(0, 1, size=(V, T)).astype(np.float32)
+    tok = rng.integers(1, 9, size=(N, L)).astype(np.int32)
+    tags = rng.integers(0, 3, size=(N, L)).astype(np.int16)
+    pos_s = rng.integers(0, n_pos, size=(N, L)).astype(np.int8)
+    lengths = np.full((N,), L, np.int32)
+    mass_t = np.ones((T,), np.float32)
+    tw_w = rng.uniform(0.2, 1.0, size=(T,)).astype(np.float32)
+    tw_pos = rng.integers(0, n_pos, size=(T,)).astype(np.int8)
+    penalty, threshold = 0.25, 0.1
+    got = np.asarray(
+        _bucket_rwmd_scores(
+            ("static", 0),
+            jnp.asarray(tok),
+            jnp.asarray(tok.reshape(1, N * L)),
+            jnp.arange(N * L, dtype=jnp.int32).reshape(1, N * L),
+            jnp.asarray(pos_s),
+            jnp.asarray(tags),
+            jnp.asarray(lengths),
+            (jnp.asarray(sim_vocab),), (jnp.zeros((V,), jnp.float32),),
+            (), (), (),
+            jnp.asarray(mass_t), jnp.asarray(T, jnp.int32),
+            jnp.asarray(float(tw_w.sum()), jnp.float32),
+            jnp.asarray(tw_w), jnp.asarray(tw_pos),
+            jnp.asarray(penalty, jnp.float32),
+            jnp.asarray(threshold, jnp.float32),
+            injective=False, symmetric=False, normalize_bow=False, chunk=N,
+            with_tags=True,
+        )
+    )
+    for b in range(N):
+        S = sim_vocab[tok[b]]
+        w = tw_w[None, :] * np.where(
+            pos_s[b][:, None] == tw_pos[None, :], 1.0, 1.0 - penalty
+        )
+        Sw = np.where(S * w > threshold, S * w, 0.0)
+        m_s = dedup_masses(
+            list(zip(tok[b].tolist(), tags[b].tolist())), np.ones(L, bool)
+        )
+        D_st = np.maximum(1.0 - Sw, 0.0)
+        acc0 = greedy_oracle(mass_t, D_st.T, m_s, False) / mass_t.sum()
+        max_cost = float(tw_w.sum())  # NOT len_t
+        want = (max_cost - acc0) / max_cost
+        assert got[b] == pytest.approx(want, abs=1e-4), b
+
+
+def test_wrd_oov_query_token_keeps_mass():
+    """A corpus-OOV query token must keep its encoder magnitude as WRD mass
+    (reference interns every query token in the query vocabulary, so none
+    is massless — static.cpp fill_magnitudes_t)."""
+    from tests.helpers import make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordRotatorsDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    words = ["old", "king", "rides", "horse", "cat", "sleeps", "the", "oovword"]
+    emb = make_embedding(words)
+    # corpus does NOT contain "oovword" -> it is absent from the session
+    # vocabulary, but the embedding can encode it
+    docs = [StringImporter()(
+        "the old king rides the horse. the cat sleeps.", title="d"
+    )]
+    session = Session(docs, embeddings=[emb])
+    ix = session.partition("sentence").index(
+        OptimizedSpanSim(EmbeddingTokenSim(emb), WordRotatorsDistance())
+    )
+    q = ix.make_query("old king oovword", n=2, min_score=-5.0).prepare(ix._nlp)
+    assert (np.asarray(q.token_ids) < 0).any()  # truly OOV vs corpus vocab
+    from vectorian_tpu.ops.wmd import WMDEngine
+    from vectorian_tpu.ops.simmatrix import compile_plan
+
+    eng = WMDEngine(ix._engine, ix._args["alignment"])
+    qp = compile_plan(
+        ix._args["metric"]["token_sim"], session.compiled_embeddings,
+        q.token_ids, q.token_strings, {}, needs_magnitudes=True,
+    )
+    mags = eng._static_needle_magnitudes(qp, q, ix)
+    # every real query token carries positive mass, including the OOV one
+    assert (mags[: q.n_tokens] > 0).all()
+    # and the public path still returns results
+    r = ix.find("old king oovword", n=2, min_score=-5.0)
+    assert len(r) >= 1
+
+
+def test_rwmd_flow_normalization_modes():
+    """Flow edge weights follow wmd.h:401-402: nbow keeps raw moved mass,
+    bow divides by the source's bow mass."""
+    from vectorian_tpu.ops.wmd import rwmd_flow_host
+
+    m_t = np.asarray([2.0, 1.0], np.float32)  # bow counts
+    m_s = np.asarray([1.0, 3.0], np.float32)
+    D = np.asarray([[0.1, 0.2], [0.5, 0.05]], np.float32)
+    # bow mode: source 0 moves 1.0 to s0 and 1.0 to s1 -> flows 0.5, 0.5
+    edges = rwmd_flow_host(m_t, m_s, D, injective=False, normalize_bow=False)
+    by = {(t, s): f for t, s, f, d in edges}
+    assert by[(0, 0)] == pytest.approx(0.5)
+    assert by[(0, 1)] == pytest.approx(0.5)
+    assert by[(1, 1)] == pytest.approx(1.0)
+    # nbow mode: masses pre-normalized, flows are the raw moved mass
+    m_tn = m_t / m_t.sum()
+    m_sn = m_s / m_s.sum()
+    edges = rwmd_flow_host(m_tn, m_sn, D, injective=False, normalize_bow=True)
+    by = {(t, s): f for t, s, f, d in edges}
+    assert by[(0, 0)] == pytest.approx(0.25)  # capped by m_sn[0]
+    assert by[(0, 1)] == pytest.approx(m_tn[0] - 0.25)

@@ -137,8 +137,6 @@ def align_scores(
     else:
         init_row = jnp.zeros((B, T1), f32)
 
-    floor = 0.0 if locality == LOCAL else NEG
-
     def init_col_val(i):
         # H[i, 0] boundary value for row i >= 1.
         if locality == GLOBAL:
@@ -366,8 +364,6 @@ def align_scores_general(
         init_row = jnp.broadcast_to(-w_t[:T1][None, :], (B, T1)).at[:, 0].set(0.0)
     else:
         init_row = jnp.zeros((B, T1), f32)
-
-    floor = 0.0 if locality == LOCAL else NEG
 
     # single-pass horizontal gaps need the closure costs (see gap_cost_closure)
     w_t_star = gap_cost_closure(w_t)

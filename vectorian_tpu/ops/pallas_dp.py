@@ -495,10 +495,17 @@ def pallas_align_scores_multi_nt(
     L, c, Tp, Q = S.shape
     T1p = Tp + 8  # boundary column + headroom, sublane-aligned
     CB = block_c or 8  # 8 slices per grid step (larger unrolls run slower)
-    # VMEM guard: a double-buffered [L, CB, Tp, Q] block must fit; split the
-    # query axis (lane groups of 128) when it would not (quantized int8/bf16
-    # tables shrink the block, letting larger Q through in one call)
-    if L * CB * Tp * Q * S.dtype.itemsize * 2 > 8 * 1024 * 1024 and Q > 128:
+    # VMEM guard: a double-buffered [L, CB, Tp, Q] block must fit.  In
+    # order: split the query axis (lane groups of 128), then shrink the
+    # per-step slice block, then fall back to the jnp scorer — never hand
+    # Mosaic an over-budget block (quantized int8/bf16 tables shrink the
+    # block, letting larger Q through in one call)
+    VMEM_BUDGET = 8 * 1024 * 1024
+
+    def block_bytes(cb, q):
+        return L * cb * Tp * q * S.dtype.itemsize * 2
+
+    if block_bytes(CB, Q) > VMEM_BUDGET and Q > 128:
         half = (Q // 2 + 127) // 128 * 128
         a = pallas_align_scores_multi_nt(
             S[:, :, :, :half], len_s, len_t[:half], gaps, locality,
@@ -509,6 +516,20 @@ def pallas_align_scores_multi_nt(
             block_c=block_c, interpret=interpret,
         )
         return jnp.concatenate([a, b], axis=1)
+    while CB > 1 and block_bytes(CB, Q) > VMEM_BUDGET:
+        CB //= 2
+    if block_bytes(CB, Q) > VMEM_BUDGET:
+        # a single [L, 1, Tp, Q] slice exceeds VMEM — jnp path
+        from vectorian_tpu.ops.alignment import align_scores
+
+        S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, Tp)
+        return align_scores(
+            S2.astype(jnp.float32),
+            jnp.repeat(jnp.maximum(len_s, 1), Q),
+            jnp.tile(len_t, c),
+            gaps,
+            locality,
+        ).reshape(c, Q)
     cp = _round_up(c, CB)
     if cp != c:
         S = jnp.pad(S, ((0, 0), (0, cp - c), (0, 0), (0, 0)))

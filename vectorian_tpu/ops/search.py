@@ -1021,8 +1021,12 @@ class BruteForceEngine:
         if n == 0 or k <= 0:
             return []
         k = min(k, n)
-        cand = np.argpartition(-scores, min(4 * k, n - 1))[: min(4 * k, n)]
-        cand = cand[scores[cand] >= min_score]
+        # candidate pool = EVERY slice scoring >= the k-th largest value, so
+        # score ties at the boundary resolve by the (doc, slice) tie-break —
+        # an argpartition pool would keep an arbitrary tied subset and could
+        # drop the slice the reference order ranks inside the top k
+        thr = -np.partition(-scores, k - 1)[k - 1]
+        cand = np.flatnonzero(scores >= max(thr, min_score))
         order = order_by_score(self._packed, cand, scores[cand])
         return [int(c) for c in cand[order][:k]]
 

@@ -165,10 +165,8 @@ def compile_similarity(
 #   ("unary", child, kernel)    -> unary kernel chain on similarity
 # --------------------------------------------------------------------------
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
-
-import jax
+from dataclasses import dataclass
+from typing import List, Tuple
 
 
 @dataclass

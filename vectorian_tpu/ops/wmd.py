@@ -36,6 +36,11 @@ from vectorian_tpu.ops.search import NEG_SCORE
 from vectorian_tpu.ops.sinkhorn import sinkhorn_emd_score
 
 MAX_SIMILARITY = 1.0
+# normalized-score slack for Sinkhorn-ranked (full WMD / WRD) candidate
+# fetches: the entropic regularization biases device scores by ~1e-3, so the
+# ranking threshold sits this far below min_score (the exact host rescore
+# applies the true cut); heuristic — Sinkhorn has no hard error bound
+SINKHORN_RANK_SLACK = 0.05
 
 
 def dedup_masses(ids, valid) -> np.ndarray:
@@ -145,6 +150,8 @@ def _bucket_rwmd_scores(
     mixed_weights: tuple,
     mass_t: jnp.ndarray,  # [T] deduped query masses (counts)
     len_t: jnp.ndarray,  # scalar i32 actual token count of query
+    max_score_t: jnp.ndarray,  # scalar f32 max_sum_of_similarities (= len_t
+    # untagged; = sum of tag weights when tag-weighted, slice/static.h:285)
     tw_weights: jnp.ndarray,  # [T] f32 (unused unless with_tags)
     tw_pos_t: jnp.ndarray,  # [T] i8
     tw_penalty: jnp.ndarray,  # scalar f32
@@ -205,7 +212,9 @@ def _bucket_rwmd_scores(
             cost = jnp.maximum(acc0, acc1)  # tighter bound (wmd.h:383-390)
         else:
             cost = acc0
-        max_cost = 1.0 if normalize_bow else len_t.astype(jnp.float32)
+        # max_cost = p_slice.max_sum_of_similarities() in bow mode
+        # (wmd.h:411-412): len_t untagged, the tag-weight sum when weighted
+        max_cost = 1.0 if normalize_bow else max_score_t
         score = (max_cost - cost) / max_cost  # cost_to_score, wmd.h:139-141
         return jnp.where(ln > 0, score, NEG_SCORE)
 
@@ -368,12 +377,17 @@ def _bucket_emd_scores(
     return jax.lax.map(one_chunk, xs).reshape(N)
 
 
-def rwmd_flow_host(m_t, m_s, D_ts, injective: bool):
+def rwmd_flow_host(m_t, m_s, D_ts, injective: bool, normalize_bow: bool = True):
     """Replicate the greedy fill on host for one slice to extract flow edges
     [(t, s, flow, distance)] (wmd.h:393-409).  Direction t->s only (the
-    direction the reference uses for flows when not symmetric-tighter-1)."""
+    direction the reference uses for flows when not symmetric-tighter-1).
+    Per-source capacity is independent (the reference re-fills w2 for every
+    source token, wmd.h:339-376).
+
+    Flow normalization follows wmd.h:401-402 exactly: nbow keeps the raw
+    moved mass (masses are already normalized); bow divides by the source's
+    bow mass ``m_t[i]``."""
     edges = []
-    caps = m_s.copy().astype(np.float64)
     for i in range(len(m_t)):
         w = float(m_t[i])
         if w <= 0:
@@ -396,13 +410,9 @@ def rwmd_flow_host(m_t, m_s, D_ts, injective: bool):
                     remaining -= take
                 if remaining <= 1e-12:
                     break
-    # normalize flow per source (wmd.h:401-402)
-    totals = {}
-    for t, s, f, d in edges:
-        totals[t] = totals.get(t, 0.0) + f
-    return [
-        (t, s, f / totals[t] if totals.get(t) else f, d) for (t, s, f, d) in edges
-    ]
+    if normalize_bow:
+        return edges
+    return [(t, s, f / max(float(m_t[t]), 1e-12), d) for (t, s, f, d) in edges]
 
 
 class WMDEngine:
@@ -441,7 +451,12 @@ class WMDEngine:
         a = self._args
         relaxed = self._algorithm == "word-movers-distance" and a["relaxed"]
         overfetch = n if relaxed else 4 * n
-        top = self._engine.top_k(scores, overfetch, min_score=min_score)
+        # Sinkhorn device scores carry ~1e-3 entropic bias: rank-fetch with a
+        # slack below min_score so borderline true matches reach the exact
+        # rescore (which applies the exact threshold); relaxed scores are
+        # exact and need none
+        rank_min = min_score if relaxed else min_score - SINKHORN_RANK_SLACK
+        top = self._engine.top_k(scores, overfetch, min_score=rank_min)
         if not top:
             return []
         matches = self._host_rescore(
@@ -589,7 +604,7 @@ class WMDEngine:
             ) else None
             if mass_t_mag is None:
                 # static: needle magnitudes from the embedding rows
-                mass_t_mag = self._static_needle_magnitudes(qp, query)
+                mass_t_mag = self._static_needle_magnitudes(qp, query, index)
             scores = self._score_buckets_emd(
                 qp, mass_t_mag, use_magnitudes=True,
                 normalize=bool(a.get("normalize_magnitudes", True)),
@@ -652,7 +667,10 @@ class WMDEngine:
                 if a["normalize_bow"]:
                     m_t = m_t / max(m_t.sum(), 1e-9)
                     m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
-                edges = rwmd_flow_host(m_t, m_s_use, D_ts, bool(a["injective"]))
+                edges = rwmd_flow_host(
+                    m_t, m_s_use, D_ts, bool(a["injective"]),
+                    normalize_bow=bool(a["normalize_bow"]),
+                )
             else:
                 # exact EMD rescore (reference uses exact emd_hat)
                 if self._algorithm == "word-rotators-distance":
@@ -697,10 +715,21 @@ class WMDEngine:
             )
         return matches
 
-    def _static_needle_magnitudes(self, qp, query) -> np.ndarray:
+    def _static_needle_magnitudes(self, qp, query, index) -> np.ndarray:
+        """Needle-side WRD masses: the embedding-row magnitude per query
+        token.  Corpus-OOV tokens keep their own encoder magnitude — the
+        reference's query vocabulary interns every query token so none is
+        massless (static.cpp fill_magnitudes_t over query-vocab ids)."""
         mags = np.asarray(qp.static_mags[0])
         ids = np.asarray(query.token_ids)
         out = np.where(ids >= 0, mags[np.maximum(ids, 0)], 0.0).astype(np.float32)
+        oov = np.flatnonzero(ids < 0)
+        if len(oov):
+            token_sim = index._args["metric"]["token_sim"]
+            emb = token_sim.embeddings[0]
+            comp = index.session.compiled_embeddings[emb.name]
+            enc = comp.encode_query([query.token_strings[i] for i in oov])
+            out[oov] = np.asarray(enc.magnitudes, np.float32)
         width = self._engine._plan_width(qp)
         return np.pad(out, (0, max(width - len(out), 0)))
 
@@ -729,6 +758,7 @@ class WMDEngine:
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         tw = self._tagw_args(tagw, len(mass_t))
+        max_score_t = tagw.total if tagw is not None else float(len_t)
         pending = []
         for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
@@ -749,6 +779,7 @@ class WMDEngine:
                 weights,
                 jnp.asarray(mass_t),
                 jnp.asarray(len_t, jnp.int32),
+                jnp.asarray(max_score_t, jnp.float32),
                 *tw,
                 injective=injective,
                 symmetric=symmetric,
