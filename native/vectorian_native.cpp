@@ -75,7 +75,9 @@ void vn_ft_encode_batch(
             j++;
           }
           chars++;
-          if (chars >= minn && !(i == 0 && j == n)) {
+          // fastText computeSubwords: only 1-char EDGE ngrams are excluded
+          // (the bare '<'/'>'); the full '<word>' ngram is included
+          if (chars >= minn && !(chars == 1 && (i == 0 || j == n))) {
             const int64_t row =
                 nwords + (ft_hash(ngram.data(), ngram.size()) % bucket);
             const float* src = matrix + row * dim;

@@ -163,3 +163,32 @@ def test_contextual_debug_hook():
     assert "contextual_similarity_matrix" in names
     payload = dict(seen)["contextual_similarity_matrix"]
     assert payload["similarity"].shape[1] == 3
+
+
+def test_submatch_upper_bound_dominates():
+    """The closed-form overfetch bound must dominate the exact rescored
+    score for every (raw, matched, total, w) with raw <= matched <= total
+    — the soundness condition of the submatch-weight cut proof."""
+    import numpy as np
+
+    from vectorian_tpu.index import _submatch_upper_bound
+    from vectorian_tpu.ops.search import reference_score
+
+    rng = np.random.default_rng(0)
+    for _ in range(2000):
+        total = float(rng.uniform(0.5, 12.0))
+        matched = float(rng.uniform(0.0, total))
+        raw = float(rng.uniform(0.0, matched))
+        w = float(rng.uniform(0.01, 1.5))
+        ref = reference_score(total, matched, w)
+        exact = raw / ref if ref > 0 else 0.0
+        d = raw / total  # device-normalized score
+        ub = float(_submatch_upper_bound(d, total, w))
+        assert ub >= exact - 1e-9, (total, matched, raw, w, exact, ub)
+    # monotone in the device score (required for top-m by device score to
+    # be top-m by bound)
+    ds = np.linspace(0, 1, 50)
+    ubs = np.asarray(_submatch_upper_bound(ds, 8.0, 0.7))
+    assert (np.diff(ubs) >= -1e-12).all()
+    # negative device scores stay negative (never promoted past min_score)
+    assert float(_submatch_upper_bound(-0.5, 8.0, 0.7)) == -0.5

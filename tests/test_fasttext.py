@@ -185,3 +185,34 @@ def test_quantized_compress_entrypoint(tmp_path):
     v = enc.encode_tokens(["alpha", "unknownword"])
     assert v.unmodified.shape == (2, 8)
     assert np.abs(v.unmodified).sum() > 0
+
+
+def test_word_ngrams_full_word_and_edges():
+    """Upstream computeSubwords parity: the full '<word>' ngram IS included
+    when its length fits maxn; only 1-char edge ngrams are excluded."""
+    # len('<ab>') = 4 <= maxn -> '<ab>' included
+    assert "<ab>" in word_ngrams("ab", 2, 4)
+    # minn=1: single-char interior ngrams kept, edge '<' and '>' dropped
+    got = word_ngrams("ab", 1, 2)
+    assert "a" in got and "b" in got
+    assert "<" not in got and ">" not in got
+    # OOV single-char word still has its '<a>' ngram (was a zero vector)
+    assert word_ngrams("a", 3, 6) == ["<a>"]
+
+
+def test_native_ngram_encoder_matches_python(tmp_path):
+    """The C++ batch encoder must produce the same vectors as the python
+    reference path, including the full-'<word>' ngram."""
+    words = ["the", "a", "cat", "elephant"]
+    binp = tmp_path / "n.bin"
+    write_fake_bin(binp, words, dim=8, bucket=64)
+    model = FastTextModel.load(binp)
+    from vectorian_tpu import native as vtn
+
+    if not vtn.available():
+        return
+    queries = ["the", "a", "cat", "zzunknown", "x"]
+    got = vtn.fasttext_encode_batch(model, queries)
+    for qi, w in enumerate(queries):
+        want = model.word_vector(w)
+        np.testing.assert_allclose(got[qi], want, atol=1e-5, err_msg=w)

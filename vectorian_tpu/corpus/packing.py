@@ -207,10 +207,15 @@ def pack_corpus(
     sorted_ids = nonempty[order]
     sorted_lens = lens_ne[order]
 
+    # effective bucket capacities: every slice length was clamped to
+    # ``cap``, so the LAST capacity must equal cap — otherwise lengths in
+    # (largest bucket <= cap, cap] would never be assigned a bucket and
+    # those slices would silently never be scored
+    caps = [b for b in bucket_sizes if b <= cap]
+    if not caps or caps[-1] < cap:
+        caps.append(cap)
     lo = 0
-    for cap_i in bucket_sizes:
-        if cap_i > cap:
-            break
+    for cap_i in caps:
         hi = int(np.searchsorted(sorted_lens, cap_i, side="right"))
         ids = sorted_ids[lo:hi]
         lo = hi

@@ -107,6 +107,7 @@ class TransformerContextualEmbedding(ContextualEmbedding):
 
             self._tok = AutoTokenizer.from_pretrained(self._model_name)
             self._model = AutoModel.from_pretrained(self._model_name)
+            self._model.to(self._device)
             self._model.eval()
 
     @property
@@ -128,9 +129,12 @@ class TransformerContextualEmbedding(ContextualEmbedding):
             max_length=self._max_length,
         )
         offsets = enc.pop("offset_mapping")[0].numpy()
+        enc = {k: v.to(self._device) for k, v in enc.items()}
         with torch.no_grad():
             out = self._model(**enc, output_hidden_states=True)
-        states = out.hidden_states[self._layer][0].numpy()  # [n_pieces, d]
+        states = (
+            out.hidden_states[self._layer][0].cpu().numpy()
+        )  # [n_pieces, d]
 
         d = states.shape[1]
         vecs = np.zeros((len(words), d), np.float32)

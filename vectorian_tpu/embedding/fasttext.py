@@ -39,14 +39,18 @@ def fnv1a_hash(s: bytes) -> int:
 
 
 def word_ngrams(word: str, minn: int, maxn: int) -> List[str]:
-    """Character ngrams of '<word>' with length minn..maxn (excluding the
-    full '<word>' token itself, matching fastText's computeSubwords)."""
+    """Character ngrams of '<word>' with length minn..maxn, matching
+    fastText's computeSubwords exactly: the ONLY exclusion is single-char
+    ngrams touching an edge (the bare '<' / '>'); the full '<word>' ngram
+    IS included whenever minn <= len('<word>') <= maxn — e.g. '<the>'
+    contributes for cc models (minn=3), and an OOV single-char word still
+    gets its '<x>' vector."""
     w = BOW + word + EOW
     out = []
     n = len(w)
     for i in range(n):
         for l in range(minn, maxn + 1):
-            if i + l <= n and not (i == 0 and l == n):
+            if i + l <= n and not (l == 1 and (i == 0 or i + l == n)):
                 out.append(w[i : i + l])
     return out
 

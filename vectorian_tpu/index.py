@@ -70,7 +70,40 @@ def _reverse_tagw(tagw, n_tokens: int):
     )
 
 
-def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True):
+def _submatch_upper_bound(device_score, norm_total: float, w: float):
+    """Upper bound on the submatch-rescored score of any slice whose
+    device-normalized score is <= ``device_score`` (no boost).
+
+    exact = raw / reference_score(total, matched, w) with raw <= matched
+    (every aligned similarity is at most its token's max weight) and
+    matched <= total.  reference_score(m) = m + ((total-m)/total)^w
+    (total-m) is minimized over m at m* = total(1 - (1+w)^(-1/w)), so
+    min over m in [raw, total] is ref(max(raw, m*)) — giving a bound
+    that is monotone in the device score, which makes device-ranked
+    overfetch + exact rescore provably complete
+    (reference_score semantics: metric/alignment.h:84-106)."""
+    total = max(norm_total, 1e-9)
+    d = np.asarray(device_score, np.float64)
+    raw = np.maximum(d, 0.0) * total
+    if w <= 0:
+        return np.where(d < 0, d, np.minimum(d, 1.0))
+    m_star = total * (1.0 - (1.0 / (1.0 + w)) ** (1.0 / w))
+    m = np.minimum(np.maximum(raw, m_star), total)
+    ref = np.maximum(reference_score(total, m, w), 1e-12)
+    ub = np.minimum(raw / ref, 1.0)
+    return np.where(d < 0, d, ub)
+
+
+def _metric_ctx_names(token_sim):
+    """Names of the contextual embeddings a token-sim tree actually uses."""
+    return {
+        e.name for e in token_sim.embeddings
+        if not getattr(e, "is_static", True)
+    }
+
+
+def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True,
+                ctx_names=None):
     """Pad the needle to a length bucket (multiple of 4): padded ids are -1,
     strings empty, contextual rows zero.  One compiled pipeline then serves
     a range of query lengths (the DP masks columns past the runtime len_t).
@@ -84,7 +117,7 @@ def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True):
     strings = list(query.token_strings) + [""] * pad_n
     ctx_q = {}
     if with_ctx:
-        ctx_q = query.contextual_vectors(session)
+        ctx_q = query.contextual_vectors(session, names=ctx_names)
         for name, d in ctx_q.items():
             ctx_q[name] = {
                 k: np.pad(
@@ -177,12 +210,17 @@ class PreparedQuery:
             [session.vocab.pos_id(p) for p in self.token_pos], np.int8
         )
 
-    def contextual_vectors(self, session) -> dict:
+    def contextual_vectors(self, session, names=None) -> dict:
         """name -> {unmodified, normalized, magnitudes} query-side vectors
-        for every contextual embedding of the session (reference encodes
-        the query through the same encoders, index.py:66-74)."""
+        for the session's contextual embeddings (reference encodes the
+        query through the same encoders, index.py:66-74).  ``names``
+        restricts encoding to the embeddings the metric actually uses — a
+        transformer embedding that a static-metric index never touches
+        must not cost a forward pass per query."""
         out = {}
         for name in session.contextual_embeddings:
+            if names is not None and name not in names:
+                continue
             out[name] = session.encode_contextual_query(
                 name, self._sdoc, self.text, self.kept
             )
@@ -546,7 +584,10 @@ class BruteForceIndex(Index):
             return self
         for t in range(4, max(max_tokens, 4) + 1, 4):
             words = [vocab_words[i % len(vocab_words)] for i in range(t)]
-            self.find(" ".join(words), n=1, min_score=2.0)
+            # min_score low enough to keep >= 1 candidate: the finalizer
+            # (batched similarity + DP matrices + traceback) must compile
+            # too, or the first real query still stalls on those jits
+            self.find(" ".join(words), n=1, min_score=-1e30)
         return self
 
     def _affine_gaps(self) -> Optional[AffineGapParams]:
@@ -627,7 +668,9 @@ class BruteForceIndex(Index):
 
         token_sim = self._args["metric"]["token_sim"]
         T = query.n_tokens
-        tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(query, self._session)
+        tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(
+            query, self._session, ctx_names=_metric_ctx_names(token_sim)
+        )
         qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,
@@ -666,26 +709,60 @@ class BruteForceIndex(Index):
         if debug is None and not opts.get("bidirectional"):
             # low-latency path: device-side top-k, only O(buckets*k) values
             # cross to the host
-            overfetch = n if submatch_weight == 0.0 else 4 * n
-            # with submatch_weight the final (rescored) score can exceed the
-            # device score — defer the min_score cut to _build_matches
-            eff_min = min_score if submatch_weight == 0.0 else -1e30
-            top, score_by_id = self._engine.score_topk(
-                qp, T, gaps, self._locality, norm_total,
-                k=overfetch, min_score=eff_min, boost=boost,
-                tag_weights=tagw, doc_filter=doc_filter, gap_costs=gap_costs,
-            )
-            if query.query.aborted or not top:
-                return []
-            mappings, edge_sims = self._engine.rescore_with_flows(
-                top, qp, T, gaps, self._locality, tag_weights=tagw,
-                doc_filter=doc_filter, gap_costs=gap_costs,
-            )
-            return self._build_matches(
-                query, token_sim, top, mappings, edge_sims,
-                score_by_id.__getitem__, submatch_weight, tagw, norm_total,
-                min_score, n, debug,
-            )
+            if submatch_weight == 0.0:
+                top, score_by_id = self._engine.score_topk(
+                    qp, T, gaps, self._locality, norm_total,
+                    k=n, min_score=min_score, boost=boost,
+                    tag_weights=tagw, doc_filter=doc_filter,
+                    gap_costs=gap_costs,
+                )
+                if query.query.aborted or not top:
+                    return []
+                mappings, edge_sims = self._engine.rescore_with_flows(
+                    top, qp, T, gaps, self._locality, tag_weights=tagw,
+                    doc_filter=doc_filter, gap_costs=gap_costs,
+                )
+                return self._build_matches(
+                    query, token_sim, top, mappings, edge_sims,
+                    score_by_id.__getitem__, submatch_weight, tagw,
+                    norm_total, min_score, n, debug,
+                )
+            # submatch_weight rescoring can lift a slice past device-ranked
+            # candidates: overfetch with the closed-form upper bound as the
+            # cut proof, doubling until no excluded slice could reach the
+            # exact n-th score (boosted queries keep the 4n heuristic —
+            # per-slice boosts are not modeled by the bound)
+            m = 4 * n
+            n_slices = self._engine.packed.n_slices
+            while True:
+                top, score_by_id, rest = self._engine.score_topk(
+                    qp, T, gaps, self._locality, norm_total,
+                    k=m, min_score=-1e30, boost=boost,
+                    tag_weights=tagw, doc_filter=doc_filter,
+                    gap_costs=gap_costs, with_next=True,
+                )
+                if query.query.aborted or not top:
+                    return []
+                mappings, edge_sims = self._engine.rescore_with_flows(
+                    top, qp, T, gaps, self._locality, tag_weights=tagw,
+                    doc_filter=doc_filter, gap_costs=gap_costs,
+                )
+                matches = self._build_matches(
+                    query, token_sim, top, mappings, edge_sims,
+                    score_by_id.__getitem__, submatch_weight, tagw,
+                    norm_total, min_score, n, debug,
+                )
+                if m >= n_slices or boost is not None:
+                    return matches
+                s_n = (
+                    matches[n - 1].score if len(matches) >= n else min_score
+                )
+                ub = float(
+                    _submatch_upper_bound(rest, norm_total, submatch_weight)
+                )
+                if ub < s_n - 1e-6:
+                    return matches
+                m *= 2
 
         scores = self._engine.score_all(
             qp,
@@ -726,6 +803,7 @@ class BruteForceIndex(Index):
         top = self._engine.top_k(scores, overfetch, min_score=eff_min)
         if not top:
             return []
+        first_top = top
 
         # per-slice contextual similarity blocks for the survivors,
         # observed from the finalizer's own similarity pass — no extra
@@ -741,34 +819,53 @@ class BruteForceIndex(Index):
                     {"slice": sid, "similarity": Su},
                 )
 
-        if use_rev is None:
-            mappings, edge_sims = self._engine.rescore_with_flows(
-                top, qp, T, gaps, self._locality, tag_weights=tagw,
-                doc_filter=doc_filter, gap_costs=gap_costs, on_sims=on_sims,
+        def run(top):
+            if use_rev is None:
+                mappings, edge_sims = self._engine.rescore_with_flows(
+                    top, qp, T, gaps, self._locality, tag_weights=tagw,
+                    doc_filter=doc_filter, gap_costs=gap_costs,
+                    on_sims=on_sims,
+                )
+            else:
+                fwd_ids = [sid for sid in top if not use_rev[sid]]
+                rev_ids = [sid for sid in top if use_rev[sid]]
+                m_f, s_f = self._engine.rescore_with_flows(
+                    fwd_ids, qp, T, gaps, self._locality, tag_weights=tagw,
+                    doc_filter=doc_filter, gap_costs=gap_costs,
+                    on_sims=on_sims,
+                )
+                m_r, s_r = self._engine.rescore_with_flows(
+                    rev_ids, _reverse_plan(qp, T), T, gaps, self._locality,
+                    tag_weights=_reverse_tagw(tagw, T), doc_filter=doc_filter,
+                    gap_costs=gap_costs, on_sims=on_sims,
+                )
+                by_id = {sid: (m, s) for sid, m, s in zip(fwd_ids, m_f, s_f)}
+                for sid, m, s in zip(rev_ids, m_r, s_r):
+                    by_id[sid] = (m[::-1].copy(), s[::-1].copy())  # un-rev t
+                mappings = [by_id[sid][0] for sid in top]
+                edge_sims = [by_id[sid][1] for sid in top]
+            return self._build_matches(
+                query, token_sim, top, mappings, edge_sims,
+                lambda sid: float(scores[sid]), submatch_weight, tagw,
+                norm_total, min_score, n, debug,
             )
-        else:
-            fwd_ids = [sid for sid in top if not use_rev[sid]]
-            rev_ids = [sid for sid in top if use_rev[sid]]
-            m_f, s_f = self._engine.rescore_with_flows(
-                fwd_ids, qp, T, gaps, self._locality, tag_weights=tagw,
-                doc_filter=doc_filter, gap_costs=gap_costs, on_sims=on_sims,
-            )
-            m_r, s_r = self._engine.rescore_with_flows(
-                rev_ids, _reverse_plan(qp, T), T, gaps, self._locality,
-                tag_weights=_reverse_tagw(tagw, T), doc_filter=doc_filter,
-                gap_costs=gap_costs, on_sims=on_sims,
-            )
-            by_id = {sid: (m, s) for sid, m, s in zip(fwd_ids, m_f, s_f)}
-            for sid, m, s in zip(rev_ids, m_r, s_r):
-                by_id[sid] = (m[::-1].copy(), s[::-1].copy())  # un-reverse t
-            mappings = [by_id[sid][0] for sid in top]
-            edge_sims = [by_id[sid][1] for sid in top]
 
-        return self._build_matches(
-            query, token_sim, top, mappings, edge_sims,
-            lambda sid: float(scores[sid]), submatch_weight, tagw, norm_total,
-            min_score, n, debug,
-        )
+        matches = run(first_top)
+        if submatch_weight != 0.0 and boost is None:
+            # completeness proof for the rescored ranking: every slice whose
+            # closed-form upper bound could reach the exact n-th score must
+            # have been rescored (boosted queries keep the 4n heuristic)
+            s_n = matches[n - 1].score if len(matches) >= n else min_score
+            ub_vec = _submatch_upper_bound(
+                scores, norm_total, submatch_weight
+            )
+            cand = np.flatnonzero(ub_vec >= s_n - 1e-6)
+            if not set(int(c) for c in cand).issubset(set(first_top)):
+                order = order_by_score(
+                    self._engine.packed, cand, scores[cand]
+                )
+                matches = run([int(c) for c in cand[order]])
+        return matches
 
     def _build_matches(
         self, query, token_sim, top, mappings, edge_sims, score_of,
@@ -1282,7 +1379,7 @@ class BruteForceIndex(Index):
                 continue
             order.append(ti)
             prepared.append(pq)
-            ctx = pq.contextual_vectors(self._session)[name]
+            ctx = pq.contextual_vectors(self._session, names={name})[name]
             ctx_qs.append(ctx)
             qp = compile_plan(
                 token_sim,
@@ -1330,7 +1427,9 @@ class BruteForceIndex(Index):
         needs_mag = self._args["alignment"]["algorithm"] == "word-rotators-distance"
         # needle padded to a length bucket (see _pad_needle): transport
         # kernels mask zero-mass entries
-        tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(query, self._session)
+        tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(
+            query, self._session, ctx_names=_metric_ctx_names(token_sim)
+        )
         qp = compile_plan(
             token_sim,
             self._session.compiled_embeddings,
@@ -1398,7 +1497,14 @@ class SpanEncoderIndex(Index):
         for qi, query in enumerate(qlist):
             col = sims[:, qi]
             k = min(n, col.shape[0])
-            cand = np.argpartition(-col, k - 1)[:k]
+            if k <= 0:
+                out_all.append([])
+                continue
+            # candidate pool = everything scoring >= the k-th largest value
+            # so boundary ties resolve by the reference (doc, slice) order
+            # (same rationale as BruteForceEngine.top_k)
+            thr = -np.partition(-col, k - 1)[k - 1]
+            cand = np.flatnonzero(col >= thr)
             order = order_by_score(self.packed, cand, col[cand])
             out = []
             for sid in cand[order]:

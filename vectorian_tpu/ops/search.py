@@ -926,13 +926,16 @@ class BruteForceEngine:
         tag_weights: Optional[TagWeightingSpec] = None,
         doc_filter: Optional[DocFilterSpec] = None,
         gap_costs=None,
+        with_next: bool = False,
     ):
         """Top-k with device-side selection: only O(buckets * k) (score,
         id) pairs ever reach the host — the low-latency single-query path
         (the full score_all transfer is O(n_slices)).
 
-        Returns (slice_ids list, {slice_id: score}).
-        """
+        Returns (slice_ids list, {slice_id: score}); with ``with_next``
+        also an upper bound on the device score of every slice NOT in the
+        returned candidates (-inf when every slice was fetched) — the
+        overfetch-safety hook for rescoring paths (submatch_weight)."""
         T = self._plan_width(qp)  # padded needle width (>= len_t)
         cand_scores, cand_ids = [], []
         pending = []
@@ -995,17 +998,34 @@ class BruteForceEngine:
             kk = min(k, db["n"])
             vals, idx = jax.lax.top_k(scores[: db["n"]], kk)
             pending.append((db, vals, idx))
+        next_bound = float("-inf")
         for db, vals, idx in pending:
-            cand_scores.append(np.asarray(vals))
+            vals = np.asarray(vals)
+            cand_scores.append(vals)
             cand_ids.append(db["slice_index"][np.asarray(idx)])
+            if with_next and len(vals) < db["n"]:
+                # slices this bucket did not fetch score at most its
+                # minimum fetched value
+                next_bound = max(next_bound, float(vals[-1]))
         if not cand_scores:
-            return [], {}
+            return ([], {}, next_bound) if with_next else ([], {})
         vals = np.concatenate(cand_scores)
         ids = np.concatenate(cand_ids)
         keep = vals >= min_score
         vals, ids = vals[keep], ids[keep]
         order = order_by_score(self._packed, ids, vals)
         top = [int(i) for i in ids[order][:k]]
+        if with_next:
+            if len(ids) > len(top):
+                # gathered-but-cut candidates: bounded by the worst kept
+                next_bound = max(
+                    next_bound,
+                    float(vals[order][len(top) - 1]) if top else float(
+                        np.max(vals)
+                    ),
+                )
+            score_map = {int(i): float(v) for i, v in zip(ids, vals)}
+            return top, score_map, next_bound
         return top, {int(i): float(v) for i, v in zip(ids, vals)}
 
     def top_k(

@@ -194,7 +194,6 @@ class Frequencies:
         V = len(session.vocab)
         tf = np.zeros((V,), np.float64)
         df = np.zeros((V,), np.float64)
-        packed = session.packed_corpus(partition.spec)
         for pd in session.documents:
             ids = pd.token_ids
             if ids.size == 0:
@@ -262,7 +261,9 @@ class Partition:
 
     @property
     def freq(self) -> Frequencies:
-        return Frequencies(self._session, self)
+        if not hasattr(self, "_freq"):
+            self._freq = Frequencies(self._session, self)
+        return self._freq
 
     def index(self, span_sim, nlp=None, **kwargs):
         """Create a searchable index over this partition (reference
@@ -361,6 +362,17 @@ class Session:
             if emb.name not in pd.contextual:
                 sdoc = self._nlp(pd.doc.text)
                 vecs = np.asarray(emb.encode_doc(sdoc, pd.doc.text), np.float32)
+                if len(vecs) != pd.doc.n_tokens:
+                    # pd.orig_index indexes the IMPORTER's token table; a
+                    # session NLP that tokenizes differently would silently
+                    # assign wrong per-token vectors (or crash below)
+                    raise ValueError(
+                        f"contextual embedding {emb.name!r}: session NLP "
+                        f"produced {len(vecs)} token vectors for document "
+                        f"{pd.doc.title!r} but its token table has "
+                        f"{pd.doc.n_tokens} — use the same NLP pipeline for "
+                        "importing and for the Session"
+                    )
                 pd.doc.contextual_embeddings[emb.name] = vecs
                 pd.contextual[emb.name] = vecs[pd.orig_index]
         fitted = []
