@@ -114,3 +114,24 @@ def test_describe(session):
     d = iq.describe()
     assert "local alignment" in d and "cosine" in d and "POST-STSS" in d
     assert "sentence partition" in d
+
+
+def test_mixer_weights_any_k(session):
+    """The Mix slider keeps meaning for k>2: 0.5 uniform, 1.0 all weight on
+    the last embedding; k=2 reduces to [1-m, m]."""
+    from vectorian_tpu.interact import EmbeddingMixerWidget
+
+    from vectorian_tpu.interact import VectorMetricWidget
+
+    w = EmbeddingMixerWidget(session, VectorMetricWidget())
+    names = [e.name for e in session.embeddings]
+    if len(names) < 2:
+        return
+    w._select.value = tuple(names[:2])
+    w._mode.value = "mixed"
+    w._mix.value = 0.8
+    sim = w.make()
+    assert sim._weights == pytest.approx([0.2, 0.8])
+    w._mix.value = 0.5
+    sim = w.make()
+    assert sim._weights == pytest.approx([0.5, 0.5])

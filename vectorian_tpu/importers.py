@@ -58,9 +58,13 @@ class Importer:
         offset = 0
         ctx_chunks = {enc.name: [] for enc in contextual_encoders}
 
-        docs = self._nlp.pipe(partitions) if hasattr(self._nlp, "pipe") else map(
-            self._nlp, partitions
-        )
+        if hasattr(self._nlp, "pipe"):
+            try:
+                docs = self._nlp.pipe(partitions, batch_size=self._batch_size)
+            except TypeError:  # pipe() without a batch_size parameter
+                docs = self._nlp.pipe(partitions)
+        else:
+            docs = map(self._nlp, partitions)
         for p_i, sdoc in enumerate(docs):
             j = sdoc.to_json() if hasattr(sdoc, "to_json") else sdoc
             text = j.get("text", partitions[p_i])

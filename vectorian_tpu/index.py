@@ -448,8 +448,14 @@ class Match:
         location = dict(pd.doc.metadata)
         location.pop("locations", None)
         locations = pd.doc.metadata.get("locations")
-        if locations and slice_idx < len(locations):
-            location.update(locations[slice_idx])
+        if locations and self._index.partition.level == "sentence":
+            # importers record one location per SENTENCE; a windowed
+            # partition's slice i starts at sentence i * window_step (the
+            # window's location = its first sentence's, like the
+            # reference's span metadata)
+            sent_idx = slice_idx * self._index.partition.window_step
+            if sent_idx < len(locations):
+                location.update(locations[sent_idx])
         location["slice_start"] = int(packed.slice_start[self._slice_id])
         location["slice_len"] = int(packed.slice_len[self._slice_id])
 

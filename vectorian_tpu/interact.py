@@ -140,11 +140,17 @@ class EmbeddingMixerWidget:
         if len(sims) == 1 or self._mode.value == "single":
             sim = sims[0]
         elif self._mode.value == "mixed":
+            # one Mix slider for any k: 0 = all weight on the first
+            # selected embedding, 0.5 = uniform, 1 = all on the last
+            # (reduces exactly to [1-m, m] for two embeddings; the
+            # reference's per-embedding sliders map onto this single knob)
             k = len(sims)
-            if k == 2:
-                weights = [1.0 - self._mix.value, self._mix.value]
-            else:
-                weights = [1.0 / k] * k
+            m = self._mix.value
+            t = abs(m - 0.5) * 2.0
+            pole = k - 1 if m >= 0.5 else 0
+            weights = [
+                (1.0 - t) / k + (t if i == pole else 0.0) for i in range(k)
+            ]
             sim = MixedTokenSimilarity(sims, weights)
         elif self._mode.value == "maximum":
             sim = MaximumTokenSimilarity(sims)
@@ -177,7 +183,13 @@ class GapCostWidget:
         self._value = w.FloatSlider(
             value=0.0, min=0.0, max=2.0, step=0.05, description="cost:"
         )
-        self.widget = w.HBox([self._kind, self._value])
+        # exponential uses a CUTOFF (gap length at which the cost saturates),
+        # not a per-step cost — a separate slider like the reference's
+        # 'Cutoff:' (interact.py:472-487, default 3)
+        self._cutoff = w.IntSlider(
+            value=3, min=1, max=21, step=1, description="cutoff:"
+        )
+        self.widget = w.HBox([self._kind, self._value, self._cutoff])
 
     def make(self):
         v = self._value.value
@@ -185,7 +197,7 @@ class GapCostWidget:
             return ConstantGapCost(v)
         if self._kind.value == "linear":
             return LinearGapCost(v)
-        return ExponentialGapCost(max(v, 1e-3))
+        return ExponentialGapCost(self._cutoff.value)
 
     def plot(self):  # pragma: no cover
         import matplotlib.pyplot as plt

@@ -32,8 +32,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     ndir = _native_dir()
     so = ndir / "libvectorian_native.so"
+    cpp = ndir / "vectorian_native.cpp"
     try:
-        if not so.exists() or so.stat().st_mtime < (ndir / "vectorian_native.cpp").stat().st_mtime:
+        # rebuild only when the source is present and newer; a prebuilt
+        # .so without sources (deployed package) is used as-is
+        stale = cpp.exists() and (
+            not so.exists() or so.stat().st_mtime < cpp.stat().st_mtime
+        )
+        if stale:
             subprocess.run(
                 ["make", "-C", str(ndir)],
                 check=True,
@@ -135,7 +141,12 @@ def pack_fill(flat_tok, flat_pos, flat_tag, starts, lens, cap: int):
 class NativeLexicon:
     """String-interning lexicon backed by the C++ library (reference
     vocabulary.h StringStorage/LexiconImpl); drop-in for the hot part of
-    vocabulary.Lexicon."""
+    vocabulary.Lexicon.
+
+    NOT wired into the production Session: measured ~2.5x SLOWER than the
+    python dict path for batch interning (the ctypes string marshalling
+    outweighs the arena's win).  Kept as the benchmarked alternative
+    backend and exercised by tests."""
 
     def __init__(self):
         lib = _load()

@@ -63,6 +63,8 @@ class MatrixRenderer:
             parts.append(
                 f'<div id="{div}"></div>'
                 f"<script>if (window.vegaEmbed) vegaEmbed('#{div}', "
-                f"{json.dumps(spec)});</script>"
+                # '</' must not appear inside a <script> element (a token
+                # containing '</script>' would terminate it -> HTML injection)
+                f"{json.dumps(spec).replace('</', '<\\/')});</script>"
             )
         return "\n".join(parts)

@@ -85,6 +85,10 @@ class FlowRenderer:
 
     def render_match(self, match) -> str:
         edges = self._edges(match)
+        if not edges:
+            # flow-less matches (e.g. SpanEncoderIndex) must not reach
+            # holoviews — hv.Sankey([]) raises a DataError, not ImportError
+            return "<div class='notification is-light'>no flow</div>"
         try:
             return self._holoviews_html(edges)
         except ImportError:

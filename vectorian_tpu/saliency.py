@@ -147,7 +147,13 @@ class Saliency:
             for f in self._f:
                 sig = np.asarray(f(pd, partition), np.float32)
                 if sig.shape[0] != sel.size:
-                    sig = np.resize(sig, (sel.size,))
+                    # a silently resized signal would boost the WRONG
+                    # slices — signals must be per-slice of this partition
+                    raise ValueError(
+                        f"saliency signal {f!r} returned {sig.shape[0]} "
+                        f"values for document {pd.doc.title!r} but the "
+                        f"partition has {sel.size} slices"
+                    )
                 signals.append(sig)
             out[sel] = np.average(np.stack(signals), axis=0, weights=weights)
         return out

@@ -217,6 +217,9 @@ class ModifiedVectorSim(VectorSim):
     def __init__(self, source: VectorSim, *operators: List[UnaryOperator]):
         self._source = source
         self._kernel = Kernel(operators)
+        # a host-only source (e.g. LoggingSimilarity) must keep the whole
+        # modified metric off the jit path
+        self.host_only = getattr(source, "host_only", False)
 
     @property
     def ident(self):

@@ -5,10 +5,13 @@ Reference: vectorian/core/cpp/vocabulary.h — StringStorage arena + LexiconImpl
 can add out-of-corpus tokens without recompiling corpus data
 (vocabulary.h:152-175, QueryVocabulary vocabulary.h:500-560).
 
-Here the corpus vocabulary is a host-side intern table (optionally accelerated
-by the native C++ library, see native/), and the *query* extension appends
-rows to the query-side similarity matrix instead of touching any device
-corpus array — preserving the reference's incremental-vocab design on TPU.
+Here the corpus vocabulary is a host-side python intern table (measured
+FASTER than the native C++ arena through ctypes — string marshalling costs
+more than dict interning saves; native.NativeLexicon exists as the
+benchmarked alternative backend but is deliberately not wired in), and the
+*query* extension appends rows to the query-side similarity matrix instead
+of touching any device corpus array — preserving the reference's
+incremental-vocab design on TPU.
 """
 
 from __future__ import annotations
