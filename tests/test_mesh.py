@@ -243,8 +243,39 @@ def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
     with pytest.raises(NotImplementedError):
         index.find_batch(["king"], n=2, mesh=ms, token_filter=["the"])
     emb = session.embeddings[0]
+    from vectorian_tpu.alignment import WordRotatorsDistance
     wix = session.partition("sentence").index(
-        OptimizedSpanSim(EmbeddingTokenSim(emb), WordMoversDistance.rwmd("nbow"))
+        OptimizedSpanSim(EmbeddingTokenSim(emb), WordRotatorsDistance())
     )
     with pytest.raises(NotImplementedError):
         wix.find_batch(["king"], n=2, mesh=ms)
+
+
+def test_find_batch_mesh_rwmd(session_ix_mesh):
+    """Relaxed-WMD serving over the mesh must equal the single-chip
+    transport batch exactly (ids, scores, order)."""
+    from vectorian_tpu.alignment import WordMoversDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    session, index = session_ix_mesh
+    emb = session.embeddings[0]
+    for variant in ("nbow", "bow/fast"):
+        ix = session.partition("sentence").index(
+            OptimizedSpanSim(EmbeddingTokenSim(emb), WordMoversDistance.rwmd(variant))
+        )
+        queries = [
+            "the old king rides the grey horse",
+            "bird sings tree",
+            "king",
+        ]
+        want = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(queries, n=4, min_score=-5.0)
+        ]
+        ms = MeshSearch(make_mesh())
+        got = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(queries, n=4, min_score=-5.0, mesh=ms)
+        ]
+        assert got == want, variant

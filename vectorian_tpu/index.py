@@ -955,12 +955,8 @@ class BruteForceIndex(Index):
         slice sharding, per-query top-k merged over one all-gather) with
         the same exact-results guarantee."""
         if self._algorithm != "alignment":
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh find_batch supports static alignment metrics only"
-                )
             return self._find_batch_transport(
-                texts, n=n, min_score=min_score, **kwargs
+                texts, n=n, min_score=min_score, mesh=mesh, **kwargs
             )
         token_sim = self._args["metric"]["token_sim"]
         from vectorian_tpu.sim.token import EmbeddingTokenSim as _ETS
@@ -1296,11 +1292,12 @@ class BruteForceIndex(Index):
             m *= 2
 
     def _find_batch_transport(
-        self, texts, n: int = 100, min_score: float = 0.2, **kwargs
+        self, texts, n: int = 100, min_score: float = 0.2, mesh=None, **kwargs
     ) -> List[Result]:
         """Batched transport search.  Relaxed WMD over static plans shares
-        one corpus pass across Q queries; other transport configs fall back
-        to exact per-query passes."""
+        one corpus pass across Q queries (optionally sharded over a device
+        mesh); other transport configs fall back to exact per-query
+        passes."""
         from vectorian_tpu.ops.wmd import WMDEngine
 
         a = self._args["alignment"]
@@ -1319,6 +1316,11 @@ class BruteForceIndex(Index):
             )
         )
         if not supported:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh find_batch supports relaxed WMD over plain static "
+                    "metrics only (no tag weights / boosters / filters)"
+                )
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -1345,7 +1347,9 @@ class BruteForceIndex(Index):
             order.append(ti)
         if queries:
             wmd = WMDEngine(self._engine, a)
-            match_lists = wmd.find_batch(self, queries, qps, n, min_score)
+            match_lists = wmd.find_batch(
+                self, queries, qps, n, min_score, mesh=mesh
+            )
             dur = time.time() - start_time
             for ti, ml in zip(order, match_lists):
                 results[ti] = Result(self, ml, dur)

@@ -472,10 +472,14 @@ class WMDEngine:
         )
         return matches[:n]
 
-    def find_batch(self, index, queries, qps, n: int, min_score: float) -> List:
+    def find_batch(
+        self, index, queries, qps, n: int, min_score: float, mesh=None,
+    ) -> List:
         """Batched relaxed-WMD over static plans: one corpus pass serves
         Q queries (the gather amortizes like the alignment serving batch),
-        then the per-query host rescore/flows run as usual."""
+        then the per-query host rescore/flows run as usual.  With ``mesh``
+        the corpus pass shards over the device mesh (exact scores; the
+        per-query next-best bound guards merge-boundary ties)."""
         engine = self._engine
         a = self._args
         # only plain single-table plans stack into [V, T, Q] — modifier
@@ -509,6 +513,12 @@ class WMDEngine:
                 }
             )
         len_ts = jnp.asarray([q.n_tokens for q in queries], jnp.int32)
+
+        if mesh is not None:
+            return self._find_batch_mesh_rwmd(
+                index, queries, qps, sim_multi, mass_t, len_ts, states,
+                n, min_score, mesh,
+            )
 
         out = np.full((engine.packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
@@ -557,6 +567,98 @@ class WMDEngine:
             )
             results.append(matches[:n])
         return results
+
+    def _find_batch_mesh_rwmd(
+        self, index, queries, qps, sim_multi, mass_t, len_ts, states,
+        n: int, min_score: float, mesh,
+    ) -> List:
+        """Mesh-sharded relaxed-WMD serving batch: per-bucket slice shards
+        run the greedy transport fill, per-query top-k merges over one
+        all-gather.  Scores are exact, so the overfetch loop only guards
+        (doc, slice) tie-breaks at the merge boundary (next-best bound)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vectorian_tpu.ops.search import order_by_score
+        from vectorian_tpu.parallel.mesh import MeshSearch
+
+        a = self._args
+        engine = self._engine
+        ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
+        shards = index._mesh_shards(ms)
+        Q = len(queries)
+        table = jax.device_put(sim_multi, NamedSharding(ms.mesh, P()))
+        mass_d = jnp.asarray(mass_t)
+        packed = engine.packed
+
+        m = n + 32
+        while True:
+            pending = []
+            complete = True
+            for db, tok_d, len_d in shards:
+                complete = complete and m >= tok_d.shape[0]
+                out = ms.rwmd_topk_multiquery(
+                    tok_d, len_d, table, mass_d, len_ts,
+                    injective=bool(a["injective"]),
+                    symmetric=bool(a["symmetric"]),
+                    normalize_bow=bool(a["normalize_bow"]),
+                    k=min(m, tok_d.shape[0]), with_next=True,
+                )
+                pending.append((db, out))
+
+            score_maps = [dict() for _ in range(Q)]
+            rest = np.full((Q,), -np.inf)
+            for db, (s, i, nxt) in pending:
+                s, i = np.asarray(s), np.asarray(i)
+                rest = np.maximum(rest, np.asarray(nxt))
+                for q in range(Q):
+                    valid = (i[q] < db["n"]) & np.isfinite(s[q])
+                    for sid, sc in zip(
+                        db["slice_index"][i[q][valid]], s[q][valid]
+                    ):
+                        score_maps[q][int(sid)] = float(sc)
+
+            results = []
+            retry = False
+            for qi, (query, qp) in enumerate(zip(queries, qps)):
+                smap = score_maps[qi]
+                cand = [sid for sid, sc in smap.items() if sc >= min_score]
+                if cand:
+                    cand_arr = np.asarray(cand, np.int64)
+                    vals = np.asarray([smap[c] for c in cand], np.float64)
+                    order = order_by_score(packed, cand_arr, vals)
+                    top = [int(c) for c in cand_arr[order][: n]]
+                else:
+                    top = []
+                state = dict(states[qi])
+                state["scores"] = smap
+                matches = (
+                    self._host_rescore(
+                        index, query, qp, state, top, min_score, None
+                    )
+                    if top
+                    else []
+                )
+                matches.sort(
+                    key=lambda mm: (
+                        -mm.score,
+                        int(packed.slice_doc[mm.slice_id]),
+                        int(packed.slice_idx[mm.slice_id]),
+                    )
+                )
+                matches = matches[:n]
+                s_n = (
+                    matches[n - 1].score if len(matches) >= n else min_score
+                )
+                # exact scores: the cut is unsafe only when an excluded
+                # slice could TIE the n-th (then (doc, slice) order decides)
+                if not complete and rest[qi] >= s_n:
+                    retry = True
+                    break
+                results.append(matches)
+            if not retry:
+                return results
+            m *= 2
 
     def _score(self, index, query, qp) -> dict:
         """Device ranking pass; returns scores plus the mass/tag state the

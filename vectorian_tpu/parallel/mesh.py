@@ -29,6 +29,52 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _merge_local_topk(scores, axis, shard_n, n_dev, k, with_next):
+    """Shared per-shard top-k + all-gather merge (runs INSIDE a shard_map
+    shard function).  ``scores``: [c, Q] this shard's per-slice scores.
+    Returns ([Q, kout] scores, [Q, kout] global indices[, [Q] next_best])
+    with kout = min(k, n_dev * min(k, shard_n)); ``next_best`` upper-bounds
+    every score outside the returned set (beyond-local-k and merge-cut)."""
+    Q = scores.shape[1]
+    ks = min(k, shard_n)  # per-shard contribution
+    kout = min(k, n_dev * ks)  # merged result width
+    kf = min(ks + 1, shard_n) if with_next else ks
+    loc_s, loc_i = jax.lax.top_k(scores.T, kf)  # [Q, kf] per query
+    shard_next = None
+    if with_next:
+        if kf > ks:
+            shard_next = loc_s[:, ks]  # [Q]
+        else:  # the shard is fully contributed — nothing outside
+            shard_next = jnp.full((Q,), -jnp.inf, loc_s.dtype)
+        loc_s, loc_i = loc_s[:, :ks], loc_i[:, :ks]
+    my = jax.lax.axis_index(axis)
+    glob_i = loc_i + my * shard_n
+    all_s = jax.lax.all_gather(loc_s, axis)  # [d, Q, ks]
+    all_i = jax.lax.all_gather(glob_i, axis)
+    all_s = jnp.moveaxis(all_s, 0, 1).reshape(Q, n_dev * ks)
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, n_dev * ks)
+    if with_next:
+        # best score outside the merged set: either beyond some shard's
+        # local ks, or gathered but cut by the global merge
+        kk2 = min(kout + 1, n_dev * ks)
+        top_s1, sel1 = jax.lax.top_k(all_s, kk2)
+        top_s = top_s1[:, :kout]
+        top_i = jnp.take_along_axis(all_i, sel1[:, :kout], axis=1)
+        merge_next = (
+            top_s1[:, kout]
+            if kk2 > kout
+            else jnp.full((Q,), -jnp.inf, top_s1.dtype)
+        )
+        next_best = jnp.maximum(
+            jnp.max(jax.lax.all_gather(shard_next, axis), axis=0),
+            merge_next,
+        )
+        return top_s, top_i, next_best
+    top_s, sel = jax.lax.top_k(all_s, kout)  # [Q, kout]
+    top_i = jnp.take_along_axis(all_i, sel, axis=1)
+    return top_s, top_i
+
+
 class MeshSearch:
     """Data-parallel bucket scoring + global top-k over a device mesh."""
 
@@ -161,9 +207,6 @@ class MeshSearch:
             *(jnp.asarray(g, jnp.float32) / sim_scale for g in gaps)
         )
 
-        ks = min(k, shard_n)  # per-shard contribution
-        kout = min(k, n_dev * ks)  # merged result width
-
         def shard_fn(tok, ln):
             c = tok.shape[0]
             S = sim_multi[tok.T]  # [L, c, T, Q] gather-native
@@ -190,42 +233,95 @@ class MeshSearch:
                 ln[:, None] > 0, raw / jnp.maximum(norm_total[None, :], 1e-9),
                 -jnp.inf,
             )
-            # fetch one extra per shard: its score bounds everything the
-            # shard did NOT contribute (needed for the quantized cut proof)
-            kf = min(ks + 1, shard_n) if with_next else ks
-            loc_s, loc_i = jax.lax.top_k(scores.T, kf)  # [Q, kf] per query
-            if with_next:
-                if kf > ks:
-                    shard_next = loc_s[:, ks]  # [Q]
-                else:  # the shard is fully contributed — nothing outside
-                    shard_next = jnp.full((Q,), -jnp.inf, loc_s.dtype)
-                loc_s, loc_i = loc_s[:, :ks], loc_i[:, :ks]
-            my = jax.lax.axis_index(axis)
-            glob_i = loc_i + my * shard_n
-            all_s = jax.lax.all_gather(loc_s, axis)  # [d, Q, ks]
-            all_i = jax.lax.all_gather(glob_i, axis)
-            all_s = jnp.moveaxis(all_s, 0, 1).reshape(Q, n_dev * ks)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, n_dev * ks)
-            if with_next:
-                # best score outside the merged set: either beyond some
-                # shard's local ks, or gathered but cut by the global merge
-                kk2 = min(kout + 1, n_dev * ks)
-                top_s1, sel1 = jax.lax.top_k(all_s, kk2)
-                top_s = top_s1[:, :kout]
-                top_i = jnp.take_along_axis(all_i, sel1[:, :kout], axis=1)
-                merge_next = (
-                    top_s1[:, kout]
-                    if kk2 > kout
-                    else jnp.full((Q,), -jnp.inf, top_s1.dtype)
-                )
-                next_best = jnp.maximum(
-                    jnp.max(jax.lax.all_gather(shard_next, axis), axis=0),
-                    merge_next,
-                )
-                return top_s, top_i, next_best
-            top_s, sel = jax.lax.top_k(all_s, kout)  # [Q, kout]
-            top_i = jnp.take_along_axis(all_i, sel, axis=1)
-            return top_s, top_i
+            return _merge_local_topk(
+                scores, axis, shard_n, n_dev, k, with_next
+            )
+
+        out_specs = (P(), P(), P()) if with_next else (P(), P())
+        fn = shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return fn(token_ids, lengths)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "injective", "symmetric", "normalize_bow", "k",
+            "with_next",
+        ),
+    )
+    def rwmd_topk_multiquery(
+        self,
+        token_ids: jnp.ndarray,  # [N, L] sharded over 'data'
+        lengths: jnp.ndarray,  # [N] sharded
+        sim_multi: jnp.ndarray,  # [V, T, Q] replicated
+        mass_t: jnp.ndarray,  # [T, Q] per-query deduped masses (0-padded)
+        len_t: jnp.ndarray,  # [Q] i32 real token counts
+        injective: bool,
+        symmetric: bool,
+        normalize_bow: bool,
+        k: int = 10,
+        with_next: bool = False,
+    ):
+        """Relaxed-WMD serving batch over the mesh: each shard gathers its
+        slices' similarity rows, runs the greedy transport fill, and the
+        per-query top-k merges over one all-gather (the transport analogue
+        of score_topk_multiquery; exact scores — the reference RWMD
+        semantics, wmd.h:273-417).  Returns like score_topk_multiquery."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from vectorian_tpu.ops.wmd import (
+            MAX_SIMILARITY,
+            NEG_SCORE,
+            _device_masses,
+            _greedy_fill_cost,
+        )
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self.n_devices
+        shard_n = token_ids.shape[0] // n_dev
+        T, Q = sim_multi.shape[1], sim_multi.shape[2]
+
+        def shard_fn(tok, ln):
+            c, L = tok.shape
+            S = sim_multi[tok.T].astype(jnp.float32)  # [L, c, T, Q]
+            mass_s = _device_masses(tok, ln)  # [c, L]
+            w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)
+            w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)  # [Q]
+            if normalize_bow:
+                m_s = mass_s / w_sum_s[:, None]
+                m_t = mass_t / w_sum_t[None, :]
+            else:
+                m_s = mass_s
+                m_t = mass_t
+            D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
+            Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
+            m_t_b = jnp.tile(m_t.T[None], (c, 1, 1)).reshape(c * Q, T)
+            m_s_b = jnp.repeat(m_s, Q, axis=0)
+            acc0 = _greedy_fill_cost(m_t_b, Dts, m_s_b, injective)
+            if not normalize_bow:
+                acc0 = acc0 / jnp.tile(w_sum_t, c)
+            if symmetric:
+                Dst = jnp.transpose(D, (1, 3, 0, 2)).reshape(c * Q, L, T)
+                acc1 = _greedy_fill_cost(m_s_b, Dst, m_t_b, injective)
+                if not normalize_bow:
+                    acc1 = acc1 / jnp.repeat(w_sum_s, Q)
+                cost = jnp.maximum(acc0, acc1)
+            else:
+                cost = acc0
+            max_cost = 1.0 if normalize_bow else jnp.tile(w_sum_t, c)
+            score = ((max_cost - cost) / max_cost).reshape(c, Q)
+            scores = jnp.where(ln[:, None] > 0, score, NEG_SCORE)
+            return _merge_local_topk(
+                scores, axis, shard_n, n_dev, k, with_next
+            )
 
         out_specs = (P(), P(), P()) if with_next else (P(), P())
         fn = shard_map(
