@@ -307,3 +307,27 @@ def test_fuzz_quantized_batch_parity(session_ix):
                 for r in ix.find_batch(queries, n=5, min_score=ms, sim_precision=prec)
             ]
             assert got == want, (trial, prec, ms)
+
+
+def test_find_batch_full_wmd_and_wrd(session_ix):
+    """Full (Sinkhorn-ranked, exact-EMD-rescored) WMD and WRD batch in one
+    corpus pass — must match the single-query transport path exactly."""
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim as ETS
+
+    session, index, locations = session_ix
+    emb = session.embeddings[0]
+    queries = [
+        "the old king rides the grey horse",
+        "bird sings tree",
+        "king horse oovwordzz",
+    ]
+    for opt in (WordMoversDistance.wmd("nbow"), WordRotatorsDistance()):
+        ix = session.partition("sentence").index(OptimizedSpanSim(ETS(emb), opt))
+        batch = ix.find_batch(queries, n=3, min_score=-5.0)
+        for q, br in zip(queries, batch):
+            sr = ix.find(q, n=3, min_score=-5.0)
+            got = [(m.slice_id, round(m.score, 4)) for m in br]
+            want = [(m.slice_id, round(m.score, 4)) for m in sr]
+            assert got == want, (opt, q)

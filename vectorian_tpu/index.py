@@ -1304,10 +1304,9 @@ class BruteForceIndex(Index):
         token_sim = self._args["metric"]["token_sim"]
         from vectorian_tpu.sim.token import EmbeddingTokenSim as _ETS
 
-        supported = (
-            a["algorithm"] == "word-movers-distance"
-            and a.get("relaxed")
-            and isinstance(token_sim, _ETS)
+        relaxed = a["algorithm"] == "word-movers-distance" and a.get("relaxed")
+        plain = (
+            isinstance(token_sim, _ETS)
             and all(getattr(e, "is_static", True) for e in token_sim.embeddings)
             and not self._args.get("tag_weights")
             and not (
@@ -1315,15 +1314,19 @@ class BruteForceIndex(Index):
                 & set(kwargs)
             )
         )
+        supported = plain and a["algorithm"] in (
+            "word-movers-distance", "word-rotators-distance"
+        )
+        if mesh is not None and not (supported and relaxed):
+            raise NotImplementedError(
+                "mesh find_batch supports relaxed WMD over plain static "
+                "metrics only (no tag weights / boosters / filters)"
+            )
         if not supported:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh find_batch supports relaxed WMD over plain static "
-                    "metrics only (no tag weights / boosters / filters)"
-                )
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
+        needs_mag = a["algorithm"] == "word-rotators-distance"
 
         start_time = time.time()
         queries, qps, order = [], [], []
@@ -1341,6 +1344,7 @@ class BruteForceIndex(Index):
                 tok_ids_p,
                 strings_p,
                 {},
+                needs_magnitudes=needs_mag,
             )
             queries.append(pq)
             qps.append(qp)

@@ -295,6 +295,61 @@ def _bucket_rwmd_scores_multi(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "use_magnitudes", "normalize_mass", "chunk", "n_iters", "n_queries",
+    ),
+)
+def _bucket_emd_scores_multi(
+    token_ids: jnp.ndarray,  # [N, L] i32
+    lengths: jnp.ndarray,  # [N] i32
+    sim_multi: jnp.ndarray,  # [V, T, Q] stacked query similarity tables
+    mags_vocab: jnp.ndarray,  # [V] static row magnitudes (WRD masses)
+    mass_t: jnp.ndarray,  # [T, Q] per-query masses (counts or magnitudes)
+    eps: jnp.ndarray,
+    use_magnitudes: bool,
+    normalize_mass: bool,
+    chunk: int,
+    n_queries: int,
+    n_iters: int = 50,
+):
+    """[N, Q] full-WMD / WRD Sinkhorn ranking — Q static queries share one
+    corpus pass (gather amortizes like the relaxed batch; the exact EMD
+    rescore on host stays per query)."""
+    N, L = token_ids.shape
+    T, Q = sim_multi.shape[1], sim_multi.shape[2]
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tokT, ln = args  # [L, c], [c]
+        c = ln.shape[0]
+        S = sim_multi[tokT].astype(jnp.float32)  # [L, c, T, Q]
+        p = jnp.arange(L, dtype=jnp.int32)
+        valid = p[None, :] < ln[:, None]  # [c, L]
+        if use_magnitudes:
+            # WRD: every position its own entry, mass = |v| (wrd.h:62-146)
+            m_s = jnp.where(valid, mags_vocab[tokT.T], 0.0)  # [c, L]
+        else:
+            m_s = _device_masses(tokT.T, ln)  # dedup by vocab id
+        m_t = jnp.tile(mass_t.T[None], (c, 1, 1)).reshape(c * Q, T)
+        m_s_b = jnp.repeat(m_s, Q, axis=0)  # [c*Q, L]
+        if normalize_mass:
+            m_s_b = m_s_b / jnp.maximum(
+                jnp.sum(m_s_b, axis=1, keepdims=True), 1e-9
+            )
+            m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
+        D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
+        Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
+        score = sinkhorn_emd_score(m_t, m_s_b, Dts, eps, n_iters)
+        score = score.reshape(c, Q)
+        return jnp.where(ln[:, None] > 0, score, NEG_SCORE)
+
+    tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
+    xs = (tokens_T, lengths.reshape(n_chunks, chunk))
+    return jax.lax.map(one_chunk, xs).reshape(N, Q)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "plan", "use_magnitudes", "normalize_mass", "chunk", "n_iters",
         "unique_masses", "with_tags",
     ),
@@ -514,10 +569,17 @@ class WMDEngine:
             )
         len_ts = jnp.asarray([q.n_tokens for q in queries], jnp.int32)
 
+        relaxed = self._algorithm == "word-movers-distance" and a.get("relaxed")
         if mesh is not None:
+            assert relaxed, "mesh transport serving supports relaxed WMD only"
             return self._find_batch_mesh_rwmd(
                 index, queries, qps, sim_multi, mass_t, len_ts, states,
                 n, min_score, mesh,
+            )
+        if not relaxed:
+            return self._find_batch_emd(
+                index, queries, qps, sim_multi, mass_t, states, Tmax,
+                n, min_score,
             )
 
         out = np.full((engine.packed.n_slices, Q), NEG_SCORE, np.float32)
@@ -551,6 +613,83 @@ class WMDEngine:
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             states[qi]["scores"] = out[:, qi]
             top = engine.top_k(out[:, qi], n, min_score=min_score)
+            matches = (
+                self._host_rescore(
+                    index, query, qp, states[qi], top, min_score, None
+                )
+                if top
+                else []
+            )
+            matches.sort(
+                key=lambda m: (
+                    -m.score,
+                    int(packed.slice_doc[m.slice_id]),
+                    int(packed.slice_idx[m.slice_id]),
+                )
+            )
+            results.append(matches[:n])
+        return results
+
+    def _find_batch_emd(
+        self, index, queries, qps, sim_multi, mass_t, states, Tmax,
+        n: int, min_score: float,
+    ) -> List:
+        """Batched full-WMD / WRD: Q queries share one Sinkhorn-ranking
+        corpus pass (the vocab gather amortizes; Sinkhorn itself scales
+        with Q), then the exact EMD rescore runs per query as usual."""
+        engine = self._engine
+        a = self._args
+        Q = len(queries)
+        is_wrd = self._algorithm == "word-rotators-distance"
+        if is_wrd:
+            mass_dev = np.zeros((Tmax, Q), np.float32)
+            for qi, (query, qp) in enumerate(zip(queries, qps)):
+                mm = self._static_needle_magnitudes(qp, query, index)
+                mass_dev[: len(mm), qi] = mm
+                states[qi]["mass_t_mag"] = mm
+            normalize = bool(a.get("normalize_magnitudes", True))
+            mags_vocab = np.asarray(qps[0].static_mags[0], np.float32)
+        else:
+            # full WMD: device ranking always on normalized masses
+            # (Sinkhorn scale); the host rescore uses the requested
+            # bow/nbow masses
+            mass_dev = mass_t
+            normalize = True
+            mags_vocab = np.zeros(
+                (int(qps[0].static_sims[0].shape[0]),), np.float32
+            )
+
+        out = np.full((engine.packed.n_slices, Q), NEG_SCORE, np.float32)
+        pending = []
+        for db in engine._device_buckets:
+            if db["n"] == 0:
+                continue
+            # Sinkhorn holds [chunk*Q, T, L] potentials: bound chunk*Q
+            chunk = db["chunk"]
+            while chunk > 64 and chunk * Q > 4096:
+                chunk //= 2
+            scores = _bucket_emd_scores_multi(
+                db["tokens"],
+                db["lengths"],
+                sim_multi,
+                jnp.asarray(mags_vocab),
+                jnp.asarray(mass_dev),
+                jnp.asarray(0.02, jnp.float32),
+                use_magnitudes=is_wrd,
+                normalize_mass=normalize,
+                chunk=chunk,
+                n_queries=Q,
+            )
+            pending.append((db, scores))
+        for db, scores in pending:
+            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+
+        results = []
+        packed = engine.packed
+        rank_min = min_score - SINKHORN_RANK_SLACK
+        for qi, (query, qp) in enumerate(zip(queries, qps)):
+            states[qi]["scores"] = out[:, qi]
+            top = engine.top_k(out[:, qi], 4 * n, min_score=rank_min)
             matches = (
                 self._host_rescore(
                     index, query, qp, states[qi], top, min_score, None
