@@ -52,6 +52,8 @@ from vectorian_tpu.embedding.span import (  # noqa: F401
 from vectorian_tpu.embedding.zoo import Zoo  # noqa: F401
 from vectorian_tpu.saliency import KeywordSignal, Saliency  # noqa: F401
 
+from vectorian_tpu.parallel.mesh import MeshSearch, make_mesh  # noqa: F401
+
 from vectorian_tpu import alignment, metrics, sim  # noqa: F401
 
 # alias matching the reference's dual naming (__init__.py:24-25)
