@@ -41,8 +41,10 @@ def test_find_batch_matches_single(session_ix):
     assert len(batch) == 3
     for q, br in zip(queries, batch):
         sr = index.find(q, n=5, min_score=-5.0)
-        got = [(m.slice_id, round(m.score, 4)) for m in br]
-        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        # both paths report the finalizer's exact f32 scores, so single and
+        # batched results are bit-identical (incl. tie-breaks)
+        got = [(m.slice_id, m.score) for m in br]
+        want = [(m.slice_id, m.score) for m in sr]
         assert got == want, q
 
 

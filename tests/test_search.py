@@ -368,3 +368,31 @@ def test_top_k_tie_break_across_partition_boundary(corpus_session):
         key=lambda s: (packed.slice_doc[s], packed.slice_idx[s]),
     )
     assert got[:2] == [int(x) for x in first_two]
+
+
+def test_score_topk_tie_expansion(corpus_session):
+    """Device-side top-k must resolve large tie groups by (doc, slice)
+    order even when they cross the per-bucket fetch boundary — buckets are
+    LENGTH-sorted, so lax.top_k's index-order tie preference is wrong
+    without the expansion loop."""
+    from vectorian_tpu.ops.simmatrix import compile_plan
+    from vectorian_tpu.ops.alignment import AffineGapParams
+
+    session, emb, locations = corpus_session
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    eng = index._engine
+    q = index.make_query("king", n=3).prepare(index._nlp)
+    qp = compile_plan(
+        EmbeddingTokenSim(emb), session.compiled_embeddings,
+        q.token_ids, q.token_strings, {},
+    )
+    gaps = AffineGapParams.of(0.0, 0.0, 0.0, 0.0)
+    n_sl = eng.packed.n_slices
+    k = max(2, n_sl // 8)
+    top, smap = eng.score_topk(
+        qp, 1, gaps, "local", 1.0, k=k, min_score=-1e30,
+    )
+    # reference: host top_k over the full exact score vector
+    full = eng.score_all(qp, 1, gaps, "local", 1.0)
+    want = eng.top_k(full, k, min_score=-1e30)
+    assert top == want

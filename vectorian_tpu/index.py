@@ -712,6 +712,22 @@ class BruteForceIndex(Index):
         import time as _time
 
         t_match0 = _time.time()
+
+        def _exact_scores(top, raw):
+            # reported scores always come from the finalizer's exact f32
+            # rescore IN f32 ARITHMETIC (the same find_batch reports), so
+            # find() and find_batch() are bit-identical: device scores
+            # differ by ~1 ulp (XLA's reciprocal-multiply divide), which
+            # can flip (doc, slice) tie-breaks between the two paths
+            nt = np.float32(max(norm_total, 1e-9))
+            out = {}
+            for j, sid in enumerate(top):
+                s = np.float32(raw[j]) / nt
+                if boost is not None:
+                    s = s * np.float32(boost[sid])
+                out[sid] = float(s)
+            return out
+
         if debug is None and not opts.get("bidirectional"):
             # low-latency path: device-side top-k, only O(buckets*k) values
             # cross to the host
@@ -724,13 +740,15 @@ class BruteForceIndex(Index):
                 )
                 if query.query.aborted or not top:
                     return []
-                mappings, edge_sims = self._engine.rescore_with_flows(
+                mappings, edge_sims, raw = self._engine.rescore_with_flows(
                     top, qp, T, gaps, self._locality, tag_weights=tagw,
                     doc_filter=doc_filter, gap_costs=gap_costs,
+                    with_scores=True,
                 )
+                exact = _exact_scores(top, raw)
                 return self._build_matches(
                     query, token_sim, top, mappings, edge_sims,
-                    score_by_id.__getitem__, submatch_weight, tagw,
+                    exact.__getitem__, submatch_weight, tagw,
                     norm_total, min_score, n, debug,
                 )
             # submatch_weight rescoring can lift a slice past device-ranked
@@ -749,13 +767,15 @@ class BruteForceIndex(Index):
                 )
                 if query.query.aborted or not top:
                     return []
-                mappings, edge_sims = self._engine.rescore_with_flows(
+                mappings, edge_sims, raw = self._engine.rescore_with_flows(
                     top, qp, T, gaps, self._locality, tag_weights=tagw,
                     doc_filter=doc_filter, gap_costs=gap_costs,
+                    with_scores=True,
                 )
+                exact = _exact_scores(top, raw)
                 matches = self._build_matches(
                     query, token_sim, top, mappings, edge_sims,
-                    score_by_id.__getitem__, submatch_weight, tagw,
+                    exact.__getitem__, submatch_weight, tagw,
                     norm_total, min_score, n, debug,
                 )
                 if m >= n_slices or boost is not None:
@@ -827,32 +847,35 @@ class BruteForceIndex(Index):
 
         def run(top):
             if use_rev is None:
-                mappings, edge_sims = self._engine.rescore_with_flows(
+                mappings, edge_sims, raw = self._engine.rescore_with_flows(
                     top, qp, T, gaps, self._locality, tag_weights=tagw,
                     doc_filter=doc_filter, gap_costs=gap_costs,
-                    on_sims=on_sims,
+                    on_sims=on_sims, with_scores=True,
                 )
+                exact = _exact_scores(top, raw)
             else:
                 fwd_ids = [sid for sid in top if not use_rev[sid]]
                 rev_ids = [sid for sid in top if use_rev[sid]]
-                m_f, s_f = self._engine.rescore_with_flows(
+                m_f, s_f, r_f = self._engine.rescore_with_flows(
                     fwd_ids, qp, T, gaps, self._locality, tag_weights=tagw,
                     doc_filter=doc_filter, gap_costs=gap_costs,
-                    on_sims=on_sims,
+                    on_sims=on_sims, with_scores=True,
                 )
-                m_r, s_r = self._engine.rescore_with_flows(
+                m_r, s_r, r_r = self._engine.rescore_with_flows(
                     rev_ids, _reverse_plan(qp, T), T, gaps, self._locality,
                     tag_weights=_reverse_tagw(tagw, T), doc_filter=doc_filter,
-                    gap_costs=gap_costs, on_sims=on_sims,
+                    gap_costs=gap_costs, on_sims=on_sims, with_scores=True,
                 )
                 by_id = {sid: (m, s) for sid, m, s in zip(fwd_ids, m_f, s_f)}
                 for sid, m, s in zip(rev_ids, m_r, s_r):
                     by_id[sid] = (m[::-1].copy(), s[::-1].copy())  # un-rev t
                 mappings = [by_id[sid][0] for sid in top]
                 edge_sims = [by_id[sid][1] for sid in top]
+                exact = _exact_scores(fwd_ids, r_f)
+                exact.update(_exact_scores(rev_ids, r_r))
             return self._build_matches(
                 query, token_sim, top, mappings, edge_sims,
-                lambda sid: float(scores[sid]), submatch_weight, tagw,
+                exact.__getitem__, submatch_weight, tagw,
                 norm_total, min_score, n, debug,
             )
 

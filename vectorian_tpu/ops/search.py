@@ -937,7 +937,6 @@ class BruteForceEngine:
         returned candidates (-inf when every slice was fetched) — the
         overfetch-safety hook for rescoring paths (submatch_weight)."""
         T = self._plan_width(qp)  # padded needle width (>= len_t)
-        cand_scores, cand_ids = [], []
         pending = []
         if doc_filter is not None:
             flt = (
@@ -995,38 +994,72 @@ class BruteForceEngine:
                 general_gaps=gap_costs is not None,
                 use_pallas=use_pallas_default(),
             )
-            kk = min(k, db["n"])
-            vals, idx = jax.lax.top_k(scores[: db["n"]], kk)
-            pending.append((db, vals, idx))
-        next_bound = float("-inf")
-        for db, vals, idx in pending:
-            vals = np.asarray(vals)
-            cand_scores.append(vals)
-            cand_ids.append(db["slice_index"][np.asarray(idx)])
-            if with_next and len(vals) < db["n"]:
-                # slices this bucket did not fetch score at most its
-                # minimum fetched value
-                next_bound = max(next_bound, float(vals[-1]))
-        if not cand_scores:
-            return ([], {}, next_bound) if with_next else ([], {})
-        vals = np.concatenate(cand_scores)
-        ids = np.concatenate(cand_ids)
-        keep = vals >= min_score
-        vals, ids = vals[keep], ids[keep]
-        order = order_by_score(self._packed, ids, vals)
-        top = [int(i) for i in ids[order][:k]]
+            pending.append((db, scores))
+        if not pending:
+            return ([], {}, float("-inf")) if with_next else ([], {})
+
+        # Per-bucket device top-k + host merge, with a tie-safe expansion:
+        # buckets are LENGTH-sorted, so lax.top_k's lowest-index tie
+        # preference truncates tie groups in the wrong order — whenever a
+        # bucket's fetch boundary could still hold a slice that beats (or
+        # ties) the global k-th, refetch that bucket with a doubled k
+        # (cheap: the bucket score arrays stay on device; only the small
+        # top_k re-dispatches).
+        kk_per = [min(k, db["n"]) for db, _ in pending]
+        fetched = [None] * len(pending)  # (vals np, ids np, bucket_next)
+        while True:
+            for bi, (db, scores) in enumerate(pending):
+                if fetched[bi] is not None:
+                    continue
+                kk = kk_per[bi]
+                kf = min(kk + 1, db["n"])  # +1 probes the boundary
+                vals, idx = jax.lax.top_k(scores[: db["n"]], kf)
+                vals = np.asarray(vals)
+                ids_b = db["slice_index"][np.asarray(idx)]
+                bucket_next = (
+                    float(vals[kk]) if kf > kk else float("-inf")
+                )
+                fetched[bi] = (vals[:kk], ids_b[:kk], bucket_next)
+            vals = np.concatenate([f[0] for f in fetched])
+            ids = np.concatenate([f[1] for f in fetched])
+            keep = vals >= min_score
+            vals_k, ids_k = vals[keep], ids[keep]
+            order = order_by_score(self._packed, ids_k, vals_k)
+            top = [int(i) for i in ids_k[order][:k]]
+            thr = (
+                float(vals_k[order][len(top) - 1])
+                if len(top) == k
+                else min_score
+            )
+            # a bucket whose unfetched slices could reach thr (>= because
+            # an equal score can win the (doc, slice) tie-break) must fetch
+            # more before the cut is final
+            unsafe = [
+                bi
+                for bi, (db, _) in enumerate(pending)
+                if kk_per[bi] < db["n"] and fetched[bi][2] >= thr
+            ]
+            if not unsafe:
+                break
+            for bi in unsafe:
+                kk_per[bi] = min(kk_per[bi] * 2, pending[bi][0]["n"])
+                fetched[bi] = None
+
         if with_next:
-            if len(ids) > len(top):
+            next_bound = max(
+                (f[2] for f in fetched), default=float("-inf")
+            )
+            if len(ids_k) > len(top):
                 # gathered-but-cut candidates: bounded by the worst kept
                 next_bound = max(
                     next_bound,
-                    float(vals[order][len(top) - 1]) if top else float(
-                        np.max(vals)
+                    float(vals_k[order][len(top) - 1]) if top else float(
+                        np.max(vals_k)
                     ),
                 )
-            score_map = {int(i): float(v) for i, v in zip(ids, vals)}
+            score_map = {int(i): float(v) for i, v in zip(ids_k, vals_k)}
             return top, score_map, next_bound
-        return top, {int(i): float(v) for i, v in zip(ids, vals)}
+        return top, {int(i): float(v) for i, v in zip(ids_k, vals_k)}
 
     def top_k(
         self,
