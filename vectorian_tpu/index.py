@@ -732,25 +732,45 @@ class BruteForceIndex(Index):
             # low-latency path: device-side top-k, only O(buckets*k) values
             # cross to the host
             if submatch_weight == 0.0:
-                top, score_by_id = self._engine.score_topk(
-                    qp, T, gaps, self._locality, norm_total,
-                    k=n, min_score=min_score, boost=boost,
-                    tag_weights=tagw, doc_filter=doc_filter,
-                    gap_costs=gap_costs,
-                )
-                if query.query.aborted or not top:
-                    return []
-                mappings, edge_sims, raw = self._engine.rescore_with_flows(
-                    top, qp, T, gaps, self._locality, tag_weights=tagw,
-                    doc_filter=doc_filter, gap_costs=gap_costs,
-                    with_scores=True,
-                )
-                exact = _exact_scores(top, raw)
-                return self._build_matches(
-                    query, token_sim, top, mappings, edge_sims,
-                    exact.__getitem__, submatch_weight, tagw,
-                    norm_total, min_score, n, debug,
-                )
+                # candidate MEMBERSHIP is guarded like _finalize_quantized:
+                # device ranking drifts ~1 ulp from the exact rescore, so
+                # fetch with an eps slack and accept the cut only when the
+                # best unfetched device score is provably below the exact
+                # n-th — find(), find_batch() and the mesh path then return
+                # byte-identical matches
+                eps = self.QUANT_SCORE_EPS
+                m = n + 32
+                n_slices = self._engine.packed.n_slices
+                while True:
+                    top, _, rest = self._engine.score_topk(
+                        qp, T, gaps, self._locality, norm_total,
+                        k=m, min_score=min_score - eps, boost=boost,
+                        tag_weights=tagw, doc_filter=doc_filter,
+                        gap_costs=gap_costs, with_next=True,
+                    )
+                    if query.query.aborted or not top:
+                        return []
+                    mappings, edge_sims, raw = (
+                        self._engine.rescore_with_flows(
+                            top, qp, T, gaps, self._locality,
+                            tag_weights=tagw, doc_filter=doc_filter,
+                            gap_costs=gap_costs, with_scores=True,
+                        )
+                    )
+                    exact = _exact_scores(top, raw)
+                    matches = self._build_matches(
+                        query, token_sim, top, mappings, edge_sims,
+                        exact.__getitem__, submatch_weight, tagw,
+                        norm_total, min_score, n, debug,
+                    )
+                    s_n = (
+                        matches[n - 1].score
+                        if len(matches) >= n
+                        else min_score
+                    )
+                    if m >= n_slices or rest < s_n - eps:
+                        return matches
+                    m *= 2
             # submatch_weight rescoring can lift a slice past device-ranked
             # candidates: overfetch with the closed-form upper bound as the
             # cut proof, doubling until no excluded slice could reach the
@@ -759,7 +779,7 @@ class BruteForceIndex(Index):
             m = 4 * n
             n_slices = self._engine.packed.n_slices
             while True:
-                top, score_by_id, rest = self._engine.score_topk(
+                top, _, rest = self._engine.score_topk(
                     qp, T, gaps, self._locality, norm_total,
                     k=m, min_score=-1e30, boost=boost,
                     tag_weights=tagw, doc_filter=doc_filter,

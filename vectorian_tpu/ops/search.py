@@ -995,7 +995,7 @@ class BruteForceEngine:
                 use_pallas=use_pallas_default(),
             )
             pending.append((db, scores))
-        if not pending:
+        if not pending or k <= 0:
             return ([], {}, float("-inf")) if with_next else ([], {})
 
         # Per-bucket device top-k + host merge, with a tie-safe expansion:
@@ -1008,12 +1008,19 @@ class BruteForceEngine:
         kk_per = [min(k, db["n"]) for db, _ in pending]
         fetched = [None] * len(pending)  # (vals np, ids np, bucket_next)
         while True:
+            # dispatch every refetch first, read after — host reads are
+            # tunnel round trips; interleaving them would serialize
+            dispatched = []
             for bi, (db, scores) in enumerate(pending):
                 if fetched[bi] is not None:
                     continue
                 kk = kk_per[bi]
                 kf = min(kk + 1, db["n"])  # +1 probes the boundary
-                vals, idx = jax.lax.top_k(scores[: db["n"]], kf)
+                dispatched.append(
+                    (bi, kk, kf, jax.lax.top_k(scores[: db["n"]], kf))
+                )
+            for bi, kk, kf, (vals, idx) in dispatched:
+                db = pending[bi][0]
                 vals = np.asarray(vals)
                 ids_b = db["slice_index"][np.asarray(idx)]
                 bucket_next = (

@@ -636,7 +636,15 @@ class WMDEngine:
     ) -> List:
         """Batched full-WMD / WRD: Q queries share one Sinkhorn-ranking
         corpus pass (the vocab gather amortizes; Sinkhorn itself scales
-        with Q), then the exact EMD rescore runs per query as usual."""
+        with Q), then the exact EMD rescore runs per query as usual.
+
+        The batched Sinkhorn reduces over the cross-query padded Tmax axis
+        (and a smaller chunk), so RANK scores can differ from the
+        single-query kernel at the last ulp; both are approximate rankings
+        whose 4n-overfetch feeds the same exact EMD rescore, but candidate
+        membership at the exact 4n-th boundary is not bit-guaranteed to
+        match the single-query path (Sinkhorn has no error bound to build
+        a provable cut from)."""
         engine = self._engine
         a = self._args
         Q = len(queries)
