@@ -578,11 +578,13 @@ class BruteForceIndex(Index):
             return None
         return {"s": self._gap_s, "t": self._gap_t}
 
-    def warmup(self, max_tokens: int = 12) -> "BruteForceIndex":
+    def warmup(self, max_tokens: int = 12, n: int = 10) -> "BruteForceIndex":
         """Pre-compile the query pipeline for every needle-length bucket up
         to ``max_tokens`` (first queries otherwise pay multi-second XLA
         compiles; with length bucketing one dummy query per multiple of 4
-        covers the whole range).  Returns self for chaining."""
+        covers the whole range).  Pass the ``n`` (max_matches) production
+        queries will use — the candidate-fetch and finalizer-batch jit
+        shapes depend on it.  Returns self for chaining."""
         vocab_words = [
             w for w in self._session.vocab.tokens.strings[1:] if w
         ][: max(max_tokens, 1)]
@@ -591,9 +593,9 @@ class BruteForceIndex(Index):
         for t in range(4, max(max_tokens, 4) + 1, 4):
             words = [vocab_words[i % len(vocab_words)] for i in range(t)]
             # min_score low enough to keep >= 1 candidate: the finalizer
-            # (batched similarity + DP matrices + traceback) must compile
-            # too, or the first real query still stalls on those jits
-            self.find(" ".join(words), n=1, min_score=-1e30)
+            # (batched similarity + fused DP matrices/scores + traceback)
+            # must compile too, or the first real query still stalls
+            self.find(" ".join(words), n=n, min_score=-1e30)
         return self
 
     def _affine_gaps(self) -> Optional[AffineGapParams]:
@@ -737,16 +739,21 @@ class BruteForceIndex(Index):
                 # fetch with an eps slack and accept the cut only when the
                 # best unfetched device score is provably below the exact
                 # n-th — find(), find_batch() and the mesh path then return
-                # byte-identical matches
-                eps = self.QUANT_SCORE_EPS
+                # byte-identical matches.  The slack is ulp-scaled (the
+                # drift is relative rounding, ~1.2e-7 per op): a loose
+                # constant here would trigger device refetches — each a
+                # fresh top_k compile on a tunneled runtime — whenever two
+                # scores are merely CLOSE at the boundary
+                ulp = lambda x: 1e-6 * max(1.0, abs(x))
                 m = n + 32
                 n_slices = self._engine.packed.n_slices
                 while True:
                     top, _, rest = self._engine.score_topk(
                         qp, T, gaps, self._locality, norm_total,
-                        k=m, min_score=min_score - eps, boost=boost,
-                        tag_weights=tagw, doc_filter=doc_filter,
-                        gap_costs=gap_costs, with_next=True,
+                        k=m, min_score=min_score - ulp(min_score),
+                        boost=boost, tag_weights=tagw,
+                        doc_filter=doc_filter, gap_costs=gap_costs,
+                        with_next=True,
                     )
                     if query.query.aborted or not top:
                         return []
@@ -768,7 +775,7 @@ class BruteForceIndex(Index):
                         if len(matches) >= n
                         else min_score
                     )
-                    if m >= n_slices or rest < s_n - eps:
+                    if m >= n_slices or rest < s_n - ulp(s_n):
                         return matches
                     m *= 2
             # submatch_weight rescoring can lift a slice past device-ranked

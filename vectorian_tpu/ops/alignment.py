@@ -325,6 +325,31 @@ def _general_row_h(C, w_closure, T1):
     return H
 
 
+@functools.partial(jax.jit, static_argnames=("locality",))
+def align_matrices_scores(similarity, len_s, len_t, gaps, locality=LOCAL):
+    """H/E/F matrices AND raw scores in ONE dispatch (the finalizer needs
+    both; separate calls cost an extra host round trip on tunneled
+    runtimes).  Scores are computed by the exact align_scores recurrence,
+    so they are bit-identical to the scoring path."""
+    H, E, F = align_matrices.__wrapped__(similarity, gaps, locality)
+    raw = align_scores.__wrapped__(similarity, len_s, len_t, gaps, locality)
+    return H, E, F, raw
+
+
+@functools.partial(jax.jit, static_argnames=("locality",))
+def align_matrices_scores_general(
+    similarity, len_s, len_t, gap_vec_s, gap_vec_t, locality=LOCAL
+):
+    """General-gap analogue of align_matrices_scores (one dispatch)."""
+    H = align_matrices_general.__wrapped__(
+        similarity, gap_vec_s, gap_vec_t, locality
+    )
+    raw = align_scores_general.__wrapped__(
+        similarity, len_s, len_t, gap_vec_s, gap_vec_t, locality
+    )
+    return H, raw
+
+
 @functools.partial(jax.jit, static_argnames=("locality", "with_position"))
 def align_scores_general(
     similarity: jnp.ndarray,  # [B, Ls, Lt]

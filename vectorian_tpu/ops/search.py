@@ -35,6 +35,8 @@ from vectorian_tpu.ops.alignment import (
     AffineGapParams,
     align_matrices,
     align_matrices_general,
+    align_matrices_scores,
+    align_matrices_scores_general,
     align_scores,
     align_scores_general,
     traceback,
@@ -998,35 +1000,39 @@ class BruteForceEngine:
         if not pending or k <= 0:
             return ([], {}, float("-inf")) if with_next else ([], {})
 
-        # Per-bucket device top-k + host merge, with a tie-safe expansion:
+        # Per-bucket device top-k + host merge, with a tie-safe fallback:
         # buckets are LENGTH-sorted, so lax.top_k's lowest-index tie
         # preference truncates tie groups in the wrong order — whenever a
         # bucket's fetch boundary could still hold a slice that beats (or
-        # ties) the global k-th, refetch that bucket with a doubled k
-        # (cheap: the bucket score arrays stay on device; only the small
-        # top_k re-dispatches).
-        kk_per = [min(k, db["n"]) for db, _ in pending]
+        # ties) the global k-th, read that bucket's FULL score vector once
+        # and merge host-side.  (At most two rounds: a doubling loop would
+        # compile a fresh top_k shape per round, which on a tunneled
+        # runtime costs seconds per query on tie-heavy corpora.)
         fetched = [None] * len(pending)  # (vals np, ids np, bucket_next)
-        while True:
-            # dispatch every refetch first, read after — host reads are
+        for round_ in range(2):
+            # dispatch every fetch first, read after — host reads are
             # tunnel round trips; interleaving them would serialize
             dispatched = []
             for bi, (db, scores) in enumerate(pending):
                 if fetched[bi] is not None:
                     continue
-                kk = kk_per[bi]
-                kf = min(kk + 1, db["n"])  # +1 probes the boundary
-                dispatched.append(
-                    (bi, kk, kf, jax.lax.top_k(scores[: db["n"]], kf))
-                )
-            for bi, kk, kf, (vals, idx) in dispatched:
+                kk = min(k, db["n"])
+                if round_ == 0 and kk < db["n"]:
+                    kf = kk + 1  # +1 probes the boundary
+                    vals, idx = jax.lax.top_k(scores[: db["n"]], kf)
+                    dispatched.append((bi, kk, vals, idx))
+                else:  # full read (small bucket or tie-unsafe fallback)
+                    dispatched.append((bi, db["n"], scores[: db["n"]], None))
+            for bi, kk, vals, idx in dispatched:
                 db = pending[bi][0]
                 vals = np.asarray(vals)
-                ids_b = db["slice_index"][np.asarray(idx)]
-                bucket_next = (
-                    float(vals[kk]) if kf > kk else float("-inf")
-                )
-                fetched[bi] = (vals[:kk], ids_b[:kk], bucket_next)
+                if idx is not None:
+                    ids_b = db["slice_index"][np.asarray(idx)]
+                    fetched[bi] = (
+                        vals[:kk], ids_b[:kk], float(vals[kk]),
+                    )
+                else:
+                    fetched[bi] = (vals, db["slice_index"], float("-inf"))
             vals = np.concatenate([f[0] for f in fetched])
             ids = np.concatenate([f[1] for f in fetched])
             keep = vals >= min_score
@@ -1039,17 +1045,16 @@ class BruteForceEngine:
                 else min_score
             )
             # a bucket whose unfetched slices could reach thr (>= because
-            # an equal score can win the (doc, slice) tie-break) must fetch
-            # more before the cut is final
+            # an equal score can win the (doc, slice) tie-break) must be
+            # read fully before the cut is final
             unsafe = [
                 bi
-                for bi, (db, _) in enumerate(pending)
-                if kk_per[bi] < db["n"] and fetched[bi][2] >= thr
+                for bi in range(len(pending))
+                if fetched[bi][2] >= thr
             ]
             if not unsafe:
                 break
             for bi in unsafe:
-                kk_per[bi] = min(kk_per[bi] * 2, pending[bi][0]["n"])
                 fetched[bi] = None
 
         if with_next:
@@ -1057,12 +1062,11 @@ class BruteForceEngine:
                 (f[2] for f in fetched), default=float("-inf")
             )
             if len(ids_k) > len(top):
-                # gathered-but-cut candidates: bounded by the worst kept
+                # best gathered-but-not-returned candidate: the (k+1)-th in
+                # merge order (NOT the k-th kept — that equals the cut and
+                # would make every caller's safety check fail vacuously)
                 next_bound = max(
-                    next_bound,
-                    float(vals_k[order][len(top) - 1]) if top else float(
-                        np.max(vals_k)
-                    ),
+                    next_bound, float(vals_k[order][len(top)])
                 )
             score_map = {int(i): float(v) for i, v in zip(ids_k, vals_k)}
             return top, score_map, next_bound
@@ -1295,34 +1299,38 @@ class BruteForceEngine:
         S_batch = np.zeros((len(live), Lmax, Tw), np.float32)
         for b, (Sw, _) in enumerate(sims_list):
             S_batch[b, : Sw.shape[0]] = Sw[:, :Tw]
+        ln_arr = jnp.asarray([len(sels[j]) for j in live], jnp.int32)
+        lt_arr = jnp.full((len(live),), len_t, jnp.int32)
         if gap_costs is not None:
             w_s = gap_costs[0].costs(Lmax + 1)
             w_t = gap_costs[1].costs(Tw + 1)
-            H_all = np.asarray(
-                align_matrices_general(
-                    S_batch, jnp.asarray(w_s), jnp.asarray(w_t), locality
+            if with_scores:
+                # matrices + exact raw scores in ONE dispatch (a separate
+                # scores call costs a tunnel round trip per query)
+                H_all, raw_live = align_matrices_scores_general(
+                    S_batch, ln_arr, lt_arr,
+                    jnp.asarray(w_s), jnp.asarray(w_t), locality,
                 )
-            )
-        else:
-            H_all, _, _ = (
-                np.asarray(x) for x in align_matrices(S_batch, gaps, locality)
-            )
-        if with_scores:
-            ln_arr = jnp.asarray([len(sels[j]) for j in live], jnp.int32)
-            lt_arr = jnp.full((len(live),), len_t, jnp.int32)
-            Sj = jnp.asarray(S_batch)
-            if gap_costs is not None:
-                raw_live = np.asarray(
-                    align_scores_general(
-                        Sj, ln_arr, lt_arr,
-                        jnp.asarray(w_s), jnp.asarray(w_t), locality,
+                H_all = np.asarray(H_all)
+                raw_scores[np.asarray(live)] = np.asarray(raw_live)
+            else:
+                H_all = np.asarray(
+                    align_matrices_general(
+                        S_batch, jnp.asarray(w_s), jnp.asarray(w_t), locality
                     )
                 )
-            else:
-                raw_live = np.asarray(
-                    align_scores(Sj, ln_arr, lt_arr, gaps, locality)
+        else:
+            if with_scores:
+                H_all, _, _, raw_live = align_matrices_scores(
+                    S_batch, ln_arr, lt_arr, gaps, locality
                 )
-            raw_scores[np.asarray(live)] = raw_live
+                H_all = np.asarray(H_all)
+                raw_scores[np.asarray(live)] = np.asarray(raw_live)
+            else:
+                H_all, _, _ = (
+                    np.asarray(x)
+                    for x in align_matrices(S_batch, gaps, locality)
+                )
 
         for b, j in enumerate(live):
             sel = sels[j]
