@@ -192,3 +192,40 @@ def test_submatch_upper_bound_dominates():
     assert (np.diff(ubs) >= -1e-12).all()
     # negative device scores stay negative (never promoted past min_score)
     assert float(_submatch_upper_bound(-0.5, 8.0, 0.7)) == -0.5
+
+
+def test_fuzz_submatch_cut_vs_exhaustive():
+    """The submatch-weight overfetch cut must reproduce the exhaustive
+    ranking exactly for random weights/queries (the closed-form bound's
+    end-to-end guarantee)."""
+    import itertools
+    import string
+
+    import numpy as np
+
+    from tests.helpers import make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    rng = np.random.default_rng(321)
+    base = ["".join(p) for p in itertools.product(string.ascii_lowercase[:6], repeat=3)][:80]
+    emb = make_embedding(base, dim=16)
+    sents = [
+        " ".join(rng.choice(base, size=int(rng.integers(2, 8)))) + "."
+        for _ in range(70)
+    ]
+    docs = [StringImporter()(" ".join(sents), title="d")]
+    session = Session(docs, embeddings=[emb])
+    ix = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    n_sl = ix.packed.n_slices
+    for trial in range(5):
+        r = np.random.default_rng(50 + trial)
+        q = " ".join(r.choice(base, size=int(r.integers(2, 7))))
+        w = float(r.uniform(0.1, 1.0))
+        exhaustive = ix.find(
+            q, n=n_sl, min_score=-1e30, submatch_weight=w
+        )
+        got = ix.find(q, n=3, min_score=-1e30, submatch_weight=w)
+        assert [(m.slice_id, m.score) for m in got] == [
+            (m.slice_id, m.score) for m in exhaustive[:3]
+        ], (trial, q, w)
