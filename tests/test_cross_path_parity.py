@@ -1,0 +1,105 @@
+"""Cross-path parity: find(), find_batch() and find_batch(mesh=...) must
+return IDENTICAL matches (ids, scores, order) for randomized configs across
+metric families — the committed slice of the 40-trial campaign that caught
+the device-top-k tie truncation and the 1-ulp score-reporting divergence
+(git f7bb0cf / d91b1d8)."""
+
+import itertools
+import string
+
+import numpy as np
+import pytest
+
+import vectorian_tpu as vt
+from vectorian_tpu.alignment import (
+    AffineGapCost,
+    ConstantGapCost,
+    ExponentialGapCost,
+    GlobalAlignment,
+    LinearGapCost,
+    LocalAlignment,
+    SemiGlobalAlignment,
+    WordMoversDistance,
+    WordRotatorsDistance,
+)
+from vectorian_tpu.embedding.static import KeyedVectors
+from vectorian_tpu.sim.span import OptimizedSpanSim
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(99)
+    base = [
+        "".join(p)
+        for p in itertools.product(string.ascii_lowercase[:7], repeat=3)
+    ][:120]
+    emb = KeyedVectors(
+        "fz", base, rng.normal(size=(len(base), 24)).astype("float32")
+    )
+    sents = [
+        " ".join(rng.choice(base, size=int(rng.integers(3, 10)))) + "."
+        for _ in range(80)
+    ]
+    docs = [
+        vt.StringImporter()(" ".join(sents[i : i + 20]), title=f"d{i}")
+        for i in range(0, 80, 20)
+    ]
+    session = vt.Session(docs, embeddings=[emb])
+    return session, emb, base
+
+
+LOCS = [LocalAlignment, GlobalAlignment, SemiGlobalAlignment]
+GAPS = [
+    lambda r: AffineGapCost(float(r.uniform(0, 0.5)), float(r.uniform(0, 0.3))),
+    lambda r: ConstantGapCost(float(r.uniform(0, 0.6))),
+    lambda r: LinearGapCost(float(r.uniform(0, 0.4))),
+    lambda r: ExponentialGapCost(int(r.integers(2, 8))),
+]
+TRANSPORTS = [
+    lambda: WordMoversDistance.rwmd("nbow"),
+    lambda: WordMoversDistance.rwmd("bow/fast"),
+    lambda: WordMoversDistance.wmd("nbow"),
+    lambda: WordRotatorsDistance(),
+]
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_cross_path_parity(setup, trial):
+    session, emb, base = setup
+    p = session.partition("sentence")
+    r = np.random.default_rng(1000 + trial)
+    qs = [
+        " ".join(r.choice(base, size=int(r.integers(1, 9)))) for _ in range(3)
+    ]
+    msc = float(r.uniform(-1.0, 0.2))
+    if trial % 4 == 3:
+        ix = p.index(
+            OptimizedSpanSim(
+                EmbeddingTokenSim(emb), TRANSPORTS[trial % len(TRANSPORTS)]()
+            )
+        )
+    else:
+        ix = p.index(
+            OptimizedSpanSim(
+                EmbeddingTokenSim(emb), LOCS[trial % 3](GAPS[trial % 4](r))
+            )
+        )
+    want = [
+        [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=msc)]
+        for q in qs
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in rr]
+        for rr in ix.find_batch(qs, n=4, min_score=msc)
+    ]
+    assert got == want
+    ms = vt.MeshSearch(vt.make_mesh())
+    try:
+        mgot = [
+            [(m.slice_id, m.score) for m in rr]
+            for rr in ix.find_batch(qs, n=4, min_score=msc, mesh=ms)
+        ]
+    except NotImplementedError:
+        return
+    assert mgot == got

@@ -1114,12 +1114,19 @@ class BruteForceIndex(Index):
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
             prepared.append(pq)
-            # collapse the full (static-only) token-sim tree to one matrix
+            # collapse the full (static-only) token-sim tree to one matrix,
+            # at the SAME padded needle width find() uses: the leaf GEMM's
+            # tiling (and therefore its f32 rounding) depends on the needle
+            # width, so differing widths would break the byte-identical
+            # find()/find_batch() contract at the last ulp
+            tok_ids_p, strings_p, _, Tpad = _pad_needle(
+                pq, self._session, with_ctx=False
+            )
             sim = compile_similarity(
                 token_sim,
                 self._session.compiled_embeddings,
-                pq.token_ids,
-                pq.token_strings,
+                tok_ids_p,
+                strings_p,
             )
             from vectorian_tpu.ops.simmatrix import QueryPlan
             import jax.numpy as jnp
@@ -1134,7 +1141,7 @@ class BruteForceIndex(Index):
             )
             plans.append(qp)
             len_ts.append(max(pq.n_tokens, 1))
-            tagw = self._tag_weighting(pq)
+            tagw = self._tag_weighting(pq, width=Tpad)
             tagws.append(tagw)
             norm_totals.append(
                 tagw.total if tagw is not None else float(max(pq.n_tokens, 1))
