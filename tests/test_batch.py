@@ -77,8 +77,9 @@ def test_find_batch_tag_weighted_matches_single(session_ix):
     batch = ix.find_batch(queries, n=5, min_score=-5.0)
     for q, br in zip(queries, batch):
         sr = ix.find(q, n=5, min_score=-5.0)
-        got = [(m.slice_id, round(m.score, 4)) for m in br]
-        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        # tagged batches route through the same exact finalizer: byte-equal
+        got = [(m.slice_id, m.score) for m in br]
+        want = [(m.slice_id, m.score) for m in sr]
         assert got == want, q
 
 

@@ -1071,36 +1071,18 @@ class BruteForceIndex(Index):
             if pq.n_tokens == 0:
                 results.append(Result(self, [], 0.0))
                 continue
-            if not any_tags:
-                # untagged batches always report the FINALIZER's exact f32
-                # scores (entry_err 0.0 on the f32 path, where the cut
-                # loop only guards tie-breaks) — so every sim_precision
-                # returns byte-identical matches AND scores; device scores
-                # can differ from the rescore by ~1 ulp (XLA lowers the
-                # normalization divide as a reciprocal multiply)
-                matches = self._finalize_quantized(
-                    scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
-                    token_sim.name, n, min_score, entry_err,
-                )
-            else:
-                top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
-                mappings, edge_sims = self._engine.rescore_with_flows(
-                    top, plans[qi], pq.n_tokens, gaps, self._locality,
-                    tag_weights=tagws[qi],
-                )
-                matches = [
-                    Match(
-                        self,
-                        pq,
-                        slice_id=sid,
-                        score=float(scores[sid, qi]),
-                        metric=token_sim.name,
-                        mapping=mapping,
-                        similarities=sims,
-                    )
-                    for sid, mapping, sims in zip(top, mappings, edge_sims)
-                ]
-                matches = [m for m in matches if m.score >= min_score][:n]
+            # every batch (quantized, f32, tag-weighted) reports the
+            # FINALIZER's exact f32 scores under the provable cut
+            # (entry_err 0.0 on f32 paths, where the loop only guards
+            # tie-breaks) — so every sim_precision AND find() return
+            # byte-identical matches; device scores can differ from the
+            # rescore by ~1 ulp (XLA lowers the normalization divide as a
+            # reciprocal multiply)
+            matches = self._finalize_quantized(
+                scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
+                token_sim.name, n, min_score, entry_err,
+                tagw=tagws[qi],
+            )
             results.append(Result(self, matches, time.time() - start_time))
         return results
 
@@ -1170,7 +1152,7 @@ class BruteForceIndex(Index):
 
     def _finalize_quantized(
         self, q_scores, plan, pq, gaps, norm_total, metric_name,
-        n: int, min_score: float, entry_err: float,
+        n: int, min_score: float, entry_err: float, tagw=None,
     ) -> List["Match"]:
         """Exact top-n from approximate (int8/bf16) ranking scores — or
         from exact f32 ranking with ``entry_err=0.0``, where the loop's
@@ -1195,7 +1177,7 @@ class BruteForceIndex(Index):
             complete = m >= q_scores.shape[0]
             matches = self._try_exact_cut(
                 cand, rest_max, plan, pq, gaps, norm_total, metric_name,
-                n, min_score, eps, force=complete,
+                n, min_score, eps, force=complete, tagw=tagw,
             )
             if matches is not None:
                 return matches
@@ -1210,6 +1192,7 @@ class BruteForceIndex(Index):
     def _try_exact_cut(
         self, cand, rest_max, plan, pq, gaps, norm_total, metric_name,
         n: int, min_score: float, eps: float, force: bool = False,
+        tagw=None,
     ) -> Optional[List["Match"]]:
         """Exact-rescore a candidate set and accept the top-n cut only when
         provably safe: the best approximate score OUTSIDE the set
@@ -1218,7 +1201,7 @@ class BruteForceIndex(Index):
         ``force`` accepts regardless (the set already covers everything)."""
         mappings, edge_sims, raw = self._engine.rescore_with_flows(
             cand, plan, pq.n_tokens, gaps, self._locality,
-            with_scores=True,
+            tag_weights=tagw, with_scores=True,
         )
         exact = raw / max(norm_total, 1e-9)
         order = order_by_score(self._engine.packed, cand, exact)
