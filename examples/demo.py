@@ -91,6 +91,26 @@ def main():
     for region in best.to_json(context_size=6)["regions"]:
         print(" ", region)
 
+    # evaluation metrics over a result (reference's notebook NDCG workflow)
+    r = batch_ix.find(query, n=3, min_score=-5)
+    relevant = {r[0].slice_id}
+    print(
+        f"\nevaluation: precision={r.precision(relevant):.2f} "
+        f"recall={r.recall(relevant):.2f} ndcg={r.ndcg(relevant):.2f}"
+    )
+
+    # saliency boosting: slices mentioning 'garden' get boosted
+    from vectorian_tpu.saliency import KeywordSignal, Saliency
+
+    booster = Saliency(strength=0.8).add_signal(KeywordSignal("garden"))
+    boosted = batch_ix.find("the old man", n=2, min_score=-5, booster=booster)
+    show("saliency-boosted ('garden' slices favored)", boosted)
+
+    # debug hooks: per-query introspection payloads (reference debug dicts)
+    seen = []
+    batch_ix.find(query, n=1, debug=lambda name, data: seen.append(name))
+    print("debug payloads emitted:", sorted(set(seen)))
+
 
 if __name__ == "__main__":
     main()
