@@ -229,3 +229,17 @@ def test_fuzz_submatch_cut_vs_exhaustive():
         assert [(m.slice_id, m.score) for m in got] == [
             (m.slice_id, m.score) for m in exhaustive[:3]
         ], (trial, q, w)
+
+
+def test_debug_hook_does_not_change_results(sess):
+    """Attaching a debug hook must not change which matches find() returns
+    (the debug path takes the score_all fallback, whose candidate
+    membership is guarded like the low-latency path)."""
+    session, emb = sess
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    for q in ["old king rides", "grey horse", "the cat"]:
+        plain = index.find(q, n=3, min_score=-5.0)
+        dbg = index.find(q, n=3, min_score=-5.0, debug=lambda *a: None)
+        assert [(m.slice_id, m.score) for m in plain] == [
+            (m.slice_id, m.score) for m in dbg
+        ], q

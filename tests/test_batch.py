@@ -172,8 +172,9 @@ def test_find_batch_contextual_matches_single():
     assert len(batch) == 3
     for q, br in zip(queries, batch):
         sr = ix.find(q, n=3, min_score=-5.0)
-        got = [(m.slice_id, round(m.score, 3)) for m in br]
-        want = [(m.slice_id, round(m.score, 3)) for m in sr]
+        # both paths report the per-slice finalizer's exact scores
+        got = [(m.slice_id, m.score) for m in br]
+        want = [(m.slice_id, m.score) for m in sr]
         assert got == want, q
     assert batch[0][0].score > 0.9
 

@@ -128,6 +128,13 @@ def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True,
     return tok_ids, strings, ctx_q, Tpad
 
 
+# per-query options the batched kernels do not take: find_batch delegates
+# (or, with a mesh, raises) instead of silently ignoring them
+BATCH_DELEGATED_OPTIONS = frozenset(
+    {"booster", "pos_filter", "tag_filter", "token_filter",
+     "bidirectional", "submatch_weight", "debug"}
+)
+
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
 TokenMatch = namedtuple("TokenMatch", ["pos_s", "edges"])
 TokenMatchEdge = namedtuple("TokenMatchEdge", ["t", "flow", "distance", "metric"])
@@ -389,11 +396,17 @@ class Match:
         if length == 0:
             return regions
 
-        # leading context
+        # leading context: context_size is measured in TOKENS (reference
+        # py_regions last_anchor arithmetic, flow.cpp:44 + 157-164)
         c0, _ = char_range(0, 1)
-        ctx0 = max(0, c0 - context_size)
-        if ctx0 < c0:
-            regions.append(Region(s=text[ctx0:c0], match=None, gap_penalty=0.0))
+        lead = min(context_size, start)
+        if lead > 0:
+            o_ctx = pd.orig_index[start - lead]
+            ctx0 = int(doc.idx[o_ctx])
+            if ctx0 < c0:
+                regions.append(
+                    Region(s=text[ctx0:c0], match=None, gap_penalty=0.0)
+                )
 
         gaps = self._index.gap_costs()
         i = 0
@@ -431,14 +444,28 @@ class Match:
                     i += 1
                 c0, c1 = char_range(i0, i)
                 gap_len = i - i0
-                penalty = float(gaps["s"].costs(gap_len + 1)[gap_len]) if gaps else 0.0
+                # a run counts as a PENALIZED gap only between matched
+                # anchors (reference flow.cpp:103-112: p = 0 unless
+                # last_matched); leading/trailing runs are plain context
+                between = i0 > 0 and i < length
+                penalty = (
+                    float(gaps["s"].costs(gap_len + 1)[gap_len])
+                    if gaps and between
+                    else 0.0
+                )
                 regions.append(Region(s=text[c0:c1], match=None, gap_penalty=penalty))
 
-        # trailing context
+        # trailing context, also token-measured
         _, c1 = char_range(length - 1, length)
-        ctx1 = min(len(text), c1 + context_size)
-        if c1 < ctx1:
-            regions.append(Region(s=text[c1:ctx1], match=None, gap_penalty=0.0))
+        n_filtered = len(pd.orig_index)
+        trail = min(context_size, n_filtered - (start + length))
+        if trail > 0:
+            o_ctx = pd.orig_index[start + length + trail - 1]
+            ctx1 = int(doc.idx[o_ctx] + doc.len_[o_ctx])
+            if c1 < ctx1:
+                regions.append(
+                    Region(s=text[c1:ctx1], match=None, gap_penalty=0.0)
+                )
         return regions
 
     def to_json(self, context_size: int = 10) -> dict:
@@ -586,11 +613,14 @@ class BruteForceIndex(Index):
         queries will use — the candidate-fetch and finalizer-batch jit
         shapes depend on it.  Returns self for chaining."""
         vocab_words = [
-            w for w in self._session.vocab.tokens.strings[1:] if w
+            w for w in self._session.vocab.tokens.strings[1:]
+            if w and w.isalpha()  # survives the vanilla normalizer
         ][: max(max_tokens, 1)]
         if not vocab_words:
             return self
-        for t in range(4, max(max_tokens, 4) + 1, 4):
+        # cover the bucket a max_tokens-token query actually pads to
+        top_bucket = max(4, -(-max(max_tokens, 1) // 4) * 4)
+        for t in range(4, top_bucket + 1, 4):
             words = [vocab_words[i % len(vocab_words)] for i in range(t)]
             # min_score low enough to keep >= 1 candidate: the finalizer
             # (batched similarity + fused DP matrices/scores + traceback)
@@ -711,9 +741,7 @@ class BruteForceIndex(Index):
 
         doc_filter = self._doc_filter(query)
 
-        import time as _time
-
-        t_match0 = _time.time()
+        t_match0 = time.time()
 
         def _exact_scores(top, raw):
             # reported scores always come from the finalizer's exact f32
@@ -744,7 +772,8 @@ class BruteForceIndex(Index):
                 # constant here would trigger device refetches — each a
                 # fresh top_k compile on a tunneled runtime — whenever two
                 # scores are merely CLOSE at the boundary
-                ulp = lambda x: 1e-6 * max(1.0, abs(x))
+                scale = 1e-6 if qp.is_static_only else self.CTX_SCORE_EPS
+                ulp = lambda x: scale * max(1.0, abs(x))
                 m = n + 32
                 n_slices = self._engine.packed.n_slices
                 while True:
@@ -846,17 +875,29 @@ class BruteForceIndex(Index):
             debug("scores", {"scores": scores})
             debug(
                 "document/match_time",
-                {"elapsed_us": int((_time.time() - t_match0) * 1e6)},
+                {"elapsed_us": int((time.time() - t_match0) * 1e6)},
             )
         if query.query.aborted:
             return []
 
-        overfetch = n if submatch_weight == 0.0 else 4 * n
-        eff_min = min_score if submatch_weight == 0.0 else -1e30
-        top = self._engine.top_k(scores, overfetch, min_score=eff_min)
-        if not top:
+        # membership guard like the low-latency path: fetch with a
+        # plan-scaled slack and verify the cut after the exact rescore
+        # (device ranking drifts from the finalizer scores)
+        fb_scale = 1e-6 if qp.is_static_only else self.CTX_SCORE_EPS
+        fb_eps = lambda x: fb_scale * max(1.0, abs(x))
+        if submatch_weight == 0.0:
+            first_top, rest_fb = self._engine.top_k_with_next(
+                scores, n + 32, min_score - fb_eps(min_score)
+            )
+            order0 = order_by_score(
+                self._engine.packed, first_top, scores[first_top]
+            )
+            first_top = [int(c) for c in np.asarray(first_top)[order0]]
+        else:
+            first_top = self._engine.top_k(scores, 4 * n, min_score=-1e30)
+            rest_fb = None
+        if not first_top:
             return []
-        first_top = top
 
         # per-slice contextual similarity blocks for the survivors,
         # observed from the finalizer's own similarity pass — no extra
@@ -906,21 +947,52 @@ class BruteForceIndex(Index):
                 norm_total, min_score, n, debug,
             )
 
+        def merge_cut(a, b):
+            packed = self._engine.packed
+            merged = sorted(
+                a + b,
+                key=lambda m: (
+                    -m.score,
+                    int(packed.slice_doc[m.slice_id]),
+                    int(packed.slice_idx[m.slice_id]),
+                ),
+            )
+            return merged[:n]
+
         matches = run(first_top)
-        if submatch_weight != 0.0 and boost is None:
+        if submatch_weight == 0.0:
+            # completeness: every slice whose device score could reach the
+            # exact n-th (within the drift slack) must have been rescored
+            # s_n falls back to min_score when unfilled, so the threshold
+            # covers both displacement and fill-in candidates
+            s_n = matches[n - 1].score if len(matches) >= n else min_score
+            thresh = s_n - fb_eps(s_n)
+            if rest_fb is not None and rest_fb >= thresh:
+                seen = set(first_top)
+                extra = [
+                    int(c)
+                    for c in np.flatnonzero(scores >= thresh)
+                    if int(c) not in seen
+                ]
+                if extra:
+                    matches = merge_cut(matches, run(extra))
+        elif boost is None:
             # completeness proof for the rescored ranking: every slice whose
             # closed-form upper bound could reach the exact n-th score must
-            # have been rescored (boosted queries keep the 4n heuristic)
+            # have been rescored (boosted queries keep the 4n heuristic);
+            # only the EXTRA candidates are rescored, then merged
             s_n = matches[n - 1].score if len(matches) >= n else min_score
             ub_vec = _submatch_upper_bound(
                 scores, norm_total, submatch_weight
             )
-            cand = np.flatnonzero(ub_vec >= s_n - 1e-6)
-            if not set(int(c) for c in cand).issubset(set(first_top)):
-                order = order_by_score(
-                    self._engine.packed, cand, scores[cand]
-                )
-                matches = run([int(c) for c in cand[order]])
+            seen = set(first_top)
+            extra = [
+                int(c)
+                for c in np.flatnonzero(ub_vec >= s_n - 1e-6)
+                if int(c) not in seen
+            ]
+            if extra:
+                matches = merge_cut(matches, run(extra))
         return matches
 
     def _build_matches(
@@ -969,7 +1041,9 @@ class BruteForceIndex(Index):
                 int(packed.slice_idx[m.slice_id]),
             )
         )
-        matches = [m for m in matches if m.score >= min_score]
+        # strict: the reference accepts only score > worst_score
+        # (result_set pruning, metric/alignment.h:284 + result_set.h:32-38)
+        matches = [m for m in matches if m.score > min_score]
         return matches[:n]
 
     def find_batch(
@@ -1027,10 +1101,7 @@ class BruteForceIndex(Index):
             )
         # options the batched kernel does not take — delegate to the exact
         # single-query path rather than silently ignoring them
-        if {
-            "booster", "pos_filter", "tag_filter", "token_filter",
-            "bidirectional", "submatch_weight", "debug",
-        } & set(kwargs):
+        if BATCH_DELEGATED_OPTIONS & set(kwargs):
             if mesh is not None:
                 raise NotImplementedError(
                     "mesh find_batch does not take per-query options "
@@ -1149,6 +1220,11 @@ class BruteForceIndex(Index):
     # f32 DP summation-order differences between the ranking kernel and
     # the exact rescore (~1e-6)
     QUANT_SCORE_EPS = 1e-4
+    # contextual plans compute their ranking similarity with a DIFFERENT
+    # einsum tiling than the per-slice finalizer (reduction reorder over
+    # d dims: ~d * 2^-24 relative, ~5e-5 at d=768) — their membership
+    # slack needs a larger floor
+    CTX_SCORE_EPS = 1e-3
 
     def _finalize_quantized(
         self, q_scores, plan, pq, gaps, norm_total, metric_name,
@@ -1168,7 +1244,9 @@ class BruteForceIndex(Index):
         minus that bound — otherwise double the overfetch.  The returned
         matches (ids, scores, flows, order) are bit-identical to the
         pure-f32 path."""
-        eps = self._quant_eps(entry_err, pq, norm_total)
+        eps = self._quant_eps(
+            entry_err, pq, norm_total, static_only=plan.is_static_only
+        )
         m = n + 32
         while True:
             cand, rest_max = self._engine.top_k_with_next(
@@ -1183,10 +1261,13 @@ class BruteForceIndex(Index):
                 return matches
             m *= 2
 
-    def _quant_eps(self, entry_err: float, pq, norm_total: float) -> float:
+    def _quant_eps(
+        self, entry_err: float, pq, norm_total: float, static_only: bool = True
+    ) -> float:
+        floor = self.QUANT_SCORE_EPS if static_only else self.CTX_SCORE_EPS
         return max(
             2.0 * entry_err * max(pq.n_tokens, 1) / max(norm_total, 1e-9),
-            self.QUANT_SCORE_EPS,
+            floor,
         )
 
     def _try_exact_cut(
@@ -1205,7 +1286,7 @@ class BruteForceIndex(Index):
         )
         exact = raw / max(norm_total, 1e-9)
         order = order_by_score(self._engine.packed, cand, exact)
-        keep = [j for j in order if exact[j] >= min_score][:n]
+        keep = [j for j in order if exact[j] > min_score][:n]
         s_cut = float(exact[keep[-1]]) if keep and len(keep) == n else min_score
         if not force and rest_max >= s_cut - eps:
             return None
@@ -1350,7 +1431,7 @@ class BruteForceIndex(Index):
             and all(getattr(e, "is_static", True) for e in token_sim.embeddings)
             and not self._args.get("tag_weights")
             and not (
-                {"booster", "pos_filter", "tag_filter", "token_filter", "debug"}
+                (BATCH_DELEGATED_OPTIONS - {"bidirectional", "submatch_weight"})
                 & set(kwargs)
             )
         )
@@ -1405,10 +1486,7 @@ class BruteForceIndex(Index):
         """Batched search over ONE contextual embedding: the per-chunk
         metric evaluation becomes a single GEMM against the Q stacked query
         matrices (the contextual analogue of the static table batching)."""
-        if {
-            "booster", "pos_filter", "tag_filter", "token_filter",
-            "bidirectional", "submatch_weight", "debug",
-        } & set(kwargs):
+        if BATCH_DELEGATED_OPTIONS & set(kwargs):
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -1433,14 +1511,18 @@ class BruteForceIndex(Index):
                 continue
             order.append(ti)
             prepared.append(pq)
-            ctx = pq.contextual_vectors(self._session, names={name})[name]
-            ctx_qs.append(ctx)
+            # padded needle, like find(): plan width changes the leaf
+            # einsum tiling and therefore its f32 rounding
+            tok_ids_p, strings_p, ctx_p, _ = _pad_needle(
+                pq, self._session, ctx_names={name}
+            )
+            ctx_qs.append(ctx_p[name])
             qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
-                pq.token_ids,
-                pq.token_strings,
-                {name: ctx},
+                tok_ids_p,
+                strings_p,
+                ctx_p,
             )
             plans.append(qp)
             len_ts.append(max(pq.n_tokens, 1))
@@ -1454,23 +1536,13 @@ class BruteForceIndex(Index):
         )  # [n_slices, Q]
 
         for qi, pq in enumerate(prepared):
-            top = self._engine.top_k(scores[:, qi], n, min_score=min_score)
-            mappings, edge_sims = self._engine.rescore_with_flows(
-                top, plans[qi], pq.n_tokens, gaps, self._locality
+            # finalizer-exact scores under the contextual membership floor
+            # (the batched and per-slice einsums reduce in different
+            # orders, so the ranking drift is larger than static ulp)
+            matches = self._finalize_quantized(
+                scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
+                token_sim.name, n, min_score, entry_err=0.0,
             )
-            matches = [
-                Match(
-                    self,
-                    pq,
-                    slice_id=sid,
-                    score=float(scores[sid, qi]),
-                    metric=token_sim.name,
-                    mapping=mapping,
-                    similarities=sims,
-                )
-                for sid, mapping, sims in zip(top, mappings, edge_sims)
-            ]
-            matches = [m for m in matches if m.score >= min_score][:n]
             results[order[qi]] = Result(self, matches, time.time() - start_time)
         return [r if r is not None else Result(self, [], 0.0) for r in results]
 
@@ -1563,7 +1635,7 @@ class SpanEncoderIndex(Index):
             out = []
             for sid in cand[order]:
                 score = float(col[sid])
-                if score < min_score:
+                if score <= min_score:  # strict, like the reference
                     continue
                 out.append(
                     Match(

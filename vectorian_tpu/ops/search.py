@@ -1090,6 +1090,8 @@ class BruteForceEngine:
         # an argpartition pool would keep an arbitrary tied subset and could
         # drop the slice the reference order ranks inside the top k
         thr = -np.partition(-scores, k - 1)[k - 1]
+        # >= keeps boundary candidates; FINAL acceptance is strictly
+        # greater than min_score and happens in the callers' filters
         cand = np.flatnonzero(scores >= max(thr, min_score))
         order = order_by_score(self._packed, cand, scores[cand])
         return [int(c) for c in cand[order][:k]]

@@ -950,7 +950,7 @@ class WMDEngine:
                     "alignment/" + self._algorithm + "/solver",
                     {"slice": sid, "D": D_ts, "score": score, "edges": edges},
                 )
-            if score < min_score:
+            if score <= min_score:  # strict (score > worst_score, alignment.h:284)
                 continue
             matches.append(
                 Match(
