@@ -619,20 +619,13 @@ class BruteForceEngine:
         offs = np.zeros((max(len(documents), 1),), np.int64)
         for d_i, o in off_by_doc.items():
             offs[d_i] = o
-        has_vecs = np.asarray(
-            [
-                1 if len(documents[d_i].contextual.get(name, ())) else 0
-                for d_i in range(len(documents))
-            ],
-            bool,
-        )
-
         # a document's vector table must cover its token span — clamped
         # gathers would silently read a neighbor's vectors
         n_vecs = np.zeros((max(len(documents), 1),), np.int64)
         for d_i, pd in enumerate(documents):
             v = pd.contextual.get(name)
             n_vecs[d_i] = len(v) if v is not None else 0
+        has_vecs = n_vecs > 0
         ends = packed.slice_start + packed.slice_len
         bad = np.flatnonzero(
             (n_vecs[packed.slice_doc] > 0) & (ends > n_vecs[packed.slice_doc])
@@ -683,6 +676,38 @@ class BruteForceEngine:
             tuple(qp.mixed_weights),
         )
 
+    @staticmethod
+    def _filter_args(doc_filter):
+        if doc_filter is not None:
+            return (
+                jnp.asarray(doc_filter.pos_exclude),
+                jnp.asarray(doc_filter.tag_exclude),
+                jnp.asarray(doc_filter.token_exclude),
+            )
+        return (jnp.zeros((1,), bool),) * 3
+
+    def _bucket_dispatch_args(self, db, T, boost, tag_weights, gap_costs):
+        """Per-bucket boost / tag-weight / gap-cost-vector arguments shared
+        by score_all and score_topk (the single home — the two scoring
+        paths must not drift)."""
+        if boost is not None:
+            bvec = np.ones((db["tokens"].shape[0],), np.float32)
+            bvec[: db["n"]] = boost[db["slice_index"]]
+            bvec = jnp.asarray(bvec)
+        else:
+            bvec = jnp.ones((db["tokens"].shape[0],), jnp.float32)
+        if tag_weights is not None:
+            tw = tag_weights.device_args()
+        else:
+            tw = TagWeightingSpec.identity_args(T)
+        if gap_costs is not None:
+            gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
+            gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
+        else:
+            gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
+            gv_t = jnp.zeros((T + 1,), jnp.float32)
+        return bvec, tw, gv_s, gv_t
+
     def score_all(
         self,
         qp: QueryPlan,
@@ -699,37 +724,13 @@ class BruteForceEngine:
         T = self._plan_width(qp)  # padded needle width (>= len_t)
         out = np.full((self._packed.n_slices,), NEG_SCORE, np.float32)
         pending = []
-        if doc_filter is not None:
-            flt = (
-                jnp.asarray(doc_filter.pos_exclude),
-                jnp.asarray(doc_filter.tag_exclude),
-                jnp.asarray(doc_filter.token_exclude),
-            )
-        else:
-            flt = (
-                jnp.zeros((1,), bool),
-                jnp.zeros((1,), bool),
-                jnp.zeros((1,), bool),
-            )
+        flt = self._filter_args(doc_filter)
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
-            if boost is not None:
-                bvec = np.ones((db["tokens"].shape[0],), np.float32)
-                bvec[: db["n"]] = boost[db["slice_index"]]
-                bvec = jnp.asarray(bvec)
-            else:
-                bvec = jnp.ones((db["tokens"].shape[0],), jnp.float32)
-            if tag_weights is not None:
-                tw_w, tw_p, tw_pen, tw_thr = tag_weights.device_args()
-            else:
-                tw_w, tw_p, tw_pen, tw_thr = TagWeightingSpec.identity_args(T)
-            if gap_costs is not None:
-                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
-                gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
-            else:
-                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
-                gv_t = jnp.zeros((T + 1,), jnp.float32)
+            bvec, (tw_w, tw_p, tw_pen, tw_thr), gv_s, gv_t = (
+                self._bucket_dispatch_args(db, T, boost, tag_weights, gap_costs)
+            )
             static_sims, static_mags, ctx, ctx_q, weights = self._plan_args(qp, bi)
             scores = _bucket_scores(
                 qp.plan,
@@ -940,33 +941,13 @@ class BruteForceEngine:
         overfetch-safety hook for rescoring paths (submatch_weight)."""
         T = self._plan_width(qp)  # padded needle width (>= len_t)
         pending = []
-        if doc_filter is not None:
-            flt = (
-                jnp.asarray(doc_filter.pos_exclude),
-                jnp.asarray(doc_filter.tag_exclude),
-                jnp.asarray(doc_filter.token_exclude),
-            )
-        else:
-            flt = (jnp.zeros((1,), bool),) * 3
+        flt = self._filter_args(doc_filter)
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
-            if boost is not None:
-                bvec = np.ones((db["tokens"].shape[0],), np.float32)
-                bvec[: db["n"]] = boost[db["slice_index"]]
-                bvec = jnp.asarray(bvec)
-            else:
-                bvec = jnp.ones((db["tokens"].shape[0],), jnp.float32)
-            if tag_weights is not None:
-                tw = tag_weights.device_args()
-            else:
-                tw = TagWeightingSpec.identity_args(T)
-            if gap_costs is not None:
-                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
-                gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
-            else:
-                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
-                gv_t = jnp.zeros((T + 1,), jnp.float32)
+            bvec, tw, gv_s, gv_t = self._bucket_dispatch_args(
+                db, T, boost, tag_weights, gap_costs
+            )
             static_sims, static_mags, ctx, ctx_q, weights = self._plan_args(qp, bi)
             scores = _bucket_scores(
                 qp.plan,
@@ -1061,6 +1042,10 @@ class BruteForceEngine:
             next_bound = max(
                 (f[2] for f in fetched), default=float("-inf")
             )
+            if len(vals) > len(vals_k):
+                # fetched-but-below-min_score candidates are also 'not in
+                # the returned set' — the documented bound must cover them
+                next_bound = max(next_bound, float(np.max(vals[~keep])))
             if len(ids_k) > len(top):
                 # best gathered-but-not-returned candidate: the (k+1)-th in
                 # merge order (NOT the k-th kept — that equals the cut and
@@ -1143,11 +1128,7 @@ class BruteForceEngine:
         """[(S_weighted [len_i, T], S_unmodified)] for many slices with ONE
         device dispatch per touched bucket — the per-slice path costs a
         tunnel round trip each, which dominated interactive latency."""
-        T = (
-            qp.static_sims[0].shape[1]
-            if qp.static_sims
-            else qp.ctx_queries[0]["unmodified"].shape[0]
-        )
+        T = self._plan_width(qp)
         if tag_weights is not None:
             tw = tag_weights.device_args()
         else:
@@ -1222,25 +1203,23 @@ class BruteForceEngine:
         if sel is not None:
             pad = np.zeros((L,), np.int32)
             pad[: len(sel)] = sel
-            tok_np = np.asarray(db["tokens"][r])[pad]
-            pos_np = np.asarray(db["pos"][r])[pad]
-            tok = jnp.asarray(tok_np)[None]
-            pos = jnp.asarray(pos_np)[None]
+            # host token copies (a device pull per slice costs a tunnel
+            # RTT); the big contextual rows gather on DEVICE instead
+            tok = jnp.asarray(db["tokens_np"][r][pad])[None]
+            pos = jnp.asarray(db["pos_np"][r][pad])[None]
         else:
             tok = db["tokens"][r][None]
             pos = db["pos"][r][None]
-        T = qp.static_sims[0].shape[1] if qp.static_sims else qp.ctx_queries[0]["unmodified"].shape[0]
+        T = self._plan_width(qp)
         if tag_weights is not None:
             tw = tag_weights.device_args()
         else:
             tw = TagWeightingSpec.identity_args(T)
         static_sims, static_mags, ctx_all, ctx_q, weights = self._plan_args(qp, bi)
         if sel is not None:
-            pad = np.zeros((L,), np.int32)
-            pad[: len(sel)] = sel
+            pad_d = jnp.asarray(pad)
             ctx = tuple(
-                jnp.asarray(np.asarray(c[r], dtype=np.float32)[pad])[None]
-                for c in ctx_all
+                c[r].astype(jnp.float32)[pad_d][None] for c in ctx_all
             )
         else:
             ctx = tuple(c[r][None] for c in ctx_all)
