@@ -187,7 +187,13 @@ class PreparedDocument:
                 # its own end (reference corpus/document.py:123-131)
                 out[:, 0] = idxs[:k]
                 out[: k - 1, 1] = idxs[1:k]
-                out[k - 1, 1] = idxs[k - 1] + lens[k - 1]
+                # the last KEPT window still ends at the next span's start
+                # when trailing spans were trimmed (xspan clamps it to
+                # n_tokens) — ending at its own span end would drop kept
+                # gap tokens after the final surviving sentence
+                out[k - 1, 1] = (
+                    idxs[k] if k < len(idxs) else idxs[k - 1] + lens[k - 1]
+                )
                 np.minimum(out[:, 1], self.n_tokens, out=out[:, 1])
             else:
                 for i in range(k):

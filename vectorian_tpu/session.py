@@ -185,25 +185,42 @@ class Result:
 
 
 class Frequencies:
-    """Corpus tf/df/tf-idf statistics per partition (reference
-    vocabulary.h:439-497, vocabulary.cpp:72-126)."""
+    """Per-PARTITION tf/df/tf-idf statistics (reference vocabulary.h:439-497
+    + Frequencies::add vocabulary.cpp:97-126: the unit of 'document' is one
+    SLICE of the partition — df counts slices containing the token and
+    n_docs is the slice count)."""
 
     def __init__(self, session: "Session", partition: "Partition"):
         self._session = session
         self._partition = partition
         V = len(session.vocab)
+        packed = session.packed_corpus(partition.spec)
         tf = np.zeros((V,), np.float64)
         df = np.zeros((V,), np.float64)
-        for pd in session.documents:
-            ids = pd.token_ids
-            if ids.size == 0:
+        n_slices = 0
+        tok_by_doc = {
+            d_i: pd.token_ids for d_i, pd in enumerate(session.documents)
+        }
+        for d_i, pd in enumerate(session.documents):
+            sel = np.flatnonzero(packed.slice_doc == d_i)
+            if sel.size == 0:
                 continue
-            counts = np.bincount(ids, minlength=V)
-            tf += counts
-            df += counts > 0
+            ids = tok_by_doc[d_i]
+            starts = packed.slice_start[sel]
+            lens = packed.slice_len[sel]
+            n_slices += int(sel.size)
+            # (slice, token) pairs: tf per occurrence, df once per slice
+            keys = []
+            for s0, ln, sid in zip(starts, lens, sel):
+                toks = ids[s0 : s0 + ln]
+                tf += np.bincount(toks, minlength=V)
+                keys.append(np.unique(toks))
+            for u in keys:
+                df[u] += 1.0
         self._tf = tf
         self._df = df
-        self._n_docs = len(session.documents)
+        self._n_docs = max(n_slices, 1)
+        self._tf_idf = None
 
     @property
     def tf(self) -> np.ndarray:
@@ -215,16 +232,26 @@ class Frequencies:
 
     @property
     def tf_idf(self) -> np.ndarray:
-        """tf * log(n_docs / (1 + df)) — vocabulary.cpp:72-81."""
-        with np.errstate(divide="ignore"):
-            return self._tf * np.log(self._n_docs / (1.0 + self._df))
+        """tf * log(n_docs / (1 + df)) — vocabulary.cpp:72-81 (cached like
+        the reference's m_tf_idf_valid)."""
+        if self._tf_idf is None:
+            with np.errstate(divide="ignore"):
+                self._tf_idf = self._tf * np.log(
+                    self._n_docs / (1.0 + self._df)
+                )
+        return self._tf_idf
+
+    def _token_id(self, token: str) -> int:
+        # the session's normalization flavor applies, like word_vec
+        w = self._session.normalization.normalize_word(token)
+        return self._session.vocab.tokens.get(w) if w is not None else -1
 
     def token_tf(self, token: str) -> float:
-        i = self._session.vocab.tokens.get(token)
+        i = self._token_id(token)
         return float(self._tf[i]) if i >= 0 else 0.0
 
     def token_tf_idf(self, token: str) -> float:
-        i = self._session.vocab.tokens.get(token)
+        i = self._token_id(token)
         return float(self.tf_idf[i]) if i >= 0 else 0.0
 
 
@@ -261,9 +288,15 @@ class Partition:
 
     @property
     def freq(self) -> Frequencies:
-        if not hasattr(self, "_freq"):
-            self._freq = Frequencies(self._session, self)
-        return self._freq
+        # cached on the SESSION keyed by spec: session.partition() returns
+        # a fresh Partition each call, so an instance cache never hits
+        cache = getattr(self._session, "_freq_cache", None)
+        if cache is None:
+            cache = self._session._freq_cache = {}
+        key = self.spec
+        if key not in cache:
+            cache[key] = Frequencies(self._session, self)
+        return cache[key]
 
     def index(self, span_sim, nlp=None, **kwargs):
         """Create a searchable index over this partition (reference
@@ -323,7 +356,7 @@ class Session:
                     emb.name, encoder, vocab_strings
                 )
             else:
-                self._compile_contextual(emb, docs)
+                self._compile_contextual(emb)
 
         self._packed_cache: Dict[PartitionSpec, PackedCorpus] = {}
         self._engine_cache: Dict[PartitionSpec, BruteForceEngine] = {}
@@ -353,7 +386,7 @@ class Session:
             pd.token_ids = perm[pd.token_ids].astype(np.int32)
         self._vocab.tokens.reorder(perm)
 
-    def _compile_contextual(self, emb, docs):
+    def _compile_contextual(self, emb):
         """Encode missing per-doc vectors (reference checks doc coverage,
         session.py:177-182), fit PCA transforms on the corpus, and store
         transformed vectors in the prepared documents."""
@@ -474,6 +507,10 @@ class Session:
         h.update(repr(self._normalization.ident).encode())
         for pd in self._documents:
             h.update(pd.token_ids.tobytes())
+            # pos/tag ids are part of the packed arrays the cache stores —
+            # a tagger change with identical token texts must miss
+            h.update(np.ascontiguousarray(pd.pos_ids).tobytes())
+            h.update(np.ascontiguousarray(pd.tag_ids).tobytes())
             for arr in pd.spans.values():
                 h.update(np.ascontiguousarray(arr).tobytes())
         return h.hexdigest()[:24]
