@@ -194,3 +194,38 @@ def test_windowed_location_metadata():
     ix2 = session.partition("token", 5, 5).index(EmbeddingTokenSim(emb))
     r2 = ix2.find("another red line", n=1, min_score=-5)
     assert "chapter" not in r2[0].to_json()["location"] or True  # no crash
+
+
+def test_span_ranges_trailing_trimmed_span():
+    """When trailing spans are fully filtered away, the last KEPT window
+    still ends at the next span's start (clamped) like xspan — kept gap
+    tokens after the final surviving sentence must stay scored."""
+    import numpy as np
+
+    from vectorian_tpu.corpus.document import PreparedDocument, xspan
+    from vectorian_tpu.corpus.packing import Partition
+
+    # three spans, but the document only has 9 filtered tokens: the third
+    # span (start 12 >= 9) is trimmed; tokens 7-8 sit in the gap after
+    # span 1's end (7) and must land in slice 1
+    spans = {"sentence": np.asarray([[0, 4], [5, 7], [12, 15]], np.int32)}
+    n = 9
+    pd = PreparedDocument(
+        doc=None, doc_index=0,
+        token_ids=np.arange(n, dtype=np.int32) + 1,
+        pos_ids=np.zeros(n, np.int8),
+        tag_ids=np.zeros(n, np.int16),
+        orig_index=np.arange(n, dtype=np.int32),
+        spans=spans,
+        contextual={},
+    )
+    part = Partition("sentence", 1, 1)
+    got = pd.span_ranges(part)
+    assert len(got) == 2  # third span trimmed
+    idxs = spans["sentence"][:, 0]
+    lens = spans["sentence"][:, 1] - spans["sentence"][:, 0]
+    for i in range(2):
+        s, e = xspan(idxs, lens, i, 1, 1)
+        assert (got[i, 0], got[i, 1]) == (s, min(e, n)), i
+    # the trailing kept tokens (7, 8) belong to the last kept slice
+    assert got[1, 1] == n
