@@ -194,6 +194,62 @@ def test_submatch_upper_bound_dominates():
     assert float(_submatch_upper_bound(-0.5, 8.0, 0.7)) == -0.5
 
 
+def test_submatch_upper_bound_sim_max():
+    """With a similarity ceiling above 1 (unary-kernel metrics), the bound
+    must still dominate: raw <= matched * sim_max replaces raw <= matched."""
+    import numpy as np
+
+    from vectorian_tpu.index import _submatch_upper_bound
+    from vectorian_tpu.ops.search import reference_score
+
+    rng = np.random.default_rng(1)
+    for _ in range(2000):
+        sim_max = float(rng.uniform(1.0, 3.0))
+        total = float(rng.uniform(0.5, 12.0))
+        matched = float(rng.uniform(0.0, total))
+        raw = float(rng.uniform(0.0, matched * sim_max))
+        w = float(rng.uniform(0.01, 1.5))
+        ref = reference_score(total, matched, w)
+        exact = raw / ref if ref > 0 else 0.0
+        d = raw / total
+        ub = float(_submatch_upper_bound(d, total, w, sim_max))
+        assert ub >= exact - 1e-9, (total, matched, raw, w, sim_max, exact, ub)
+
+
+def test_plan_sim_upper():
+    """plan_sim_upper: 1.0 for clipped plans, the exact matrix max for
+    static plans with unary kernels, inf for contextual plans with them."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vectorian_tpu.ops.simmatrix import QueryPlan, plan_sim_upper
+    from vectorian_tpu.sim.kernel import Kernel, Scale
+
+    base = dict(
+        static_mags=[], ctx_names=[], ctx_queries=[], mixed_weights=[]
+    )
+    S = jnp.asarray(np.array([[0.2, 0.9], [0.5, 0.1]], np.float32))
+    plain = QueryPlan(plan=("static", 0), static_sims=[S], **base)
+    assert plan_sim_upper(plain) == 1.0
+
+    scaled = QueryPlan(
+        plan=("unary", ("static", 0), Kernel([Scale(2.0)])),
+        static_sims=[S],
+        **base,
+    )
+    assert abs(plan_sim_upper(scaled) - 1.8) < 1e-6
+
+    ctx = QueryPlan(
+        plan=("unary", ("ctx", 0, None), Kernel([Scale(2.0)])),
+        static_sims=[],
+        static_mags=[],
+        ctx_names=["c"],
+        ctx_queries=[{}],
+        mixed_weights=[],
+    )
+    assert plan_sim_upper(ctx) == float("inf")
+
+
 def test_fuzz_submatch_cut_vs_exhaustive():
     """The submatch-weight overfetch cut must reproduce the exhaustive
     ranking exactly for random weights/queries (the closed-form bound's

@@ -82,22 +82,26 @@ class Corpus:
         uid = str(uuid_mod.uuid4())
         doc.unique_id = uid
         # write the h5 token tables BEFORE committing the sqlite text row:
-        # if the save fails mid-way, dedup must not resolve the text to a
-        # missing h5 group forever (the orphan group is merely overwritten
-        # on retry; an orphan db row would make the doc un-addable)
+        # if anything fails mid-way, the h5 group is deleted so nothing
+        # leaks (each retry uses a fresh uuid, so an orphan group would
+        # never be revisited) and dedup never resolves the text to a
+        # missing h5 group (an orphan db row would make the doc
+        # un-addable)
         try:
             grp = self._docs_grp.create_group(uid)
             doc.save_to(grp)
             self._h5.flush()
+            self._db.execute(
+                "INSERT INTO text (unique_id, content_hash, content)"
+                " VALUES (?,?,?)",
+                (uid, _sha256(doc.text), doc.text),
+            )
+            self._db.commit()
         except Exception:
             if uid in self._docs_grp:
                 del self._docs_grp[uid]
+                self._h5.flush()
             raise
-        self._db.execute(
-            "INSERT INTO text (unique_id, content_hash, content) VALUES (?,?,?)",
-            (uid, _sha256(doc.text), doc.text),
-        )
-        self._db.commit()
         return uid
 
     def get_doc(self, unique_id: str) -> Document:

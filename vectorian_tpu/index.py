@@ -28,7 +28,11 @@ from vectorian_tpu.ops.search import (
     order_by_score,
     reference_score,
 )
-from vectorian_tpu.ops.simmatrix import compile_plan, compile_similarity
+from vectorian_tpu.ops.simmatrix import (
+    compile_plan,
+    compile_similarity,
+    plan_sim_upper,
+)
 from vectorian_tpu.session import Result
 
 def _reverse_plan(qp, n_tokens: int):
@@ -70,27 +74,32 @@ def _reverse_tagw(tagw, n_tokens: int):
     )
 
 
-def _submatch_upper_bound(device_score, norm_total: float, w: float):
+def _submatch_upper_bound(
+    device_score, norm_total: float, w: float, sim_max: float = 1.0
+):
     """Upper bound on the submatch-rescored score of any slice whose
     device-normalized score is <= ``device_score`` (no boost).
 
-    exact = raw / reference_score(total, matched, w) with raw <= matched
-    (every aligned similarity is at most its token's max weight) and
+    exact = raw / reference_score(total, matched, w) with
+    raw <= matched * sim_max (every aligned similarity is at most its
+    token's max weight times the metric's similarity ceiling — 1.0 for
+    clipped metrics, ``plan_sim_upper`` for unary-kernel metrics) and
     matched <= total.  reference_score(m) = m + ((total-m)/total)^w
     (total-m) is minimized over m at m* = total(1 - (1+w)^(-1/w)), so
-    min over m in [raw, total] is ref(max(raw, m*)) — giving a bound
-    that is monotone in the device score, which makes device-ranked
-    overfetch + exact rescore provably complete
+    min over m in [raw/sim_max, total] is ref(max(raw/sim_max, m*)) —
+    giving a bound that is monotone in the device score, which makes
+    device-ranked overfetch + exact rescore provably complete
     (reference_score semantics: metric/alignment.h:84-106)."""
     total = max(norm_total, 1e-9)
+    sim_max = max(float(sim_max), 1e-9)
     d = np.asarray(device_score, np.float64)
     raw = np.maximum(d, 0.0) * total
     if w <= 0:
-        return np.where(d < 0, d, np.minimum(d, 1.0))
+        return np.where(d < 0, d, np.minimum(d, sim_max))
     m_star = total * (1.0 - (1.0 / (1.0 + w)) ** (1.0 / w))
-    m = np.minimum(np.maximum(raw, m_star), total)
+    m = np.minimum(np.maximum(raw / sim_max, m_star), total)
     ref = np.maximum(reference_score(total, m, w), 1e-12)
-    ub = np.minimum(raw / ref, 1.0)
+    ub = np.minimum(raw / ref, sim_max)
     return np.where(d < 0, d, ub)
 
 
@@ -772,7 +781,7 @@ class BruteForceIndex(Index):
                 # constant here would trigger device refetches — each a
                 # fresh top_k compile on a tunneled runtime — whenever two
                 # scores are merely CLOSE at the boundary
-                scale = 1e-6 if qp.is_static_only else self.CTX_SCORE_EPS
+                scale = 1e-6 if qp.is_static_only else self._ctx_floor(qp)
                 ulp = lambda x: scale * max(1.0, abs(x))
                 m = n + 32
                 n_slices = self._engine.packed.n_slices
@@ -806,12 +815,21 @@ class BruteForceIndex(Index):
                     )
                     if m >= n_slices or rest < s_n - ulp(s_n):
                         return matches
-                    m *= 2
+                    # unsafe cut: go straight to full coverage — one more
+                    # round with ONE reusable jit shape (k = n_slices) beats
+                    # doubling m, where every round pays a fresh top_k
+                    # compile on the tunneled runtime
+                    m = n_slices
             # submatch_weight rescoring can lift a slice past device-ranked
             # candidates: overfetch with the closed-form upper bound as the
-            # cut proof, doubling until no excluded slice could reach the
-            # exact n-th score (boosted queries keep the 4n heuristic —
-            # per-slice boosts are not modeled by the bound)
+            # cut proof, jumping to full coverage if any excluded slice
+            # could reach the exact n-th score (boosted queries keep the 4n
+            # heuristic — per-slice boosts are not modeled by the bound).
+            # sim_max: the bound assumes sims <= token weights; unary-kernel
+            # metrics can exceed 1, so the bound is scaled by the plan's
+            # actual similarity ceiling (inf for unknowable ctx plans —
+            # those pay one full-coverage round, keeping the cut provable)
+            sim_max = plan_sim_upper(qp)
             m = 4 * n
             n_slices = self._engine.packed.n_slices
             while True:
@@ -840,11 +858,14 @@ class BruteForceIndex(Index):
                     matches[n - 1].score if len(matches) >= n else min_score
                 )
                 ub = float(
-                    _submatch_upper_bound(rest, norm_total, submatch_weight)
-                )
+                    _submatch_upper_bound(
+                        rest, norm_total, submatch_weight, sim_max
+                    )
+                ) if np.isfinite(sim_max) else np.inf
                 if ub < s_n - 1e-6:
                     return matches
-                m *= 2
+                # unsafe: single full-coverage round (see above)
+                m = n_slices
 
         scores = self._engine.score_all(
             qp,
@@ -883,7 +904,7 @@ class BruteForceIndex(Index):
         # membership guard like the low-latency path: fetch with a
         # plan-scaled slack and verify the cut after the exact rescore
         # (device ranking drifts from the finalizer scores)
-        fb_scale = 1e-6 if qp.is_static_only else self.CTX_SCORE_EPS
+        fb_scale = 1e-6 if qp.is_static_only else self._ctx_floor(qp)
         fb_eps = lambda x: fb_scale * max(1.0, abs(x))
         if submatch_weight == 0.0:
             first_top, rest_fb = self._engine.top_k_with_next(
@@ -982,9 +1003,15 @@ class BruteForceIndex(Index):
             # have been rescored (boosted queries keep the 4n heuristic);
             # only the EXTRA candidates are rescored, then merged
             s_n = matches[n - 1].score if len(matches) >= n else min_score
-            ub_vec = _submatch_upper_bound(
-                scores, norm_total, submatch_weight
-            )
+            sim_max = plan_sim_upper(qp)
+            if np.isfinite(sim_max):
+                ub_vec = _submatch_upper_bound(
+                    scores, norm_total, submatch_weight, sim_max
+                )
+            else:
+                # unknowable similarity ceiling (contextual plan with unary
+                # kernels): rescore everything — still a provable cut
+                ub_vec = np.full_like(scores, np.inf)
             seen = set(first_top)
             extra = [
                 int(c)
@@ -1077,7 +1104,17 @@ class BruteForceIndex(Index):
         ``mesh``: a ``jax.sharding.Mesh`` or ``parallel.mesh.MeshSearch``
         shards the corpus pass over the mesh's devices (data-parallel
         slice sharding, per-query top-k merged over one all-gather) with
-        the same exact-results guarantee."""
+        the same exact-results guarantee.
+
+        Transport metrics: relaxed-WMD batches report the same exact
+        scores as ``find()`` (the greedy transport is exact, overfetch
+        guards tie-breaks only).  Full-WMD and WRD batches rank on the
+        device with Sinkhorn and exactly rescore a 4n candidate
+        overfetch; the reported scores are exact, but candidate
+        MEMBERSHIP at the overfetch boundary is heuristic — a slice whose
+        Sinkhorn rank fell below the 4n cut can be missed even though its
+        exact score would qualify.  Use ``find()`` per query when strict
+        full-EMD completeness matters."""
         if self._algorithm != "alignment":
             return self._find_batch_transport(
                 texts, n=n, min_score=min_score, mesh=mesh, **kwargs
@@ -1223,8 +1260,16 @@ class BruteForceIndex(Index):
     # contextual plans compute their ranking similarity with a DIFFERENT
     # einsum tiling than the per-slice finalizer (reduction reorder over
     # d dims: ~d * 2^-24 relative, ~5e-5 at d=768) — their membership
-    # slack needs a larger floor
+    # slack needs a larger floor, scaled with the embedding dimension by
+    # _ctx_floor (a fixed 1e-3 would be overtaken near d=16k)
     CTX_SCORE_EPS = 1e-3
+
+    def _ctx_floor(self, qp) -> float:
+        d = max(
+            (int(np.asarray(q["unmodified"]).shape[-1]) for q in qp.ctx_queries),
+            default=0,
+        )
+        return max(self.CTX_SCORE_EPS, 4.0 * d * 2.0 ** -24)
 
     def _finalize_quantized(
         self, q_scores, plan, pq, gaps, norm_total, metric_name,
@@ -1244,9 +1289,7 @@ class BruteForceIndex(Index):
         minus that bound — otherwise double the overfetch.  The returned
         matches (ids, scores, flows, order) are bit-identical to the
         pure-f32 path."""
-        eps = self._quant_eps(
-            entry_err, pq, norm_total, static_only=plan.is_static_only
-        )
+        eps = self._quant_eps(entry_err, pq, norm_total, plan=plan)
         m = n + 32
         while True:
             cand, rest_max = self._engine.top_k_with_next(
@@ -1259,12 +1302,19 @@ class BruteForceIndex(Index):
             )
             if matches is not None:
                 return matches
-            m *= 2
+            # unsafe cut: jump straight to full coverage — the next round
+            # has force=True, so exactly one more top_k shape is compiled
+            # (doubling m instead pays a fresh remote compile per round)
+            m = q_scores.shape[0]
 
     def _quant_eps(
-        self, entry_err: float, pq, norm_total: float, static_only: bool = True
+        self, entry_err: float, pq, norm_total: float, plan=None
     ) -> float:
-        floor = self.QUANT_SCORE_EPS if static_only else self.CTX_SCORE_EPS
+        floor = (
+            self.QUANT_SCORE_EPS
+            if plan is None or plan.is_static_only
+            else self._ctx_floor(plan)
+        )
         return max(
             2.0 * entry_err * max(pq.n_tokens, 1) / max(norm_total, 1e-9),
             floor,
@@ -1410,7 +1460,10 @@ class BruteForceIndex(Index):
                 )
             if not retry:
                 return results
-            m *= 2
+            # unsafe cut: full coverage over every shard in one more round
+            # (complete=True then forces acceptance) — a single extra jit
+            # shape instead of one per doubling
+            m = max(tok_d.shape[0] for _, tok_d, _ in shards)
 
     def _find_batch_transport(
         self, texts, n: int = 100, min_score: float = 0.2, mesh=None, **kwargs

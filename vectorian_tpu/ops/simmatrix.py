@@ -356,3 +356,46 @@ def eval_plan_chunk(
         raise ValueError(node)
 
     return rec(plan)
+
+
+def plan_sim_upper(qp: QueryPlan) -> float:
+    """Maximum similarity the plan can yield for any (token, query) cell.
+
+    Leaves are clipped to [0, 1] (static: _leaf_matrix_device; contextual:
+    eval_plan_chunk) and mixed/extremum nodes are range-preserving, so a
+    plan without unary kernels is bounded by 1.0 exactly.  Unary kernels
+    (Bias/Scale/Power...) can exceed 1: for static-only plans every chunk
+    cell is a value of the combined [V, T] matrix, so the exact maximum is
+    computed by evaluating the modifier tree over the full matrices once;
+    contextual plans with unary kernels return inf (unknown — callers must
+    not trust closed-form cut bounds that assume sim <= token weight)."""
+    def has_unary(node) -> bool:
+        kind = node[0]
+        if kind == "unary":
+            return True
+        if kind in ("mixed", "max", "min"):
+            return any(has_unary(c) for c in node[1])
+        return False
+
+    if not has_unary(qp.plan):
+        return 1.0
+    if not qp.is_static_only:
+        return float("inf")
+
+    def rec(node):
+        kind = node[0]
+        if kind == "static":
+            return jnp.asarray(qp.static_sims[node[1]])
+        if kind == "mixed":
+            ch = [rec(c) for c in node[1]]
+            w = qp.mixed_weights[node[2]]
+            return sum(w[i] * m for i, m in enumerate(ch))
+        if kind in ("max", "min"):
+            ch = [rec(c) for c in node[1]]
+            op = jnp.maximum if kind == "max" else jnp.minimum
+            return functools.reduce(op, ch)
+        if kind == "unary":
+            return node[2](rec(node[1]))
+        raise ValueError(node)
+
+    return float(jnp.max(rec(qp.plan)))

@@ -805,7 +805,9 @@ class WMDEngine:
                 results.append(matches)
             if not retry:
                 return results
-            m *= 2
+            # unsafe cut: full coverage in one more round (complete=True
+            # next pass) — avoids a fresh remote compile per doubling
+            m = max(tok_d.shape[0] for _, tok_d, _ in shards)
 
     def _score(self, index, query, qp) -> dict:
         """Device ranking pass; returns scores plus the mass/tag state the
