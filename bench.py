@@ -71,15 +71,20 @@ def main():
     import jax.numpy as _jnp
 
     pos_ids = _jnp.zeros((N, L), _jnp.int8)
+    tag_ids = _jnp.zeros((N, L), _jnp.int16)
+    boost = _jnp.ones((N,), _jnp.float32)
     tw_w = _jnp.ones((T, Q), _jnp.float32)
     tw_p = _jnp.full((T, Q), -1, _jnp.int8)
     pen = _jnp.zeros((Q,), _jnp.float32)
     thr = _jnp.full((Q,), -1.0, _jnp.float32)
+    flt = (_jnp.zeros((1,), bool),) * 3
+    gv_s = _jnp.zeros((L + 1,), _jnp.float32)
+    gv_t = _jnp.zeros((T + 1,), _jnp.float32)
 
     def run_with(sim):
         return _bucket_scores_multiquery(
-            tokens, pos_ids, lengths, sim, len_t, gaps, norm_total,
-            tw_w, tw_p, pen, thr,
+            tokens, pos_ids, tag_ids, lengths, sim, len_t, gaps, norm_total,
+            boost, tw_w, tw_p, pen, thr, *flt, gv_s, gv_t,
             locality="local", chunk=CHUNK, n_queries=Q,
             use_pallas=use_pallas, sim_scale=sim_scale,
         )

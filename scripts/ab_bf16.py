@@ -38,6 +38,10 @@ def main():
     use_pallas = use_pallas_default()
 
     pos_ids = jnp.zeros((N, L), jnp.int8)
+    tag_ids = jnp.zeros((N, L), jnp.int16)
+    boost = jnp.ones((N,), jnp.float32)
+    flt = (jnp.zeros((1,), bool),) * 3
+    gv = (jnp.zeros((L + 1,), jnp.float32), jnp.zeros((T + 1,), jnp.float32))
     tw_w = jnp.ones((T, Q), jnp.float32)
     tw_p = jnp.full((T, Q), -1, jnp.int8)
     pen = jnp.zeros((Q,), jnp.float32)
@@ -45,8 +49,8 @@ def main():
 
     def run(sim):
         return _bucket_scores_multiquery(
-            tokens, pos_ids, lengths, sim, len_t, gaps, norm_total,
-            tw_w, tw_p, pen, thr,
+            tokens, pos_ids, tag_ids, lengths, sim, len_t, gaps, norm_total,
+            boost, tw_w, tw_p, pen, thr, *flt, *gv,
             locality="local", chunk=CHUNK, n_queries=Q,
             use_pallas=use_pallas,
         )

@@ -78,6 +78,10 @@ def gather_layout(sim):
 
 
 _pos = jnp.zeros((N, L), jnp.int8)
+_tag = jnp.zeros((N, L), jnp.int16)
+_boost = jnp.ones((N,), jnp.float32)
+_flt = (jnp.zeros((1,), bool),) * 3
+_gv = (jnp.zeros((L + 1,), jnp.float32), jnp.zeros((T + 1,), jnp.float32))
 _tw = (
     jnp.ones((T, Q), jnp.float32),
     jnp.full((T, Q), -1, jnp.int8),
@@ -88,7 +92,8 @@ _tw = (
 
 def full(sim):
     return _bucket_scores_multiquery(
-        tokens, _pos, lengths, sim, len_t, gaps, norm_total, *_tw,
+        tokens, _pos, _tag, lengths, sim, len_t, gaps, norm_total, _boost,
+        *_tw, *_flt, *_gv,
         locality="local", chunk=CHUNK, n_queries=Q,
         use_pallas=use_pallas_default(),
     )

@@ -59,9 +59,18 @@ def main(n_slices=1_000_000):
             jnp.full((q,), -1.0, jnp.float32),
         )
 
+    tag_d = jnp.zeros(tokens_d.shape, jnp.int16)
+    boost_d = jnp.ones(tokens_d.shape[:1], jnp.float32)
+    flt = (jnp.zeros((1,), bool),) * 3
+    gv = (
+        jnp.zeros((tokens_d.shape[1] + 1,), jnp.float32),
+        jnp.zeros((T + 1,), jnp.float32),
+    )
+
     def run(sim):
         return _bucket_scores_multiquery(
-            tokens_d, pos_d, lengths_d, sim, lt, gaps, nt, *tw(Q),
+            tokens_d, pos_d, tag_d, lengths_d, sim, lt, gaps, nt, boost_d,
+            *tw(Q), *flt, *gv,
             locality="local", chunk=CHUNK, n_queries=Q, use_pallas=up,
         )
 
@@ -91,7 +100,8 @@ def main(n_slices=1_000_000):
 
     def run1(sim):
         return _bucket_scores_multiquery(
-            tokens_d, pos_d, lengths_d, sim, lt1, gaps, nt1, *tw(1),
+            tokens_d, pos_d, tag_d, lengths_d, sim, lt1, gaps, nt1, boost_d,
+            *tw(1), *flt, *gv,
             locality="local", chunk=CHUNK, n_queries=1, use_pallas=up,
         )
 

@@ -83,16 +83,59 @@ def test_find_batch_tag_weighted_matches_single(session_ix):
         assert got == want, q
 
 
-def test_find_batch_delegates_unsupported_options(session_ix):
-    """Boosters/filters are not batched — find_batch must return the exact
-    single-query results instead of silently ignoring the option."""
+def test_find_batch_doc_filter_matches_single(session_ix):
+    """Doc-side token filters ride the batch kernel (in-kernel compaction)
+    and must return byte-identical matches to find()."""
     session, index, locations = session_ix
     qs = ["the old king rides the grey horse", "a small bird sings"]
     batch = index.find_batch(qs, n=4, min_score=-5.0, token_filter=["the"])
     for q, br in zip(qs, batch):
         sr = index.find(q, n=4, min_score=-5.0, token_filter=["the"])
-        got = [(m.slice_id, round(m.score, 4)) for m in br]
-        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        got = [(m.slice_id, m.score) for m in br]
+        want = [(m.slice_id, m.score) for m in sr]
+        assert got == want, q
+
+
+def test_find_batch_booster_matches_single(session_ix):
+    """Boosters multiply the batch ranking and the exact rescore alike —
+    batch (every precision) and mesh results equal find() byte-for-byte."""
+    from vectorian_tpu.parallel.mesh import MeshSearch, make_mesh
+    from vectorian_tpu.saliency import KeywordSignal, Saliency
+
+    session, index, locations = session_ix
+    sal = Saliency(strength=0.8).add_signal(KeywordSignal("horse"), 1.0)
+    qs = ["the old king rides the grey horse", "a small bird sings"]
+    want = [
+        [(m.slice_id, m.score) for m in index.find(
+            q, n=4, min_score=0.01, booster=sal)]
+        for q in qs
+    ]
+    for prec in ("float32", "int8", "bfloat16"):
+        got = [
+            [(m.slice_id, m.score) for m in r]
+            for r in index.find_batch(
+                qs, n=4, min_score=0.01, booster=sal, sim_precision=prec
+            )
+        ]
+        assert got == want, prec
+    ms = MeshSearch(make_mesh())
+    got_mesh = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(qs, n=4, min_score=0.01, booster=sal, mesh=ms)
+    ]
+    assert got_mesh == want
+
+
+def test_find_batch_hard_options_delegate(session_ix):
+    """Options the batch kernels cannot take (submatch_weight) delegate to
+    the exact single-query path."""
+    session, index, locations = session_ix
+    qs = ["the old king rides the grey horse", "a small bird sings"]
+    batch = index.find_batch(qs, n=4, min_score=-5.0, submatch_weight=0.5)
+    for q, br in zip(qs, batch):
+        sr = index.find(q, n=4, min_score=-5.0, submatch_weight=0.5)
+        got = [(m.slice_id, m.score) for m in br]
+        want = [(m.slice_id, m.score) for m in sr]
         assert got == want, q
 
 

@@ -231,24 +231,78 @@ def session_ix_mesh():
 
 
 def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
-    """A requested mesh must never be silently ignored: transport metrics,
-    contextual metrics and per-query options raise instead of falling back
-    to a single-chip path."""
-    from vectorian_tpu.alignment import WordMoversDistance
+    """A requested mesh must never be silently ignored: options the mesh
+    kernels genuinely cannot take raise instead of falling back to a
+    single-chip path."""
+    from vectorian_tpu.alignment import WordRotatorsDistance
     from vectorian_tpu.sim.span import OptimizedSpanSim
     from vectorian_tpu.sim.token import EmbeddingTokenSim
 
     session, index = session_ix_mesh
     ms = MeshSearch(make_mesh())
     with pytest.raises(NotImplementedError):
-        index.find_batch(["king"], n=2, mesh=ms, token_filter=["the"])
+        index.find_batch(["king"], n=2, mesh=ms, submatch_weight=0.5)
     emb = session.embeddings[0]
-    from vectorian_tpu.alignment import WordRotatorsDistance
     wix = session.partition("sentence").index(
         OptimizedSpanSim(EmbeddingTokenSim(emb), WordRotatorsDistance())
     )
     with pytest.raises(NotImplementedError):
         wix.find_batch(["king"], n=2, mesh=ms)
+
+
+def test_find_batch_mesh_doc_filter(session_ix_mesh):
+    """Doc-side token filters ride the mesh kernels (in-shard compaction)
+    and return byte-identical results to find()."""
+    session, index = session_ix_mesh
+    ms = MeshSearch(make_mesh())
+    queries = ["the old king rides the grey horse", "bird sings tree"]
+    kwargs = dict(n=4, min_score=0.05, token_filter=["the", "a"])
+    want = [
+        [(m.slice_id, m.score) for m in index.find(q, **kwargs)]
+        for q in queries
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(queries, mesh=ms, **kwargs)
+    ]
+    assert got == want
+    # single-chip batch agrees too
+    got1 = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(queries, **kwargs)
+    ]
+    assert got1 == want
+
+
+def test_find_batch_mesh_tag_weighted(session_ix_mesh):
+    """Tag-weighted alignment over the mesh (f32 ranking + per-query tag
+    columns in-shard) returns byte-identical matches to find()."""
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    session, _ = session_ix_mesh
+    emb = session.embeddings[0]
+    tw = {"NN": 1.0, "VB": 0.9, "JJ": 0.7, "DT": 0.2}
+    ix = session.partition("sentence").index(
+        OptimizedSpanSim(
+            EmbeddingTokenSim(emb), tag_weights=tw,
+            pos_mismatch_penalty=0.2, similarity_threshold=0.1,
+        )
+    )
+    queries = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+    ]
+    want = [
+        [(m.slice_id, m.score) for m in ix.find(q, n=5, min_score=-5.0)]
+        for q in queries
+    ]
+    ms = MeshSearch(make_mesh())
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in ix.find_batch(queries, n=5, min_score=-5.0, mesh=ms)
+    ]
+    assert got == want
 
 
 def test_find_batch_mesh_rwmd(session_ix_mesh):

@@ -321,6 +321,8 @@ def test_ctx_multiquery_kernel_vs_oracle(rng):
             jnp.asarray(q_norm), jnp.asarray(q_flat), jnp.asarray(mags),
             jnp.asarray(len_t), gaps,
             jnp.asarray(len_t, jnp.float32),
+            jnp.zeros((L + 1,), jnp.float32),
+            jnp.zeros((T + 1,), jnp.float32),
             metric=CosineSim(), locality="local", chunk=N, n_queries=Q,
         )
     )

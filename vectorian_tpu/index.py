@@ -23,6 +23,7 @@ import numpy as np
 from vectorian_tpu.alignment import resolve_affine_gaps
 from vectorian_tpu.ops.alignment import AffineGapParams
 from vectorian_tpu.ops.search import (
+    NEG_SCORE,
     BruteForceEngine,
     TagWeightingSpec,
     order_by_score,
@@ -138,10 +139,13 @@ def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True,
 
 
 # per-query options the batched kernels do not take: find_batch delegates
-# (or, with a mesh, raises) instead of silently ignoring them
-BATCH_DELEGATED_OPTIONS = frozenset(
-    {"booster", "pos_filter", "tag_filter", "token_filter",
-     "bidirectional", "submatch_weight", "debug"}
+# (or, with a mesh, raises) instead of silently ignoring them.  The static
+# batch kernels DO take boosters and doc-side filters (BATCH_HARD_OPTIONS
+# is the remaining truly-delegated set); the contextual batch still
+# delegates the full set.
+BATCH_HARD_OPTIONS = frozenset({"bidirectional", "submatch_weight", "debug"})
+BATCH_DELEGATED_OPTIONS = BATCH_HARD_OPTIONS | frozenset(
+    {"booster", "pos_filter", "tag_filter", "token_filter"}
 )
 
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
@@ -1136,13 +1140,14 @@ class BruteForceIndex(Index):
             raise NotImplementedError(
                 "find_batch supports static or single-contextual metrics"
             )
-        # options the batched kernel does not take — delegate to the exact
-        # single-query path rather than silently ignoring them
-        if BATCH_DELEGATED_OPTIONS & set(kwargs):
+        # options the batched kernel genuinely cannot take — delegate to
+        # the exact single-query path rather than silently ignoring them
+        if BATCH_HARD_OPTIONS & set(kwargs):
             if mesh is not None:
                 raise NotImplementedError(
                     "mesh find_batch does not take per-query options "
-                    f"({sorted(set(kwargs))}); use the single-chip path"
+                    f"({sorted(BATCH_HARD_OPTIONS & set(kwargs))}); use the "
+                    "single-chip path"
                 )
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
@@ -1150,28 +1155,53 @@ class BruteForceIndex(Index):
 
         start_time = time.time()
         (
-            prepared, plans, len_ts, norm_totals, tagws, gaps,
+            prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
             sim_precision, quantize,
         ) = self._prepare_static_batch(texts, n, min_score, sim_precision, kwargs)
         any_tags = any(t is not None for t in tagws)
 
+        # boosters and doc-side filters ride the batch kernels: the filter
+        # compacts document tokens in-kernel (identical for every query in
+        # the batch — the options are shared), boosts multiply the ranking
+        # scores and the exact rescore alike (reference Booster,
+        # document.h:175-187 + Score boost, match.h:295-336)
+        booster = kwargs.get("booster")
+        boosts = None
+        if booster is not None:
+            boosts = [
+                np.asarray(
+                    booster.compile(self._session, self._partition, pq),
+                    np.float32,
+                )
+                if pq.n_tokens
+                else None
+                for pq in prepared
+            ]
+        doc_filter = None
+        if {"pos_filter", "tag_filter", "token_filter"} & set(kwargs):
+            live = [pq for pq in prepared if pq.n_tokens]
+            if live:
+                doc_filter = self._doc_filter(live[0])
+
         if mesh is not None:
             return self._find_batch_mesh(
-                prepared, plans, len_ts, norm_totals, tagws, gaps,
+                prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
                 sim_precision, quantize, token_sim.name, n, min_score,
-                mesh, start_time,
+                mesh, start_time, boosts=boosts, doc_filter=doc_filter,
             )
 
         entry_err = 0.0
         if quantize:
             scores, entry_err = self._engine.score_all_multi(
                 plans, len_ts, gaps, self._locality, norm_totals,
-                sim_dtype=sim_precision, with_err=True,
+                sim_dtype=sim_precision, with_err=True, gap_costs=gap_costs,
+                doc_filter=doc_filter,
             )  # [n_slices, Q]
         else:
             scores = self._engine.score_all_multi(
                 plans, len_ts, gaps, self._locality, norm_totals,
-                tag_weights=tagws if any_tags else None,
+                tag_weights=tagws if any_tags else None, gap_costs=gap_costs,
+                doc_filter=doc_filter,
             )
 
         results = []
@@ -1179,6 +1209,14 @@ class BruteForceIndex(Index):
             if pq.n_tokens == 0:
                 results.append(Result(self, [], 0.0))
                 continue
+            q_scores = scores[:, qi]
+            boost_q = boosts[qi] if boosts is not None else None
+            if boost_q is not None:
+                q_scores = np.where(
+                    q_scores <= NEG_SCORE * 0.5,
+                    q_scores,
+                    q_scores * boost_q,
+                ).astype(np.float32)
             # every batch (quantized, f32, tag-weighted) reports the
             # FINALIZER's exact f32 scores under the provable cut
             # (entry_err 0.0 on f32 paths, where the loop only guards
@@ -1187,9 +1225,10 @@ class BruteForceIndex(Index):
             # rescore by ~1 ulp (XLA lowers the normalization divide as a
             # reciprocal multiply)
             matches = self._finalize_quantized(
-                scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
+                q_scores, plans[qi], pq, gaps, norm_totals[qi],
                 token_sim.name, n, min_score, entry_err,
-                tagw=tagws[qi],
+                tagw=tagws[qi], gap_costs=gap_costs, boost=boost_q,
+                doc_filter=doc_filter,
             )
             results.append(Result(self, matches, time.time() - start_time))
         return results
@@ -1239,7 +1278,14 @@ class BruteForceIndex(Index):
 
         gaps = self._affine_gaps()
         if gaps is None:
-            raise NotImplementedError("find_batch requires affine gap costs")
+            # non-affine gap model: the general-gap WSB DP takes per-length
+            # cost vectors (one pair — the index's gap model is shared by
+            # every query in the batch); the affine params become an unused
+            # placeholder (mirrors find(), reference alignment.py:54-55)
+            gap_costs = (self._gap_s, self._gap_t)
+            gaps = AffineGapParams.of(0, 0, 0, 0)
+        else:
+            gap_costs = None
         if sim_precision is None:
             sim_precision = os.environ.get("VECTORIAN_SIM_PRECISION") or "int8"
         if sim_precision not in ("int8", "bfloat16", "float32"):
@@ -1248,7 +1294,7 @@ class BruteForceIndex(Index):
             t is not None for t in tagws
         )
         return (
-            prepared, plans, len_ts, norm_totals, tagws, gaps,
+            prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
             sim_precision, quantize,
         )
 
@@ -1274,6 +1320,7 @@ class BruteForceIndex(Index):
     def _finalize_quantized(
         self, q_scores, plan, pq, gaps, norm_total, metric_name,
         n: int, min_score: float, entry_err: float, tagw=None,
+        gap_costs=None, boost=None, doc_filter=None,
     ) -> List["Match"]:
         """Exact top-n from approximate (int8/bf16) ranking scores — or
         from exact f32 ranking with ``entry_err=0.0``, where the loop's
@@ -1299,6 +1346,7 @@ class BruteForceIndex(Index):
             matches = self._try_exact_cut(
                 cand, rest_max, plan, pq, gaps, norm_total, metric_name,
                 n, min_score, eps, force=complete, tagw=tagw,
+                gap_costs=gap_costs, boost=boost, doc_filter=doc_filter,
             )
             if matches is not None:
                 return matches
@@ -1323,18 +1371,26 @@ class BruteForceIndex(Index):
     def _try_exact_cut(
         self, cand, rest_max, plan, pq, gaps, norm_total, metric_name,
         n: int, min_score: float, eps: float, force: bool = False,
-        tagw=None,
+        tagw=None, gap_costs=None, boost=None, doc_filter=None,
     ) -> Optional[List["Match"]]:
         """Exact-rescore a candidate set and accept the top-n cut only when
         provably safe: the best approximate score OUTSIDE the set
         (``rest_max``) must be below the exact n-th score minus ``eps``.
         Returns None when unsafe (caller fetches more candidates);
-        ``force`` accepts regardless (the set already covers everything)."""
+        ``force`` accepts regardless (the set already covers everything).
+        ``boost``: [n_slices] per-slice multipliers already present in the
+        device ranking — the exact scores apply them too, and the drift
+        slack scales with the largest boost."""
         mappings, edge_sims, raw = self._engine.rescore_with_flows(
             cand, plan, pq.n_tokens, gaps, self._locality,
-            tag_weights=tagw, with_scores=True,
+            tag_weights=tagw, gap_costs=gap_costs, doc_filter=doc_filter,
+            with_scores=True,
         )
         exact = raw / max(norm_total, 1e-9)
+        if boost is not None:
+            b = np.asarray(boost, np.float32)
+            exact = exact * b[np.asarray(cand, np.int64)]
+            eps = eps * max(1.0, float(np.max(b)))
         order = order_by_score(self._engine.packed, cand, exact)
         keep = [j for j in order if exact[j] > min_score][:n]
         s_cut = float(exact[keep[-1]]) if keep and len(keep) == n else min_score
@@ -1362,19 +1418,29 @@ class BruteForceIndex(Index):
         if cache is None:
             cache = self._mesh_shard_cache = {}
         if key not in cache:
+            import jax
+
             shards = []
             for db in self._engine._device_buckets:
                 if db["n"] == 0:
                     continue
                 lengths = np.asarray(db["lengths"], np.int32)
                 tok_d, len_d = ms.shard_bucket(db["tokens_np"], lengths)
-                shards.append((db, tok_d, len_d))
+                pad = (-db["pos_np"].shape[0]) % ms.n_devices
+                pos_d = jax.device_put(
+                    np.pad(db["pos_np"], ((0, pad), (0, 0))), ms._sharded
+                )
+                tag_d = jax.device_put(
+                    np.pad(db["tag_np"], ((0, pad), (0, 0))), ms._sharded
+                )
+                shards.append((db, tok_d, len_d, pos_d, tag_d))
             cache[key] = shards
         return cache[key]
 
     def _find_batch_mesh(
-        self, prepared, plans, len_ts, norm_totals, tagws, gaps,
+        self, prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
         sim_precision, quantize, metric_name, n, min_score, mesh, start_time,
+        boosts=None, doc_filter=None,
     ) -> List[Result]:
         """Mesh-sharded serving batch: every bucket's slice axis is sharded
         over the mesh (SURVEY.md §2.4 — the reference's document ThreadPool
@@ -1382,7 +1448,12 @@ class BruteForceIndex(Index):
         vocab gather, and the per-query top-k merges over one all-gather.
         Exactness matches the single-chip path: candidates are overfetched
         with a per-query next-best bound and exactly rescored in f32, the
-        cut accepted only when provably safe (``_try_exact_cut``)."""
+        cut accepted only when provably safe (``_try_exact_cut``).
+
+        Covers the full static-alignment family: tag weighting (f32
+        ranking), general (non-affine) gap models, per-query per-slice
+        boosts (``boosts``: list of [n_slices] vectors), and document-side
+        token filters (compacted in-shard)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1394,15 +1465,11 @@ class BruteForceIndex(Index):
         )
         from vectorian_tpu.parallel.mesh import MeshSearch
 
-        if any(t is not None for t in tagws):
-            raise NotImplementedError(
-                "mesh find_batch does not support tag weighting"
-            )
         ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
         shards = self._mesh_shards(ms)
         Q = len(plans)
         sim_dtype = sim_precision if quantize else None
-        sim_multi, sim_scale, max_abs_dev, _ = stack_query_tables(
+        sim_multi, sim_scale, max_abs_dev, Tpad = stack_query_tables(
             plans, len_ts, sim_dtype
         )
         table = jax.device_put(sim_multi, NamedSharding(ms.mesh, P()))
@@ -1410,19 +1477,79 @@ class BruteForceIndex(Index):
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
         up = use_pallas_default()
 
+        with_tags = any(t is not None for t in tagws)
+        tw_args = None
+        if with_tags:
+            # per-query [Tpad, Q] columns, identity for untagged queries
+            # (same packing as score_all_multi)
+            tw_w = np.ones((Tpad, Q), np.float32)
+            tw_p = np.full((Tpad, Q), -1, np.int8)
+            pen = np.zeros((Q,), np.float32)
+            thr = np.full((Q,), -1.0, np.float32)
+            for qi, tw in enumerate(tagws):
+                if tw is None:
+                    continue
+                t = len(tw.t_pos_weights)
+                tw_w[:t, qi] = tw.t_pos_weights
+                tw_p[:t, qi] = tw.pos_t
+                pen[qi] = tw.pos_mismatch_penalty
+                thr[qi] = tw.similarity_threshold
+            tw_args = tuple(
+                ms.put_replicated(a) for a in (tw_w, tw_p, pen, thr)
+            )
+
+        # per-query boost columns -> per-bucket sharded [Npad, Q]
+        with_boost = boosts is not None and any(
+            b is not None for b in boosts
+        )
+        with_filter = doc_filter is not None
+        flt_args = None
+        if with_filter:
+            flt_args = tuple(
+                ms.put_replicated(a)
+                for a in (
+                    doc_filter.pos_exclude,
+                    doc_filter.tag_exclude,
+                    doc_filter.token_exclude,
+                )
+            )
+
         entry_err = None
         m = n + 32
         while True:
             pending = []
             complete = True
-            for db, tok_d, len_d in shards:
+            for db, tok_d, len_d, pos_d, tag_d in shards:
                 # k >= the bucket's total rows makes the merge return every
                 # slice (score_topk_multiquery's kout), i.e. full coverage
                 complete = complete and m >= tok_d.shape[0]
+                gap_vecs = None
+                if gap_costs is not None:
+                    gap_vecs = (
+                        ms.put_replicated(
+                            gap_costs[0].costs(db["capacity"] + 1)
+                        ),
+                        ms.put_replicated(gap_costs[1].costs(Tpad + 1)),
+                    )
+                bst_d = None
+                if with_boost:
+                    bmat = np.ones((tok_d.shape[0], Q), np.float32)
+                    for qi, b in enumerate(boosts):
+                        if b is not None:
+                            bmat[: db["n"], qi] = b[db["slice_index"]]
+                    bst_d = jax.device_put(bmat, ms._sharded)
                 out = ms.score_topk_multiquery(
                     tok_d, len_d, table, lt_arr, gaps, nt_arr,
                     locality=self._locality, k=min(m, tok_d.shape[0]),
                     use_pallas=up, sim_scale=sim_scale, with_next=True,
+                    pos_ids=pos_d if (with_tags or with_filter) else None,
+                    tag_ids=tag_d if with_filter else None,
+                    tw_args=tw_args, gap_vecs=gap_vecs, boost=bst_d,
+                    flt_args=flt_args,
+                    with_tags=with_tags,
+                    general_gaps=gap_costs is not None,
+                    with_boost=with_boost,
+                    with_filter=with_filter,
                 )
                 pending.append((db, out))
             if entry_err is None:
@@ -1450,7 +1577,9 @@ class BruteForceIndex(Index):
                 matches = self._try_exact_cut(
                     cands[q], float(rest_max[q]), plans[q], pq, gaps,
                     norm_totals[q], metric_name, n, min_score, eps,
-                    force=complete,
+                    force=complete, tagw=tagws[q], gap_costs=gap_costs,
+                    boost=boosts[q] if boosts is not None else None,
+                    doc_filter=doc_filter,
                 )
                 if matches is None:
                     retry = True
@@ -1463,7 +1592,7 @@ class BruteForceIndex(Index):
             # unsafe cut: full coverage over every shard in one more round
             # (complete=True then forces acceptance) — a single extra jit
             # shape instead of one per doubling
-            m = max(tok_d.shape[0] for _, tok_d, _ in shards)
+            m = max(tok_d.shape[0] for _, tok_d, _, _, _ in shards)
 
     def _find_batch_transport(
         self, texts, n: int = 100, min_score: float = 0.2, mesh=None, **kwargs
@@ -1551,7 +1680,10 @@ class BruteForceIndex(Index):
         )
         gaps = self._affine_gaps()
         if gaps is None:
-            raise NotImplementedError("find_batch requires affine gap costs")
+            gap_costs = (self._gap_s, self._gap_t)
+            gaps = AffineGapParams.of(0, 0, 0, 0)  # unused placeholder
+        else:
+            gap_costs = None
 
         start_time = time.time()
         prepared, plans, len_ts, norm_totals, ctx_qs = [], [], [], [], []
@@ -1585,7 +1717,7 @@ class BruteForceIndex(Index):
             return [r if r is not None else Result(self, [], 0.0) for r in results]
         scores = self._engine.score_all_multi_ctx(
             name, token_sim.metric, ctx_qs, len_ts, gaps, self._locality,
-            norm_totals,
+            norm_totals, gap_costs=gap_costs,
         )  # [n_slices, Q]
 
         for qi, pq in enumerate(prepared):
@@ -1595,6 +1727,7 @@ class BruteForceIndex(Index):
             matches = self._finalize_quantized(
                 scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
                 token_sim.name, n, min_score, entry_err=0.0,
+                gap_costs=gap_costs,
             )
             results[order[qi]] = Result(self, matches, time.time() - start_time)
         return [r if r is not None else Result(self, [], 0.0) for r in results]

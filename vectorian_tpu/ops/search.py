@@ -296,25 +296,38 @@ def _bucket_scores(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("locality", "chunk", "n_queries", "use_pallas", "with_tags"),
+    static_argnames=(
+        "locality", "chunk", "n_queries", "use_pallas", "with_tags",
+        "general_gaps", "with_filter", "with_boost",
+    ),
 )
 def _bucket_scores_multiquery(
     token_ids: jnp.ndarray,  # [N, L] i32
-    pos_ids: jnp.ndarray,  # [N, L] i8 (unused unless with_tags)
+    pos_ids: jnp.ndarray,  # [N, L] i8 (unused unless with_tags/with_filter)
+    tag_ids: jnp.ndarray,  # [N, L] i16 (unused unless with_filter)
     lengths: jnp.ndarray,  # [N] i32
     sim_multi: jnp.ndarray,  # [V, T, Q] f32 — Q stacked query matrices
     len_t: jnp.ndarray,  # [Q] i32
     gaps: AffineGapParams,
     norm_total: jnp.ndarray,  # [Q] f32
+    boost: jnp.ndarray,  # [N] f32 per-slice boost (with_boost only)
     tw_weights: jnp.ndarray,  # [T, Q] f32 per-query tag weights
     tw_pos_t: jnp.ndarray,  # [T, Q] i8 per-query needle pos ids
     tw_penalty: jnp.ndarray,  # [Q] f32 per-query mismatch penalty
     tw_threshold: jnp.ndarray,  # [Q] f32 per-query similarity threshold
+    flt_pos: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    flt_tag: jnp.ndarray,  # [n_tags] bool
+    flt_tok: jnp.ndarray,  # [V] bool
+    gap_vec_s: jnp.ndarray,  # [L+1] (general-gap path only)
+    gap_vec_t: jnp.ndarray,  # [T+1]
     locality: str,
     chunk: int,
     n_queries: int,
     use_pallas: bool = False,
     with_tags: bool = False,
+    general_gaps: bool = False,
+    with_filter: bool = False,
+    with_boost: bool = False,
     sim_scale=1.0,  # traced f32: sim table is in units of sim_scale (int8)
 ):
     """[N, Q] normalized scores — Q queries in one corpus pass.
@@ -334,20 +347,24 @@ def _bucket_scores_multiquery(
 
     # int8 tables quarter the gather's HBM traffic.  Max-plus DP is
     # positively homogeneous — align(S/c, gaps/c) = align(S, gaps)/c,
-    # including the local zero floor — so quantized units flow through the
-    # UNCHANGED kernels: divide the gap params by sim_scale going in,
-    # multiply the raw scores by sim_scale coming out.
+    # including the local zero floor and general gap-cost vectors — so
+    # quantized units flow through the UNCHANGED kernels: divide the gap
+    # params by sim_scale going in, multiply the raw scores by sim_scale
+    # coming out.
     gaps = AffineGapParams(
         *(jnp.asarray(g, jnp.float32) / sim_scale for g in gaps)
     )
+    gap_vec_s = jnp.asarray(gap_vec_s, jnp.float32) / sim_scale
+    gap_vec_t = jnp.asarray(gap_vec_t, jnp.float32) / sim_scale
 
     # the gather-native (NT) kernel puts Q in lanes — only efficient when
     # the batch fills them; below PALLAS_MIN_BATCH the fused jnp scan wins
-    # outright (measured)
-    nt = n_queries >= PALLAS_MIN_BATCH
+    # outright (measured).  The general-gap WSB DP has no NT kernel yet —
+    # it always takes the jnp scan path.
+    nt = n_queries >= PALLAS_MIN_BATCH and not general_gaps
 
     def one_chunk(args):
-        tokT, posT, ln = args  # [L, c], [L, c], [c]
+        tokT, posT, tagT, ln, bst = args  # [L, c], [L, c], [L, c], [c], [c]
         c = tokT.shape[1]
         # ONE gather serves Q queries, in kernel-native layout.  A bf16
         # table halves the gather's HBM traffic (the pass is near the HBM
@@ -356,6 +373,16 @@ def _bucket_scores_multiquery(
         S = sim_multi[tokT]  # [L, c, T, Q]
         if not (use_pallas and nt):
             S = S.astype(jnp.float32)
+        if with_filter:
+            # compact AFTER the gather (an L-axis permutation of S per
+            # column) so the gather layout stays contiguous — the batch
+            # analogue of _bucket_scores' compaction
+            perm, ln, _ = _compact_slices(
+                tokT.T, posT.T, tagT.T, ln, flt_pos, flt_tag, flt_tok
+            )
+            permT = perm.T  # [L, c]
+            S = jnp.take_along_axis(S, permT[:, :, None, None], axis=0)
+            posT = jnp.take_along_axis(posT, permT, axis=0)
         if with_tags:
             # tag-weighted similarity per query (TagWeightedSlice semantics,
             # slice/static.h:186-288, broadcast over the batch layout);
@@ -378,26 +405,41 @@ def _bucket_scores_multiquery(
             S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
             ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
             lt_rep = jnp.tile(len_t, c)
-            raw = align_scores(S2, ln_rep, lt_rep, gaps, locality).reshape(c, Q)
+            if general_gaps:
+                raw = align_scores_general(
+                    S2, ln_rep, lt_rep, gap_vec_s, gap_vec_t, locality
+                ).reshape(c, Q)
+            else:
+                raw = align_scores(
+                    S2, ln_rep, lt_rep, gaps, locality
+                ).reshape(c, Q)
         raw = raw * sim_scale  # back from quantized units (no-op at 1.0)
         scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+        if with_boost:
+            scores = scores * bst[:, None]
         return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
 
     # transpose the (tiny) index arrays once, outside the chunk loop, so the
     # (huge) gather consumes contiguous [L, c] index blocks
     tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
     pos_T = jnp.swapaxes(pos_ids.reshape(n_chunks, chunk, L), 1, 2)
+    tag_T = jnp.swapaxes(tag_ids.reshape(n_chunks, chunk, L), 1, 2)
     xs = (
         tokens_T,
         pos_T,
+        tag_T,
         lengths.reshape(n_chunks, chunk),
+        boost.reshape(n_chunks, chunk),
     )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "locality", "chunk", "n_queries", "use_pallas"),
+    static_argnames=(
+        "metric", "locality", "chunk", "n_queries", "use_pallas",
+        "general_gaps",
+    ),
 )
 def _bucket_scores_multiquery_ctx(
     ctx_store: jnp.ndarray,  # [N, L, d] per-token contextual vectors
@@ -408,11 +450,14 @@ def _bucket_scores_multiquery_ctx(
     len_t: jnp.ndarray,  # [Q] i32
     gaps: AffineGapParams,
     norm_total: jnp.ndarray,  # [Q] f32
+    gap_vec_s: jnp.ndarray,  # [L+1] (general-gap path only)
+    gap_vec_t: jnp.ndarray,  # [T+1]
     metric,
     locality: str,
     chunk: int,
     n_queries: int,
     use_pallas: bool = False,
+    general_gaps: bool = False,
 ):
     """[N, Q] scores for Q contextual queries in one corpus pass: the
     per-chunk metric evaluation is ONE GEMM against the [T*Q, d] stacked
@@ -436,7 +481,7 @@ def _bucket_scores_multiquery_ctx(
         S = metric.compute(a, b)  # [c*L, T*Q]
         S = jnp.clip(S, 0.0, 1.0)
         S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L, c, T, Q]
-        if use_pallas and Q >= PALLAS_MIN_BATCH:
+        if use_pallas and Q >= PALLAS_MIN_BATCH and not general_gaps:
             from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
 
             raw = pallas_align_scores_multi_nt(
@@ -444,13 +489,16 @@ def _bucket_scores_multiquery_ctx(
             )
         else:
             S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
-            raw = align_scores(
-                S2,
-                jnp.repeat(jnp.maximum(ln, 1), Q),
-                jnp.tile(len_t, c),
-                gaps,
-                locality,
-            ).reshape(c, Q)
+            ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
+            lt_rep = jnp.tile(len_t, c)
+            if general_gaps:
+                raw = align_scores_general(
+                    S2, ln_rep, lt_rep, gap_vec_s, gap_vec_t, locality
+                ).reshape(c, Q)
+            else:
+                raw = align_scores(S2, ln_rep, lt_rep, gaps, locality).reshape(
+                    c, Q
+                )
         scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
         return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
 
@@ -780,6 +828,8 @@ class BruteForceEngine:
         tag_weights: Optional[List[Optional[TagWeightingSpec]]] = None,
         sim_dtype=None,
         with_err: bool = False,
+        gap_costs=None,  # (GapCost_s, GapCost_t) -> general-gap WSB DP
+        doc_filter: Optional[DocFilterSpec] = None,
     ):
         """[n_slices, Q] scores for a batch of static-only query plans with
         one corpus pass (the gather amortizes across queries).
@@ -834,23 +884,40 @@ class BruteForceEngine:
 
         out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
+        flt = self._filter_args(doc_filter)
         for db in self._device_buckets:
             if db["n"] == 0:
                 continue
+            if gap_costs is not None:
+                # the index's gap model is shared by every query in the
+                # batch: ONE [L+1]/[Tpad+1] cost-vector pair serves all Q
+                # (the DP masks columns past each query's len_t)
+                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
+                gv_t = jnp.asarray(gap_costs[1].costs(Tpad + 1))
+            else:
+                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
+                gv_t = jnp.zeros((Tpad + 1,), jnp.float32)
             scores = _bucket_scores_multiquery(
                 db["tokens"],
                 db["pos"],
+                db["tag"],
                 db["lengths"],
                 sim_multi,
                 lt_arr,
                 gaps,
                 nt_arr,
+                jnp.ones((db["tokens"].shape[0],), jnp.float32),
                 *tw_args,
+                *flt,
+                gv_s,
+                gv_t,
                 locality=locality,
                 chunk=db["chunk"],
                 n_queries=Q,
                 use_pallas=use_pallas_default(),
                 with_tags=with_tags,
+                general_gaps=gap_costs is not None,
+                with_filter=doc_filter is not None,
                 sim_scale=sim_scale,
             )
             pending.append((db, scores))
@@ -870,6 +937,7 @@ class BruteForceEngine:
         gaps: AffineGapParams,
         locality: str,
         norm_totals: List[float],
+        gap_costs=None,  # (GapCost_s, GapCost_t) -> general-gap WSB DP
     ) -> np.ndarray:
         """[n_slices, Q] scores for a batch of single-contextual-embedding
         queries in one corpus pass (per-chunk metric evaluation = one GEMM
@@ -896,6 +964,12 @@ class BruteForceEngine:
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
+            if gap_costs is not None:
+                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
+                gv_t = jnp.asarray(gap_costs[1].costs(Tpad + 1))
+            else:
+                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
+                gv_t = jnp.zeros((Tpad + 1,), jnp.float32)
             scores = _bucket_scores_multiquery_ctx(
                 self._ctx_stores[name][bi],
                 db["lengths"],
@@ -905,11 +979,14 @@ class BruteForceEngine:
                 lt_arr,
                 gaps,
                 nt_arr,
+                gv_s,
+                gv_t,
                 metric=metric,
                 locality=locality,
                 chunk=db["chunk"],
                 n_queries=Q,
                 use_pallas=use_pallas_default(),
+                general_gaps=gap_costs is not None,
             )
             pending.append((db, scores))
         for db, scores in pending:

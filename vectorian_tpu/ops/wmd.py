@@ -742,7 +742,7 @@ class WMDEngine:
         while True:
             pending = []
             complete = True
-            for db, tok_d, len_d in shards:
+            for db, tok_d, len_d, _, _ in shards:
                 complete = complete and m >= tok_d.shape[0]
                 out = ms.rwmd_topk_multiquery(
                     tok_d, len_d, table, mass_d, len_ts,
@@ -807,7 +807,7 @@ class WMDEngine:
                 return results
             # unsafe cut: full coverage in one more round (complete=True
             # next pass) — avoids a fresh remote compile per doubling
-            m = max(tok_d.shape[0] for _, tok_d, _ in shards)
+            m = max(tok_d.shape[0] for _, tok_d, *_ in shards)
 
     def _score(self, index, query, qp) -> dict:
         """Device ranking pass; returns scores plus the mass/tag state the

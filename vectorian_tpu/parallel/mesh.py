@@ -160,7 +160,10 @@ class MeshSearch:
 
     @functools.partial(
         jax.jit,
-        static_argnames=("self", "locality", "k", "use_pallas", "with_next"),
+        static_argnames=(
+            "self", "locality", "k", "use_pallas", "with_next", "with_tags",
+            "general_gaps", "with_boost", "with_filter",
+        ),
     )
     def score_topk_multiquery(
         self,
@@ -175,6 +178,16 @@ class MeshSearch:
         use_pallas: bool = False,
         sim_scale=1.0,  # traced f32: table in quantized units (int8/bf16)
         with_next: bool = False,
+        pos_ids: Optional[jnp.ndarray] = None,  # [N, L] i8 sharded (tags)
+        tag_ids: Optional[jnp.ndarray] = None,  # [N, L] i16 sharded (filter)
+        tw_args=None,  # ([T,Q] w, [T,Q] pos_t, [Q] penalty, [Q] threshold)
+        gap_vecs=None,  # ([L+1], [T+1]) replicated general gap-cost vectors
+        boost: Optional[jnp.ndarray] = None,  # [N, Q] f32 sharded per-slice
+        flt_args=None,  # ([n_pos], [n_tags], [V]) bool exclusion masks
+        with_tags: bool = False,
+        general_gaps: bool = False,
+        with_boost: bool = False,
+        with_filter: bool = False,
     ):
         """Serving-batch scale-out: Q queries share each shard's vocab
         gather; per-query local top-min(k, shard_n), then one all_gather of
@@ -193,11 +206,23 @@ class MeshSearch:
         set, so after exact f32 rescoring of the k candidates the cut is
         provably safe iff ``next_best < exact_nth - eps`` (the mesh
         analogue of BruteForceIndex._finalize_quantized's loop; re-query
-        with larger k otherwise)."""
+        with larger k otherwise).
+
+        ``with_tags``: per-query tag-weighted similarity (TagWeightedSlice
+        semantics) from the sharded ``pos_ids`` and replicated ``tw_args``.
+        ``general_gaps``: WSB DP with the replicated ``gap_vecs`` cost
+        vectors instead of the affine recurrence.  ``with_boost``: per-slice
+        boost multipliers, sharded like ``lengths``.  ``with_filter``:
+        document-side token exclusion (``flt_args`` masks over the sharded
+        ``pos_ids``/``tag_ids``/token ids), compacted in-shard like the
+        single-chip batch kernel."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
+
+        from vectorian_tpu.ops.alignment import align_scores_general
+        from vectorian_tpu.ops.search import _compact_slices
 
         axis = self._mesh.axis_names[0]
         n_dev = self.n_devices
@@ -206,11 +231,36 @@ class MeshSearch:
         gaps_q = AffineGapParams(
             *(jnp.asarray(g, jnp.float32) / sim_scale for g in gaps)
         )
+        if general_gaps:
+            gv_s = jnp.asarray(gap_vecs[0], jnp.float32) / sim_scale
+            gv_t = jnp.asarray(gap_vecs[1], jnp.float32) / sim_scale
+        if with_tags:
+            tw_w, tw_p, tw_pen, tw_thr = tw_args
+        if with_filter:
+            flt_pos, flt_tag, flt_tok = flt_args
 
-        def shard_fn(tok, ln):
-            c = tok.shape[0]
+        def shard_fn(tok, ln, pos, tag, bst):
+            c, L = tok.shape
             S = sim_multi[tok.T]  # [L, c, T, Q] gather-native
-            if use_pallas:
+            if not use_pallas or with_tags or general_gaps:
+                S = S.astype(jnp.float32)
+            posT = pos.T
+            if with_filter:
+                perm, ln, _ = _compact_slices(
+                    tok, pos, tag, ln, flt_pos, flt_tag, flt_tok
+                )
+                permT = perm.T  # [L, c]
+                S = jnp.take_along_axis(S, permT[:, :, None, None], axis=0)
+                posT = jnp.take_along_axis(posT, permT, axis=0)
+            if with_tags:
+                w = tw_w[None, None, :, :] * jnp.where(
+                    posT[:, :, None, None] == tw_p[None, None, :, :],
+                    1.0,
+                    1.0 - tw_pen[None, None, None, :],
+                )
+                Sw = S * w
+                S = jnp.where(Sw > tw_thr[None, None, None, :], Sw, 0.0)
+            if use_pallas and not general_gaps:
                 from vectorian_tpu.ops.pallas_dp import (
                     pallas_align_scores_multi_nt,
                 )
@@ -219,33 +269,41 @@ class MeshSearch:
                     S, jnp.maximum(ln, 1), len_t, gaps_q, locality
                 )  # [c, Q]
             else:
-                S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, tok.shape[1], T)
-                S2 = S2.astype(jnp.float32)
-                raw = align_scores(
-                    S2,
-                    jnp.repeat(jnp.maximum(ln, 1), Q),
-                    jnp.tile(len_t, c),
-                    gaps_q,
-                    locality,
-                ).reshape(c, Q)
+                S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
+                ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
+                lt_rep = jnp.tile(len_t, c)
+                if general_gaps:
+                    raw = align_scores_general(
+                        S2, ln_rep, lt_rep, gv_s, gv_t, locality
+                    ).reshape(c, Q)
+                else:
+                    raw = align_scores(
+                        S2, ln_rep, lt_rep, gaps_q, locality
+                    ).reshape(c, Q)
             raw = raw * sim_scale  # back from quantized units (no-op at 1.0)
-            scores = jnp.where(
-                ln[:, None] > 0, raw / jnp.maximum(norm_total[None, :], 1e-9),
-                -jnp.inf,
-            )
+            scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+            if with_boost:
+                scores = scores * bst
+            scores = jnp.where(ln[:, None] > 0, scores, -jnp.inf)
             return _merge_local_topk(
                 scores, axis, shard_n, n_dev, k, with_next
             )
 
+        if pos_ids is None:
+            pos_ids = jnp.zeros(token_ids.shape, jnp.int8)
+        if tag_ids is None:
+            tag_ids = jnp.zeros(token_ids.shape, jnp.int16)
+        if boost is None:
+            boost = jnp.ones((token_ids.shape[0], Q), jnp.float32)
         out_specs = (P(), P(), P()) if with_next else (P(), P())
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
-            in_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=out_specs,
             check_vma=False,
         )
-        return fn(token_ids, lengths)
+        return fn(token_ids, lengths, pos_ids, tag_ids, boost)
 
     @functools.partial(
         jax.jit,
