@@ -243,8 +243,13 @@ def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
     with pytest.raises(NotImplementedError):
         index.find_batch(["king"], n=2, mesh=ms, submatch_weight=0.5)
     emb = session.embeddings[0]
+    # transport + tag weights cannot ride the mesh transport kernels
     wix = session.partition("sentence").index(
-        OptimizedSpanSim(EmbeddingTokenSim(emb), WordRotatorsDistance())
+        OptimizedSpanSim(
+            EmbeddingTokenSim(emb), WordRotatorsDistance(),
+            tag_weights={"NN": 1.0}, pos_mismatch_penalty=0.1,
+            similarity_threshold=0.0,
+        )
     )
     with pytest.raises(NotImplementedError):
         wix.find_batch(["king"], n=2, mesh=ms)
@@ -303,6 +308,42 @@ def test_find_batch_mesh_tag_weighted(session_ix_mesh):
         for r in ix.find_batch(queries, n=5, min_score=-5.0, mesh=ms)
     ]
     assert got == want
+
+
+def test_find_batch_mesh_full_wmd_wrd(session_ix_mesh):
+    """Full-WMD and WRD serving over the mesh: per-shard batched Sinkhorn
+    ranking + all-gather merge, exact host EMD rescore.  With n large
+    enough that the 4n overfetch covers the whole corpus the candidate set
+    is complete on both paths, so mesh and single-chip batches must return
+    identical (slice, score) lists — and the reported scores are the exact
+    EMD scores find() reports."""
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    session, _ = session_ix_mesh
+    emb = session.embeddings[0]
+    queries = ["the old king rides the grey horse", "bird sings tree"]
+    for optimizer in [WordMoversDistance.wmd("nbow"), WordRotatorsDistance()]:
+        ix = session.partition("sentence").index(
+            OptimizedSpanSim(EmbeddingTokenSim(emb), optimizer)
+        )
+        n = ix.packed.n_slices  # 4n overfetch covers everything
+        want = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(queries, n=n, min_score=0.05)
+        ]
+        assert any(want), optimizer
+        ms = MeshSearch(make_mesh())
+        got = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(queries, n=n, min_score=0.05, mesh=ms)
+        ]
+        assert got == want, optimizer
+        # spot-check against find(): exact EMD scores, same top hit
+        r0 = ix.find(queries[0], n=3, min_score=0.05)
+        assert got[0][0][0] == r0[0].slice_id
+        assert got[0][0][1] == pytest.approx(r0[0].score, abs=1e-6)
 
 
 def test_find_batch_mesh_rwmd(session_ix_mesh):

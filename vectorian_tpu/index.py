@@ -1620,10 +1620,11 @@ class BruteForceIndex(Index):
         supported = plain and a["algorithm"] in (
             "word-movers-distance", "word-rotators-distance"
         )
-        if mesh is not None and not (supported and relaxed):
+        if mesh is not None and not supported:
             raise NotImplementedError(
-                "mesh find_batch supports relaxed WMD over plain static "
-                "metrics only (no tag weights / boosters / filters)"
+                "mesh find_batch supports transport metrics (relaxed/full "
+                "WMD, WRD) over plain static metrics only (no tag weights "
+                "/ boosters / filters)"
             )
         if not supported:
             return [

@@ -315,36 +315,51 @@ def _bucket_emd_scores_multi(
     corpus pass (gather amortizes like the relaxed batch; the exact EMD
     rescore on host stays per query)."""
     N, L = token_ids.shape
-    T, Q = sim_multi.shape[1], sim_multi.shape[2]
     n_chunks = N // chunk
 
     def one_chunk(args):
         tokT, ln = args  # [L, c], [c]
-        c = ln.shape[0]
-        S = sim_multi[tokT].astype(jnp.float32)  # [L, c, T, Q]
-        p = jnp.arange(L, dtype=jnp.int32)
-        valid = p[None, :] < ln[:, None]  # [c, L]
-        if use_magnitudes:
-            # WRD: every position its own entry, mass = |v| (wrd.h:62-146)
-            m_s = jnp.where(valid, mags_vocab[tokT.T], 0.0)  # [c, L]
-        else:
-            m_s = _device_masses(tokT.T, ln)  # dedup by vocab id
-        m_t = jnp.tile(mass_t.T[None], (c, 1, 1)).reshape(c * Q, T)
-        m_s_b = jnp.repeat(m_s, Q, axis=0)  # [c*Q, L]
-        if normalize_mass:
-            m_s_b = m_s_b / jnp.maximum(
-                jnp.sum(m_s_b, axis=1, keepdims=True), 1e-9
-            )
-            m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
-        D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
-        Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
-        score = sinkhorn_emd_score(m_t, m_s_b, Dts, eps, n_iters)
-        score = score.reshape(c, Q)
-        return jnp.where(ln[:, None] > 0, score, NEG_SCORE)
+        return _emd_chunk_scores_multi(
+            tokT, ln, sim_multi, mags_vocab, mass_t, eps,
+            use_magnitudes, normalize_mass, n_iters,
+        )
 
     tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
     xs = (tokens_T, lengths.reshape(n_chunks, chunk))
-    return jax.lax.map(one_chunk, xs).reshape(N, Q)
+    return jax.lax.map(one_chunk, xs).reshape(
+        N, sim_multi.shape[2]
+    )
+
+
+def _emd_chunk_scores_multi(
+    tokT, ln, sim_multi, mags_vocab, mass_t, eps,
+    use_magnitudes: bool, normalize_mass: bool, n_iters: int,
+):
+    """[c, Q] Sinkhorn EMD ranking scores for one [L, c] token chunk —
+    shared by the single-chip chunk loop and the mesh shard kernel."""
+    L = tokT.shape[0]
+    T, Q = sim_multi.shape[1], sim_multi.shape[2]
+    c = ln.shape[0]
+    S = sim_multi[tokT].astype(jnp.float32)  # [L, c, T, Q]
+    p = jnp.arange(L, dtype=jnp.int32)
+    valid = p[None, :] < ln[:, None]  # [c, L]
+    if use_magnitudes:
+        # WRD: every position its own entry, mass = |v| (wrd.h:62-146)
+        m_s = jnp.where(valid, mags_vocab[tokT.T], 0.0)  # [c, L]
+    else:
+        m_s = _device_masses(tokT.T, ln)  # dedup by vocab id
+    m_t = jnp.tile(mass_t.T[None], (c, 1, 1)).reshape(c * Q, T)
+    m_s_b = jnp.repeat(m_s, Q, axis=0)  # [c*Q, L]
+    if normalize_mass:
+        m_s_b = m_s_b / jnp.maximum(
+            jnp.sum(m_s_b, axis=1, keepdims=True), 1e-9
+        )
+        m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
+    D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
+    Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
+    score = sinkhorn_emd_score(m_t, m_s_b, Dts, eps, n_iters)
+    score = score.reshape(c, Q)
+    return jnp.where(ln[:, None] > 0, score, NEG_SCORE)
 
 
 @functools.partial(
@@ -571,9 +586,13 @@ class WMDEngine:
 
         relaxed = self._algorithm == "word-movers-distance" and a.get("relaxed")
         if mesh is not None:
-            assert relaxed, "mesh transport serving supports relaxed WMD only"
-            return self._find_batch_mesh_rwmd(
-                index, queries, qps, sim_multi, mass_t, len_ts, states,
+            if relaxed:
+                return self._find_batch_mesh_rwmd(
+                    index, queries, qps, sim_multi, mass_t, len_ts, states,
+                    n, min_score, mesh,
+                )
+            return self._find_batch_mesh_emd(
+                index, queries, qps, sim_multi, mass_t, states, Tmax,
                 n, min_score, mesh,
             )
         if not relaxed:
@@ -710,6 +729,113 @@ class WMDEngine:
                     -m.score,
                     int(packed.slice_doc[m.slice_id]),
                     int(packed.slice_idx[m.slice_id]),
+                )
+            )
+            results.append(matches[:n])
+        return results
+
+    def _find_batch_mesh_emd(
+        self, index, queries, qps, sim_multi, mass_t, states, Tmax,
+        n: int, min_score: float, mesh,
+    ) -> List:
+        """Mesh-sharded full-WMD / WRD serving batch: per-shard batched
+        Sinkhorn ranking + top-4n all-gather merge, then the exact host EMD
+        rescore per query (same semantics as the single-chip
+        _find_batch_emd — the reported scores are exact, candidate
+        membership at the 4n Sinkhorn boundary stays heuristic)."""
+        import jax
+        from vectorian_tpu.ops.search import order_by_score
+        from vectorian_tpu.parallel.mesh import MeshSearch
+
+        engine = self._engine
+        a = self._args
+        ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
+        Q = len(queries)
+        is_wrd = self._algorithm == "word-rotators-distance"
+        if is_wrd:
+            mass_dev = np.zeros((Tmax, Q), np.float32)
+            for qi, (query, qp) in enumerate(zip(queries, qps)):
+                mm = self._static_needle_magnitudes(qp, query, index)
+                mass_dev[: len(mm), qi] = mm
+                states[qi]["mass_t_mag"] = mm
+            normalize = bool(a.get("normalize_magnitudes", True))
+            mags_vocab = np.asarray(qps[0].static_mags[0], np.float32)
+        else:
+            mass_dev = mass_t
+            normalize = True
+            mags_vocab = np.zeros(
+                (int(qps[0].static_sims[0].shape[0]),), np.float32
+            )
+
+        table = ms.put_replicated(np.asarray(sim_multi))
+        mags_d = ms.put_replicated(mags_vocab)
+        mass_d = ms.put_replicated(mass_dev)
+        eps = jnp.asarray(0.02, jnp.float32)
+        n_dev = ms.n_devices
+
+        k = 4 * n
+        score_maps = [dict() for _ in range(Q)]
+        pending = []
+        for db in engine._device_buckets:
+            if db["n"] == 0:
+                continue
+            chunk = db["chunk"]
+            while chunk > 64 and chunk * Q > 4096:
+                chunk //= 2
+            # pad rows to a multiple of devices*chunk so every shard chunks
+            # evenly (padding rows have length 0 -> NEG score, filtered)
+            mult = n_dev * chunk
+            npad = (-db["tokens_np"].shape[0]) % mult
+            tok = np.pad(db["tokens_np"], ((0, npad), (0, 0)))
+            ln = np.pad(np.asarray(db["lengths"], np.int32), (0, npad))
+            tok_d = jax.device_put(tok, ms._sharded)
+            len_d = jax.device_put(ln, ms._sharded)
+            out = ms.emd_topk_multiquery(
+                tok_d, len_d, table, mags_d, mass_d, eps,
+                use_magnitudes=is_wrd, normalize_mass=normalize,
+                k=min(k, tok.shape[0]), chunk=chunk,
+            )
+            pending.append((db, out))
+        for db, (s, i) in pending:
+            s, i = np.asarray(s), np.asarray(i)
+            for q in range(Q):
+                valid = (
+                    (i[q] < db["n"])
+                    & np.isfinite(s[q])
+                    & (s[q] > NEG_SCORE * 0.5)
+                )
+                for sid, sc in zip(
+                    db["slice_index"][i[q][valid]], s[q][valid]
+                ):
+                    score_maps[q][int(sid)] = float(sc)
+
+        rank_min = min_score - SINKHORN_RANK_SLACK
+        results = []
+        packed = engine.packed
+        for qi, (query, qp) in enumerate(zip(queries, qps)):
+            smap = score_maps[qi]
+            cand = [sid for sid, sc in smap.items() if sc >= rank_min]
+            if cand:
+                cand_arr = np.asarray(cand, np.int64)
+                vals = np.asarray([smap[c] for c in cand], np.float64)
+                order = order_by_score(packed, cand_arr, vals)
+                top = [int(c) for c in cand_arr[order][: 4 * n]]
+            else:
+                top = []
+            state = dict(states[qi])
+            state["scores"] = smap
+            matches = (
+                self._host_rescore(
+                    index, query, qp, state, top, min_score, None
+                )
+                if top
+                else []
+            )
+            matches.sort(
+                key=lambda mm: (
+                    -mm.score,
+                    int(packed.slice_doc[mm.slice_id]),
+                    int(packed.slice_idx[mm.slice_id]),
                 )
             )
             results.append(matches[:n])

@@ -391,6 +391,71 @@ class MeshSearch:
         )
         return fn(token_ids, lengths)
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "use_magnitudes", "normalize_mass", "k", "chunk",
+            "n_iters",
+        ),
+    )
+    def emd_topk_multiquery(
+        self,
+        token_ids: jnp.ndarray,  # [N, L] sharded over 'data'
+        lengths: jnp.ndarray,  # [N] sharded
+        sim_multi: jnp.ndarray,  # [V, T, Q] replicated
+        mags_vocab: jnp.ndarray,  # [V] replicated (WRD masses)
+        mass_t: jnp.ndarray,  # [T, Q] per-query masses
+        eps: jnp.ndarray,  # Sinkhorn regularization
+        use_magnitudes: bool,
+        normalize_mass: bool,
+        k: int = 10,
+        chunk: int = 64,  # Sinkhorn holds [chunk*Q, T, L]; must divide N/d
+        n_iters: int = 50,
+    ):
+        """Full-WMD / WRD serving batch over the mesh: each shard runs the
+        batched Sinkhorn ranking over its slices (in ``chunk``-sized pieces
+        — the potentials are [chunk*Q, T, L]), local top-k, one all-gather
+        merge (the transport analogue of score_topk_multiquery; ranking is
+        approximate, the caller's exact host EMD rescore is the product
+        score — wmd.h:194-270 semantics)."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from vectorian_tpu.ops.wmd import NEG_SCORE, _emd_chunk_scores_multi
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self.n_devices
+        shard_n = token_ids.shape[0] // n_dev
+        assert shard_n % chunk == 0, (shard_n, chunk)
+        Q = sim_multi.shape[2]
+
+        def shard_fn(tok, ln):
+            sn, L = tok.shape
+            n_chunks = sn // chunk
+
+            def one_chunk(args):
+                tok_c, ln_c = args  # [chunk, L], [chunk]
+                return _emd_chunk_scores_multi(
+                    tok_c.T, ln_c, sim_multi, mags_vocab, mass_t, eps,
+                    use_magnitudes, normalize_mass, n_iters,
+                )
+
+            xs = (tok.reshape(n_chunks, chunk, L),
+                  ln.reshape(n_chunks, chunk))
+            scores = jax.lax.map(one_chunk, xs).reshape(sn, Q)
+            return _merge_local_topk(scores, axis, shard_n, n_dev, k, False)
+
+        fn = shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(token_ids, lengths)
+
     @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
     def score_topk(
         self,
