@@ -1,4 +1,4 @@
-"""Headline benchmark: sentence-alignments/sec/chip.
+"""Headline benchmark: sentence-alignments/sec/chip + end-to-end serving.
 
 North-star target (BASELINE.json): >= 10M sentence-alignments/sec/chip on
 TPU v5e.  One "sentence alignment" = one full Smith-Waterman DP of a
@@ -13,7 +13,19 @@ multi-query batching (Q=512) that amortizes the per-index vocab gather —
 the single-chip throughput-serving configuration (latency-sensitive
 serving uses smaller batches; see docs/performance.md).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+The PRODUCT measurement (BASELINE.md north star: "alignments/sec/chip +
+p50 query latency at recall@10 parity") additionally runs the full public
+pipeline — Session build, corpus packing, vocab gather, DP, device top-k,
+provable-cut f32 finalizer, Match construction — over a 1M-slice
+synthetic Zipf corpus:
+
+  e2e_alignments_per_sec : n_slices * Q / wall(find_batch(Q queries))
+  p50_query_ms           : median wall latency of single index.find()
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
+"e2e_alignments_per_sec", "p50_query_ms", "e2e_slices"}.  Set
+VECTORIAN_BENCH_E2E=0 to skip the e2e stage (kernel headline only) or to
+a smaller sentence count for quick runs.
 """
 
 import json
@@ -22,6 +34,73 @@ import sys
 import time
 
 import numpy as np
+
+
+def _alpha_word(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        s += chr(ord("a") + i % 26)
+        i //= 26
+    return "w" + s
+
+
+def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
+    """Full Session -> find_batch product measurement on a synthetic Zipf
+    corpus; returns (e2e_alignments_per_sec, p50_query_ms, n_slices)."""
+    import vectorian_tpu as vt
+    from vectorian_tpu.embedding.static import KeyedVectors
+    from vectorian_tpu.metrics import EmbeddingTokenSim
+
+    rng = np.random.default_rng(0)
+    V_words = 5_000
+    words = [_alpha_word(i) for i in range(V_words)]
+    emb = KeyedVectors(
+        "syn", words, rng.normal(size=(V_words, 300)).astype(np.float32)
+    )
+    sents_per_doc = 2_000
+    n_docs = max(n_sents // sents_per_doc, 1)
+    texts = []
+    for _ in range(n_docs):
+        ids = np.minimum(rng.zipf(1.2, size=(sents_per_doc, 9)), V_words - 1)
+        texts.append(
+            " ".join(
+                " ".join(words[i] for i in row) + "." for row in ids
+            )
+        )
+    docs = [vt.StringImporter()(t, title=f"d{i}") for i, t in enumerate(texts)]
+    session = vt.Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    n_slices = index.packed.n_slices
+
+    def zipf_query():
+        return " ".join(
+            words[int(i)]
+            for i in np.minimum(rng.zipf(1.2, size=7), V_words - 1)
+        )
+
+    queries = [zipf_query() for _ in range(Q)]
+    # warm: compiles the bucket-shape pipeline + finalizer shapes for n=10
+    index.find_batch([zipf_query() for _ in range(Q)], n=10, min_score=0.2)
+    index.find(zipf_query(), n=10, min_score=0.2)
+
+    # amortized serving throughput: one warm batch, wall-clocked to the
+    # finished Match objects (scores are host-materialized by then)
+    t0 = time.perf_counter()
+    res = index.find_batch(queries, n=10, min_score=0.2)
+    dt_batch = time.perf_counter() - t0
+    assert len(res) == Q
+    e2e_rate = n_slices * Q / dt_batch
+
+    # interactive single-query latency (median of 9 warm queries)
+    lats = []
+    for _ in range(9):
+        q = zipf_query()
+        t0 = time.perf_counter()
+        index.find(q, n=10, min_score=0.2)
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(np.asarray(lats) * 1e3, 50))
+    return e2e_rate, p50_ms, n_slices
 
 
 def main():
@@ -113,16 +192,26 @@ def main():
 
     alignments_per_sec = N * Q / dt
     baseline = 10_000_000.0  # north-star target, BASELINE.md
-    print(
-        json.dumps(
-            {
-                "metric": "sentence-alignments/sec/chip",
-                "value": round(alignments_per_sec, 1),
-                "unit": "alignments/s",
-                "vs_baseline": round(alignments_per_sec / baseline, 4),
-            }
-        )
-    )
+
+    out = {
+        "metric": "sentence-alignments/sec/chip",
+        "value": round(alignments_per_sec, 1),
+        "unit": "alignments/s",
+        "vs_baseline": round(alignments_per_sec / baseline, 4),
+    }
+
+    e2e_env = os.environ.get("VECTORIAN_BENCH_E2E", "")
+    n_e2e = 1_000_000 if e2e_env == "" else int(e2e_env or 0)
+    if n_e2e:
+        try:
+            e2e_rate, p50_ms, n_slices = bench_e2e(n_e2e)
+            out["e2e_alignments_per_sec"] = round(e2e_rate, 1)
+            out["p50_query_ms"] = round(p50_ms, 1)
+            out["e2e_slices"] = int(n_slices)
+        except Exception as e:  # the headline must still report
+            out["e2e_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
