@@ -145,6 +145,76 @@ def test_corpus_persistence(tmp_path):
         assert len(r) >= 1
 
 
+def test_flavor_persistence_skips_normalization(tmp_path, monkeypatch):
+    """A reopened corpus + session loads the persisted flavor: ZERO
+    normalization/interning work, identical prepared and packed arrays,
+    byte-identical search results (reference FlavorBuilder,
+    corpus/corpus.py:68-192; VERDICT round-1 item 5)."""
+    monkeypatch.setenv("VECTORIAN_CACHE_HOME", str(tmp_path / "cache"))
+    imp = StringImporter()
+    texts = [
+        "The king rides the grey horse. The queen sleeps.",
+        "A bird sings. Another text entirely.",
+    ]
+    emb = make_embedding(
+        ["king", "rides", "queen", "sleeps", "the", "grey", "horse",
+         "bird", "sings", "another", "text", "entirely", "a"]
+    )
+    with Corpus(tmp_path / "c") as corpus:
+        for i, t in enumerate(texts):
+            corpus.add_doc(imp(t, title=f"t{i}"))
+        s1 = Session(corpus, embeddings=[emb])
+        assert (tmp_path / "c" / "flavors").exists()
+        assert list((tmp_path / "c" / "flavors").glob("*.h5"))
+        ix1 = s1.partition("sentence").index(EmbeddingTokenSim(emb))
+        want = [
+            (m.slice_id, m.score)
+            for m in ix1.find("the king rides", n=3, min_score=0.1)
+        ]
+        tok1 = [pd.token_ids.copy() for pd in s1.documents]
+        vocab1 = list(s1.vocab.tokens.strings)
+        p1 = s1.packed_corpus(s1.partition("sentence").spec)
+
+    # reopening must never touch prepare_document (normalization + intern)
+    import vectorian_tpu.session as session_mod
+
+    def boom(*a, **k):
+        raise AssertionError("normalization ran on a flavor-cached corpus")
+
+    monkeypatch.setattr(session_mod, "prepare_document", boom)
+    with Corpus(tmp_path / "c") as corpus:
+        s2 = Session(corpus, embeddings=[emb])
+        assert [pd.token_ids.tolist() for pd in s2.documents] == [
+            t.tolist() for t in tok1
+        ]
+        assert list(s2.vocab.tokens.strings) == vocab1
+        p2 = s2.packed_corpus(s2.partition("sentence").spec)
+        np.testing.assert_array_equal(p1.slice_doc, p2.slice_doc)
+        np.testing.assert_array_equal(
+            p1.buckets[0].token_ids, p2.buckets[0].token_ids
+        )
+        ix2 = s2.partition("sentence").index(EmbeddingTokenSim(emb))
+        got = [
+            (m.slice_id, m.score)
+            for m in ix2.find("the king rides", n=3, min_score=0.1)
+        ]
+        assert got == want
+
+    # a DIFFERENT flavor must miss (and rebuild, not crash)
+    monkeypatch.undo()
+    from vectorian_tpu.normalization import LowercaseNormalization
+
+    with Corpus(tmp_path / "c") as corpus:
+        s3 = Session(
+            corpus, embeddings=[emb], normalization=LowercaseNormalization()
+        )
+        assert len(list((tmp_path / "c" / "flavors").glob("*.h5"))) == 2
+        # adding a doc invalidates the cached flavors (content key)
+        corpus.add_doc(imp("Fresh content.", title="t9"))
+        s4 = Session(corpus, embeddings=[emb])
+        assert len(s4.documents) == 3
+
+
 def test_temporary_corpus():
     imp = StringImporter()
     corpus = TemporaryCorpus()

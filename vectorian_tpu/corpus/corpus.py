@@ -6,10 +6,14 @@ by content hash, dedup via Document.find_duplicates, document.py:403-415),
 per-normalization flavor caches (FlavorBuilder:68-192) and an embeddings
 catalog (EmbeddingCatalog:195-242).
 
-The same layout is kept (h5 + sqlite), minus the flavor h5 files: flavors
-here are recomputed at session build (cheap vectorized numpy) and the heavy
-artifacts — normalized embedding matrices and packed partition arrays — are
-cached content-addressed under the cache home instead."""
+The same layout is kept (h5 + sqlite), including persisted flavors:
+``flavors/<ident-digest>.h5`` stores the session-ready prepared arrays
+(vocabulary strings + per-doc normalized token/pos/tag ids, keep mask and
+re-indexed spans, reference FlavorBuilder corpus.py:68-192) keyed by the
+corpus content so a reopened corpus skips tokenization-table normalization
+and vocab interning entirely.  The heavy derived artifacts — normalized
+embedding matrices and packed partition arrays — are additionally cached
+content-addressed under the cache home."""
 
 from __future__ import annotations
 
@@ -120,6 +124,111 @@ class Corpus:
     @property
     def docs(self) -> List[Document]:
         return list(self)
+
+    # --- persisted normalization flavors (reference FlavorBuilder,
+    # corpus/corpus.py:68-192: PREFLIGHT builds enum mappings, ADD writes
+    # per-doc masked tables; here one h5 per flavor holds the session-ready
+    # prepared arrays so reopening skips normalization + interning) ---
+
+    def content_key(self) -> str:
+        """Digest of the document set (uids + content hashes) — cheap (no
+        text reload) and exactly what a flavor's validity depends on."""
+        rows = sorted(
+            self._db.execute(
+                "SELECT unique_id, content_hash FROM text"
+            ).fetchall()
+        )
+        h = hashlib.sha256()
+        for uid, ch in rows:
+            h.update(uid.encode())
+            h.update(ch.encode())
+        return h.hexdigest()[:24]
+
+    def _flavor_path(self, ident) -> Path:
+        d = self._path / "flavors"
+        d.mkdir(exist_ok=True)
+        return d / (_sha256(repr(ident))[:16] + ".h5")
+
+    def load_flavor(self, ident) -> Optional[dict]:
+        """Prepared-session arrays for a normalization flavor, or None on
+        miss/stale.  Returns {"uids", "tokens", "tags", "docs"} where docs
+        is a list of dicts with token_ids/pos_ids/tag_ids/orig_index/spans."""
+        import h5py
+
+        path = self._flavor_path(ident)
+        if not path.exists():
+            return None
+        try:
+            with h5py.File(path, "r") as f:
+                if f.attrs.get("content_key") != self.content_key():
+                    return None
+                uids = [s.decode() for s in f["uids"][()]]
+                tokens = [s.decode() for s in f["tokens"][()]]
+                tags = [s.decode() for s in f["tags"][()]]
+                docs = []
+                dg = f["docs"]
+                for i in range(len(uids)):
+                    g = dg[str(i)]
+                    spans = {
+                        k: np.asarray(v) for k, v in g["spans"].items()
+                    }
+                    docs.append(
+                        {
+                            "token_ids": np.asarray(g["token_ids"]),
+                            "pos_ids": np.asarray(g["pos_ids"]),
+                            "tag_ids": np.asarray(g["tag_ids"]),
+                            "orig_index": np.asarray(g["orig_index"]),
+                            "spans": spans,
+                        }
+                    )
+                return {
+                    "uids": uids,
+                    "tokens": tokens,
+                    "tags": tags,
+                    "docs": docs,
+                }
+        except Exception:
+            return None
+
+    def save_flavor(self, ident, uids, tokens, tags, docs) -> None:
+        """Persist prepared-session arrays (see load_flavor); best-effort
+        (read-only corpus dirs simply skip)."""
+        import h5py
+
+        path = self._flavor_path(ident)
+        try:
+            with h5py.File(path, "w") as f:
+                str_dt = h5py.string_dtype(encoding="utf-8")
+                f.attrs["content_key"] = self.content_key()
+                f.attrs["ident"] = repr(ident)
+                f.create_dataset("uids", data=np.asarray(uids, dtype=str_dt))
+                f.create_dataset(
+                    "tokens", data=np.asarray(tokens, dtype=str_dt)
+                )
+                f.create_dataset("tags", data=np.asarray(tags, dtype=str_dt))
+                dg = f.create_group("docs")
+                for i, d in enumerate(docs):
+                    g = dg.create_group(str(i))
+                    g.create_dataset(
+                        "token_ids", data=np.asarray(d["token_ids"], np.int32)
+                    )
+                    g.create_dataset(
+                        "pos_ids", data=np.asarray(d["pos_ids"], np.int8)
+                    )
+                    g.create_dataset(
+                        "tag_ids", data=np.asarray(d["tag_ids"], np.int16)
+                    )
+                    g.create_dataset(
+                        "orig_index",
+                        data=np.asarray(d["orig_index"], np.int32),
+                    )
+                    sg = g.create_group("spans")
+                    for level, arr in d["spans"].items():
+                        sg.create_dataset(
+                            level, data=np.asarray(arr, np.int32)
+                        )
+        except OSError:
+            pass
 
     def close(self):
         self._h5.close()

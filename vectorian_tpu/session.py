@@ -335,13 +335,70 @@ class Session:
         self._nlp = nlp if nlp is not None else SimpleNLP()
         self._vocab = Vocabulary()
 
-        docs = list(docs)
+        # a Corpus carries a persisted-flavor cache: a reopened corpus
+        # restores the session-ready arrays (normalized ids, keep masks,
+        # re-indexed spans, vocabulary) and skips normalization +
+        # interning entirely (reference FlavorBuilder, corpus.py:68-192)
+        from vectorian_tpu.corpus.corpus import Corpus as _Corpus
+
+        corpus = docs if isinstance(docs, _Corpus) else None
         self._documents: List[PreparedDocument] = []
-        for i, doc in enumerate(_progress(docs, desc="preparing docs")):
-            self._documents.append(
-                prepare_document(doc, i, normalization, self._vocab)
+        flavor = (
+            corpus.load_flavor(normalization.ident)
+            if corpus is not None
+            else None
+        )
+        docs = corpus.docs if corpus is not None else list(docs)
+        if flavor is not None and flavor["uids"] == [
+            d.unique_id for d in docs
+        ]:
+            self._vocab = Vocabulary.from_strings(
+                flavor["tokens"], flavor["tags"]
             )
-        self._reorder_vocab_by_frequency()
+            from vectorian_tpu.embedding.vectors import LazyVectors
+
+            for i, (doc, d) in enumerate(zip(docs, flavor["docs"])):
+                contextual = {
+                    name: LazyVectors(vecs, d["orig_index"])
+                    for name, vecs in doc.contextual_embeddings.items()
+                    if len(vecs)
+                }
+                self._documents.append(
+                    PreparedDocument(
+                        doc=doc,
+                        doc_index=i,
+                        token_ids=d["token_ids"],
+                        pos_ids=d["pos_ids"],
+                        tag_ids=d["tag_ids"],
+                        orig_index=d["orig_index"],
+                        spans=d["spans"],
+                        contextual=contextual,
+                    )
+                )
+            # ids were persisted AFTER the frequency reorder — already hot
+        else:
+            for i, doc in enumerate(_progress(docs, desc="preparing docs")):
+                self._documents.append(
+                    prepare_document(doc, i, normalization, self._vocab)
+                )
+            self._reorder_vocab_by_frequency()
+            if corpus is not None:
+                corpus.save_flavor(
+                    normalization.ident,
+                    [d.unique_id for d in docs],
+                    self._vocab.tokens.strings,
+                    self._vocab.tags.strings,
+                    [
+                        {
+                            "token_ids": pd.token_ids,
+                            "pos_ids": pd.pos_ids,
+                            "tag_ids": pd.tag_ids,
+                            "orig_index": pd.orig_index,
+                            "spans": pd.spans,
+                        }
+                        for pd in self._documents
+                    ],
+                )
 
         self._embeddings = list(embeddings)
         self._compiled: Dict[str, CompiledEmbedding] = {}

@@ -158,6 +158,17 @@ class Vocabulary:
         self.tokens = Lexicon()
         self.tags = Lexicon()
 
+    @classmethod
+    def from_strings(cls, tokens: Sequence[str], tags: Sequence[str]):
+        """Rebuild a vocabulary from persisted lexicon strings (index 0 is
+        the PAD entry both lexicons create themselves)."""
+        v = cls()
+        for s in tokens[1:]:
+            v.tokens.add(s)
+        for s in tags[1:]:
+            v.tags.add(s)
+        return v
+
     def pos_id(self, pos: str) -> int:
         return UPOS_TO_ID.get(pos, UPOS_TO_ID["X"])
 
