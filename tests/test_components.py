@@ -252,6 +252,130 @@ def test_packed_corpus_disk_cache(tmp_path, monkeypatch):
     np.testing.assert_array_equal(p3.slice_doc, p1.slice_doc)
 
 
+def test_download_machinery(tmp_path):
+    """download(): streaming fetch via injectable fetcher, sha256 verify,
+    idempotence, gzip + zip post-processing — the reference's
+    embedding/utils.py:42-85 pipeline, testable without egress."""
+    import gzip
+    import hashlib
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from vectorian_tpu.embedding.utils import download
+
+    data = b"hello embedding bytes"
+
+    def fetcher(url):
+        yield data
+
+    out = download(
+        "http://host/y/plain.txt", tmp_path, fetcher=fetcher,
+        checksum=hashlib.sha256(data).hexdigest(),
+    )
+    assert out == tmp_path / "plain.txt" and out.read_bytes() == data
+
+    def boom(url):
+        raise AssertionError("existing artifact must not refetch")
+
+    assert download("http://host/y/plain.txt", tmp_path, fetcher=boom) == out
+
+    # checksum mismatch: raise AND leave nothing behind
+    with _pytest.raises(ValueError):
+        download(
+            "http://host/y/bad.txt", tmp_path, fetcher=fetcher,
+            checksum="0" * 64,
+        )
+    assert not (tmp_path / "bad.txt").exists()
+
+    # a failing fetch never leaves a torn file
+    def torn(url):
+        yield b"partial"
+        raise IOError("connection reset")
+
+    with _pytest.raises(IOError):
+        download("http://host/y/torn.txt", tmp_path, fetcher=torn)
+    assert not (tmp_path / "torn.txt").exists()
+
+    # .gz decompresses to the stem
+    gz = gzip.compress(b"unzipped!")
+    out = download(
+        "http://host/z/file.txt.gz", tmp_path, fetcher=lambda u: iter([gz])
+    )
+    assert out == tmp_path / "file.txt" and out.read_bytes() == b"unzipped!"
+    assert not (tmp_path / "file.txt.gz").exists()
+
+    # .zip: members flatten next to the archive; archive removed
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("nested/glove.6B.50d.txt", "the 1 0\n")
+        zf.writestr("nested/glove.6B.100d.txt", "the 1 0 0 0\n")
+    d2 = tmp_path / "z2"
+    download(
+        "http://host/glove.6B.zip", d2, fetcher=lambda u: iter([buf.getvalue()])
+    )
+    assert (d2 / "glove.6B.50d.txt").exists()
+    assert (d2 / "glove.6B.100d.txt").exists()
+    assert not (d2 / "glove.6B.zip").exists()
+
+
+def test_zoo_fetch_glove_and_numberbatch(tmp_path, monkeypatch):
+    """Zoo.fetch drives the full pipeline from a local fixture: glove zip
+    -> cache file PretrainedGloVe loads; numberbatch gz dump -> extracted
+    per-language word2vec text Word2VecVectors loads."""
+    import gzip
+    import io
+    import zipfile
+
+    monkeypatch.setenv("VECTORIAN_CACHE_HOME", str(tmp_path))
+    from vectorian_tpu.embedding.zoo import Zoo
+    from vectorian_tpu.normalization import VanillaNormalization
+
+    # like the real archive, several dim variants per zip (a single-member
+    # zip would be renamed to the archive stem — reference semantics)
+    rng = np.random.default_rng(0)
+
+    def glove_lines(d):
+        return "\n".join(
+            w + " " + " ".join(f"{x:.3f}" for x in rng.normal(size=d))
+            for w in ("king", "queen", "horse")
+        ) + "\n"
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("glove.6B.50d.txt", glove_lines(50))
+        zf.writestr("glove.6B.100d.txt", glove_lines(100))
+
+    path = Zoo.fetch(
+        "glove-6B-50", fetcher=lambda u: iter([buf.getvalue()])
+    )
+    assert path.exists()
+    emb = Zoo.load("glove-6B-50")
+    enc = emb.create_encoder(VanillaNormalization())
+    assert enc.word_vec("king").shape == (50,)
+    assert np.abs(enc.word_vec("king")).sum() > 0
+
+    # numberbatch: multilingual dump, en extracted to word2vec text
+    nb_lines = ["6 4"]
+    for lang in ("en", "de"):
+        for i, w in enumerate(("sun", "moon", "sea")):
+            nb_lines.append(f"/c/{lang}/{w} {i}.0 1.0 2.0 3.0")
+    nb_gz = gzip.compress(("\n".join(nb_lines) + "\n").encode())
+    path = Zoo.fetch(
+        "numberbatch-19.08-en", fetcher=lambda u: iter([nb_gz])
+    )
+    assert path.name == "numberbatch-en-19.08.txt"
+    emb = Zoo.load("numberbatch-19.08-en")
+    enc = emb.create_encoder(VanillaNormalization())
+    assert enc.word_vec("moon").shape == (4,)
+    assert enc.word_vec("moon")[0] == pytest.approx(1.0)
+
+    # load(fetch=True) short-circuits on the now-present artifact
+    emb2 = Zoo.load("numberbatch-19.08-en", fetch=True, fetcher=None)
+    assert emb2.name == emb.name
+
+
 def test_custom_vector_metric_end_to_end(small_session):
     """User-defined VectorSim subclasses run on device inside the engine
     (the reference's python-metric plugin point, metric/static.cpp:42-55 +
