@@ -200,6 +200,89 @@ def test_word_ngrams_full_word_and_edges():
     assert word_ngrams("a", 3, 6) == ["<a>"]
 
 
+def test_convert_compress_fasttext(tmp_path):
+    """Converter from the gensim/compress_fasttext attribute surface to the
+    native model: with raw vocab rows it is the identity; with only final
+    word vectors (compress_fasttext's published models) the vocab row is
+    reconstructed so in-vocab lookups reproduce the source vectors and OOV
+    stays a pure ngram mean (reference fasttext.py:15-45)."""
+    from types import SimpleNamespace
+
+    from vectorian_tpu.embedding.fasttext import (
+        FastTextModel,
+        convert_compress_fasttext,
+        fnv1a_hash,
+        word_ngrams,
+    )
+
+    rng = np.random.default_rng(3)
+    words = ["the", "cat", "café", "日本"]
+    dim, bucket, minn, maxn = 8, 64, 3, 6
+    vocab_rows = rng.normal(size=(len(words), dim)).astype(np.float32)
+    ngrams = rng.normal(size=(bucket, dim)).astype(np.float32)
+    ref = FastTextModel(
+        words, len(words), dim, bucket, minn, maxn,
+        np.vstack([vocab_rows, ngrams]),
+    )
+
+    # (a) raw vocab rows present -> identical model
+    kv = SimpleNamespace(
+        index_to_key=words, vector_size=dim, bucket=bucket,
+        min_n=minn, max_n=maxn, vectors_ngrams=ngrams,
+        vectors_vocab=vocab_rows,
+    )
+    m = convert_compress_fasttext(kv)
+    for w in words + ["zzunknown", "caf"]:
+        np.testing.assert_allclose(
+            m.word_vector(w), ref.word_vector(w), atol=1e-6, err_msg=w
+        )
+
+    # (b) only final vectors -> in-vocab reproduces them, OOV = ngram mean
+    finals = np.stack([ref.word_vector(w) for w in words])
+    kv2 = SimpleNamespace(
+        index_to_key=words, vector_size=dim, bucket=bucket,
+        min_n=minn, max_n=maxn, vectors_ngrams=ngrams, vectors=finals,
+    )
+    m2 = convert_compress_fasttext(kv2)
+    for i, w in enumerate(words):
+        np.testing.assert_allclose(
+            m2.word_vector(w), finals[i], atol=1e-5, err_msg=w
+        )
+    oov = "zzunknown"
+    ids = [
+        bucket * 0 + (fnv1a_hash(ng.encode()) % bucket)
+        for ng in word_ngrams(oov, minn, maxn)
+    ]
+    want = ngrams[ids].mean(axis=0)
+    np.testing.assert_allclose(m2.word_vector(oov), want, atol=1e-6)
+
+    # (c) compressed-matrix duck-typing (row __getitem__ only) + .npz out
+    class RowsOnly:
+        def __init__(self, arr):
+            self._a = arr
+
+        def __getitem__(self, i):
+            if isinstance(i, (int, np.integer)):
+                return self._a[i]
+            raise TypeError("rows only")
+
+    kv3 = SimpleNamespace(
+        index_to_key=words, vector_size=dim, bucket=bucket,
+        min_n=minn, max_n=maxn, vectors_ngrams=RowsOnly(ngrams),
+        vectors_vocab=RowsOnly(vocab_rows),
+    )
+    q = convert_compress_fasttext(
+        kv3, out_path=tmp_path / "q.npz", n_subvectors=4, n_codes=16
+    )
+    enc = q.create_encoder()
+    # PQ quantization is lossy but must track the dense model closely
+    for w in words:
+        cos = np.dot(enc.word_vec(w), ref.word_vector(w)) / (
+            np.linalg.norm(enc.word_vec(w)) * np.linalg.norm(ref.word_vector(w))
+        )
+        assert cos > 0.95, w
+
+
 def test_native_ngram_encoder_matches_python(tmp_path):
     """The C++ batch encoder must produce the same vectors as the python
     reference path, including the full-'<word>' ngram."""

@@ -357,10 +357,80 @@ class QuantizedFastText(StaticEmbedding):
         return FastTextEncoder(self.name, self.model)
 
 
+def convert_compress_fasttext(kv, out_path=None, name=None, **pq_kwargs):
+    """Convert a (compress_)fasttext keyed-vectors object into a native
+    ``FastTextModel`` — and optionally a ``QuantizedFastText`` .npz.
+
+    Duck-typed on the gensim ``FastTextKeyedVectors`` attribute surface
+    (which compress_fasttext subclasses): ``index_to_key``,
+    ``vector_size``, ``min_n``/``max_n``, ``bucket``, ``vectors_ngrams``
+    [bucket, dim], and either ``vectors_vocab`` (raw per-word input rows)
+    or ``vectors`` (final word vectors).  When only final vectors exist
+    (compress_fasttext drops the vocab rows in its published models), the
+    raw row is reconstructed exactly from
+
+        final = mean([row_w] + ngram_rows)
+          =>  row_w = (k+1) * final - sum(ngram_rows)
+
+    so in-vocab lookups reproduce the source vectors bit-for-bit in exact
+    arithmetic and OOV words keep the pure ngram-mean semantics.  The
+    subword inventory/hash matches (gensim mirrors fastText's FNV-1a and
+    computeSubwords — tests/test_fasttext.py parity suite).
+
+    With ``out_path`` the dense model is additionally PQ-compressed to the
+    native .npz and a ``QuantizedFastText`` is returned; otherwise the
+    dense ``FastTextModel``.  Reference seam: embedding/token/fasttext.py
+    :15-45 (CompressedFastTextVectors.load)."""
+    words = list(kv.index_to_key)
+    dim = int(kv.vector_size)
+    bucket = int(kv.bucket)
+    minn = int(kv.min_n)
+    maxn = int(kv.max_n)
+
+    def materialize(m, n_rows):
+        try:
+            arr = np.asarray(m, np.float32)
+            if arr.ndim == 2:
+                return arr
+        except Exception:
+            pass
+        # compressed matrix types expose row __getitem__ only
+        return np.stack(
+            [np.asarray(m[i], np.float32) for i in range(n_rows)]
+        )
+
+    ngrams = materialize(kv.vectors_ngrams, bucket)
+    vocab_rows = getattr(kv, "vectors_vocab", None)
+    if vocab_rows is not None:
+        rows = materialize(vocab_rows, len(words))
+    else:
+        finals = materialize(kv.vectors, len(words))
+        rows = np.zeros((len(words), dim), np.float32)
+        for i, w in enumerate(words):
+            ids = [
+                fnv1a_hash(ng.encode("utf-8")) % bucket
+                for ng in (word_ngrams(w, minn, maxn) if w != EOS else [])
+            ]
+            k = len(ids)
+            s = ngrams[ids].sum(axis=0) if k else 0.0
+            rows[i] = (k + 1) * finals[i] - s
+    model = FastTextModel(
+        words, len(words), dim, bucket, minn, maxn,
+        np.vstack([rows, ngrams]).astype(np.float32),
+    )
+    if out_path is None:
+        return model
+    q = QuantizedFastTextModel.compress(model, **pq_kwargs)
+    q.save(out_path)
+    return QuantizedFastText(out_path, name=name)
+
+
 class CompressedFastTextVectors(StaticEmbedding):
     """compress_fasttext product-quantized models (reference
-    fasttext.py:15-45).  Requires the compress_fasttext package at load
-    time; gated import."""
+    fasttext.py:15-45).  With the compress_fasttext package installed the
+    file loads directly; without it, one-time conversion via
+    ``convert_compress_fasttext`` (run where the package exists) produces
+    a native .npz this package loads standalone."""
 
     def __init__(self, path):
         self._path = Path(path)
