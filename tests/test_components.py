@@ -252,6 +252,71 @@ def test_packed_corpus_disk_cache(tmp_path, monkeypatch):
     np.testing.assert_array_equal(p3.slice_doc, p1.slice_doc)
 
 
+def test_span_index_save_load_validated(small_session, tmp_path):
+    """SpanEncoderIndex dumps carry provenance and are validated on load
+    (reference save, index.py:638-658; the load half was commented out
+    there)."""
+    session, emb, locations = small_session
+    span_emb = AggregatedTokenEmbedding(emb, agg="mean")
+    ix = session.partition("sentence").index(EmbeddedSpanSim(span_emb))
+    want = [(m.slice_id, m.score) for m in ix.find("the old king rides", n=3, min_score=-1)]
+    p = tmp_path / "span_index.npz"
+    ix.save(p)
+
+    ix2 = session.partition("sentence").index(EmbeddedSpanSim(span_emb))
+    ix2.load(p)
+    got = [(m.slice_id, m.score) for m in ix2.find("the old king rides", n=3, min_score=-1)]
+    assert got == want
+
+    # wrong partition -> rejected
+    ix3 = session.partition("document").index(EmbeddedSpanSim(span_emb))
+    with pytest.raises(ValueError):
+        ix3.load(p)
+
+
+def test_approximate_span_index(small_session):
+    """IVF shortlist index: nprobe=nlist is exhaustive (equals the exact
+    GEMM index byte-for-byte); small nprobe returns a subset with exact
+    scores (the documented approximate contract)."""
+    session, emb, locations = small_session
+    span_emb = AggregatedTokenEmbedding(emb, agg="mean")
+    p = session.partition("sentence")
+    exact = p.index(EmbeddedSpanSim(span_emb))
+    want = [
+        (m.slice_id, m.score)
+        for m in exact.find("the old king rides", n=5, min_score=-1)
+    ]
+
+    full = p.index(
+        EmbeddedSpanSim(span_emb), approximate={"nlist": 4, "nprobe": 4}
+    )
+    got = [
+        (m.slice_id, m.score)
+        for m in full.find("the old king rides", n=5, min_score=-1)
+    ]
+    assert got == want
+
+    sparse = p.index(
+        EmbeddedSpanSim(span_emb), approximate={"nlist": 4, "nprobe": 1}
+    )
+    got1 = [
+        (m.slice_id, m.score)
+        for m in sparse.find("the old king rides", n=5, min_score=-1)
+    ]
+    exact_map = dict(
+        (m.slice_id, m.score)
+        for m in exact.find(
+            "the old king rides", n=exact.packed.n_slices, min_score=-1
+        )
+    )
+    assert got1  # the probed list holds at least the nearest span
+    for sid, score in got1:
+        assert exact_map.get(sid) == score  # scores are exact on members
+    # batched path agrees with per-query
+    rb = sparse.find_batch(["the old king rides"], n=5, min_score=-1)
+    assert [(m.slice_id, m.score) for m in rb[0]] == got1
+
+
 def test_download_machinery(tmp_path):
     """download(): streaming fetch via injectable fetcher, sha256 verify,
     idempotence, gzip + zip post-processing — the reference's

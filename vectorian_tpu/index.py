@@ -1779,14 +1779,58 @@ class SpanEncoderIndex(Index):
         return self._corpus_vecs
 
     def save(self, path):
-        """Persist the encoded corpus vectors (reference
-        SpanEncoderIndex.save npy dump, index.py:638-658)."""
-        np.save(path, np.asarray(self._corpus_vectors().unmodified))
+        """Persist the encoded corpus vectors WITH provenance metadata
+        (reference SpanEncoderIndex.save npy dump, index.py:638-658 — the
+        load half there was commented out; here load validates the dump
+        against the live corpus so a stale or foreign file can never be
+        silently searched)."""
+        np.savez(
+            path,
+            vectors=np.asarray(self._corpus_vectors().unmodified),
+            corpus_digest=np.asarray(self._session._corpus_digest()),
+            partition=np.asarray(
+                [
+                    self._partition.level,
+                    str(self._partition.window_size),
+                    str(self._partition.window_step),
+                ]
+            ),
+            encoder=np.asarray(getattr(self._encoder, "name", "")),
+        )
 
     def load(self, path):
         from vectorian_tpu.embedding.vectors import Vectors
 
-        self._corpus_vecs = Vectors(np.load(path))
+        data = np.load(path, allow_pickle=False)
+        if hasattr(data, "files"):  # .npz with provenance
+            want = (
+                str(self._session._corpus_digest()),
+                [
+                    self._partition.level,
+                    str(self._partition.window_size),
+                    str(self._partition.window_step),
+                ],
+                str(getattr(self._encoder, "name", "")),
+            )
+            got = (
+                str(data["corpus_digest"]),
+                [str(x) for x in data["partition"]],
+                str(data["encoder"]),
+            )
+            if got != want:
+                raise ValueError(
+                    f"span-index dump {path} does not match this index: "
+                    f"saved {got}, live {want}"
+                )
+            vecs = data["vectors"]
+        else:  # legacy raw .npy array
+            vecs = data
+        if vecs.shape[0] != self.packed.n_slices:
+            raise ValueError(
+                f"span-index dump has {vecs.shape[0]} rows, corpus has "
+                f"{self.packed.n_slices} slices"
+            )
+        self._corpus_vecs = Vectors(vecs)
         return self
 
     def _find(self, query: PreparedQuery) -> List[Match]:
@@ -1858,3 +1902,100 @@ class SpanEncoderIndex(Index):
         return [
             Result(self, ms, time.time() - start_time) for ms in matches
         ]
+
+
+class ApproximateSpanIndex(SpanEncoderIndex):
+    """IVF-style sub-linear span search (the reference's Faiss factory
+    option, index.py:753-765, rebuilt without faiss): k-means coarse
+    centroids over the normalized span vectors; a query scores the
+    ``nlist`` centroids (one small GEMM), takes the ``nprobe`` nearest
+    lists, and exactly rescores ONLY their members with the configured
+    vector metric.
+
+    APPROXIMATE by construction — a true neighbor assigned to an unprobed
+    list is missed (same contract as the reference's Faiss path; recall
+    rises with nprobe, nprobe=nlist degenerates to exact).  The exact
+    GEMM index (SpanEncoderIndex) stays the default: brute force wins
+    while the span matrix fits in HBM; this covers very large span sets."""
+
+    def __init__(
+        self, partition, span_sim, nlp=None, nlist: int = 64,
+        nprobe: int = 8, **kwargs,
+    ):
+        super().__init__(partition, span_sim, nlp=nlp, **kwargs)
+        self._nlist = int(nlist)
+        self._nprobe = int(nprobe)
+        self._centroids = None  # [nlist, d] L2-normalized
+        self._invlists = None  # list of np.ndarray slice ids
+
+    def _train(self):
+        if self._centroids is not None:
+            return
+        vecs = np.asarray(self._corpus_vectors().normalized, np.float32)
+        S = vecs.shape[0]
+        nlist = max(1, min(self._nlist, S))
+        rng = np.random.default_rng(0)
+        cent = vecs[rng.choice(S, size=nlist, replace=False)].copy()
+        for _ in range(10):  # spherical k-means (cosine coarse quantizer)
+            assign = np.argmax(vecs @ cent.T, axis=1)
+            for c in range(nlist):
+                m = vecs[assign == c]
+                if len(m):
+                    v = m.sum(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-9)
+        assign = np.argmax(vecs @ cent.T, axis=1)
+        self._centroids = cent
+        self._invlists = [
+            np.flatnonzero(assign == c).astype(np.int64)
+            for c in range(nlist)
+        ]
+
+    def _shortlist(self, q_normed: np.ndarray) -> np.ndarray:
+        self._train()
+        nprobe = max(1, min(self._nprobe, len(self._invlists)))
+        sims = self._centroids @ q_normed
+        probes = np.argpartition(-sims, nprobe - 1)[:nprobe]
+        lists = [self._invlists[int(c)] for c in probes]
+        return np.concatenate(lists) if lists else np.zeros((0,), np.int64)
+
+    def _topk_from_query_vectors(self, qv, queries, n, min_score):
+        from vectorian_tpu.embedding.vectors import Vectors
+
+        single = not isinstance(queries, list)
+        qlist = [queries] if single else queries
+        corpus_vecs = self._corpus_vectors()
+        q_norm = np.asarray(qv.normalized, np.float32)
+        out_all = []
+        for qi, query in enumerate(qlist):
+            cand = self._shortlist(q_norm[qi])
+            if cand.size == 0:
+                out_all.append([])
+                continue
+            sub = Vectors(np.asarray(corpus_vecs.unmodified)[cand])
+            col = np.asarray(
+                self._span_sim.vector_sim.compute(
+                    sub, Vectors(np.asarray(qv.unmodified)[qi : qi + 1])
+                )
+            )[:, 0]
+            k = min(n, col.shape[0])
+            thr = -np.partition(-col, k - 1)[k - 1]
+            keep = np.flatnonzero(col >= thr)
+            ids = cand[keep]
+            order = order_by_score(self.packed, ids, col[keep])
+            out = []
+            for j in order:
+                score = float(col[keep[j]])
+                if score <= min_score:
+                    continue
+                out.append(
+                    Match(
+                        self,
+                        query,
+                        slice_id=int(ids[j]),
+                        score=score,
+                        metric=self._span_sim.vector_sim.name,
+                        level="span",
+                    )
+                )
+            out_all.append(out[:n])
+        return out_all

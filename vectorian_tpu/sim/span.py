@@ -95,9 +95,17 @@ class EmbeddedSpanSim(SpanSim):
     def vector_sim(self):
         return self._vector_sim
 
-    def create_index(self, partition, **kwargs):
-        from vectorian_tpu.index import SpanEncoderIndex
+    def create_index(self, partition, approximate=None, **kwargs):
+        """Default: exact GEMM top-k.  ``approximate={"nlist": .., "nprobe"
+        : ..}`` selects the IVF-style shortlist index for very large span
+        sets (the reference's Faiss factory option, index.py:753-765 —
+        approximate recall, documented on ApproximateSpanIndex)."""
+        from vectorian_tpu.index import ApproximateSpanIndex, SpanEncoderIndex
 
+        if approximate is not None:
+            return ApproximateSpanIndex(
+                partition, self, **{**approximate, **kwargs}
+            )
         return SpanEncoderIndex(partition, self, **kwargs)
 
     def to_args(self, index):
