@@ -405,7 +405,17 @@ def _bucket_scores_multiquery(
             S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
             ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
             lt_rep = jnp.tile(len_t, c)
-            if general_gaps:
+            if general_gaps and use_pallas and n_queries >= PALLAS_MIN_BATCH:
+                # the WSB Pallas kernel takes the flattened [c*Q] batch
+                # (measured ~16x over the jnp scan at serving batch sizes)
+                from vectorian_tpu.ops.pallas_dp import (
+                    pallas_align_scores_general,
+                )
+
+                raw = pallas_align_scores_general(
+                    S2, ln_rep, lt_rep, gap_vec_s, gap_vec_t, locality
+                ).reshape(c, Q)
+            elif general_gaps:
                 raw = align_scores_general(
                     S2, ln_rep, lt_rep, gap_vec_s, gap_vec_t, locality
                 ).reshape(c, Q)
