@@ -45,6 +45,10 @@ def _alpha_word(i: int) -> str:
     return "w" + s
 
 
+def _log(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
     """Full Session -> find_batch product measurement on a synthetic Zipf
     corpus; returns (e2e_alignments_per_sec, p50_query_ms, n_slices)."""
@@ -68,10 +72,14 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
                 " ".join(words[i] for i in row) + "." for row in ids
             )
         )
+    _log(f"e2e: corpus text built ({n_sents} sents)")
     docs = [vt.StringImporter()(t, title=f"d{i}") for i, t in enumerate(texts)]
+    _log("e2e: imported")
     session = vt.Session(docs, embeddings=[emb])
+    _log("e2e: session built")
     index = session.partition("sentence").index(EmbeddingTokenSim(emb))
     n_slices = index.packed.n_slices
+    _log(f"e2e: packed {n_slices} slices")
 
     def zipf_query():
         return " ".join(
@@ -82,7 +90,9 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
     queries = [zipf_query() for _ in range(Q)]
     # warm: compiles the bucket-shape pipeline + finalizer shapes for n=10
     index.find_batch([zipf_query() for _ in range(Q)], n=10, min_score=0.2)
+    _log("e2e: find_batch warm")
     index.find(zipf_query(), n=10, min_score=0.2)
+    _log("e2e: find warm")
 
     # amortized serving throughput: one warm batch, wall-clocked to the
     # finished Match objects (scores are host-materialized by then)
@@ -91,20 +101,36 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
     dt_batch = time.perf_counter() - t0
     assert len(res) == Q
     e2e_rate = n_slices * Q / dt_batch
+    _log(f"e2e: batch pass {dt_batch:.2f}s")
 
-    # interactive single-query latency (median of 9 warm queries)
+    # interactive single-query latency (median of 5 warm queries)
     lats = []
-    for _ in range(9):
+    for _ in range(5):
         q = zipf_query()
         t0 = time.perf_counter()
         index.find(q, n=10, min_score=0.2)
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(np.asarray(lats) * 1e3, 50))
+    _log(f"e2e: p50 {p50_ms:.0f} ms")
     return e2e_rate, p50_ms, n_slices
 
 
 def main():
     import jax
+
+    # persistent compilation cache: remote compiles through the tunnel cost
+    # minutes; cached executables collapse repeat runs (incl. the driver's)
+    cache_dir = os.environ.get(
+        "VECTORIAN_JAX_CACHE", os.path.expanduser("~/.cache/vectorian_jax")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+    t_start = time.time()
     import jax.numpy as jnp
 
     from vectorian_tpu.ops.alignment import AffineGapParams
@@ -168,8 +194,10 @@ def main():
             use_pallas=use_pallas, sim_scale=sim_scale,
         )
 
+    _log("headline: compiling")
     out = run_with(sim0)
     _ = float(out[0, 0])  # compile + warm
+    _log("headline: compiled")
     # one extra warm pass absorbs first-dispatch effects before the clock
     # (the chain term is cast back so the table dtype never promotes)
     out = run_with(sim0 + (out[0, 0] * 0).astype(sim0.dtype))
@@ -189,6 +217,7 @@ def main():
         _ = float(out[0, 0])  # force completion
         times.append((time.perf_counter() - t0) / n_iters)
     dt = float(np.median(times))
+    _log(f"headline: measured {dt:.3f}s/pass")
 
     alignments_per_sec = N * Q / dt
     baseline = 10_000_000.0  # north-star target, BASELINE.md
@@ -202,7 +231,22 @@ def main():
 
     e2e_env = os.environ.get("VECTORIAN_BENCH_E2E", "")
     n_e2e = 1_000_000 if e2e_env == "" else int(e2e_env or 0)
+    # time budget: remote compiles can eat minutes; the driver must always
+    # get the headline JSON line, so the e2e stage only starts when enough
+    # budget remains (uncached worst case needs ~15 min of compiles)
+    budget = float(os.environ.get("VECTORIAN_BENCH_BUDGET", "3000"))
+    elapsed = time.time() - t_start
+    if n_e2e and elapsed > budget * 0.45:
+        out["e2e_error"] = (
+            f"skipped: headline took {elapsed:.0f}s of the {budget:.0f}s "
+            "budget (uncached remote compiles); rerun with a warm "
+            "compilation cache"
+        )
+        n_e2e = 0
     if n_e2e:
+        # smaller chunks compile ~3x faster on the tunneled remote-compile
+        # runtime; per-pass dispatch overhead is amortized by Q anyway
+        os.environ.setdefault("VECTORIAN_CHUNK", "1024")
         try:
             e2e_rate, p50_ms, n_slices = bench_e2e(n_e2e)
             out["e2e_alignments_per_sec"] = round(e2e_rate, 1)
