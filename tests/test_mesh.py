@@ -310,6 +310,47 @@ def test_find_batch_mesh_tag_weighted(session_ix_mesh):
     assert got == want
 
 
+def test_find_batch_mesh_contextual():
+    """Contextual alignment metrics serve over the mesh ([N, L, d] bucket
+    stores sharded, stacked-query GEMM per shard) and return byte-identical
+    matches to the single-chip batch and find()."""
+    from tests.test_contextual import ctx_fn, DIM
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.embedding.contextual import LambdaContextualEmbedding
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    ctx = LambdaContextualEmbedding("mesh-ctx", ctx_fn, DIM)
+    docs = [
+        StringImporter()(
+            "the old king rides the grey horse. a cat sleeps here. "
+            "stars shine at night. the horse rides again.",
+            title="d0",
+        ),
+        StringImporter()(
+            "a small bird sings in the tree. the king sleeps.", title="d1"
+        ),
+    ]
+    session = Session(docs, embeddings=[ctx])
+    index = session.partition("sentence").index(EmbeddingTokenSim(ctx))
+    queries = ["the old king rides", "bird sings tree"]
+    want = [
+        [(m.slice_id, m.score) for m in index.find(q, n=4, min_score=0.05)]
+        for q in queries
+    ]
+    assert any(want)
+    got1 = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(queries, n=4, min_score=0.05)
+    ]
+    assert got1 == want
+    ms = MeshSearch(make_mesh())
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(queries, n=4, min_score=0.05, mesh=ms)
+    ]
+    assert got == want
+
+
 def test_find_batch_mesh_full_wmd_wrd(session_ix_mesh):
     """Full-WMD and WRD serving over the mesh: per-shard batched Sinkhorn
     ranking + all-gather merge, exact host EMD rescore.  With n large

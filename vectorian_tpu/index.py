@@ -1129,13 +1129,14 @@ class BruteForceIndex(Index):
         embs = list(token_sim.embeddings)
         statics = [getattr(e, "is_static", True) for e in embs]
         if not all(statics):
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh find_batch supports static alignment metrics only"
-                )
             if isinstance(token_sim, _ETS) and not self._args.get("tag_weights"):
                 return self._find_batch_ctx(
-                    texts, n=n, min_score=min_score, **kwargs
+                    texts, n=n, min_score=min_score, mesh=mesh, **kwargs
+                )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh find_batch supports static and single-contextual "
+                    "alignment metrics (no mixed-modifier contextual trees)"
                 )
             raise NotImplementedError(
                 "find_batch supports static or single-contextual metrics"
@@ -1664,12 +1665,19 @@ class BruteForceIndex(Index):
         return [r if r is not None else Result(self, [], 0.0) for r in results]
 
     def _find_batch_ctx(
-        self, texts, n: int = 100, min_score: float = 0.2, **kwargs
+        self, texts, n: int = 100, min_score: float = 0.2, mesh=None, **kwargs
     ) -> List[Result]:
         """Batched search over ONE contextual embedding: the per-chunk
         metric evaluation becomes a single GEMM against the Q stacked query
-        matrices (the contextual analogue of the static table batching)."""
+        matrices (the contextual analogue of the static table batching).
+        With ``mesh`` the [N, L, d] bucket stores shard over the device
+        mesh and per-query top-k merges over one all-gather."""
         if BATCH_DELEGATED_OPTIONS & set(kwargs):
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh find_batch does not take per-query options "
+                    f"({sorted(BATCH_DELEGATED_OPTIONS & set(kwargs))})"
+                )
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -1716,6 +1724,18 @@ class BruteForceIndex(Index):
 
         if not prepared:
             return [r if r is not None else Result(self, [], 0.0) for r in results]
+
+        if mesh is not None:
+            ms_results = self._find_batch_ctx_mesh(
+                name, token_sim, prepared, plans, ctx_qs, len_ts,
+                norm_totals, gaps, gap_costs, n, min_score, mesh, start_time,
+            )
+            for qi, r in enumerate(ms_results):
+                results[order[qi]] = r
+            return [
+                r if r is not None else Result(self, [], 0.0) for r in results
+            ]
+
         scores = self._engine.score_all_multi_ctx(
             name, token_sim.metric, ctx_qs, len_ts, gaps, self._locality,
             norm_totals, gap_costs=gap_costs,
@@ -1732,6 +1752,118 @@ class BruteForceIndex(Index):
             )
             results[order[qi]] = Result(self, matches, time.time() - start_time)
         return [r if r is not None else Result(self, [], 0.0) for r in results]
+
+    def _ctx_mesh_shards(self, ms, name: str):
+        """[Npad, L, d] contextual bucket stores sharded over the mesh's
+        slice axis (cached per device set + embedding, like _mesh_shards)."""
+        import jax
+
+        key = (tuple(str(d) for d in ms.mesh.devices.flat), name)
+        cache = getattr(self, "_ctx_mesh_shard_cache", None)
+        if cache is None:
+            cache = self._ctx_mesh_shard_cache = {}
+        if key not in cache:
+            shards = []
+            stores = self._engine._ctx_stores[name]
+            for db, store in zip(
+                [d for d in self._engine._device_buckets], stores
+            ):
+                if db["n"] == 0:
+                    continue
+                arr = np.asarray(store)
+                pad = (-arr.shape[0]) % ms.n_devices
+                arr = np.pad(arr, ((0, pad), (0, 0), (0, 0)))
+                ln = np.pad(
+                    np.asarray(db["lengths"], np.int32), (0, pad)
+                )
+                shards.append(
+                    (
+                        db,
+                        jax.device_put(arr, ms._sharded),
+                        jax.device_put(ln, ms._sharded),
+                    )
+                )
+            cache[key] = shards
+        return cache[key]
+
+    def _find_batch_ctx_mesh(
+        self, name, token_sim, prepared, plans, ctx_qs, len_ts, norm_totals,
+        gaps, gap_costs, n, min_score, mesh, start_time,
+    ) -> List[Result]:
+        """Mesh-sharded contextual serving batch: sharded [N, L, d] bucket
+        stores, one replicated stacked-query GEMM per shard, per-query
+        top-k merge, exact per-slice rescore under the provable cut
+        (BASELINE's mixed-contextual multi-chip configuration)."""
+        import jax.numpy as jnp
+
+        from vectorian_tpu.ops.search import stack_ctx_queries
+        from vectorian_tpu.parallel.mesh import MeshSearch
+
+        ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
+        shards = self._ctx_mesh_shards(ms, name)
+        Q = len(prepared)
+        q_unmod, q_norm, q_mags, Tpad = stack_ctx_queries(ctx_qs, len_ts)
+        q_unmod = ms.put_replicated(np.asarray(q_unmod))
+        q_norm = ms.put_replicated(np.asarray(q_norm))
+        q_mags = ms.put_replicated(np.asarray(q_mags))
+        lt_arr = jnp.asarray(len_ts, jnp.int32)
+        nt_arr = jnp.asarray(norm_totals, jnp.float32)
+
+        m = n + 32
+        while True:
+            pending = []
+            complete = True
+            for db, ctx_d, len_d in shards:
+                complete = complete and m >= ctx_d.shape[0]
+                gap_vecs = None
+                if gap_costs is not None:
+                    gap_vecs = (
+                        ms.put_replicated(
+                            gap_costs[0].costs(db["capacity"] + 1)
+                        ),
+                        ms.put_replicated(gap_costs[1].costs(Tpad + 1)),
+                    )
+                out = ms.ctx_score_topk_multiquery(
+                    ctx_d, len_d, q_norm, q_unmod, q_mags, lt_arr, gaps,
+                    nt_arr, metric=token_sim.metric,
+                    locality=self._locality, k=min(m, ctx_d.shape[0]),
+                    with_next=True, gap_vecs=gap_vecs,
+                    general_gaps=gap_costs is not None,
+                )
+                pending.append((db, out))
+
+            cands = [[] for _ in range(Q)]
+            rest_max = np.full((Q,), -np.inf)
+            for db, (s, i, nxt) in pending:
+                s, i = np.asarray(s), np.asarray(i)
+                rest_max = np.maximum(rest_max, np.asarray(nxt))
+                for q in range(Q):
+                    valid = (i[q] < db["n"]) & np.isfinite(s[q])
+                    cands[q].extend(
+                        int(x) for x in db["slice_index"][i[q][valid]]
+                    )
+
+            results = []
+            retry = False
+            for q, pq in enumerate(prepared):
+                eps = self._quant_eps(
+                    0.0, pq, norm_totals[q], plan=plans[q]
+                )
+                matches = self._try_exact_cut(
+                    cands[q], float(rest_max[q]), plans[q], pq, gaps,
+                    norm_totals[q], token_sim.name, n, min_score, eps,
+                    force=complete, gap_costs=gap_costs,
+                )
+                if matches is None:
+                    retry = True
+                    break
+                results.append(
+                    Result(self, matches, time.time() - start_time)
+                )
+            if not retry:
+                return results
+            # unsafe: one full-coverage round (see _find_batch_mesh)
+            m = max(ctx_d.shape[0] for _, ctx_d, _ in shards)
 
     def _find_transport(self, query: PreparedQuery) -> List[Match]:
         from vectorian_tpu.ops.transport import TransportEngine

@@ -98,6 +98,26 @@ def stack_query_tables(plans, len_ts, sim_dtype=None):
     return sim_multi, sim_scale, max_abs_dev, Tpad
 
 
+def stack_ctx_queries(ctx_queries, len_ts):
+    """Stack Q contextual query-vector dicts into [Tpad*Q, ...] arrays
+    (q-minor) for the batched GEMM paths; returns
+    (q_unmod, q_norm, q_mags, Tpad)."""
+    Q = len(ctx_queries)
+    Tmax = max(len_ts)
+    Tpad = -(-Tmax // 8) * 8
+
+    def stack(key):
+        out = np.zeros(
+            (Tpad, Q) + np.asarray(ctx_queries[0][key]).shape[1:], np.float32
+        )
+        for q, dq in enumerate(ctx_queries):
+            v = np.asarray(dq[key], np.float32)
+            out[: v.shape[0], q] = v
+        return jnp.asarray(out.reshape((Tpad * Q,) + out.shape[2:]))
+
+    return stack("unmodified"), stack("normalized"), stack("magnitudes"), Tpad
+
+
 def quantization_entry_err(sim_dtype, max_abs_dev) -> float:
     """Max per-entry absolute rounding of a quantized table (0.0 exact).
     Forces the deferred max|sim| host read — call it AFTER dispatching the
@@ -968,19 +988,7 @@ class BruteForceEngine:
         queries in one corpus pass (per-chunk metric evaluation = one GEMM
         against the stacked query matrix)."""
         Q = len(ctx_queries)
-        Tmax = max(len_ts)
-        Tpad = -(-Tmax // 8) * 8
-
-        def stack(key):
-            out = np.zeros((Tpad, Q) + np.asarray(ctx_queries[0][key]).shape[1:], np.float32)
-            for q, dq in enumerate(ctx_queries):
-                v = np.asarray(dq[key], np.float32)
-                out[: v.shape[0], q] = v
-            return jnp.asarray(out.reshape((Tpad * Q,) + out.shape[2:]))
-
-        q_unmod = stack("unmodified")
-        q_norm = stack("normalized")
-        q_mags = stack("magnitudes")
+        q_unmod, q_norm, q_mags, Tpad = stack_ctx_queries(ctx_queries, len_ts)
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 

@@ -456,6 +456,89 @@ class MeshSearch:
         )
         return fn(token_ids, lengths)
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "metric", "locality", "k", "with_next", "general_gaps",
+        ),
+    )
+    def ctx_score_topk_multiquery(
+        self,
+        ctx_store: jnp.ndarray,  # [N, L, d] sharded over 'data' (bf16 ok)
+        lengths: jnp.ndarray,  # [N] sharded
+        q_norm: jnp.ndarray,  # [T*Q, d] replicated stacked query vectors
+        q_unmod: jnp.ndarray,  # [T*Q, d] replicated
+        q_mags: jnp.ndarray,  # [T*Q] replicated
+        len_t: jnp.ndarray,  # [Q]
+        gaps: AffineGapParams,
+        norm_total: jnp.ndarray,  # [Q]
+        metric,
+        locality: str = "local",
+        k: int = 10,
+        with_next: bool = False,
+        gap_vecs=None,  # ([L+1], [T+1]) replicated (general gaps)
+        general_gaps: bool = False,
+    ):
+        """Contextual serving batch over the mesh: each shard computes its
+        slices' similarity blocks with ONE GEMM against the stacked query
+        matrix (the sharded analogue of _bucket_scores_multiquery_ctx),
+        runs the DP, and merges per-query top-k over one all-gather.
+        Covers BASELINE's mixed-contextual multi-chip configuration."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from vectorian_tpu.ops.alignment import align_scores_general
+        from vectorian_tpu.ops.simmatrix import _ChunkVectors
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self.n_devices
+        shard_n = ctx_store.shape[0] // n_dev
+        L, d = ctx_store.shape[1], ctx_store.shape[2]
+        Q = int(len_t.shape[0])
+        T = q_norm.shape[0] // Q
+        if general_gaps:
+            gv_s = jnp.asarray(gap_vecs[0], jnp.float32)
+            gv_t = jnp.asarray(gap_vecs[1], jnp.float32)
+
+        def shard_fn(ctx, ln):
+            c = ctx.shape[0]
+            flat = ctx.astype(jnp.float32).reshape(c * L, d)
+            mags = jnp.linalg.norm(flat, axis=-1)
+            normed = flat / jnp.maximum(mags, 1e-9)[:, None]
+            a = _ChunkVectors(flat, normed, mags)
+            b = _ChunkVectors(q_unmod, q_norm, q_mags)
+            S = jnp.clip(metric.compute(a, b), 0.0, 1.0)  # [c*L, T*Q]
+            S2 = jnp.transpose(
+                S.reshape(c, L, T, Q), (0, 3, 1, 2)
+            ).reshape(c * Q, L, T)
+            ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
+            lt_rep = jnp.tile(len_t, c)
+            if general_gaps:
+                raw = align_scores_general(
+                    S2, ln_rep, lt_rep, gv_s, gv_t, locality
+                ).reshape(c, Q)
+            else:
+                raw = align_scores(
+                    S2, ln_rep, lt_rep, gaps, locality
+                ).reshape(c, Q)
+            scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+            scores = jnp.where(ln[:, None] > 0, scores, -jnp.inf)
+            return _merge_local_topk(
+                scores, axis, shard_n, n_dev, k, with_next
+            )
+
+        out_specs = (P(), P(), P()) if with_next else (P(), P())
+        fn = shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return fn(ctx_store, lengths)
+
     @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
     def score_topk(
         self,
