@@ -88,8 +88,11 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
         )
 
     queries = [zipf_query() for _ in range(Q)]
-    # warm: compiles the bucket-shape pipeline + finalizer shapes for n=10
-    index.find_batch([zipf_query() for _ in range(Q)], n=10, min_score=0.2)
+    # warm with the SAME queries: compiles every shape the measured pass
+    # will touch (bucket pipeline, top-k, finalizer group sizes) — a warm
+    # pass with different queries left fresh finalizer shapes to compile
+    # inside the measured wall time
+    index.find_batch(queries, n=10, min_score=0.2)
     _log("e2e: find_batch warm")
     index.find(zipf_query(), n=10, min_score=0.2)
     _log("e2e: find warm")

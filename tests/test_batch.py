@@ -126,6 +126,54 @@ def test_find_batch_booster_matches_single(session_ix):
     assert got_mesh == want
 
 
+def test_unsafe_cut_rescore_is_tie_bounded(monkeypatch):
+    """Tie-heavy corpora make the overfetch cut unsafe (the n-th score
+    ties dozens of identical slices).  The finalize fallback must rescore
+    only the TIE GROUP — not the whole corpus (a full-coverage retry
+    measured 100k+ host tracebacks on a 1M-slice Zipf corpus)."""
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.ops.search import BruteForceEngine
+
+    rng = np.random.default_rng(9)
+    planted = "the king rides the horse"
+    fillers = ["a bird sings softly here", "grey clouds drift over town",
+               "a cat sleeps on the mat", "ships sail across the sea"]
+    sents = [planted] * 40
+    for _ in range(160):
+        w = fillers[int(rng.integers(0, len(fillers)))].split()
+        rng.shuffle(w)
+        sents.append(" ".join(w))
+    rng.shuffle(sents)
+    docs = [
+        StringImporter()(". ".join(sents[i::4]) + ".", title=f"d{i}")
+        for i in range(4)
+    ]
+    words = sorted({w for s in sents for w in s.split()})
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    n_slices = index.packed.n_slices
+    assert n_slices >= 190
+
+    rescored = []
+    orig = BruteForceEngine.rescore_with_flows
+
+    def counting(self, slice_ids, *a, **k):
+        rescored.append(len(slice_ids))
+        return orig(self, slice_ids, *a, **k)
+
+    monkeypatch.setattr(BruteForceEngine, "rescore_with_flows", counting)
+    res = index.find_batch([planted], n=5, min_score=0.2)[0]
+    assert len(res) == 5
+    assert all(m.score == pytest.approx(1.0, abs=1e-5) for m in res)
+    # byte-parity with find() under ties (the (doc, slice) order decides)
+    want = [(m.slice_id, m.score) for m in index.find(planted, n=5, min_score=0.2)]
+    assert [(m.slice_id, m.score) for m in res] == want
+    # the rescore totals must be bounded by overfetch + tie group (~40),
+    # never the corpus
+    assert sum(rescored) < 140, rescored
+
+
 def test_find_batch_hard_options_delegate(session_ix):
     """Options the batch kernels cannot take (submatch_weight) delegate to
     the exact single-query path."""

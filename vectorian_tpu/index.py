@@ -787,59 +787,55 @@ class BruteForceIndex(Index):
                 # scores are merely CLOSE at the boundary
                 scale = 1e-6 if qp.is_static_only else self._ctx_floor(qp)
                 ulp = lambda x: scale * max(1.0, abs(x))
-                m = n + 32
                 n_slices = self._engine.packed.n_slices
-                while True:
-                    top, _, rest = self._engine.score_topk(
-                        qp, T, gaps, self._locality, norm_total,
-                        k=m, min_score=min_score - ulp(min_score),
-                        boost=boost, tag_weights=tagw,
-                        doc_filter=doc_filter, gap_costs=gap_costs,
-                        with_next=True,
-                    )
-                    if query.query.aborted or not top:
-                        return []
-                    mappings, edge_sims, raw = (
-                        self._engine.rescore_with_flows(
-                            top, qp, T, gaps, self._locality,
-                            tag_weights=tagw, doc_filter=doc_filter,
-                            gap_costs=gap_costs, with_scores=True,
-                        )
-                    )
-                    exact = _exact_scores(top, raw)
-                    matches = self._build_matches(
-                        query, token_sim, top, mappings, edge_sims,
-                        exact.__getitem__, submatch_weight, tagw,
-                        norm_total, min_score, n, debug,
-                    )
-                    s_n = (
-                        matches[n - 1].score
-                        if len(matches) >= n
-                        else min_score
-                    )
-                    if m >= n_slices or rest < s_n - ulp(s_n):
-                        return matches
-                    # unsafe cut: go straight to full coverage — one more
-                    # round with ONE reusable jit shape (k = n_slices) beats
-                    # doubling m, where every round pays a fresh top_k
-                    # compile on the tunneled runtime
-                    m = n_slices
-            # submatch_weight rescoring can lift a slice past device-ranked
-            # candidates: overfetch with the closed-form upper bound as the
-            # cut proof, jumping to full coverage if any excluded slice
-            # could reach the exact n-th score (boosted queries keep the 4n
-            # heuristic — per-slice boosts are not modeled by the bound).
-            # sim_max: the bound assumes sims <= token weights; unary-kernel
-            # metrics can exceed 1, so the bound is scaled by the plan's
-            # actual similarity ceiling (inf for unknowable ctx plans —
-            # those pay one full-coverage round, keeping the cut provable)
-            sim_max = plan_sim_upper(qp)
-            m = 4 * n
-            n_slices = self._engine.packed.n_slices
-            while True:
                 top, _, rest = self._engine.score_topk(
                     qp, T, gaps, self._locality, norm_total,
-                    k=m, min_score=-1e30, boost=boost,
+                    k=n + 32, min_score=min_score - ulp(min_score),
+                    boost=boost, tag_weights=tagw,
+                    doc_filter=doc_filter, gap_costs=gap_costs,
+                    with_next=True,
+                )
+                if query.query.aborted or not top:
+                    return []
+                mappings, edge_sims, raw = (
+                    self._engine.rescore_with_flows(
+                        top, qp, T, gaps, self._locality,
+                        tag_weights=tagw, doc_filter=doc_filter,
+                        gap_costs=gap_costs, with_scores=True,
+                    )
+                )
+                exact = _exact_scores(top, raw)
+                matches = self._build_matches(
+                    query, token_sim, top, mappings, edge_sims,
+                    exact.__getitem__, submatch_weight, tagw,
+                    norm_total, min_score, n, debug,
+                )
+                s_n = (
+                    matches[n - 1].score
+                    if len(matches) >= n
+                    else min_score
+                )
+                if n + 32 >= n_slices or rest < s_n - ulp(s_n):
+                    return matches
+                # unsafe cut (boundary tie): fall through to the full-read
+                # score_all path below — its extras are TIE-BOUNDED
+                # (slices reaching s_n - eps), never a corpus-wide rescore,
+                # and score_all's jit shape is k-independent so no fresh
+                # top_k compiles on the tunneled runtime
+            else:
+                # submatch_weight rescoring can lift a slice past
+                # device-ranked candidates: overfetch with the closed-form
+                # upper bound as the cut proof (boosted queries keep the 4n
+                # heuristic — per-slice boosts are not modeled by the
+                # bound).  sim_max: the bound assumes sims <= token
+                # weights; unary-kernel metrics can exceed 1, so the bound
+                # is scaled by the plan's actual similarity ceiling (inf
+                # for unknowable ctx plans — those take the full-read path)
+                sim_max = plan_sim_upper(qp)
+                n_slices = self._engine.packed.n_slices
+                top, _, rest = self._engine.score_topk(
+                    qp, T, gaps, self._locality, norm_total,
+                    k=4 * n, min_score=-1e30, boost=boost,
                     tag_weights=tagw, doc_filter=doc_filter,
                     gap_costs=gap_costs, with_next=True,
                 )
@@ -856,7 +852,7 @@ class BruteForceIndex(Index):
                     exact.__getitem__, submatch_weight, tagw,
                     norm_total, min_score, n, debug,
                 )
-                if m >= n_slices or boost is not None:
+                if 4 * n >= n_slices or boost is not None:
                     return matches
                 s_n = (
                     matches[n - 1].score if len(matches) >= n else min_score
@@ -868,8 +864,8 @@ class BruteForceIndex(Index):
                 ) if np.isfinite(sim_max) else np.inf
                 if ub < s_n - 1e-6:
                     return matches
-                # unsafe: single full-coverage round (see above)
-                m = n_slices
+                # unsafe: fall through to the full-read path (tie-bounded
+                # extras via the closed-form bound over ALL scores)
 
         scores = self._engine.score_all(
             qp,
@@ -1334,27 +1330,60 @@ class BruteForceIndex(Index):
         score, rescore them exactly in f32 (one batched finalizer
         dispatch), and accept the cut only when the best quantized score
         OUTSIDE the candidate set is provably below the exact n-th score
-        minus that bound — otherwise double the overfetch.  The returned
-        matches (ids, scores, flows, order) are bit-identical to the
-        pure-f32 path."""
+        minus that bound.  ``q_scores`` is the COMPLETE host-side score
+        vector, so an unsafe first cut resolves in exactly ONE more step:
+        the exact n-th score bounds the extra candidates to the slices
+        whose device score reaches s_n - eps (tie-bounded — never a
+        corpus-wide rescore; a full-coverage retry measured 100k+ host
+        tracebacks on a Zipf corpus).  The returned matches (ids, scores,
+        flows, order) are bit-identical to the pure-f32 path."""
         eps = self._quant_eps(entry_err, pq, norm_total, plan=plan)
-        m = n + 32
-        while True:
-            cand, rest_max = self._engine.top_k_with_next(
-                q_scores, m, min_score - eps
-            )
-            complete = m >= q_scores.shape[0]
-            matches = self._try_exact_cut(
-                cand, rest_max, plan, pq, gaps, norm_total, metric_name,
-                n, min_score, eps, force=complete, tagw=tagw,
-                gap_costs=gap_costs, boost=boost, doc_filter=doc_filter,
-            )
-            if matches is not None:
-                return matches
-            # unsafe cut: jump straight to full coverage — the next round
-            # has force=True, so exactly one more top_k shape is compiled
-            # (doubling m instead pays a fresh remote compile per round)
-            m = q_scores.shape[0]
+        if boost is not None:
+            eps_b = eps * max(1.0, float(np.max(boost)))
+        else:
+            eps_b = eps
+        cand, rest_max = self._engine.top_k_with_next(
+            q_scores, n + 32, min_score - eps_b
+        )
+        # rescore the overfetched set ONCE; the cut-safety decision happens
+        # here so an unsafe verdict never re-rescores the same candidates
+        first = self._try_exact_cut(
+            cand, -np.inf, plan, pq, gaps, norm_total, metric_name,
+            n, min_score, eps, force=True, tagw=tagw, gap_costs=gap_costs,
+            boost=boost, doc_filter=doc_filter,
+        )
+        s_n = first[n - 1].score if len(first) >= n else min_score
+        thresh = s_n - eps_b
+        if n + 32 >= q_scores.shape[0] or rest_max < thresh:
+            return first
+        # unsafe (boundary tie / quantization overlap): ``q_scores`` is the
+        # COMPLETE device-score vector, so completeness needs exactly the
+        # remaining slices reaching the exact n-th minus the drift slack —
+        # tie-bounded, never a corpus-wide rescore (a full-coverage retry
+        # measured 100k+ host tracebacks on a Zipf corpus)
+        seen = set(int(c) for c in cand)
+        extra = [
+            int(c)
+            for c in np.flatnonzero(q_scores >= thresh)
+            if int(c) not in seen
+        ]
+        if not extra:
+            return first
+        more = self._try_exact_cut(
+            extra, -np.inf, plan, pq, gaps, norm_total, metric_name,
+            n, min_score, eps, force=True, tagw=tagw, gap_costs=gap_costs,
+            boost=boost, doc_filter=doc_filter,
+        )
+        packed = self._engine.packed
+        merged = sorted(
+            first + more,
+            key=lambda m: (
+                -m.score,
+                int(packed.slice_doc[m.slice_id]),
+                int(packed.slice_idx[m.slice_id]),
+            ),
+        )
+        return merged[:n]
 
     def _quant_eps(
         self, entry_err: float, pq, norm_total: float, plan=None
@@ -1559,14 +1588,20 @@ class BruteForceIndex(Index):
 
             cands = [[] for _ in range(Q)]
             rest_max = np.full((Q,), -np.inf)
+            full_scores = (
+                np.full((Q, self._engine.packed.n_slices), -1e30, np.float32)
+                if complete
+                else None
+            )
             for db, (s, i, nxt) in pending:
                 s, i = np.asarray(s), np.asarray(i)
                 rest_max = np.maximum(rest_max, np.asarray(nxt))
                 for q in range(Q):
                     valid = (i[q] < db["n"]) & np.isfinite(s[q])
-                    cands[q].extend(
-                        int(x) for x in db["slice_index"][i[q][valid]]
-                    )
+                    sids = db["slice_index"][i[q][valid]]
+                    cands[q].extend(int(x) for x in sids)
+                    if full_scores is not None:
+                        full_scores[q, sids] = s[q][valid]
 
             results = []
             retry = False
@@ -1575,13 +1610,24 @@ class BruteForceIndex(Index):
                     results.append(Result(self, [], 0.0))
                     continue
                 eps = self._quant_eps(entry_err, pq, norm_totals[q])
-                matches = self._try_exact_cut(
-                    cands[q], float(rest_max[q]), plans[q], pq, gaps,
-                    norm_totals[q], metric_name, n, min_score, eps,
-                    force=complete, tagw=tagws[q], gap_costs=gap_costs,
-                    boost=boosts[q] if boosts is not None else None,
-                    doc_filter=doc_filter,
-                )
+                boost_q = boosts[q] if boosts is not None else None
+                if complete:
+                    # full-coverage round: every device score is on the
+                    # host — finalize with TIE-BOUNDED extras (a forced
+                    # cut over all candidates would rescore the corpus)
+                    matches = self._finalize_quantized(
+                        full_scores[q], plans[q], pq, gaps,
+                        norm_totals[q], metric_name, n, min_score,
+                        entry_err, tagw=tagws[q], gap_costs=gap_costs,
+                        boost=boost_q, doc_filter=doc_filter,
+                    )
+                else:
+                    matches = self._try_exact_cut(
+                        cands[q], float(rest_max[q]), plans[q], pq, gaps,
+                        norm_totals[q], metric_name, n, min_score, eps,
+                        tagw=tagws[q], gap_costs=gap_costs,
+                        boost=boost_q, doc_filter=doc_filter,
+                    )
                 if matches is None:
                     retry = True
                     break
@@ -1590,9 +1636,8 @@ class BruteForceIndex(Index):
                 )
             if not retry:
                 return results
-            # unsafe cut: full coverage over every shard in one more round
-            # (complete=True then forces acceptance) — a single extra jit
-            # shape instead of one per doubling
+            # unsafe cut: ONE full-coverage round — all scores reach the
+            # host and the finalize above bounds the rescore by ties
             m = max(tok_d.shape[0] for _, tok_d, _, _, _ in shards)
 
     def _find_batch_transport(
@@ -1834,14 +1879,20 @@ class BruteForceIndex(Index):
 
             cands = [[] for _ in range(Q)]
             rest_max = np.full((Q,), -np.inf)
+            full_scores = (
+                np.full((Q, self._engine.packed.n_slices), -1e30, np.float32)
+                if complete
+                else None
+            )
             for db, (s, i, nxt) in pending:
                 s, i = np.asarray(s), np.asarray(i)
                 rest_max = np.maximum(rest_max, np.asarray(nxt))
                 for q in range(Q):
                     valid = (i[q] < db["n"]) & np.isfinite(s[q])
-                    cands[q].extend(
-                        int(x) for x in db["slice_index"][i[q][valid]]
-                    )
+                    sids = db["slice_index"][i[q][valid]]
+                    cands[q].extend(int(x) for x in sids)
+                    if full_scores is not None:
+                        full_scores[q, sids] = s[q][valid]
 
             results = []
             retry = False
@@ -1849,11 +1900,19 @@ class BruteForceIndex(Index):
                 eps = self._quant_eps(
                     0.0, pq, norm_totals[q], plan=plans[q]
                 )
-                matches = self._try_exact_cut(
-                    cands[q], float(rest_max[q]), plans[q], pq, gaps,
-                    norm_totals[q], token_sim.name, n, min_score, eps,
-                    force=complete, gap_costs=gap_costs,
-                )
+                if complete:
+                    # full-coverage round: finalize with tie-bounded extras
+                    matches = self._finalize_quantized(
+                        full_scores[q], plans[q], pq, gaps,
+                        norm_totals[q], token_sim.name, n, min_score,
+                        entry_err=0.0, gap_costs=gap_costs,
+                    )
+                else:
+                    matches = self._try_exact_cut(
+                        cands[q], float(rest_max[q]), plans[q], pq, gaps,
+                        norm_totals[q], token_sim.name, n, min_score, eps,
+                        gap_costs=gap_costs,
+                    )
                 if matches is None:
                     retry = True
                     break
