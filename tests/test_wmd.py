@@ -85,6 +85,7 @@ def test_rwmd_scores_dedup_consistency(rng):
             jnp.asarray(float(T), jnp.float32),
             jnp.zeros((T,), jnp.float32), jnp.zeros((T,), jnp.int8),
             jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
+            jnp.zeros((1,), bool), jnp.zeros((1,), bool), jnp.zeros((1,), bool),
             injective=False, symmetric=True, normalize_bow=True, chunk=N,
         )
     )
@@ -228,6 +229,7 @@ def test_tagged_rwmd_scores_vs_oracle(rng):
             jnp.asarray(tw_w), jnp.asarray(tw_pos),
             jnp.asarray(penalty, jnp.float32),
             jnp.asarray(threshold, jnp.float32),
+            jnp.zeros((1,), bool), jnp.zeros((1,), bool), jnp.zeros((1,), bool),
             injective=False, symmetric=True, normalize_bow=True, chunk=N,
             with_tags=True,
         )
@@ -392,6 +394,7 @@ def test_tagged_rwmd_bow_mode_max_cost(rng):
             jnp.asarray(tw_w), jnp.asarray(tw_pos),
             jnp.asarray(penalty, jnp.float32),
             jnp.asarray(threshold, jnp.float32),
+            jnp.zeros((1,), bool), jnp.zeros((1,), bool), jnp.zeros((1,), bool),
             injective=False, symmetric=False, normalize_bow=False, chunk=N,
             with_tags=True,
         )
@@ -472,3 +475,123 @@ def test_rwmd_flow_normalization_modes():
     by = {(t, s): f for t, s, f, d in edges}
     assert by[(0, 0)] == pytest.approx(0.25)  # capped by m_sn[0]
     assert by[(0, 1)] == pytest.approx(m_tn[0] - 0.25)
+
+
+def test_transport_booster_applied():
+    """Boosters multiply transport scores exactly like alignment scores:
+    the reference builds Score(r.score, score_max, p_boost) for WMD
+    (metric/alignment.h:598) and WRD (:710).  Boosted results must equal
+    the plain scores times the per-slice boost, with min_score applied to
+    the BOOSTED value."""
+    from tests.helpers import WORDS, make_corpus_texts, make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.saliency import KeywordSignal, Saliency
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    rng = np.random.default_rng(11)
+    planted = ["the old king rides the grey horse"]
+    texts, locations = make_corpus_texts(
+        rng, n_docs=3, sents_per_doc=8, planted=planted
+    )
+    imp = StringImporter()
+    docs = [imp(t, title=f"d{i}") for i, t in enumerate(texts)]
+    words = sorted(set(WORDS) | {"old", "king", "rides", "grey", "horse", "the"})
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    p = session.partition("sentence")
+    # strength=0.5 -> boost in [0.5, 1.0]: non-trivial multipliers on every
+    # slice (strength=1.0 would only zero scores out)
+    sal = Saliency(strength=0.5).add_signal(KeywordSignal("horse"), 1.0)
+    boost = sal.compile(session, p)
+    query = "horse grey the rides king old the"
+
+    for optimizer in [
+        WordMoversDistance.rwmd("nbow"),
+        WordMoversDistance.wmd("nbow"),
+        WordRotatorsDistance(),
+    ]:
+        index = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), optimizer))
+        plain = index.find(query, n=20, min_score=0.05)
+        boosted = index.find(query, n=20, min_score=0.05, booster=sal)
+        assert len(boosted) >= 1, optimizer
+        plain_by_sid = {m.slice_id: m.score for m in plain}
+        for m in boosted:
+            assert m.slice_id in plain_by_sid, optimizer
+            want = plain_by_sid[m.slice_id] * float(boost[m.slice_id])
+            assert m.score == pytest.approx(want, rel=1e-5), optimizer
+        # the boosted list is sorted by the boosted score
+        scores = [m.score for m in boosted]
+        assert scores == sorted(scores, reverse=True)
+        # min_score applies to the boosted value (strict >)
+        assert all(m.score > 0.05 for m in boosted)
+
+
+def test_transport_doc_token_filter():
+    """Doc-side token filters apply to transport metrics exactly like the
+    reference's FilteredSlice (slice/static.h:104-184 wraps EVERY matcher,
+    WMD/WRD included): searching corpus A with token_filter=['foo'] must
+    score every slice identically to searching corpus B where 'foo' was
+    never in the text — and no flow edge may point at a filtered token."""
+    from tests.helpers import WORDS, make_embedding
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    rng = np.random.default_rng(7)
+    base_sents = []
+    for _ in range(12):
+        k = rng.integers(4, 8)
+        base_sents.append([WORDS[i] for i in rng.integers(0, len(WORDS), k)])
+    filler = "filler"
+    sents_a, sents_b = [], []
+    for s in base_sents:
+        s_a = list(s)
+        # inject the filler at a random interior position in corpus A
+        s_a.insert(int(rng.integers(0, len(s))), filler)
+        sents_a.append(" ".join(s_a))
+        sents_b.append(" ".join(s))
+    text_a = ". ".join(sents_a) + "."
+    text_b = ". ".join(sents_b) + "."
+
+    words = sorted(set(WORDS) | {filler})
+    emb = make_embedding(words)
+    imp = StringImporter()
+    sess_a = Session([imp(text_a, title="a")], embeddings=[emb])
+    sess_b = Session([imp(text_b, title="b")], embeddings=[emb])
+    query = "old king rides the grey horse"
+
+    for optimizer in [
+        WordMoversDistance.rwmd("nbow"),
+        WordMoversDistance.rwmd("bow/fast"),
+        WordMoversDistance.wmd("nbow"),
+        WordRotatorsDistance(),
+    ]:
+        ix_a = sess_a.partition("sentence").index(
+            OptimizedSpanSim(EmbeddingTokenSim(emb), optimizer)
+        )
+        ix_b = sess_b.partition("sentence").index(
+            OptimizedSpanSim(EmbeddingTokenSim(emb), optimizer)
+        )
+        r_a = ix_a.find(query, n=20, min_score=-1e30, token_filter=[filler])
+        r_b = ix_b.find(query, n=20, min_score=-1e30)
+        got = {
+            int(ix_a.packed.slice_idx[m.slice_id]): m.score for m in r_a
+        }
+        want = {
+            int(ix_b.packed.slice_idx[m.slice_id]): m.score for m in r_b
+        }
+        assert set(got) == set(want), optimizer
+        for s, sc in want.items():
+            assert got[s] == pytest.approx(sc, abs=2e-5), (optimizer, s)
+        # flow edges never touch the filtered token
+        filler_id = sess_a.vocab.tokens.get(filler)
+        packed_a = ix_a.packed
+        for m in r_a:
+            s0 = int(packed_a.slice_start[m.slice_id])
+            d = int(packed_a.slice_doc[m.slice_id])
+            ids = sess_a.documents[d].token_ids
+            for (t, s, f, dist) in (m._edge_list or []):
+                assert ids[s0 + s] != filler_id, optimizer

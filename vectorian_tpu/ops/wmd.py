@@ -64,14 +64,19 @@ def dedup_masses(ids, valid) -> np.ndarray:
 
 
 def _device_masses(
-    tok: jnp.ndarray, lengths: jnp.ndarray, tag: jnp.ndarray = None
+    tok: jnp.ndarray, lengths: jnp.ndarray, tag: jnp.ndarray = None,
+    keep: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """[n, L] first-occurrence count masses on device (O(L^2) per slice).
     With ``tag``, identity is (id, tag) — the reference's TaggedTokenFactory
-    (bow.h:150-202) selected by similarity_dependency()==TAGS."""
+    (bow.h:150-202) selected by similarity_dependency()==TAGS.  ``keep``
+    (bool [n, L]) masks doc-filtered positions out of the bag entirely
+    (FilteredSlice semantics: the token never enters the BOW)."""
     n, L = tok.shape
     pos = jnp.arange(L, dtype=jnp.int32)
     valid = pos[None, :] < lengths[:, None]  # [n, L]
+    if keep is not None:
+        valid = valid & keep
     eq = (tok[:, :, None] == tok[:, None, :]) & valid[:, :, None] & valid[:, None, :]
     if tag is not None:
         eq = eq & (tag[:, :, None] == tag[:, None, :])
@@ -132,7 +137,7 @@ def _greedy_fill_cost(w1, D, cap, injective: bool):
     jax.jit,
     static_argnames=(
         "plan", "injective", "symmetric", "normalize_bow", "chunk",
-        "unique_masses", "with_tags",
+        "unique_masses", "with_tags", "with_filter",
     ),
 )
 def _bucket_rwmd_scores(
@@ -156,12 +161,16 @@ def _bucket_rwmd_scores(
     tw_pos_t: jnp.ndarray,  # [T] i8
     tw_penalty: jnp.ndarray,  # scalar f32
     tw_threshold: jnp.ndarray,  # scalar f32
+    df_pos_ex: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    df_tag_ex: jnp.ndarray,  # [n_tags] bool
+    df_tok_ex: jnp.ndarray,  # [V] bool
     injective: bool,
     symmetric: bool,
     normalize_bow: bool,
     chunk: int,
     unique_masses: bool = False,
     with_tags: bool = False,
+    with_filter: bool = False,
 ):
     from vectorian_tpu.ops.search import _apply_tag_weights
     from vectorian_tpu.ops.simmatrix import eval_plan_chunk
@@ -172,16 +181,30 @@ def _bucket_rwmd_scores(
 
     def one_chunk(args):
         tok, ts, inv, pos, tag, ln, ctx = args
+        p = jnp.arange(L, dtype=jnp.int32)
+        valid = p[None, :] < ln[:, None]  # [c, L]
+        keep = None
+        if with_filter:
+            # doc-side token filter = FilteredSlice (slice/static.h:104-184):
+            # excluded tokens never enter the BOW and the effective slice
+            # length shrinks accordingly
+            keep = valid & ~(
+                df_pos_ex[jnp.maximum(pos, 0).astype(jnp.int32)]
+                | df_tag_ex[jnp.maximum(tag, 0).astype(jnp.int32)]
+                | df_tok_ex[jnp.maximum(tok, 0)]
+            )
         if unique_masses:
             # contextual: every position is its own BOW entry (reference
             # UniqueTokensBOWBuilder, alignment/bow.h:278-334)
-            p = jnp.arange(L, dtype=jnp.int32)
-            mass_s = ((p[None, :] < ln[:, None])).astype(jnp.float32)
+            mass_s = (keep if keep is not None else valid).astype(jnp.float32)
         elif with_tags:
-            mass_s = _device_masses(tok, ln, tag)  # (id, tag) identity
+            mass_s = _device_masses(tok, ln, tag, keep=keep)  # (id, tag)
         else:
-            mass_s = _device_masses(tok, ln)  # [c, L] counts
-        w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)
+            mass_s = _device_masses(tok, ln, keep=keep)  # [c, L] counts
+        eff_len = (
+            jnp.sum(keep, axis=1) if keep is not None else ln
+        ).astype(jnp.float32)
+        w_sum_s = jnp.maximum(eff_len, 1e-9)
         w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)
         if normalize_bow:
             m_s = mass_s / w_sum_s[:, None]
@@ -216,7 +239,7 @@ def _bucket_rwmd_scores(
         # (wmd.h:411-412): len_t untagged, the tag-weight sum when weighted
         max_cost = 1.0 if normalize_bow else max_score_t
         score = (max_cost - cost) / max_cost  # cost_to_score, wmd.h:139-141
-        return jnp.where(ln > 0, score, NEG_SCORE)
+        return jnp.where(eff_len > 0, score, NEG_SCORE)
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
@@ -366,7 +389,7 @@ def _emd_chunk_scores_multi(
     jax.jit,
     static_argnames=(
         "plan", "use_magnitudes", "normalize_mass", "chunk", "n_iters",
-        "unique_masses", "with_tags",
+        "unique_masses", "with_tags", "with_filter",
     ),
 )
 def _bucket_emd_scores(
@@ -388,6 +411,9 @@ def _bucket_emd_scores(
     tw_pos_t: jnp.ndarray,  # [T] i8
     tw_penalty: jnp.ndarray,  # scalar f32
     tw_threshold: jnp.ndarray,  # scalar f32
+    df_pos_ex: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    df_tag_ex: jnp.ndarray,  # [n_tags] bool
+    df_tok_ex: jnp.ndarray,  # [V] bool
     use_magnitudes: bool,
     normalize_mass: bool,
     chunk: int,
@@ -395,6 +421,7 @@ def _bucket_emd_scores(
     n_iters: int = 50,
     unique_masses: bool = False,
     with_tags: bool = False,
+    with_filter: bool = False,
 ):
     """Full WMD / WRD device ranking via Sinkhorn (exact rescore on host)."""
     from vectorian_tpu.ops.search import _apply_tag_weights
@@ -418,22 +445,33 @@ def _bucket_emd_scores(
             )
         p = jnp.arange(L, dtype=jnp.int32)
         valid = p[None, :] < ln[:, None]
+        keep = None
+        if with_filter:
+            # FilteredSlice semantics (slice/static.h:104-184): excluded
+            # tokens never enter the BOW / carry mass
+            keep = valid & ~(
+                df_pos_ex[jnp.maximum(pos, 0).astype(jnp.int32)]
+                | df_tag_ex[jnp.maximum(tag, 0).astype(jnp.int32)]
+                | df_tok_ex[jnp.maximum(tok, 0)]
+            )
+            valid = keep
         if use_magnitudes:
             # WRD: every position is its own entry, mass = |v| (wrd.h:62-146)
             m_s = jnp.where(valid, out["magnitudes_s"], 0.0)
         elif unique_masses:
             m_s = valid.astype(jnp.float32)
         elif with_tags:
-            m_s = _device_masses(tok, ln, tag)
+            m_s = _device_masses(tok, ln, tag, keep=keep)
         else:
-            m_s = _device_masses(tok, ln)
+            m_s = _device_masses(tok, ln, keep=keep)
         m_t = jnp.broadcast_to(mass_t[None, :], (tok.shape[0], T))
         if normalize_mass:
             m_s = m_s / jnp.maximum(jnp.sum(m_s, axis=1, keepdims=True), 1e-9)
             m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
         D = jnp.maximum(MAX_SIMILARITY - jnp.swapaxes(S, 1, 2), 0.0)  # [c, T, L]
         score = sinkhorn_emd_score(m_t, m_s, D, eps, n_iters)
-        return jnp.where(ln > 0, score, NEG_SCORE)
+        ok = jnp.sum(valid, axis=1) > 0
+        return jnp.where(ok, score, NEG_SCORE)
 
     xs = (
         token_ids.reshape(n_chunks, chunk, L),
@@ -510,9 +548,28 @@ class WMDEngine:
         n = int(opts.get("max_matches", 100))
         min_score = float(opts.get("min_score", 0.2))
         debug = opts.get("debug")
+        booster = opts.get("booster")
+        boost = None
+        if booster is not None:
+            # the reference multiplies the booster into EVERY match score,
+            # transport included (Score(r.score, score_max, p_boost),
+            # metric/alignment.h:598 WMD / :710 WRD) — rank on boosted
+            # scores so top-k pruning sees the same ordering
+            boost = np.asarray(
+                booster.compile(index.session, index._partition, query),
+                np.float32,
+            )
+        doc_filter = index._doc_filter(query)
 
-        state = self._score(index, query, qp)
+        state = self._score(index, query, qp, doc_filter=doc_filter)
+        state["boost"] = boost
         scores = state["scores"]
+        if boost is not None:
+            valid = scores > NEG_SCORE * 0.5
+            scores = np.where(valid, scores * boost, NEG_SCORE).astype(
+                np.float32
+            )
+            state["scores"] = scores
         if debug:
             debug("scores", {"scores": scores})
         # Sinkhorn-ranked algorithms (full WMD/WRD) overfetch: the device
@@ -524,8 +581,11 @@ class WMDEngine:
         # Sinkhorn device scores carry ~1e-3 entropic bias: rank-fetch with a
         # slack below min_score so borderline true matches reach the exact
         # rescore (which applies the exact threshold); relaxed scores are
-        # exact and need none
-        rank_min = min_score if relaxed else min_score - SINKHORN_RANK_SLACK
+        # exact and need none.  Boosts scale the bias with them.
+        slack = SINKHORN_RANK_SLACK * (
+            max(1.0, float(boost.max())) if boost is not None else 1.0
+        )
+        rank_min = min_score if relaxed else min_score - slack
         top = self._engine.top_k(scores, overfetch, min_score=rank_min)
         if not top:
             return []
@@ -935,9 +995,9 @@ class WMDEngine:
             # next pass) — avoids a fresh remote compile per doubling
             m = max(tok_d.shape[0] for _, tok_d, *_ in shards)
 
-    def _score(self, index, query, qp) -> dict:
-        """Device ranking pass; returns scores plus the mass/tag state the
-        host rescore needs."""
+    def _score(self, index, query, qp, doc_filter=None) -> dict:
+        """Device ranking pass; returns scores plus the mass/tag/filter
+        state the host rescore needs."""
         T = query.n_tokens
         engine = self._engine
         a = self._args
@@ -967,13 +1027,14 @@ class WMDEngine:
                 qp, mass_t, T,
                 bool(a["injective"]), bool(a["symmetric"]),
                 bool(a["normalize_bow"]), unique, tagw,
+                doc_filter=doc_filter,
             )
         elif self._algorithm == "word-movers-distance":
             # device ranking always on normalized masses (Sinkhorn scale);
             # the exact host rescore below uses the requested bow/nbow masses
             scores = self._score_buckets_emd(
                 qp, mass_t, use_magnitudes=False, normalize=True,
-                unique=unique, tagw=tagw,
+                unique=unique, tagw=tagw, doc_filter=doc_filter,
             )
         elif self._algorithm == "word-rotators-distance":
             mass_t_mag = np.asarray(qp.ctx_queries[0]["magnitudes"], np.float32) if (
@@ -985,7 +1046,7 @@ class WMDEngine:
             scores = self._score_buckets_emd(
                 qp, mass_t_mag, use_magnitudes=True,
                 normalize=bool(a.get("normalize_magnitudes", True)),
-                unique=unique, tagw=tagw,
+                unique=unique, tagw=tagw, doc_filter=doc_filter,
             )
         else:
             raise ValueError(self._algorithm)
@@ -998,6 +1059,7 @@ class WMDEngine:
             "tagged": tagged,
             "unique": unique,
             "T": T,
+            "doc_filter": doc_filter,
         }
 
     def _host_rescore(
@@ -1019,6 +1081,7 @@ class WMDEngine:
         T = state["T"]
 
         matches = []
+        doc_filter = state.get("doc_filter")
         token_sim_name = index._args["metric"]["token_sim"].name
         sims_list = engine.batch_slice_similarity(top, qp, tag_weights=tagw)
         for sid, (Sw, Su) in zip(top, sims_list):
@@ -1027,16 +1090,29 @@ class WMDEngine:
             ids = tok[:ln]
             S = Sw[:, :T]  # [ln, T] (weighted == unmodified when no tags)
             D_ts = np.maximum(MAX_SIMILARITY - S.T, 0.0)  # [T, ln]
+            keep = np.ones(ln, bool)
+            if doc_filter is not None:
+                # FilteredSlice: excluded doc tokens carry no mass and get
+                # no flow edges (they render as gap regions)
+                bi, r = engine._slice_loc[sid]
+                db = engine._device_buckets[bi]
+                pos_h = db["pos_np"][r][:ln].astype(np.int64)
+                tag_h = db["tag_np"][r][:ln].astype(np.int64)
+                keep = ~(
+                    doc_filter.pos_exclude[np.maximum(pos_h, 0)]
+                    | doc_filter.tag_exclude[np.maximum(tag_h, 0)]
+                    | doc_filter.token_exclude[np.maximum(ids, 0)]
+                )
             if unique:
-                m_s = np.ones((ln,), np.float32)
+                m_s = keep.astype(np.float32)
             elif tagged:
                 bi, r = engine._slice_loc[sid]
                 tags = engine._device_buckets[bi]["tag_np"][r][:ln]
                 m_s = dedup_masses(
-                    list(zip(ids.tolist(), tags.tolist())), np.ones(ln, bool)
+                    list(zip(ids.tolist(), tags.tolist())), keep
                 )
             else:
-                m_s = dedup_masses(ids, np.ones(ln, bool))
+                m_s = dedup_masses(ids, keep)
             score = float(scores[sid])
             if self._algorithm == "word-movers-distance" and a["relaxed"]:
                 m_t = mass_t[:T].copy()
@@ -1053,6 +1129,7 @@ class WMDEngine:
                 if self._algorithm == "word-rotators-distance":
                     m_t = np.asarray(mass_t_mag[:T], np.float64)
                     m_s_use = self._slice_magnitudes(qp, sid, ln)
+                    m_s_use = np.where(keep, m_s_use, 0.0)
                     if a.get("normalize_magnitudes", True):
                         m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
                         m_t = m_t / max(m_t.sum(), 1e-9)
@@ -1065,6 +1142,11 @@ class WMDEngine:
                 score, r = emd_score(
                     m_t, m_s_use, D_ts, a.get("extra_mass_penalty", -1)
                 )
+                if state.get("boost") is not None:
+                    # relaxed scores above are read back from the (already
+                    # boosted) device vector; the exact EMD rescore happens
+                    # here, so the boost multiplies here (alignment.h:598)
+                    score *= float(state["boost"][sid])
                 edges = []
                 if r.success:
                     for i in range(r.flow.shape[0]):
@@ -1130,11 +1212,26 @@ class WMDEngine:
             return TagWeightingSpec.identity_args(T)
         return tagw.device_args()
 
+    @staticmethod
+    def _df_args(doc_filter):
+        """Device args for the doc-side token filter; tiny inert dummies
+        when absent (with_filter=False never reads them, they only placate
+        the jit signature)."""
+        if doc_filter is None:
+            z = jnp.zeros((1,), bool)
+            return (z, z, z)
+        return (
+            jnp.asarray(doc_filter.pos_exclude),
+            jnp.asarray(doc_filter.tag_exclude),
+            jnp.asarray(doc_filter.token_exclude),
+        )
+
     def _score_buckets_rwmd(self, qp, mass_t, len_t, injective, symmetric,
-                            normalize_bow, unique, tagw=None):
+                            normalize_bow, unique, tagw=None, doc_filter=None):
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         tw = self._tagw_args(tagw, len(mass_t))
+        df = self._df_args(doc_filter)
         max_score_t = tagw.total if tagw is not None else float(len_t)
         pending = []
         for bi, db in enumerate(engine._device_buckets):
@@ -1158,12 +1255,14 @@ class WMDEngine:
                 jnp.asarray(len_t, jnp.int32),
                 jnp.asarray(max_score_t, jnp.float32),
                 *tw,
+                *df,
                 injective=injective,
                 symmetric=symmetric,
                 normalize_bow=normalize_bow,
                 chunk=db["chunk"],
                 unique_masses=unique,
                 with_tags=tagw is not None,
+                with_filter=doc_filter is not None,
             )
             pending.append((db, scores))
         for db, scores in pending:
@@ -1171,10 +1270,11 @@ class WMDEngine:
         return out
 
     def _score_buckets_emd(self, qp, mass_t, use_magnitudes, normalize, unique,
-                           tagw=None):
+                           tagw=None, doc_filter=None):
         engine = self._engine
         out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         tw = self._tagw_args(tagw, len(mass_t))
+        df = self._df_args(doc_filter)
         pending = []
         for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
@@ -1196,11 +1296,13 @@ class WMDEngine:
                 jnp.asarray(mass_t, jnp.float32),
                 jnp.asarray(0.02, jnp.float32),
                 *tw,
+                *df,
                 use_magnitudes=use_magnitudes,
                 normalize_mass=normalize,
                 chunk=db["chunk"],
                 unique_masses=unique,
                 with_tags=tagw is not None,
+                with_filter=doc_filter is not None,
             )
             pending.append((db, scores))
         for db, scores in pending:
