@@ -1340,6 +1340,37 @@ class BruteForceEngine:
         ln = int(self._packed.slice_len[sid]) if sel is None else len(sel)
         return np.asarray(Sw)[:ln], np.asarray(Su)[:ln]
 
+    def rescore_scores(
+        self,
+        slice_ids: List[int],
+        qp: QueryPlan,
+        len_t: int,
+        gaps: AffineGapParams,
+        locality: str,
+        tag_weights: Optional[TagWeightingSpec] = None,
+        doc_filter: Optional[DocFilterSpec] = None,
+        gap_costs=None,
+        chunk: int = 8192,
+    ) -> np.ndarray:
+        """Exact f32 raw DP scores [k] for the chosen slices WITHOUT flow
+        extraction — the cheap half of the finalizer for tie-bounded extra
+        candidates (host tracebacks at Zipf tie volumes dominated batch
+        latency).  Runs the IDENTICAL similarity + align_matrices_scores
+        code path as rescore_with_flows (only the H readback and traceback
+        are skipped), so the returned scores are bit-equal to the flow
+        finalizer's.  ``chunk`` bounds one dispatch's S_batch footprint;
+        chunks pad to the fixed size so the jit cache sees one shape."""
+        k = len(slice_ids)
+        raw = np.full((k,), NEG_SCORE, np.float32)
+        for c0 in range(0, k, chunk):
+            ids_c = slice_ids[c0 : c0 + chunk]
+            _, _, raw_c = self._rescore_batch(
+                ids_c, qp, len_t, gaps, locality, tag_weights, doc_filter,
+                gap_costs, None, True, want_flows=False,
+            )
+            raw[c0 : c0 + len(ids_c)] = raw_c
+        return raw
+
     def rescore_with_flows(
         self,
         slice_ids: List[int],
@@ -1365,17 +1396,29 @@ class BruteForceEngine:
         Batched: one similarity dispatch per touched bucket + one batched
         DP-matrix dispatch for all slices (tunnel round trips, not compute,
         dominate the finalizer's latency)."""
+        mappings, edge_sims, raw_scores = self._rescore_batch(
+            slice_ids, qp, len_t, gaps, locality, tag_weights, doc_filter,
+            gap_costs, on_sims, with_scores, want_flows=True,
+        )
+        if with_scores:
+            return mappings, edge_sims, raw_scores
+        return mappings, edge_sims
+
+    def _rescore_batch(
+        self, slice_ids, qp, len_t, gaps, locality, tag_weights, doc_filter,
+        gap_costs, on_sims, with_scores, want_flows: bool,
+    ):
         k = len(slice_ids)
         mappings = [np.full((len_t,), -1, np.int32) for _ in range(k)]
         edge_sims = [np.zeros((len_t,), np.float32) for _ in range(k)]
         raw_scores = np.full((k,), NEG_SCORE, np.float32)
         if k == 0:
-            return (mappings, edge_sims, raw_scores) if with_scores else (mappings, edge_sims)
+            return mappings, edge_sims, raw_scores
 
         sels = [self.filtered_positions(sid, doc_filter) for sid in slice_ids]
         live = [j for j in range(k) if len(sels[j]) > 0]
         if not live:
-            return (mappings, edge_sims, raw_scores) if with_scores else (mappings, edge_sims)
+            return mappings, edge_sims, raw_scores
         sims_list = self.batch_slice_similarity(
             [slice_ids[j] for j in live],
             qp,
@@ -1402,8 +1445,10 @@ class BruteForceEngine:
                     S_batch, ln_arr, lt_arr,
                     jnp.asarray(w_s), jnp.asarray(w_t), locality,
                 )
-                H_all = np.asarray(H_all)
                 raw_scores[np.asarray(live)] = np.asarray(raw_live)
+                if not want_flows:
+                    return mappings, edge_sims, raw_scores
+                H_all = np.asarray(H_all)
             else:
                 H_all = np.asarray(
                     align_matrices_general(
@@ -1415,8 +1460,10 @@ class BruteForceEngine:
                 H_all, _, _, raw_live = align_matrices_scores(
                     S_batch, ln_arr, lt_arr, gaps, locality
                 )
-                H_all = np.asarray(H_all)
                 raw_scores[np.asarray(live)] = np.asarray(raw_live)
+                if not want_flows:
+                    return mappings, edge_sims, raw_scores
+                H_all = np.asarray(H_all)
             else:
                 H_all, _, _ = (
                     np.asarray(x)
@@ -1446,9 +1493,7 @@ class BruteForceEngine:
             mapping = np.where(mapping >= 0, sel[np.maximum(mapping, 0)], -1)
             mappings[j] = mapping.astype(np.int32)
             edge_sims[j] = sims
-        if with_scores:
-            return mappings, edge_sims, raw_scores
-        return mappings, edge_sims
+        return mappings, edge_sims, raw_scores
 
     def _slice_tokens(self, slice_id: int):
         bi, r = self._slice_loc[slice_id]
