@@ -25,6 +25,7 @@ from vectorian_tpu.ops.alignment import AffineGapParams
 from vectorian_tpu.ops.search import (
     NEG_SCORE,
     BruteForceEngine,
+    HostVecSource,
     TagWeightingSpec,
     order_by_score,
     reference_score,
@@ -1187,48 +1188,80 @@ class BruteForceIndex(Index):
                 mesh, start_time, boosts=boosts, doc_filter=doc_filter,
             )
 
+        # boosted batches rank on full host-side score vectors (the boost
+        # multiplies host-side, after the corpus pass); unboosted batches
+        # use device-side per-bucket top-k — only O(buckets * Q * k) pairs
+        # cross the tunnel instead of the [n_slices, Q] matrix
         entry_err = 0.0
+        scores = src = None
         if quantize:
-            scores, entry_err = self._engine.score_all_multi(
-                plans, len_ts, gaps, self._locality, norm_totals,
-                sim_dtype=sim_precision, with_err=True, gap_costs=gap_costs,
-                doc_filter=doc_filter,
-            )  # [n_slices, Q]
+            if boosts is None:
+                src, entry_err = self._engine.score_topk_multi(
+                    plans, len_ts, gaps, self._locality, norm_totals,
+                    n + 32, sim_dtype=sim_precision, with_err=True,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )
+            else:
+                scores, entry_err = self._engine.score_all_multi(
+                    plans, len_ts, gaps, self._locality, norm_totals,
+                    sim_dtype=sim_precision, with_err=True,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )  # [n_slices, Q]
         else:
-            scores = self._engine.score_all_multi(
-                plans, len_ts, gaps, self._locality, norm_totals,
-                tag_weights=tagws if any_tags else None, gap_costs=gap_costs,
-                doc_filter=doc_filter,
-            )
+            if boosts is None:
+                src = self._engine.score_topk_multi(
+                    plans, len_ts, gaps, self._locality, norm_totals,
+                    n + 32, tag_weights=tagws if any_tags else None,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )
+            else:
+                scores = self._engine.score_all_multi(
+                    plans, len_ts, gaps, self._locality, norm_totals,
+                    tag_weights=tagws if any_tags else None,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )
 
-        results = []
+        # every batch (quantized, f32, tag-weighted) reports the
+        # FINALIZER's exact f32 scores under the provable cut (entry_err
+        # 0.0 on f32 paths, where the loop only guards tie-breaks) — so
+        # every sim_precision AND find() return byte-identical matches;
+        # device scores can differ from the rescore by ~1 ulp (XLA lowers
+        # the normalization divide as a reciprocal multiply).  All queries
+        # finalize through ONE batched rescore per round (sequential
+        # per-query finalizes pay 2 blocking tunnel reads each).
+        items, item_qis = [], []
         for qi, pq in enumerate(prepared):
             if pq.n_tokens == 0:
-                results.append(Result(self, [], 0.0))
                 continue
-            q_scores = scores[:, qi]
-            boost_q = boosts[qi] if boosts is not None else None
-            if boost_q is not None:
-                q_scores = np.where(
-                    q_scores <= NEG_SCORE * 0.5,
-                    q_scores,
-                    q_scores * boost_q,
-                ).astype(np.float32)
-            # every batch (quantized, f32, tag-weighted) reports the
-            # FINALIZER's exact f32 scores under the provable cut
-            # (entry_err 0.0 on f32 paths, where the loop only guards
-            # tie-breaks) — so every sim_precision AND find() return
-            # byte-identical matches; device scores can differ from the
-            # rescore by ~1 ulp (XLA lowers the normalization divide as a
-            # reciprocal multiply)
-            matches = self._finalize_quantized(
-                q_scores, plans[qi], pq, gaps, norm_totals[qi],
-                token_sim.name, n, min_score, entry_err,
-                tagw=tagws[qi], gap_costs=gap_costs, boost=boost_q,
-                doc_filter=doc_filter,
+            if src is not None:
+                q_src = src.qview(qi)
+                boost_q = None
+            else:
+                q_scores = scores[:, qi]
+                boost_q = boosts[qi] if boosts is not None else None
+                if boost_q is not None:
+                    q_scores = np.where(
+                        q_scores <= NEG_SCORE * 0.5,
+                        q_scores,
+                        q_scores * boost_q,
+                    ).astype(np.float32)
+                q_src = q_scores
+            items.append(
+                (q_src, plans[qi], pq, norm_totals[qi], tagws[qi], boost_q)
             )
-            results.append(Result(self, matches, time.time() - start_time))
-        return results
+            item_qis.append(qi)
+        per_q = self._finalize_quantized_many(
+            items, gaps, token_sim.name, n, min_score, entry_err,
+            gap_costs=gap_costs, doc_filter=doc_filter,
+        )
+        matches_by_qi = dict(zip(item_qis, per_q))
+        elapsed = time.time() - start_time
+        return [
+            Result(self, matches_by_qi[qi], elapsed)
+            if qi in matches_by_qi
+            else Result(self, [], 0.0)
+            for qi in range(len(prepared))
+        ]
 
     def _prepare_static_batch(self, texts, n, min_score, sim_precision, kwargs):
         """Shared find_batch front half: prepare Q queries, collapse their
@@ -1337,53 +1370,229 @@ class BruteForceIndex(Index):
         corpus-wide rescore; a full-coverage retry measured 100k+ host
         tracebacks on a Zipf corpus).  The returned matches (ids, scores,
         flows, order) are bit-identical to the pure-f32 path."""
-        eps = self._quant_eps(entry_err, pq, norm_total, plan=plan)
-        if boost is not None:
-            eps_b = eps * max(1.0, float(np.max(boost)))
-        else:
-            eps_b = eps
-        cand, rest_max = self._engine.top_k_with_next(
-            q_scores, n + 32, min_score - eps_b
+        return self._finalize_quantized_many(
+            [(q_scores, plan, pq, norm_total, tagw, boost)],
+            gaps, metric_name, n, min_score, entry_err,
+            gap_costs=gap_costs, doc_filter=doc_filter,
+        )[0]
+
+    def _finalize_quantized_many(
+        self, items, gaps, metric_name, n: int, min_score: float,
+        entry_err: float, gap_costs=None, doc_filter=None,
+    ) -> List[List["Match"]]:
+        """Batched finalizer: ``items`` is one (q_scores, plan, pq,
+        norm_total, tagw, boost) tuple per query; every device round runs
+        ONCE for the whole batch through ``rescore_many`` (sequential
+        per-query finalizes cost 2 blocking tunnel reads each — the
+        dominant term of find_batch latency at 1M slices).
+
+        Three bounded rounds: (1) exact flows-rescore of each query's
+        n+32 overfetch, (2) score-only rescore of the tie-bounded extras
+        for queries whose cut is unsafe (no H readback / traceback — Zipf
+        tie groups run to thousands of slices), (3) flow extraction for
+        the handful of extras that enter a final top-n.  Results are
+        bit-identical to the sequential path (same dispatch arguments,
+        same arithmetic)."""
+        engine = self._engine
+        packed = engine.packed
+
+        def key_of(sid, score):
+            return (
+                -score,
+                int(packed.slice_doc[sid]),
+                int(packed.slice_idx[sid]),
+            )
+
+        # round 1: candidate selection (host-complete score vectors or
+        # device-top-k candidate sources) and one batched flows-rescore of
+        # every query's overfetch
+        meta = []
+        reqs = []
+        for q_scores, plan, pq, norm_total, tagw, boost in items:
+            src = (
+                HostVecSource(engine, q_scores)
+                if isinstance(q_scores, np.ndarray)
+                else q_scores
+            )
+            eps = self._quant_eps(entry_err, pq, norm_total, plan=plan)
+            eps_b = (
+                eps * max(1.0, float(np.max(boost)))
+                if boost is not None
+                else eps
+            )
+            cand, rest_max = src.initial(n + 32, min_score - eps_b)
+            meta.append(
+                {
+                    "eps_b": eps_b,
+                    "cand": cand,
+                    "rest_max": rest_max,
+                    "src": src,
+                }
+            )
+            reqs.append(
+                {
+                    "slice_ids": cand,
+                    "qp": plan,
+                    "len_t": pq.n_tokens,
+                    "tag_weights": tagw,
+                    "want_flows": True,
+                }
+            )
+        res1 = engine.rescore_many(
+            reqs, gaps, self._locality, gap_costs=gap_costs,
+            doc_filter=doc_filter,
         )
-        # rescore the overfetched set ONCE; the cut-safety decision happens
-        # here so an unsafe verdict never re-rescores the same candidates
-        first = self._try_exact_cut(
-            cand, -np.inf, plan, pq, gaps, norm_total, metric_name,
-            n, min_score, eps, force=True, tagw=tagw, gap_costs=gap_costs,
-            boost=boost, doc_filter=doc_filter,
+
+        # round 2: cut-safety per query; unsafe cuts are tie-BOUNDED —
+        # the source covers every slice reaching the exact n-th minus the
+        # drift slack (never a corpus-wide rescore: a full-coverage retry
+        # measured 100k+ host tracebacks on a Zipf corpus); column reads
+        # for device-top-k sources batch through parent.above_many
+        above_calls = []  # (qi, view, thresh, seen)
+        for qi, ((q_scores, plan, pq, norm_total, tagw, boost), m) in (
+            enumerate(zip(items, meta))
+        ):
+            mappings, edge_sims, raw = res1[qi]
+            cand = m["cand"]
+            exact = raw / max(norm_total, 1e-9)
+            if boost is not None:
+                exact = exact * np.asarray(boost, np.float32)[
+                    np.asarray(cand, np.int64)
+                ]
+            order = order_by_score(packed, cand, exact)
+            keep = [j for j in order if exact[j] > min_score][:n]
+            first = [
+                Match(
+                    self, pq, slice_id=cand[j], score=float(exact[j]),
+                    metric=metric_name, mapping=mappings[j],
+                    similarities=edge_sims[j],
+                )
+                for j in keep
+            ]
+            m["first"] = first
+            s_n = first[n - 1].score if len(first) >= n else min_score
+            thresh = s_n - m["eps_b"]
+            if m["src"].covers_all(n + 32) or m["rest_max"] < thresh:
+                continue
+            seen = set(int(c) for c in cand)
+            above_calls.append((qi, m["src"], thresh, seen))
+        extra_reqs, extra_qis = [], []
+        if above_calls:
+            by_parent = {}
+            for call in above_calls:
+                by_parent.setdefault(id(call[1].parent), []).append(call)
+            extras_by_qi = {}
+            for calls in by_parent.values():
+                parent = calls[0][1].parent
+                found = parent.above_many(
+                    [(src, thresh, seen) for _, src, thresh, seen in calls]
+                )
+                for (qi, _, _, _), ids in zip(calls, found):
+                    extras_by_qi[qi] = ids
+            for qi, _, _, _ in above_calls:
+                extra = extras_by_qi.get(qi) or []
+                if not extra:
+                    continue
+                _, plan, pq, _, tagw, _ = items[qi]
+                meta[qi]["extra"] = extra
+                extra_reqs.append(
+                    {
+                        "slice_ids": extra,
+                        "qp": plan,
+                        "len_t": pq.n_tokens,
+                        "tag_weights": tagw,
+                        "want_flows": False,
+                    }
+                )
+                extra_qis.append(qi)
+        res2 = (
+            engine.rescore_many(
+                extra_reqs, gaps, self._locality, gap_costs=gap_costs,
+                doc_filter=doc_filter,
+            )
+            if extra_reqs
+            else []
         )
-        s_n = first[n - 1].score if len(first) >= n else min_score
-        thresh = s_n - eps_b
-        if n + 32 >= q_scores.shape[0] or rest_max < thresh:
-            return first
-        # unsafe (boundary tie / quantization overlap): ``q_scores`` is the
-        # COMPLETE device-score vector, so completeness needs exactly the
-        # remaining slices reaching the exact n-th minus the drift slack —
-        # tie-bounded, never a corpus-wide rescore (a full-coverage retry
-        # measured 100k+ host tracebacks on a Zipf corpus)
-        seen = set(int(c) for c in cand)
-        extra = [
-            int(c)
-            for c in np.flatnonzero(q_scores >= thresh)
-            if int(c) not in seen
-        ]
-        if not extra:
-            return first
-        more = self._try_exact_cut(
-            extra, -np.inf, plan, pq, gaps, norm_total, metric_name,
-            n, min_score, eps, force=True, tagw=tagw, gap_costs=gap_costs,
-            boost=boost, doc_filter=doc_filter,
+
+        # round 3: merge extras by exact score; extract flows for ONLY the
+        # extras that enter a final top-n
+        surv_reqs, surv_qis = [], []
+        for qi, (_, _, raw_extra) in zip(extra_qis, res2):
+            q_scores, plan, pq, norm_total, tagw, boost = items[qi]
+            m = meta[qi]
+            extra = m["extra"]
+            exact_extra = raw_extra / max(norm_total, 1e-9)
+            if boost is not None:
+                exact_extra = exact_extra * np.asarray(boost, np.float32)[
+                    np.asarray(extra, np.int64)
+                ]
+            entries = [
+                (key_of(mt.slice_id, mt.score), mt, None)
+                for mt in m["first"]
+            ]
+            entries += [
+                (
+                    key_of(e, float(exact_extra[i])),
+                    None,
+                    (e, float(exact_extra[i])),
+                )
+                for i, e in enumerate(extra)
+                if exact_extra[i] > min_score
+            ]
+            entries.sort(key=lambda t: t[0])
+            m["entries"] = entries[:n]
+            survivors = [t[2][0] for t in m["entries"] if t[2] is not None]
+            if survivors:
+                surv_reqs.append(
+                    {
+                        "slice_ids": survivors,
+                        "qp": plan,
+                        "len_t": pq.n_tokens,
+                        "tag_weights": tagw,
+                        "want_flows": True,
+                    }
+                )
+                surv_qis.append(qi)
+        res3 = (
+            engine.rescore_many(
+                surv_reqs, gaps, self._locality, gap_costs=gap_costs,
+                doc_filter=doc_filter,
+            )
+            if surv_reqs
+            else []
         )
-        packed = self._engine.packed
-        merged = sorted(
-            first + more,
-            key=lambda m: (
-                -m.score,
-                int(packed.slice_doc[m.slice_id]),
-                int(packed.slice_idx[m.slice_id]),
-            ),
-        )
-        return merged[:n]
+        flow_maps = {}
+        for (qi, req), (mappings, edge_sims, _) in zip(
+            zip(surv_qis, surv_reqs), res3
+        ):
+            flow_maps[qi] = {
+                sid: (mappings[j], edge_sims[j])
+                for j, sid in enumerate(req["slice_ids"])
+            }
+
+        out = []
+        for qi, m in enumerate(meta):
+            if "entries" not in m:
+                out.append(m["first"])
+                continue
+            _, plan, pq, _, _, _ = items[qi]
+            s_map = flow_maps.get(qi, {})
+            merged = []
+            for _, mt, ex in m["entries"]:
+                if mt is not None:
+                    merged.append(mt)
+                else:
+                    sid, score = ex
+                    mp, es = s_map[sid]
+                    merged.append(
+                        Match(
+                            self, pq, slice_id=sid, score=score,
+                            metric=metric_name, mapping=mp,
+                            similarities=es,
+                        )
+                    )
+            out.append(merged)
+        return out
 
     def _quant_eps(
         self, entry_err: float, pq, norm_total: float, plan=None
@@ -1411,11 +1620,34 @@ class BruteForceIndex(Index):
         ``boost``: [n_slices] per-slice multipliers already present in the
         device ranking — the exact scores apply them too, and the drift
         slack scales with the largest boost."""
-        mappings, edge_sims, raw = self._engine.rescore_with_flows(
-            cand, plan, pq.n_tokens, gaps, self._locality,
-            tag_weights=tagw, gap_costs=gap_costs, doc_filter=doc_filter,
-            with_scores=True,
+        res = self._engine.rescore_many(
+            [
+                {
+                    "slice_ids": cand,
+                    "qp": plan,
+                    "len_t": pq.n_tokens,
+                    "tag_weights": tagw,
+                    "want_flows": True,
+                }
+            ],
+            gaps, self._locality, gap_costs=gap_costs,
+            doc_filter=doc_filter,
+        )[0]
+        return self._cut_from_rescore(
+            res, cand, rest_max, pq, norm_total, metric_name, n,
+            min_score, eps, force=force, boost=boost,
         )
+
+    def _cut_from_rescore(
+        self, res, cand, rest_max, pq, norm_total, metric_name,
+        n: int, min_score: float, eps: float, force: bool = False,
+        boost=None,
+    ) -> Optional[List["Match"]]:
+        """Cut decision + Match construction from an already-executed
+        rescore (the decision half of ``_try_exact_cut``, shared with the
+        batched mesh finalize which rescores many queries in one
+        ``rescore_many`` round)."""
+        mappings, edge_sims, raw = res
         exact = raw / max(norm_total, 1e-9)
         if boost is not None:
             b = np.asarray(boost, np.float32)
@@ -1603,39 +1835,63 @@ class BruteForceIndex(Index):
                     if full_scores is not None:
                         full_scores[q, sids] = s[q][valid]
 
-            results = []
+            live_qis = [q for q, pq in enumerate(prepared) if pq.n_tokens > 0]
+            per_q = {}
             retry = False
-            for q, pq in enumerate(prepared):
-                if pq.n_tokens == 0:
-                    results.append(Result(self, [], 0.0))
-                    continue
-                eps = self._quant_eps(entry_err, pq, norm_totals[q])
-                boost_q = boosts[q] if boosts is not None else None
-                if complete:
-                    # full-coverage round: every device score is on the
-                    # host — finalize with TIE-BOUNDED extras (a forced
-                    # cut over all candidates would rescore the corpus)
-                    matches = self._finalize_quantized(
-                        full_scores[q], plans[q], pq, gaps,
-                        norm_totals[q], metric_name, n, min_score,
-                        entry_err, tagw=tagws[q], gap_costs=gap_costs,
-                        boost=boost_q, doc_filter=doc_filter,
-                    )
-                else:
-                    matches = self._try_exact_cut(
-                        cands[q], float(rest_max[q]), plans[q], pq, gaps,
-                        norm_totals[q], metric_name, n, min_score, eps,
-                        tagw=tagws[q], gap_costs=gap_costs,
-                        boost=boost_q, doc_filter=doc_filter,
-                    )
-                if matches is None:
-                    retry = True
-                    break
-                results.append(
-                    Result(self, matches, time.time() - start_time)
+            if complete:
+                # full-coverage round: every device score is on the host —
+                # finalize with TIE-BOUNDED extras (a forced cut over all
+                # candidates would rescore the corpus); one batched rescore
+                # per round across all queries
+                finalized = self._finalize_quantized_many(
+                    [
+                        (
+                            full_scores[q], plans[q], prepared[q],
+                            norm_totals[q], tagws[q],
+                            boosts[q] if boosts is not None else None,
+                        )
+                        for q in live_qis
+                    ],
+                    gaps, metric_name, n, min_score, entry_err,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
                 )
+                per_q = dict(zip(live_qis, finalized))
+            else:
+                # one rescore_many round for every query's candidate set;
+                # any unsafe cut triggers the full-coverage retry
+                res_all = self._engine.rescore_many(
+                    [
+                        {
+                            "slice_ids": cands[q],
+                            "qp": plans[q],
+                            "len_t": prepared[q].n_tokens,
+                            "tag_weights": tagws[q],
+                            "want_flows": True,
+                        }
+                        for q in live_qis
+                    ],
+                    gaps, self._locality, gap_costs=gap_costs,
+                    doc_filter=doc_filter,
+                )
+                for q, res in zip(live_qis, res_all):
+                    eps = self._quant_eps(entry_err, prepared[q], norm_totals[q])
+                    matches = self._cut_from_rescore(
+                        res, cands[q], float(rest_max[q]), prepared[q],
+                        norm_totals[q], metric_name, n, min_score, eps,
+                        boost=boosts[q] if boosts is not None else None,
+                    )
+                    if matches is None:
+                        retry = True
+                        break
+                    per_q[q] = matches
             if not retry:
-                return results
+                elapsed = time.time() - start_time
+                return [
+                    Result(self, per_q[q], elapsed)
+                    if q in per_q
+                    else Result(self, [], 0.0)
+                    for q in range(Q)
+                ]
             # unsafe cut: ONE full-coverage round — all scores reach the
             # host and the finalize above bounds the rescore by ties
             m = max(tok_d.shape[0] for _, tok_d, _, _, _ in shards)
@@ -1786,16 +2042,20 @@ class BruteForceIndex(Index):
             norm_totals, gap_costs=gap_costs,
         )  # [n_slices, Q]
 
-        for qi, pq in enumerate(prepared):
-            # finalizer-exact scores under the contextual membership floor
-            # (the batched and per-slice einsums reduce in different
-            # orders, so the ranking drift is larger than static ulp)
-            matches = self._finalize_quantized(
-                scores[:, qi], plans[qi], pq, gaps, norm_totals[qi],
-                token_sim.name, n, min_score, entry_err=0.0,
-                gap_costs=gap_costs,
-            )
-            results[order[qi]] = Result(self, matches, time.time() - start_time)
+        # finalizer-exact scores under the contextual membership floor
+        # (the batched and per-slice einsums reduce in different orders,
+        # so the ranking drift is larger than static ulp); all queries
+        # finalize through ONE batched rescore per round
+        per_q = self._finalize_quantized_many(
+            [
+                (scores[:, qi], plans[qi], pq, norm_totals[qi], None, None)
+                for qi, pq in enumerate(prepared)
+            ],
+            gaps, token_sim.name, n, min_score, 0.0, gap_costs=gap_costs,
+        )
+        elapsed = time.time() - start_time
+        for qi, matches in enumerate(per_q):
+            results[order[qi]] = Result(self, matches, elapsed)
         return [r if r is not None else Result(self, [], 0.0) for r in results]
 
     def _ctx_mesh_shards(self, ms, name: str):
@@ -1894,33 +2154,52 @@ class BruteForceIndex(Index):
                     if full_scores is not None:
                         full_scores[q, sids] = s[q][valid]
 
-            results = []
             retry = False
-            for q, pq in enumerate(prepared):
-                eps = self._quant_eps(
-                    0.0, pq, norm_totals[q], plan=plans[q]
+            if complete:
+                # full-coverage round: finalize with tie-bounded extras,
+                # one batched rescore per round across all queries
+                finalized = self._finalize_quantized_many(
+                    [
+                        (
+                            full_scores[q], plans[q], pq, norm_totals[q],
+                            None, None,
+                        )
+                        for q, pq in enumerate(prepared)
+                    ],
+                    gaps, token_sim.name, n, min_score, 0.0,
+                    gap_costs=gap_costs,
                 )
-                if complete:
-                    # full-coverage round: finalize with tie-bounded extras
-                    matches = self._finalize_quantized(
-                        full_scores[q], plans[q], pq, gaps,
-                        norm_totals[q], token_sim.name, n, min_score,
-                        entry_err=0.0, gap_costs=gap_costs,
+                per_q = list(finalized)
+            else:
+                per_q = []
+                res_all = self._engine.rescore_many(
+                    [
+                        {
+                            "slice_ids": cands[q],
+                            "qp": plans[q],
+                            "len_t": pq.n_tokens,
+                            "tag_weights": None,
+                            "want_flows": True,
+                        }
+                        for q, pq in enumerate(prepared)
+                    ],
+                    gaps, self._locality, gap_costs=gap_costs,
+                )
+                for (q, pq), res in zip(enumerate(prepared), res_all):
+                    eps = self._quant_eps(
+                        0.0, pq, norm_totals[q], plan=plans[q]
                     )
-                else:
-                    matches = self._try_exact_cut(
-                        cands[q], float(rest_max[q]), plans[q], pq, gaps,
+                    matches = self._cut_from_rescore(
+                        res, cands[q], float(rest_max[q]), pq,
                         norm_totals[q], token_sim.name, n, min_score, eps,
-                        gap_costs=gap_costs,
                     )
-                if matches is None:
-                    retry = True
-                    break
-                results.append(
-                    Result(self, matches, time.time() - start_time)
-                )
+                    if matches is None:
+                        retry = True
+                        break
+                    per_q.append(matches)
             if not retry:
-                return results
+                elapsed = time.time() - start_time
+                return [Result(self, ml, elapsed) for ml in per_q]
             # unsafe: one full-coverage round (see _find_batch_mesh)
             m = max(ctx_d.shape[0] for _, ctx_d, _ in shards)
 

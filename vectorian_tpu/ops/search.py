@@ -166,6 +166,193 @@ def use_pallas_default() -> bool:
 PALLAS_MIN_BATCH = 256
 
 
+class HostVecSource:
+    """Candidate source over a complete host-side [n_slices] device-score
+    vector (one query) — the finalizer's provable-cut machinery talks to
+    this protocol so the same code serves full-read and device-top-k
+    ranking:
+
+    - ``covers_all(m)``: the initial fetch already covers every slice
+    - ``initial(m, thresh)`` -> (ids, rest_max): the m best candidates at
+      or above ``thresh`` plus an upper bound on every score outside them
+    - ``parent.above_many([(src, thresh, exclude)])``: ids with device
+      score >= thresh, batched so one host transfer serves all queries
+    """
+
+    def __init__(self, engine, scores: np.ndarray):
+        self._engine = engine
+        self._scores = scores
+
+    @property
+    def parent(self):
+        return self
+
+    def covers_all(self, m: int) -> bool:
+        return m >= self._scores.shape[0]
+
+    def initial(self, m: int, thresh: float):
+        return self._engine.top_k_with_next(self._scores, m, thresh)
+
+    def above_many(self, reqs):
+        out = []
+        for src, thresh, excl in reqs:
+            s = src._scores
+            out.append(
+                [int(c) for c in np.flatnonzero(s >= thresh) if int(c) not in excl]
+            )
+        return out
+
+
+class BucketTopKSource:
+    """Device-side per-bucket top-k candidate source for a multi-query
+    corpus pass: fetches only [Q, k+1] (value, id) pairs per bucket in ONE
+    batched transfer (the full [n_slices, Q] read is ~128 MB at 1M x 32 —
+    seconds over a tunneled runtime).  The per-bucket device score
+    matrices stay resident; the (k+1)-th value bounds every unfetched
+    slice, and unsafe-cut extras read single score COLUMNS on demand.
+
+    Buckets are length-sorted, so ``lax.top_k``'s lowest-index tie
+    preference is the WRONG tie order — sound here because candidate
+    selection never decides final order (the finalizer exactly rescores
+    and ``order_by_score`` owns the tie-break) and the boundary bound
+    covers truncated ties: a tied slice left unfetched keeps
+    rest_max >= thresh, forcing the tie-bounded extras round that reads
+    the column and recovers it."""
+
+    def __init__(self, engine, pending, Q: int, k: int):
+        self._engine = engine
+        self._pending = pending
+        self.Q = Q
+        self.k = k
+        refs = []
+        metas = []
+        for db, scores in pending:
+            kk = min(k, db["n"])
+            if kk < db["n"]:
+                vals, idx = jax.lax.top_k(scores[: db["n"]].T, kk + 1)
+                metas.append({"db": db, "kk": kk, "full": False})
+                refs.append(vals)
+                refs.append(idx)
+            else:
+                metas.append({"db": db, "kk": kk, "full": True})
+                refs.append(scores[: db["n"]].T)
+        fetched = jax.device_get(refs) if refs else []
+        self._buckets = []
+        pos = 0
+        for m in metas:
+            db = m["db"]
+            if m["full"]:
+                vals = np.asarray(fetched[pos])
+                pos += 1
+                m["vals"] = vals  # [Q, n]
+                m["sids"] = np.broadcast_to(
+                    db["slice_index"][None, :], vals.shape
+                )
+                m["bound"] = np.full((self.Q,), -np.inf, np.float32)
+            else:
+                vals = np.asarray(fetched[pos])
+                idx = np.asarray(fetched[pos + 1])
+                pos += 2
+                kk = m["kk"]
+                m["vals"] = vals[:, :kk]
+                m["sids"] = db["slice_index"][idx[:, :kk]]
+                m["bound"] = vals[:, kk].astype(np.float32)
+            self._buckets.append(m)
+        self._col_cache = {}
+
+    def qview(self, qi: int) -> "TopKView":
+        return TopKView(self, qi)
+
+    def covers_all(self, m: int) -> bool:
+        return all(b["full"] for b in self._buckets)
+
+    def initial(self, qi: int, m: int, thresh: float):
+        vals = np.concatenate([b["vals"][qi] for b in self._buckets])
+        sids = np.concatenate([b["sids"][qi] for b in self._buckets])
+        bound = max(
+            (float(b["bound"][qi]) for b in self._buckets),
+            default=float("-inf"),
+        )
+        keep = vals >= thresh
+        vk, ik = vals[keep], sids[keep]
+        rest_max = bound
+        if len(vals) > len(vk):
+            rest_max = max(rest_max, float(np.max(vals[~keep])))
+        if len(vk) > m:
+            ap = np.argpartition(-vk, m)
+            rest_max = max(rest_max, float(vk[ap[m]]))
+            vk, ik = vk[ap[:m]], ik[ap[:m]]
+        return [int(c) for c in ik], rest_max
+
+    def _column(self, bi: int, qi: int):
+        key = (bi, qi)
+        if key not in self._col_cache:
+            db, scores = self._pending[bi]
+            self._col_cache[key] = np.asarray(scores[: db["n"], qi])
+        return self._col_cache[key]
+
+    def above_many(self, reqs):
+        # dispatch every needed column first, read in one transfer
+        need = []
+        for view, thresh, _ in reqs:
+            qi = view.qi
+            for bi, b in enumerate(self._buckets):
+                if (
+                    not b["full"]
+                    and float(b["bound"][qi]) >= thresh
+                    and (bi, qi) not in self._col_cache
+                ):
+                    need.append((bi, qi))
+        if need:
+            cols = jax.device_get(
+                [
+                    self._pending[bi][1][: self._pending[bi][0]["n"], qi]
+                    for bi, qi in need
+                ]
+            )
+            for (bi, qi), col in zip(need, cols):
+                self._col_cache[(bi, qi)] = np.asarray(col)
+        out = []
+        for view, thresh, excl in reqs:
+            qi = view.qi
+            seen = set(excl)
+            ids = []
+            for bi, b in enumerate(self._buckets):
+                if not b["full"] and float(b["bound"][qi]) >= thresh:
+                    col = self._column(bi, qi)
+                    db = self._pending[bi][0]
+                    hit = db["slice_index"][np.flatnonzero(col >= thresh)]
+                else:
+                    vq = b["vals"][qi]
+                    hit = b["sids"][qi][vq >= thresh]
+                for c in hit:
+                    c = int(c)
+                    if c not in seen:
+                        seen.add(c)
+                        ids.append(c)
+            out.append(ids)
+        return out
+
+
+class TopKView:
+    """Per-query view over a shared BucketTopKSource (the finalizer's
+    items are per query; column fetches batch through the parent)."""
+
+    def __init__(self, src: BucketTopKSource, qi: int):
+        self._src = src
+        self.qi = qi
+
+    @property
+    def parent(self):
+        return self._src
+
+    def covers_all(self, m: int) -> bool:
+        return self._src.covers_all(m)
+
+    def initial(self, m: int, thresh: float):
+        return self._src.initial(self.qi, m, thresh)
+
+
 @dataclass
 class TagWeightingSpec:
     """Tag-weighted similarity (reference TagWeightedSlice,
@@ -890,6 +1077,59 @@ class BruteForceEngine:
         returns the max per-entry absolute rounding bound (0.0 exact);
         quantization requires ``tag_weights=None`` (the tag threshold is a
         discontinuity no rounding bound survives)."""
+        pending, entry_err = self._dispatch_multi(
+            plans, len_ts, gaps, locality, norm_totals,
+            tag_weights=tag_weights, sim_dtype=sim_dtype,
+            gap_costs=gap_costs, doc_filter=doc_filter,
+        )
+        out = np.full(
+            (self._packed.n_slices, len(plans)), NEG_SCORE, np.float32
+        )
+        for db, scores in pending:
+            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        if with_err:
+            return out, entry_err
+        return out
+
+    def score_topk_multi(
+        self,
+        plans: List[QueryPlan],
+        len_ts: List[int],
+        gaps: AffineGapParams,
+        locality: str,
+        norm_totals: List[float],
+        k: int,
+        tag_weights: Optional[List[Optional[TagWeightingSpec]]] = None,
+        sim_dtype=None,
+        with_err: bool = False,
+        gap_costs=None,
+        doc_filter: Optional[DocFilterSpec] = None,
+    ):
+        """Multi-query corpus pass with DEVICE-SIDE per-bucket top-k: only
+        O(buckets * Q * k) (score, id) pairs reach the host instead of the
+        full [n_slices, Q] matrix (128 MB at 1M slices x 32 queries — ~5 s
+        over the tunnel, the largest single term of find_batch latency).
+        Returns a ``BucketTopKSource`` implementing the candidate-source
+        protocol the finalizer consumes; tie-unsafe boundaries and
+        unsafe-cut extras fall back to reading single score COLUMNS (4 MB
+        at 1M slices) from the still-resident device score matrices."""
+        pending, entry_err = self._dispatch_multi(
+            plans, len_ts, gaps, locality, norm_totals,
+            tag_weights=tag_weights, sim_dtype=sim_dtype,
+            gap_costs=gap_costs, doc_filter=doc_filter,
+        )
+        src = BucketTopKSource(self, pending, len(plans), k)
+        if with_err:
+            return src, entry_err
+        return src
+
+    def _dispatch_multi(
+        self, plans, len_ts, gaps, locality, norm_totals,
+        tag_weights=None, sim_dtype=None, gap_costs=None, doc_filter=None,
+    ):
+        """Dispatch half of the multi-query corpus pass: returns
+        ([(db, scores_dev [n_pad, Q])] with scores left on device, and the
+        quantization entry error)."""
         if sim_dtype is not None and tag_weights is not None and any(
             tw is not None for tw in tag_weights
         ):
@@ -927,7 +1167,6 @@ class BruteForceEngine:
             jnp.asarray(thr),
         )
 
-        out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
         flt = self._filter_args(doc_filter)
         for db in self._device_buckets:
@@ -967,11 +1206,7 @@ class BruteForceEngine:
             )
             pending.append((db, scores))
         entry_err = quantization_entry_err(sim_dtype, max_abs_dev)
-        for db, scores in pending:
-            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
-        if with_err:
-            return out, entry_err
-        return out
+        return pending, entry_err
 
     def score_all_multi_ctx(
         self,
@@ -1234,16 +1469,26 @@ class BruteForceEngine:
         qp: QueryPlan,
         tag_weights: Optional[TagWeightingSpec] = None,
         sels: Optional[List[np.ndarray]] = None,
+        device: bool = False,
     ):
         """[(S_weighted [len_i, T], S_unmodified)] for many slices with ONE
         device dispatch per touched bucket — the per-slice path costs a
-        tunnel round trip each, which dominated interactive latency."""
+        tunnel round trip each, which dominated interactive latency.
+
+        ``device=True`` returns the raw per-bucket groups WITHOUT any host
+        read: a list of dicts {idxs (positions into ``sids``), g, L
+        (bucket capacity), Sw [gp, L, T], Su} with Sw/Su still on device —
+        the dispatch half for callers that batch many independent rescores
+        into one ``jax.device_get`` (each host read costs a tunnel round
+        trip; one batched fetch of 32 arrays measured 25x faster than 32
+        sequential reads)."""
         T = self._plan_width(qp)
         if tag_weights is not None:
             tw = tag_weights.device_args()
         else:
             tw = TagWeightingSpec.identity_args(T)
         out: List = [None] * len(sids)
+        groups: List[dict] = []
         by_bucket: Dict[int, List[int]] = {}
         for j, sid in enumerate(sids):
             bi = int(self._slice_loc[sid, 0])
@@ -1285,6 +1530,11 @@ class BruteForceEngine:
                 with_tags=tag_weights is not None,
                 with_sel=sels is not None,
             )
+            if device:
+                groups.append(
+                    {"idxs": idxs, "g": g, "L": L, "Sw": Sw, "Su": Su}
+                )
+                continue
             Sw = np.asarray(Sw)
             Su = np.asarray(Su)
             for k2, j in enumerate(idxs):
@@ -1294,7 +1544,7 @@ class BruteForceEngine:
                     else int(self._packed.slice_len[sids[j]])
                 )
                 out[j] = (Sw[k2, :ln], Su[k2, :ln])
-        return out
+        return groups if device else out
 
     def slice_similarity(
         self,
@@ -1355,21 +1605,24 @@ class BruteForceEngine:
         """Exact f32 raw DP scores [k] for the chosen slices WITHOUT flow
         extraction — the cheap half of the finalizer for tie-bounded extra
         candidates (host tracebacks at Zipf tie volumes dominated batch
-        latency).  Runs the IDENTICAL similarity + align_matrices_scores
-        code path as rescore_with_flows (only the H readback and traceback
-        are skipped), so the returned scores are bit-equal to the flow
-        finalizer's.  ``chunk`` bounds one dispatch's S_batch footprint;
-        chunks pad to the fixed size so the jit cache sees one shape."""
-        k = len(slice_ids)
-        raw = np.full((k,), NEG_SCORE, np.float32)
-        for c0 in range(0, k, chunk):
-            ids_c = slice_ids[c0 : c0 + chunk]
-            _, _, raw_c = self._rescore_batch(
-                ids_c, qp, len_t, gaps, locality, tag_weights, doc_filter,
-                gap_costs, None, True, want_flows=False,
-            )
-            raw[c0 : c0 + len(ids_c)] = raw_c
-        return raw
+        latency).  Runs the IDENTICAL similarity + align_scores arithmetic
+        as the flow finalizer (align_matrices_scores computes its raw
+        scores with the same align_scores recurrence), so the returned
+        scores are bit-equal to rescore_with_flows'."""
+        (res,) = self.rescore_many(
+            [
+                {
+                    "slice_ids": slice_ids,
+                    "qp": qp,
+                    "len_t": len_t,
+                    "tag_weights": tag_weights,
+                    "want_flows": False,
+                }
+            ],
+            gaps, locality, gap_costs=gap_costs, doc_filter=doc_filter,
+            chunk=chunk,
+        )
+        return res[2]
 
     def rescore_with_flows(
         self,
@@ -1394,106 +1647,204 @@ class BruteForceEngine:
         ranking.
 
         Batched: one similarity dispatch per touched bucket + one batched
-        DP-matrix dispatch for all slices (tunnel round trips, not compute,
-        dominate the finalizer's latency)."""
-        mappings, edge_sims, raw_scores = self._rescore_batch(
-            slice_ids, qp, len_t, gaps, locality, tag_weights, doc_filter,
-            gap_costs, on_sims, with_scores, want_flows=True,
+        DP-matrix dispatch per bucket group, host reads coalesced into one
+        transfer (tunnel round trips, not compute, dominate the finalizer's
+        latency)."""
+        (res,) = self.rescore_many(
+            [
+                {
+                    "slice_ids": slice_ids,
+                    "qp": qp,
+                    "len_t": len_t,
+                    "tag_weights": tag_weights,
+                    "want_flows": True,
+                    "on_sims": on_sims,
+                }
+            ],
+            gaps, locality, gap_costs=gap_costs, doc_filter=doc_filter,
         )
+        mappings, edge_sims, raw_scores = res
         if with_scores:
             return mappings, edge_sims, raw_scores
         return mappings, edge_sims
 
-    def _rescore_batch(
-        self, slice_ids, qp, len_t, gaps, locality, tag_weights, doc_filter,
-        gap_costs, on_sims, with_scores, want_flows: bool,
+    def rescore_many(
+        self,
+        requests: List[dict],
+        gaps: AffineGapParams,
+        locality: str,
+        gap_costs=None,
+        doc_filter: Optional[DocFilterSpec] = None,
+        chunk: int = 8192,
     ):
-        k = len(slice_ids)
-        mappings = [np.full((len_t,), -1, np.int32) for _ in range(k)]
-        edge_sims = [np.zeros((len_t,), np.float32) for _ in range(k)]
-        raw_scores = np.full((k,), NEG_SCORE, np.float32)
-        if k == 0:
-            return mappings, edge_sims, raw_scores
+        """Exact f32 rescore for MANY independent candidate sets (one per
+        query) with every host read coalesced into a single
+        ``jax.device_get``.
 
-        sels = [self.filtered_positions(sid, doc_filter) for sid in slice_ids]
-        live = [j for j in range(k) if len(sels[j]) > 0]
-        if not live:
-            return mappings, edge_sims, raw_scores
-        sims_list = self.batch_slice_similarity(
-            [slice_ids[j] for j in live],
-            qp,
-            tag_weights,
-            sels=[sels[j] for j in live] if doc_filter is not None else None,
-        )
+        Each request: {slice_ids, qp, len_t, tag_weights, want_flows,
+        on_sims?}.  Gap model, locality and doc filter are index-level and
+        shared.  Returns per-request (mappings, edge_sims, raw_scores)
+        (mappings/edge_sims are identity placeholders for score-only
+        requests).
 
-        # one padded DP batch over all live slices, at the plan's padded
-        # needle width so the DP-matrix jit is shared across query lengths
-        Tw = self._plan_width(qp)
-        Lmax = max(len(sels[j]) for j in live)
-        S_batch = np.zeros((len(live), Lmax, Tw), np.float32)
-        for b, (Sw, _) in enumerate(sims_list):
-            S_batch[b, : Sw.shape[0]] = Sw[:, :Tw]
-        ln_arr = jnp.asarray([len(sels[j]) for j in live], jnp.int32)
-        lt_arr = jnp.full((len(live),), len_t, jnp.int32)
-        if gap_costs is not None:
-            w_s = gap_costs[0].costs(Lmax + 1)
-            w_t = gap_costs[1].costs(Tw + 1)
-            if with_scores:
-                # matrices + exact raw scores in ONE dispatch (a separate
-                # scores call costs a tunnel round trip per query)
-                H_all, raw_live = align_matrices_scores_general(
-                    S_batch, ln_arr, lt_arr,
-                    jnp.asarray(w_s), jnp.asarray(w_t), locality,
+        The serving batch previously looped queries through
+        rescore_with_flows — 2 blocking tunnel reads per query; on the
+        tunneled TPU a batched fetch of 32 small arrays measured ~37 ms
+        vs ~940 ms for 32 sequential reads.  The DP runs per bucket group
+        directly on the (pow2-row-padded) similarity output: the
+        recurrences are prefix-causal and mask score reductions by
+        (len_s, len_t), so junk pad rows/columns never change a real row's
+        score bits (tests assert byte-equality against the single-query
+        path)."""
+        states = []
+        refs: List = []  # flat device arrays to fetch in one transfer
+        for req in requests:
+            slice_ids = list(req["slice_ids"])
+            qp = req["qp"]
+            len_t = req["len_t"]
+            tagw = req.get("tag_weights")
+            want_flows = req.get("want_flows", True)
+            k = len(slice_ids)
+            st = {
+                "k": k,
+                "qp": qp,
+                "len_t": len_t,
+                "want_flows": want_flows,
+                "on_sims": req.get("on_sims"),
+                "slice_ids": slice_ids,
+                "mappings": [
+                    np.full((len_t,), -1, np.int32) for _ in range(k)
+                ],
+                "edge_sims": [
+                    np.zeros((len_t,), np.float32) for _ in range(k)
+                ],
+                "raw": np.full((k,), NEG_SCORE, np.float32),
+                "groups": [],
+            }
+            states.append(st)
+            if k == 0:
+                continue
+            sels = [
+                self.filtered_positions(sid, doc_filter) for sid in slice_ids
+            ]
+            live = [j for j in range(k) if len(sels[j]) > 0]
+            st["sels"] = sels
+            if not live:
+                continue
+            Tw = self._plan_width(qp)
+            # chunk big sets (tie-extras run to tens of thousands): bounds
+            # one dispatch's similarity footprint and caps the pow2 shape
+            # family the jit cache must hold
+            for c0 in range(0, len(live), chunk):
+                live_c = live[c0 : c0 + chunk]
+                sim_groups = self.batch_slice_similarity(
+                    [slice_ids[j] for j in live_c],
+                    qp,
+                    tagw,
+                    sels=[sels[j] for j in live_c]
+                    if doc_filter is not None
+                    else None,
+                    device=True,
                 )
-                raw_scores[np.asarray(live)] = np.asarray(raw_live)
-                if not want_flows:
-                    return mappings, edge_sims, raw_scores
-                H_all = np.asarray(H_all)
-            else:
-                H_all = np.asarray(
-                    align_matrices_general(
-                        S_batch, jnp.asarray(w_s), jnp.asarray(w_t), locality
+                for grp in sim_groups:
+                    g, gp_rows = grp["g"], grp["Sw"].shape[0]
+                    # original request positions for this group's rows
+                    grp["js"] = [live_c[i] for i in grp["idxs"]]
+                    ln_np = np.ones((gp_rows,), np.int32)
+                    ln_np[:g] = [len(sels[j]) for j in grp["js"]]
+                    ln_arr = jnp.asarray(ln_np)
+                    lt_arr = jnp.full((gp_rows,), len_t, jnp.int32)
+                    if gap_costs is not None:
+                        w_s = gap_costs[0].costs(grp["L"] + 1)
+                        w_t = gap_costs[1].costs(Tw + 1)
+                        grp["w_s"], grp["w_t"] = w_s, w_t
+                        if want_flows:
+                            H, raw = align_matrices_scores_general(
+                                grp["Sw"], ln_arr, lt_arr,
+                                jnp.asarray(w_s), jnp.asarray(w_t), locality,
+                            )
+                        else:
+                            H = None
+                            raw = align_scores_general(
+                                grp["Sw"], ln_arr, lt_arr,
+                                jnp.asarray(w_s), jnp.asarray(w_t), locality,
+                            )
+                    else:
+                        if want_flows:
+                            H, _, _, raw = align_matrices_scores(
+                                grp["Sw"], ln_arr, lt_arr, gaps, locality
+                            )
+                        else:
+                            H = None
+                            raw = align_scores(
+                                grp["Sw"], ln_arr, lt_arr, gaps, locality
+                            )
+                    grp["r_raw"] = len(refs)
+                    refs.append(raw)
+                    if want_flows:
+                        grp["r_H"] = len(refs)
+                        refs.append(H)
+                        grp["r_Sw"] = len(refs)
+                        refs.append(grp["Sw"])
+                        grp["r_Su"] = len(refs)
+                        refs.append(grp["Su"])
+                    grp.pop("Sw")
+                    grp.pop("Su")
+                    st["groups"].append(grp)
+
+        fetched = jax.device_get(refs) if refs else []
+
+        results = []
+        for st in states:
+            mappings, edge_sims = st["mappings"], st["edge_sims"]
+            raw_scores = st["raw"]
+            len_t = st["len_t"]
+            on_sims = st["on_sims"]
+            for grp in st["groups"]:
+                raw_np = np.asarray(fetched[grp["r_raw"]])
+                js = grp["js"]
+                raw_scores[np.asarray(js, np.int64)] = raw_np[: grp["g"]]
+                if not st["want_flows"]:
+                    continue
+                H_np = np.asarray(fetched[grp["r_H"]])
+                Sw_np = np.asarray(fetched[grp["r_Sw"]])
+                Su_np = np.asarray(fetched[grp["r_Su"]])
+                for pos, j in enumerate(js):
+                    sel = st["sels"][j]
+                    ln = len(sel)
+                    S = Sw_np[pos]
+                    Su = Su_np[pos]
+                    if on_sims is not None:
+                        on_sims(
+                            st["slice_ids"][j],
+                            S[:ln, :len_t],
+                            Su[:ln, :len_t],
+                        )
+                    if gap_costs is not None:
+                        mapping = traceback_general(
+                            H_np[pos], S, ln, len_t,
+                            grp["w_s"], grp["w_t"], locality,
+                        )
+                    else:
+                        mapping = traceback(
+                            H_np[pos], S, ln, len_t, gaps, locality
+                        )
+                    # per-edge similarity before tag weighting
+                    # (ScoreComputer, metric/alignment.h:307-352), indexed
+                    # in filtered space
+                    sims = np.zeros((len_t,), np.float32)
+                    for jt, sf in enumerate(mapping):
+                        if sf >= 0:
+                            sims[jt] = Su[sf, jt]
+                    # translate filtered offsets back to original slice
+                    # offsets
+                    mapping = np.where(
+                        mapping >= 0, sel[np.maximum(mapping, 0)], -1
                     )
-                )
-        else:
-            if with_scores:
-                H_all, _, _, raw_live = align_matrices_scores(
-                    S_batch, ln_arr, lt_arr, gaps, locality
-                )
-                raw_scores[np.asarray(live)] = np.asarray(raw_live)
-                if not want_flows:
-                    return mappings, edge_sims, raw_scores
-                H_all = np.asarray(H_all)
-            else:
-                H_all, _, _ = (
-                    np.asarray(x)
-                    for x in align_matrices(S_batch, gaps, locality)
-                )
-
-        for b, j in enumerate(live):
-            sel = sels[j]
-            ln = len(sel)
-            Sw, Su = sims_list[b]
-            if on_sims is not None:
-                on_sims(slice_ids[j], Sw[:, :len_t], Su[:, :len_t])
-            S = S_batch[b]
-            if gap_costs is not None:
-                mapping = traceback_general(
-                    H_all[b], S, ln, len_t, w_s, w_t, locality
-                )
-            else:
-                mapping = traceback(H_all[b], S, ln, len_t, gaps, locality)
-            # per-edge similarity before tag weighting (ScoreComputer,
-            # metric/alignment.h:307-352), indexed in filtered space
-            sims = np.zeros((len_t,), np.float32)
-            for jt, sf in enumerate(mapping):
-                if sf >= 0:
-                    sims[jt] = Su[sf, jt]
-            # translate filtered offsets back to original slice offsets
-            mapping = np.where(mapping >= 0, sel[np.maximum(mapping, 0)], -1)
-            mappings[j] = mapping.astype(np.int32)
-            edge_sims[j] = sims
-        return mappings, edge_sims, raw_scores
+                    mappings[j] = mapping.astype(np.int32)
+                    edge_sims[j] = sims
+            results.append((mappings, edge_sims, raw_scores))
+        return results
 
     def _slice_tokens(self, slice_id: int):
         bi, r = self._slice_loc[slice_id]
