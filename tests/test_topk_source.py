@@ -1,0 +1,119 @@
+"""Unit tests for the finalizer's candidate-source protocol
+(HostVecSource / BucketTopKSource): the device-side per-bucket top-k
+must stay provably cut-complete — a tie group truncated at the k
+boundary (or at ``initial``'s m truncation) must keep
+rest_max >= thresh so the tie-bounded extras round recovers every
+dropped slice (reference completeness contract: result_set.h:32-93
+worst_score pruning never drops a candidate that could reach the
+top-n)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vectorian_tpu.ops.search import BucketTopKSource, HostVecSource
+
+
+def _bucket(slice_ids, scores_qn):
+    """(db, scores_dev [n_pad, Q]) pair like _dispatch_multi's pending."""
+    scores = np.asarray(scores_qn, np.float32).T  # [n, Q]
+    db = {"n": scores.shape[0], "slice_index": np.asarray(slice_ids, np.int64)}
+    return db, jnp.asarray(scores)
+
+
+def _complete_set(src_initial, above, thresh):
+    ids, rest_max = src_initial
+    got = set(ids)
+    if rest_max >= thresh:
+        got |= set(above)
+    return got
+
+
+class TestBucketTopKSource:
+    def test_tie_truncated_at_k_recovered_by_extras(self):
+        # 8-way tie at 0.9 but k=4: initial returns only 4; the (k+1)-th
+        # value bounds the rest so the extras round must recover all 8
+        scores = np.full((12,), 0.125, np.float32)
+        scores[2:10] = 0.875
+        src = BucketTopKSource(None, [_bucket(np.arange(12), [scores])], 1, 4)
+        ids, rest_max = src.initial(0, 4, thresh=0.5)
+        assert len(ids) == 4 and all(scores[i] == np.float32(0.875) for i in ids)
+        assert rest_max >= 0.875  # truncated tie keeps the bound hot
+        view = src.qview(0)
+        (extra,) = src.above_many([(view, 0.5, set(ids))])
+        assert set(ids) | set(extra) == set(range(2, 10))
+
+    def test_covers_all_requires_total_within_m(self):
+        # two FULL buckets (n <= k each) totaling > m: initial truncates,
+        # so covers_all must be False or boundary ties would be dropped
+        b1 = _bucket([0, 1, 2], [[0.9, 0.8, 0.7]])
+        b2 = _bucket([3, 4, 5], [[0.7, 0.7, 0.6]])
+        src = BucketTopKSource(None, [b1, b2], 1, 10)
+        assert src.covers_all(6)
+        assert not src.covers_all(5)
+        ids, rest_max = src.initial(0, 4, thresh=0.0)
+        assert len(ids) == 4
+        assert rest_max >= 0.6  # bound covers the truncated slices
+        view = src.qview(0)
+        (extra,) = src.above_many([(view, 0.65, set(ids))])
+        got = set(ids) | set(e for e in extra)
+        assert {0, 1, 2, 3, 4} <= got  # every slice >= 0.65 is reachable
+
+    def test_multi_bucket_bound_merges(self):
+        # non-full bucket's (k+1)-th value must dominate rest_max even
+        # when the other bucket is cold
+        hot = _bucket(np.arange(10), [np.linspace(1.0, 0.55, 10)])
+        cold = _bucket(np.arange(10, 14), [[0.2, 0.1, 0.05, 0.01]])
+        src = BucketTopKSource(None, [hot, cold], 1, 3)
+        ids, rest_max = src.initial(0, 6, thresh=0.3)
+        # only 3 hot candidates fetched (k=3); bound = 4th hot value
+        assert len(ids) == 3
+        assert rest_max >= float(np.linspace(1.0, 0.55, 10)[3])
+
+    def test_matches_host_vec_source_membership(self):
+        # same scores through both protocols select the same candidate
+        # set above thresh (order may differ; the finalizer re-sorts)
+        rng = np.random.default_rng(0)
+        scores = rng.uniform(0.0, 1.0, size=(1, 40)).astype(np.float32)
+        scores[0, [5, 17, 29]] = 0.95  # tie group
+        bsrc = BucketTopKSource(
+            None,
+            [_bucket(np.arange(20), scores[:, :20]),
+             _bucket(np.arange(20, 40), scores[:, 20:])],
+            1, 6,
+        )
+        thresh = 0.5
+
+        class _Eng:
+            @staticmethod
+            def top_k_with_next(s, m, t):
+                order = np.argsort(-s, kind="stable")
+                keep = [int(i) for i in order if s[i] >= t][:m]
+                rest = [float(s[i]) for i in order if int(i) not in set(keep)]
+                return keep, (max(rest) if rest else float("-inf"))
+
+        hsrc = HostVecSource(_Eng, scores[0])
+        bi = bsrc.initial(0, 6, thresh)
+        hi = hsrc.initial(6, thresh)
+        bview = bsrc.qview(0)
+        bset = _complete_set(
+            bi, bsrc.above_many([(bview, thresh, set(bi[0]))])[0], thresh
+        )
+        hset = _complete_set(
+            hi, hsrc.above_many([(hsrc, thresh, set(hi[0]))])[0], thresh
+        )
+        want = set(int(i) for i in np.flatnonzero(scores[0] >= thresh))
+        assert bset == want
+        assert hset == want
+
+    def test_column_reads_batch_and_cache(self):
+        # above_many reads score columns once; repeated calls hit the cache
+        scores = np.stack([np.linspace(1.0, 0.0, 50),
+                           np.linspace(0.0, 1.0, 50)]).astype(np.float32)
+        src = BucketTopKSource(None, [_bucket(np.arange(50), scores)], 2, 5)
+        v0, v1 = src.qview(0), src.qview(1)
+        out = src.above_many([(v0, 0.7, set()), (v1, 0.7, set())])
+        assert set(out[0]) == set(int(i) for i in np.flatnonzero(scores[0] >= 0.7))
+        assert set(out[1]) == set(int(i) for i in np.flatnonzero(scores[1] >= 0.7))
+        n_cached = len(src._col_cache)
+        src.above_many([(v0, 0.8, set())])
+        assert len(src._col_cache) == n_cached  # no refetch

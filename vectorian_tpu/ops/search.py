@@ -264,7 +264,13 @@ class BucketTopKSource:
         return TopKView(self, qi)
 
     def covers_all(self, m: int) -> bool:
-        return all(b["full"] for b in self._buckets)
+        # full buckets alone are NOT enough: ``initial`` truncates the
+        # merged candidate list to m, so slices can be dropped whenever
+        # the total fetched count exceeds m (they stay covered by
+        # rest_max and the extras round)
+        return all(b["full"] for b in self._buckets) and (
+            sum(b["db"]["n"] for b in self._buckets) <= m
+        )
 
     def initial(self, qi: int, m: int, thresh: float):
         vals = np.concatenate([b["vals"][qi] for b in self._buckets])
