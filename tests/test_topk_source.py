@@ -105,6 +105,18 @@ class TestBucketTopKSource:
         assert bset == want
         assert hset == want
 
+    def test_above_cap_overflow_falls_back_to_column(self):
+        # a tie group larger than the capped device select must still be
+        # recovered completely (full-column fallback)
+        scores = np.full((30,), 0.25, np.float32)
+        scores[4:24] = 0.75  # 20-way tie
+        src = BucketTopKSource(None, [_bucket(np.arange(30), [scores])], 1, 3)
+        src.ABOVE_CAP = 8  # instance override: force overflow
+        view = src.qview(0)
+        (extra,) = src.above_many([(view, 0.5, set())])
+        assert set(extra) == set(range(4, 24))
+        assert (0, 0) in src._col_cache  # came via the fallback read
+
     def test_column_reads_batch_and_cache(self):
         # above_many reads score columns once; repeated calls hit the cache
         scores = np.stack([np.linspace(1.0, 0.0, 50),

@@ -166,6 +166,17 @@ def use_pallas_default() -> bool:
 PALLAS_MIN_BATCH = 256
 
 
+@functools.partial(jax.jit, static_argnames=("n", "size"))
+def _col_above_idx(scores, qi, thresh, n, size):
+    """Positions (into the bucket's first ``n`` rows) of one query column's
+    scores >= thresh, capped at ``size`` (-1 padded), plus the exact count
+    so callers detect overflow.  32 KB/query over the tunnel instead of a
+    4 MB full-column read at 1M slices."""
+    col = jax.lax.dynamic_index_in_dim(scores[:n], qi, axis=1, keepdims=False)
+    mask = col >= thresh
+    return jnp.flatnonzero(mask, size=size, fill_value=-1), jnp.sum(mask)
+
+
 class HostVecSource:
     """Candidate source over a complete host-side [n_slices] device-score
     vector (one query) — the finalizer's provable-cut machinery talks to
@@ -290,6 +301,12 @@ class BucketTopKSource:
             vk, ik = vk[ap[:m]], ik[ap[:m]]
         return [int(c) for c in ik], rest_max
 
+    # cap on the device-side thresholded index select: extras are
+    # tie-bounded and usually small, but Zipf tie groups run to thousands
+    # — 8192 int32 ids is 32 KB/query vs 4 MB for a full 1M-slice column
+    # (the full-column read measured ~3 s of a 6 s 32-query batch)
+    ABOVE_CAP = 8192
+
     def _column(self, bi: int, qi: int):
         key = (bi, qi)
         if key not in self._col_cache:
@@ -298,7 +315,9 @@ class BucketTopKSource:
         return self._col_cache[key]
 
     def above_many(self, reqs):
-        # dispatch every needed column first, read in one transfer
+        # phase 1: device-side thresholded select for every needed
+        # (bucket, query) column, batched into one transfer; only
+        # tie groups overflowing the cap fall back to a full column read
         need = []
         for view, thresh, _ in reqs:
             qi = view.qi
@@ -308,16 +327,37 @@ class BucketTopKSource:
                     and float(b["bound"][qi]) >= thresh
                     and (bi, qi) not in self._col_cache
                 ):
-                    need.append((bi, qi))
+                    need.append((bi, qi, thresh))
+        sel = {}
         if need:
-            cols = jax.device_get(
-                [
-                    self._pending[bi][1][: self._pending[bi][0]["n"], qi]
-                    for bi, qi in need
-                ]
-            )
-            for (bi, qi), col in zip(need, cols):
-                self._col_cache[(bi, qi)] = np.asarray(col)
+            refs = []
+            for bi, qi, thresh in need:
+                db, scores = self._pending[bi]
+                size = min(self.ABOVE_CAP, db["n"])
+                idx, cnt = _col_above_idx(
+                    scores, np.int32(qi), np.float32(thresh),
+                    db["n"], size,
+                )
+                refs.append(idx)
+                refs.append(cnt)
+            fetched = jax.device_get(refs)
+            full_need = []
+            for j, (bi, qi, thresh) in enumerate(need):
+                idx = np.asarray(fetched[2 * j])
+                cnt = int(fetched[2 * j + 1])
+                if cnt > min(self.ABOVE_CAP, self._pending[bi][0]["n"]):
+                    full_need.append((bi, qi))
+                else:
+                    sel[(bi, qi)] = idx[idx >= 0]
+            if full_need:
+                cols = jax.device_get(
+                    [
+                        self._pending[bi][1][: self._pending[bi][0]["n"], qi]
+                        for bi, qi in full_need
+                    ]
+                )
+                for (bi, qi), col in zip(full_need, cols):
+                    self._col_cache[(bi, qi)] = np.asarray(col)
         out = []
         for view, thresh, excl in reqs:
             qi = view.qi
@@ -325,9 +365,12 @@ class BucketTopKSource:
             ids = []
             for bi, b in enumerate(self._buckets):
                 if not b["full"] and float(b["bound"][qi]) >= thresh:
-                    col = self._column(bi, qi)
                     db = self._pending[bi][0]
-                    hit = db["slice_index"][np.flatnonzero(col >= thresh)]
+                    if (bi, qi) in sel and (bi, qi) not in self._col_cache:
+                        hit = db["slice_index"][sel[(bi, qi)]]
+                    else:
+                        col = self._column(bi, qi)
+                        hit = db["slice_index"][np.flatnonzero(col >= thresh)]
                 else:
                     vq = b["vals"][qi]
                     hit = b["sids"][qi][vq >= thresh]
