@@ -1,0 +1,219 @@
+"""Byte-equality of the stacked multi-query rescore vs the per-query path.
+
+rescore_many collapses a whole serving batch into one dispatch per bucket
+when all plans are static-only and gaps are affine (_rescore_many_stacked).
+The stacked table is a pure copy of each query's compiled plan matrices and
+the DP is column-prefix-causal with masked reductions, so results must be
+bit-identical — these tests pin that contract for plain, tag-weighted,
+doc-filtered, multi-leaf and score-only requests.
+"""
+
+import numpy as np
+import pytest
+
+from vectorian_tpu import Session, StringImporter
+from vectorian_tpu.ops.alignment import AffineGapParams
+from vectorian_tpu.ops.search import BruteForceEngine, TagWeightingSpec
+from vectorian_tpu.ops.simmatrix import compile_plan
+from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+from .helpers import WORDS, make_corpus_texts, make_embedding
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(17)
+    planted = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+    ]
+    texts, _ = make_corpus_texts(
+        rng, n_docs=4, sents_per_doc=10, planted=planted
+    )
+    imp = StringImporter()
+    docs = [imp(t, title=f"d{i}") for i, t in enumerate(texts)]
+    words = sorted(
+        set(WORDS)
+        | {"old", "king", "rides", "grey", "horse", "small", "bird",
+           "sings", "tree", "the", "a", "in"}
+    )
+    emb = make_embedding(words)
+    emb2 = make_embedding(words, dim=16, name="test-emb2")
+    session = Session(docs, embeddings=[emb, emb2])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    return session, index, emb, emb2
+
+
+def _mk_requests(session, index, token_sim, queries, want_flows=True,
+                 tagws=None):
+    reqs = []
+    eng = index._engine
+    n_slices = eng.packed.n_slices
+    rng = np.random.default_rng(7)
+    for i, q in enumerate(queries):
+        pq = index.make_query(q, n=5).prepare(index._nlp)
+        qp = compile_plan(
+            token_sim, session.compiled_embeddings,
+            pq.token_ids, pq.token_strings, {},
+        )
+        k = int(rng.integers(3, min(12, n_slices)))
+        sids = sorted(
+            int(s) for s in rng.choice(n_slices, size=k, replace=False)
+        )
+        reqs.append(
+            {
+                "slice_ids": sids,
+                "qp": qp,
+                "len_t": pq.n_tokens,
+                "tag_weights": tagws[i] if tagws else None,
+                "want_flows": want_flows,
+                "_pq": pq,
+            }
+        )
+    return reqs
+
+
+def _run_both(eng, reqs, gaps, locality, monkeypatch, doc_filter=None):
+    """(stacked results, per-query fallback results); asserts the stacked
+    path actually ran for the batched call."""
+    calls = {"n": 0}
+    orig = BruteForceEngine._rescore_many_stacked
+
+    def counting(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if out is not None:
+            calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(BruteForceEngine, "_rescore_many_stacked", counting)
+    stacked = eng.rescore_many(
+        reqs, gaps, locality, doc_filter=doc_filter
+    )
+    assert calls["n"] == 1, "stacked path did not run"
+    monkeypatch.setattr(
+        BruteForceEngine,
+        "_rescore_many_stacked",
+        lambda self, *a, **kw: None,
+    )
+    fallback = eng.rescore_many(
+        reqs, gaps, locality, doc_filter=doc_filter
+    )
+    monkeypatch.setattr(BruteForceEngine, "_rescore_many_stacked", orig)
+    return stacked, fallback
+
+
+def _assert_equal(stacked, fallback):
+    assert len(stacked) == len(fallback)
+    for (m1, e1, r1), (m2, e2, r2) in zip(stacked, fallback):
+        np.testing.assert_array_equal(r1, r2)
+        for a, b in zip(m1, m2):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(e1, e2):
+            np.testing.assert_array_equal(a, b)
+
+
+QUERIES = [
+    "the old king rides the grey horse",
+    "small bird",
+    "a small bird sings in the tree quickly",
+]
+
+
+@pytest.mark.parametrize("locality", ["local", "global", "semiglobal"])
+def test_stacked_plain(setup, monkeypatch, locality):
+    session, index, emb, _ = setup
+    eng = index._engine
+    reqs = _mk_requests(session, index, EmbeddingTokenSim(emb), QUERIES)
+    gaps = AffineGapParams.of(0.2, 0.1, 0.15, 0.05)
+    stacked, fallback = _run_both(eng, reqs, gaps, locality, monkeypatch)
+    _assert_equal(stacked, fallback)
+    # sanity: real scores were produced
+    assert any(np.isfinite(r[2]).any() and (r[2] > -1e29).any()
+               for r in stacked)
+
+
+def test_stacked_mixed_tagged_untagged(setup, monkeypatch):
+    session, index, emb, _ = setup
+    eng = index._engine
+    pq0 = index.make_query(QUERIES[0], n=5).prepare(index._nlp)
+    tagw = TagWeightingSpec(
+        t_pos_weights=np.linspace(1.0, 0.3, pq0.n_tokens).astype(np.float32),
+        pos_t=np.asarray(pq0.pos_ids, np.int8),
+        pos_mismatch_penalty=0.25,
+        similarity_threshold=0.15,
+    )
+    reqs = _mk_requests(
+        session, index, EmbeddingTokenSim(emb), QUERIES,
+        tagws=[tagw, None, None],
+    )
+    gaps = AffineGapParams.of(0.1, 0.05, 0.1, 0.05)
+    stacked, fallback = _run_both(eng, reqs, gaps, "local", monkeypatch)
+    _assert_equal(stacked, fallback)
+
+
+def test_stacked_multi_leaf_plan(setup, monkeypatch):
+    """Mixed two-embedding plan with a unary kernel: the tree pre-combines
+    over [V, T] and must still match per-cell evaluation bit-for-bit."""
+    from vectorian_tpu.sim.kernel import Bias
+    from vectorian_tpu.sim.modifier import (
+        MixedTokenSimilarity,
+        UnaryTokenSimilarityModifier,
+    )
+
+    session, index, emb, emb2 = setup
+    eng = index._engine
+    token_sim = UnaryTokenSimilarityModifier(
+        MixedTokenSimilarity(
+            [EmbeddingTokenSim(emb), EmbeddingTokenSim(emb2)], [0.7, 0.3]
+        ),
+        [Bias(-0.05)],
+    )
+    reqs = _mk_requests(session, index, token_sim, QUERIES)
+    gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+    stacked, fallback = _run_both(eng, reqs, gaps, "local", monkeypatch)
+    _assert_equal(stacked, fallback)
+
+
+def test_stacked_doc_filter(setup, monkeypatch):
+    from vectorian_tpu.ops.search import DocFilterSpec
+    from vectorian_tpu.vocabulary import UPOS
+
+    session, index, emb, _ = setup
+    eng = index._engine
+    vocab = session.vocab
+    pos_ex = np.zeros((len(UPOS),), bool)
+    pos_ex[vocab.pos_id("DET")] = True
+    flt = DocFilterSpec(
+        pos_ex,
+        np.zeros((max(len(vocab.tags), 1),), bool),
+        np.zeros((max(len(vocab.tokens), 1),), bool),
+    )
+    reqs = _mk_requests(session, index, EmbeddingTokenSim(emb), QUERIES)
+    gaps = AffineGapParams.of(0.1, 0.1, 0.1, 0.1)
+    stacked, fallback = _run_both(
+        eng, reqs, gaps, "local", monkeypatch, doc_filter=flt
+    )
+    _assert_equal(stacked, fallback)
+
+
+def test_stacked_score_only(setup, monkeypatch):
+    session, index, emb, _ = setup
+    eng = index._engine
+    reqs = _mk_requests(
+        session, index, EmbeddingTokenSim(emb), QUERIES, want_flows=False
+    )
+    gaps = AffineGapParams.of(0.3, 0.1, 0.3, 0.1)
+    stacked, fallback = _run_both(eng, reqs, gaps, "local", monkeypatch)
+    _assert_equal(stacked, fallback)
+
+
+def test_stacked_empty_request_mixed_in(setup, monkeypatch):
+    """A request with no candidates must not derail the stacked batch."""
+    session, index, emb, _ = setup
+    eng = index._engine
+    reqs = _mk_requests(session, index, EmbeddingTokenSim(emb), QUERIES)
+    reqs[1] = dict(reqs[1], slice_ids=[])
+    gaps = AffineGapParams.of(0.1, 0.05, 0.1, 0.05)
+    stacked, fallback = _run_both(eng, reqs, gaps, "local", monkeypatch)
+    _assert_equal(stacked, fallback)
+    assert stacked[1][2].shape == (0,)

@@ -42,7 +42,11 @@ from vectorian_tpu.ops.alignment import (
     traceback,
     traceback_general,
 )
-from vectorian_tpu.ops.simmatrix import QueryPlan, eval_plan_chunk
+from vectorian_tpu.ops.simmatrix import (
+    QueryPlan,
+    combine_static_plan,
+    eval_plan_chunk,
+)
 
 NEG_SCORE = -1e30
 
@@ -857,6 +861,66 @@ def _slices_similarity_batch(
     if with_tags:
         S = _apply_tag_weights(S, pos, tw_weights, tw_pos_t, tw_penalty, tw_threshold)
     return S, S_un
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("V", "locality", "with_sel", "want_flows", "any_tags"),
+)
+def _stacked_rescore(
+    tokens: jnp.ndarray,  # [N, L] i32 whole bucket
+    pos_all: jnp.ndarray,  # [N, L] i8
+    rows: jnp.ndarray,  # [gp] i32 bucket rows
+    qidx: jnp.ndarray,  # [gp] i32 request index per row
+    sel_pad: jnp.ndarray,  # [gp, L] i32 (with_sel) else [1, L] placeholder
+    table: jnp.ndarray,  # [Qp * V, Tmax] f32 stacked combined plan matrices
+    tw_w: jnp.ndarray,  # [Qp, Tmax] f32 per-request tag weights
+    tw_pos: jnp.ndarray,  # [Qp, Tmax] i8
+    tw_pen: jnp.ndarray,  # [Qp] f32
+    tw_thr: jnp.ndarray,  # [Qp] f32
+    tagged: jnp.ndarray,  # [Qp] bool
+    ln: jnp.ndarray,  # [gp] i32
+    lt: jnp.ndarray,  # [gp] i32 per-row needle length
+    gaps: AffineGapParams,
+    V: int,
+    locality: str,
+    with_sel: bool,
+    want_flows: bool,
+    any_tags: bool,
+):
+    """Similarity gather + tag weighting + affine DP for the rescore rows of
+    MANY queries in ONE dispatch (the per-query finalizer paid Q x buckets
+    dispatches; on the tunneled TPU dispatch count, not compute, dominates).
+
+    Bit-exact vs the per-query path: the table rows are copies of each
+    query's already-compiled plan matrices (the leaf GEMM bits are fixed at
+    plan compile), tag weighting is the same elementwise arithmetic with
+    per-row arguments, and the DP recurrence is column-prefix-causal with
+    (len_s, len_t)-masked reductions, so the extra pad columns of narrower
+    queries never perturb a real cell's bits (tests/test_stacked_rescore.py
+    asserts byte-equality)."""
+    tok = tokens[rows]
+    pos = pos_all[rows]
+    if with_sel:
+        tok = jnp.take_along_axis(tok, sel_pad, axis=1)
+        pos = jnp.take_along_axis(pos, sel_pad, axis=1)
+    S = table[qidx[:, None] * V + tok]  # [gp, L, Tmax]
+    Su = S
+    if any_tags:
+        w = tw_w[qidx][:, None, :] * jnp.where(
+            pos[:, :, None] == tw_pos[qidx][:, None, :],
+            1.0,
+            1.0 - tw_pen[qidx][:, None, None],
+        )
+        Swt = S * w
+        Swt = jnp.where(Swt > tw_thr[qidx][:, None, None], Swt, 0.0)
+        S = jnp.where(tagged[qidx][:, None, None], Swt, S)
+    if want_flows:
+        H, _, _, raw = align_matrices_scores.__wrapped__(
+            S, ln, lt, gaps, locality
+        )
+        return raw, H, S, Su
+    return align_scores.__wrapped__(S, ln, lt, gaps, locality)
 
 
 class BruteForceEngine:
@@ -1744,7 +1808,24 @@ class BruteForceEngine:
         recurrences are prefix-causal and mask score reductions by
         (len_s, len_t), so junk pad rows/columns never change a real row's
         score bits (tests assert byte-equality against the single-query
-        path)."""
+        path).
+
+        When every live request carries a static-only plan and the gap
+        model is affine, the whole round collapses further into ONE
+        dispatch per touched bucket (``_rescore_many_stacked``): per-query
+        combined plan matrices stack into one table and each row gathers
+        its own query's columns — byte-identical (see _stacked_rescore)."""
+        live_reqs = [r for r in requests if len(r["slice_ids"])]
+        if (
+            gap_costs is None
+            and len(live_reqs) > 1
+            and all(r["qp"].is_static_only for r in live_reqs)
+        ):
+            out = self._rescore_many_stacked(
+                requests, gaps, locality, doc_filter, chunk
+            )
+            if out is not None:
+                return out
         states = []
         refs: List = []  # flat device arrays to fetch in one transfer
         for req in requests:
@@ -1894,6 +1975,231 @@ class BruteForceEngine:
                     edge_sims[j] = sims
             results.append((mappings, edge_sims, raw_scores))
         return results
+
+    # cap on the stacked-table footprint ([Qp * V, Tmax] f32); beyond it
+    # the per-query fallback is cheaper than the HBM churn
+    STACKED_TABLE_MAX_BYTES = 512 << 20
+
+    def _stacked_plan_tables(self, qps: List[QueryPlan]):
+        """Stack per-request combined plan matrices into one flat
+        [Qp * V, Tmax] gather table (row ``qidx * V + token``).
+
+        Returns (table, V, Tmax, Qp) or None when the requests cannot
+        stack (vocab row counts differ) or the table would be too large.
+        The stack is a pure device-side copy of already-compiled plan
+        matrices, so gathered values are bit-identical to per-query
+        gathers."""
+        mats = []
+        V = None
+        for qp in qps:
+            if qp.plan == ("static", 0):
+                m = qp.static_sims[0]
+            else:
+                m = combine_static_plan(
+                    qp.plan, tuple(qp.static_sims), tuple(qp.mixed_weights)
+                )
+            if V is None:
+                V = int(m.shape[0])
+            elif int(m.shape[0]) != V:
+                return None
+            mats.append(m)
+        Tmax = max(int(m.shape[1]) for m in mats)
+        Qp = _next_pow2(len(mats))
+        if Qp * V * Tmax * 4 > self.STACKED_TABLE_MAX_BYTES:
+            return None
+        mats = [
+            m
+            if int(m.shape[1]) == Tmax
+            else jnp.pad(m, ((0, 0), (0, Tmax - int(m.shape[1]))))
+            for m in mats
+        ]
+        mats = mats + [mats[0]] * (Qp - len(mats))
+        table = jnp.stack(mats).reshape(Qp * V, Tmax)
+        return table, V, Tmax, Qp
+
+    def _rescore_many_stacked(
+        self,
+        requests: List[dict],
+        gaps: AffineGapParams,
+        locality: str,
+        doc_filter: Optional[DocFilterSpec],
+        chunk: int,
+    ):
+        """Stacked fast path of :meth:`rescore_many` (static-only plans,
+        affine gaps): ONE similarity+DP dispatch per touched bucket for the
+        WHOLE request batch.  Returns None when the requests cannot stack
+        (the caller falls back to the per-query path)."""
+        stacked = self._stacked_plan_tables(
+            [r["qp"] for r in requests if len(r["slice_ids"])]
+        )
+        if stacked is None:
+            return None
+        table, V, Tmax, Qp = stacked
+        # request index -> stacked table slot (live requests only)
+        slot = {}
+        states = []
+        pairs = []  # (request index, candidate position, slice id)
+        for ri, req in enumerate(requests):
+            slice_ids = list(req["slice_ids"])
+            len_t = req["len_t"]
+            k = len(slice_ids)
+            st = {
+                "k": k,
+                "len_t": len_t,
+                "want_flows": req.get("want_flows", True),
+                "on_sims": req.get("on_sims"),
+                "slice_ids": slice_ids,
+                "mappings": [
+                    np.full((len_t,), -1, np.int32) for _ in range(k)
+                ],
+                "edge_sims": [
+                    np.zeros((len_t,), np.float32) for _ in range(k)
+                ],
+                "raw": np.full((k,), NEG_SCORE, np.float32),
+            }
+            states.append(st)
+            if k == 0:
+                continue
+            slot[ri] = len(slot)
+            sels = [
+                self.filtered_positions(sid, doc_filter) for sid in slice_ids
+            ]
+            st["sels"] = sels
+            for j, sid in enumerate(slice_ids):
+                if len(sels[j]) > 0:
+                    pairs.append((ri, j, sid))
+        if not pairs:
+            return [
+                (st["mappings"], st["edge_sims"], st["raw"]) for st in states
+            ]
+        want_flows = any(
+            st["want_flows"] for st in states if st["k"] > 0
+        )
+        any_tags = any(
+            requests[ri].get("tag_weights") is not None for ri in slot
+        )
+        tw_w = np.zeros((Qp, Tmax), np.float32)
+        tw_pos = np.full((Qp, Tmax), -1, np.int8)
+        tw_pen = np.zeros((Qp,), np.float32)
+        tw_thr = np.zeros((Qp,), np.float32)
+        tagged = np.zeros((Qp,), bool)
+        for ri, si in slot.items():
+            tg = requests[ri].get("tag_weights")
+            if tg is None:
+                continue
+            T = len(tg.t_pos_weights)
+            tw_w[si, :T] = tg.t_pos_weights
+            tw_pos[si, :T] = tg.pos_t
+            tw_pen[si] = tg.pos_mismatch_penalty
+            tw_thr[si] = tg.similarity_threshold
+            tagged[si] = True
+        tw_args = (
+            jnp.asarray(tw_w),
+            jnp.asarray(tw_pos),
+            jnp.asarray(tw_pen),
+            jnp.asarray(tw_thr),
+            jnp.asarray(tagged),
+        )
+        by_bucket: Dict[int, list] = {}
+        for ri, j, sid in pairs:
+            bi = int(self._slice_loc[sid, 0])
+            if bi < 0:
+                raise KeyError(sid)
+            by_bucket.setdefault(bi, []).append((ri, j, sid))
+        refs: List = []
+        groups = []
+        for bi, plist in by_bucket.items():
+            db = self._device_buckets[bi]
+            L = db["capacity"]
+            for c0 in range(0, len(plist), chunk):
+                pc = plist[c0 : c0 + chunk]
+                g = len(pc)
+                gp = _next_pow2(g)
+                rows = np.zeros((gp,), np.int32)
+                qix = np.zeros((gp,), np.int32)
+                ln = np.ones((gp,), np.int32)
+                lt = np.ones((gp,), np.int32)
+                for k2, (ri, j, sid) in enumerate(pc):
+                    rows[k2] = self._slice_loc[sid, 1]
+                    qix[k2] = slot[ri]
+                    ln[k2] = len(states[ri]["sels"][j])
+                    lt[k2] = requests[ri]["len_t"]
+                if doc_filter is not None:
+                    sel_pad = np.zeros((gp, L), np.int32)
+                    for k2, (ri, j, sid) in enumerate(pc):
+                        s = states[ri]["sels"][j]
+                        sel_pad[k2, : len(s)] = s
+                else:
+                    sel_pad = np.zeros((1, L), np.int32)
+                out = _stacked_rescore(
+                    db["tokens"],
+                    db["pos"],
+                    jnp.asarray(rows),
+                    jnp.asarray(qix),
+                    jnp.asarray(sel_pad),
+                    table,
+                    *tw_args,
+                    jnp.asarray(ln),
+                    jnp.asarray(lt),
+                    gaps,
+                    V=V,
+                    locality=locality,
+                    with_sel=doc_filter is not None,
+                    want_flows=want_flows,
+                    any_tags=any_tags,
+                )
+                grp = {"pairs": pc}
+                if want_flows:
+                    raw, H, Sw, Su = out
+                    grp["r_raw"] = len(refs)
+                    refs.append(raw)
+                    grp["r_H"] = len(refs)
+                    refs.append(H)
+                    grp["r_Sw"] = len(refs)
+                    refs.append(Sw)
+                    grp["r_Su"] = len(refs)
+                    refs.append(Su)
+                else:
+                    grp["r_raw"] = len(refs)
+                    refs.append(out)
+                groups.append(grp)
+
+        fetched = jax.device_get(refs)
+
+        for grp in groups:
+            raw_np = np.asarray(fetched[grp["r_raw"]])
+            H_np = Sw_np = Su_np = None
+            if want_flows:
+                H_np = np.asarray(fetched[grp["r_H"]])
+                Sw_np = np.asarray(fetched[grp["r_Sw"]])
+                Su_np = np.asarray(fetched[grp["r_Su"]])
+            for pos_i, (ri, j, sid) in enumerate(grp["pairs"]):
+                st = states[ri]
+                st["raw"][j] = raw_np[pos_i]
+                if not st["want_flows"]:
+                    continue
+                sel = st["sels"][j]
+                ln_j = len(sel)
+                len_t = st["len_t"]
+                S = Sw_np[pos_i]
+                Su = Su_np[pos_i]
+                if st["on_sims"] is not None:
+                    st["on_sims"](sid, S[:ln_j, :len_t], Su[:ln_j, :len_t])
+                mapping = traceback(
+                    H_np[pos_i], S, ln_j, len_t, gaps, locality
+                )
+                sims = np.zeros((len_t,), np.float32)
+                for jt, sf in enumerate(mapping):
+                    if sf >= 0:
+                        sims[jt] = Su[sf, jt]
+                mapping = np.where(
+                    mapping >= 0, sel[np.maximum(mapping, 0)], -1
+                )
+                st["mappings"][j] = mapping.astype(np.int32)
+                st["edge_sims"][j] = sims
+        return [
+            (st["mappings"], st["edge_sims"], st["raw"]) for st in states
+        ]
 
     def _slice_tokens(self, slice_id: int):
         bi, r = self._slice_loc[slice_id]

@@ -358,6 +358,27 @@ def eval_plan_chunk(
     return rec(plan)
 
 
+@functools.partial(jax.jit, static_argnames=("plan",))
+def combine_static_plan(plan: tuple, static_sims, mixed_weights):
+    """Evaluate a static-only plan tree over the full [V, T] leaf matrices
+    into ONE combined [V, T] matrix (multi-query stacked rescoring gathers
+    rows of it).
+
+    Identity-gather trick: running ``eval_plan_chunk`` with
+    ``tok = arange(V)[None]`` executes the EXACT op sequence of the chunk
+    evaluator on every (vocab, needle) cell, so gathering rows of the
+    combined matrix afterwards is bit-identical to gathering leaf rows
+    first and evaluating the tree on the gathered cells — every node is
+    elementwise over cells, and the mixed node's K-axis sum reduces in the
+    same axis order for either shape."""
+    V = static_sims[0].shape[0]
+    tok = jnp.arange(V, dtype=jnp.int32)[None]
+    out = eval_plan_chunk(
+        plan, tok, tuple(static_sims), (), (), (), tuple(mixed_weights)
+    )
+    return out["similarity"][0]
+
+
 def plan_sim_upper(qp: QueryPlan) -> float:
     """Maximum similarity the plan can yield for any (token, query) cell.
 
