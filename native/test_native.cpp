@@ -33,6 +33,17 @@ void vn_pack_fill(const int32_t* flat_tok, const int8_t* flat_pos,
                   const int16_t* flat_tag, const int64_t* starts,
                   const int32_t* lens, int64_t n, int64_t cap,
                   int32_t* out_tok, int8_t* out_pos, int16_t* out_tag);
+void vn_traceback_affine_batch(
+    const float* H, const float* S, const int32_t* len_s,
+    const int32_t* len_t, int64_t B, int64_t S1, int64_t T1, int64_t Ls,
+    int64_t Lt, double open_s, double extend_s, double open_t,
+    double extend_t, int locality, const int32_t* end_cells,
+    int32_t* mapping);
+void vn_traceback_general_batch(
+    const float* H, const float* S, const int32_t* len_s,
+    const int32_t* len_t, int64_t B, int64_t S1, int64_t T1, int64_t Ls,
+    int64_t Lt, const float* w_s, const float* w_t, int locality,
+    const int32_t* end_cells, int32_t* mapping);
 }
 
 namespace {
@@ -178,13 +189,50 @@ void test_pack_fill() {
   }
 }
 
+void test_traceback() {
+  // fuzz every locality over random quantized DP-like matrices: bounds
+  // under ASAN + mappings stay in range (bit-parity vs python is covered
+  // by tests/test_native_traceback.py)
+  std::uniform_int_distribution<int> q(0, 19);
+  for (int trial = 0; trial < 8; trial++) {
+    const int64_t B = 12, Ls = 9, Lt = 6, S1 = Ls + 1, T1 = Lt + 1;
+    std::vector<float> H(B * S1 * T1), S(B * Ls * Lt);
+    for (auto& v : S) v = static_cast<float>(q(g_rng)) / 19.0f;
+    for (auto& v : H) v = static_cast<float>(q(g_rng)) / 7.0f - 0.5f;
+    std::vector<int32_t> ls(B), lt(B), map(B * Lt, 0);
+    for (int64_t b = 0; b < B; b++) {
+      ls[b] = 1 + static_cast<int32_t>(q(g_rng)) % Ls;
+      lt[b] = 1 + static_cast<int32_t>(q(g_rng)) % Lt;
+    }
+    for (int loc = 0; loc < 3; loc++) {
+      vn_traceback_affine_batch(H.data(), S.data(), ls.data(), lt.data(), B,
+                                S1, T1, Ls, Lt, 0.3, 0.1, 0.2, 0.05, loc,
+                                nullptr, map.data());
+      for (int64_t b = 0; b < B; b++)
+        for (int64_t j = 0; j < Lt; j++)
+          assert(map[b * Lt + j] >= -1 && map[b * Lt + j] < ls[b]);
+      std::vector<float> ws(S1), wt(T1);
+      for (int64_t k = 0; k < S1; k++) ws[k] = 0.15f * k;
+      for (int64_t k = 0; k < T1; k++) wt[k] = 0.2f * k;
+      vn_traceback_general_batch(H.data(), S.data(), ls.data(), lt.data(), B,
+                                 S1, T1, Ls, Lt, ws.data(), wt.data(), loc,
+                                 nullptr, map.data());
+      for (int64_t b = 0; b < B; b++)
+        for (int64_t j = 0; j < Lt; j++)
+          assert(map[b * Lt + j] >= -1 && map[b * Lt + j] < ls[b]);
+    }
+  }
+}
+
 }  // namespace
+
 
 int main() {
   test_hash();
   test_encode_batch();
   test_lexicon();
   test_pack_fill();
+  test_traceback();
   std::printf("native sanitizer tests: OK\n");
   return 0;
 }

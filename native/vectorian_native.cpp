@@ -8,6 +8,8 @@
 //
 // Build: make -C native   (produces libvectorian_native.so)
 
+#include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -163,6 +165,207 @@ void vn_pack_fill(const int32_t* flat_tok, const int8_t* flat_pos,
     std::memcpy(out_tok + i * cap, flat_tok + s, sizeof(int32_t) * l);
     std::memcpy(out_pos + i * cap, flat_pos + s, sizeof(int8_t) * l);
     std::memcpy(out_tag + i * cap, flat_tag + s, sizeof(int16_t) * l);
+  }
+}
+
+// ------------------------------------------------------------- traceback
+//
+// Host traceback of the alignment DP (the reference's InjectiveFlow
+// extraction, match/match.h:52-133), batched over the finalizer's top-k
+// rescore rows: the python per-row loop costs ~0.15 ms/row, which at the
+// serving batch's ~1.3k tracebacks dominated host time.  Must reproduce
+// ops/alignment.py traceback()/traceback_general() BIT-EXACTLY under
+// numpy 2 promotion rules: H/S/gap-vector entries are float32, python-float
+// gap constants are weak scalars (cast to f32 before the op), comparisons
+// against python-float eps cast the eps to f32
+// (tests/test_native_traceback.py fuzzes native vs python).
+
+static void tb_seed(const float* H, int ls, int lt, int64_t T1, int locality,
+                    int* pi, int* pj) {
+  if (locality == 1) {  // global
+    *pi = ls;
+    *pj = lt;
+    return;
+  }
+  if (locality == 0) {  // local: first max of H[1..ls, 1..lt], row-major
+    float best = -std::numeric_limits<float>::infinity();
+    int bi = 1, bj = 1;
+    for (int r = 1; r <= ls; r++)
+      for (int c = 1; c <= lt; c++) {
+        const float v = H[r * T1 + c];
+        if (v > best) {
+          best = v;
+          bi = r;
+          bj = c;
+        }
+      }
+    *pi = bi;
+    *pj = bj;
+    return;
+  }
+  // semiglobal: max over last column vs last row (column wins ties)
+  float colmax = -std::numeric_limits<float>::infinity();
+  int ci = 0;
+  for (int r = 0; r <= ls; r++) {
+    const float v = H[r * T1 + lt];
+    if (v > colmax) {
+      colmax = v;
+      ci = r;
+    }
+  }
+  float rowmax = -std::numeric_limits<float>::infinity();
+  int rj = 0;
+  for (int c = 0; c <= lt; c++) {
+    const float v = H[ls * T1 + c];
+    if (v > rowmax) {
+      rowmax = v;
+      rj = c;
+    }
+  }
+  if (colmax >= rowmax) {
+    *pi = ci;
+    *pj = lt;
+  } else {
+    *pi = ls;
+    *pj = rj;
+  }
+}
+
+// H: [B, S1, T1] f32 DP matrices; S: [B, Ls, Lt] f32 similarities;
+// len_s/len_t: [B]; locality: 0 local / 1 global / 2 semiglobal;
+// end_cells: [B, 2] 1-based (i, j) seeds or null; mapping out: [B, Lt]
+// (t index -> s index or -1).
+void vn_traceback_affine_batch(
+    const float* H_all, const float* S_all, const int32_t* len_s,
+    const int32_t* len_t, int64_t B, int64_t S1, int64_t T1, int64_t Ls,
+    int64_t Lt, double open_s, double extend_s, double open_t,
+    double extend_t, int locality, const int32_t* end_cells,
+    int32_t* mapping_all) {
+  const double decay_t = open_t < extend_t ? open_t : extend_t;
+  const double decay_s = open_s < extend_s ? open_s : extend_s;
+  const float eps = 1e-4f;
+  for (int64_t b = 0; b < B; b++) {
+    const float* H = H_all + b * S1 * T1;
+    const float* S = S_all + b * Ls * Lt;
+    int32_t* mapping = mapping_all + b * Lt;
+    const int ls = len_s[b], lt = len_t[b];
+    for (int64_t j = 0; j < Lt; j++) mapping[j] = -1;
+    int i, j;
+    if (end_cells != nullptr) {
+      i = end_cells[2 * b];
+      j = end_cells[2 * b + 1];
+    } else {
+      tb_seed(H, ls, lt, T1, locality, &i, &j);
+    }
+    while (i > 0 && j > 0) {
+      const float h = H[i * T1 + j];
+      if (locality == 0 && h <= 1e-9f) break;
+      const float dd = H[(i - 1) * T1 + (j - 1)] + S[(i - 1) * Lt + (j - 1)] - h;
+      if (std::fabs(dd) <= eps) {
+        mapping[j - 1] = i - 1;
+        i--;
+        j--;
+        continue;
+      }
+      bool matched = false;
+      for (int g = 1; g <= j; g++) {
+        const float cost = (float)(open_t + (double)(g - 1) * decay_t);
+        if (std::fabs(H[i * T1 + (j - g)] - cost - h) <= eps) {
+          j -= g;
+          matched = true;
+          break;
+        }
+      }
+      if (matched) continue;
+      for (int g = 1; g <= i; g++) {
+        const float cost = (float)(open_s + (double)(g - 1) * decay_s);
+        if (std::fabs(H[(i - g) * T1 + j] - cost - h) <= eps) {
+          i -= g;
+          matched = true;
+          break;
+        }
+      }
+      if (matched) continue;
+      // numerical fallback: best-looking predecessor, diag > t-gap > s-gap
+      // on ties (python max keeps the first maximal candidate)
+      const float c0 = H[(i - 1) * T1 + (j - 1)] + S[(i - 1) * Lt + (j - 1)];
+      const float c1 = H[i * T1 + (j - 1)] - (float)decay_t;
+      const float c2 = H[(i - 1) * T1 + j] - (float)decay_s;
+      float best = c0;
+      int mv = 0;
+      if (c1 > best) {
+        best = c1;
+        mv = 1;
+      }
+      if (c2 > best) {
+        mv = 2;
+      }
+      if (mv == 0) {
+        mapping[j - 1] = i - 1;
+        i--;
+        j--;
+      } else if (mv == 1) {
+        j--;
+      } else {
+        i--;
+      }
+    }
+  }
+}
+
+// General-gap variant: per-length cost vectors w_s [S1], w_t [T1] (f32,
+// matching ops/alignment.py traceback_general).
+void vn_traceback_general_batch(
+    const float* H_all, const float* S_all, const int32_t* len_s,
+    const int32_t* len_t, int64_t B, int64_t S1, int64_t T1, int64_t Ls,
+    int64_t Lt, const float* w_s, const float* w_t, int locality,
+    const int32_t* end_cells, int32_t* mapping_all) {
+  const float eps = 1e-4f;
+  for (int64_t b = 0; b < B; b++) {
+    const float* H = H_all + b * S1 * T1;
+    const float* S = S_all + b * Ls * Lt;
+    int32_t* mapping = mapping_all + b * Lt;
+    const int ls = len_s[b], lt = len_t[b];
+    for (int64_t j = 0; j < Lt; j++) mapping[j] = -1;
+    int i, j;
+    if (end_cells != nullptr) {
+      i = end_cells[2 * b];
+      j = end_cells[2 * b + 1];
+    } else {
+      tb_seed(H, ls, lt, T1, locality, &i, &j);
+    }
+    while (i > 0 && j > 0) {
+      const float h = H[i * T1 + j];
+      if (locality == 0 && h <= 1e-9f) break;
+      const float dd = H[(i - 1) * T1 + (j - 1)] + S[(i - 1) * Lt + (j - 1)] - h;
+      if (std::fabs(dd) <= eps) {
+        mapping[j - 1] = i - 1;
+        i--;
+        j--;
+        continue;
+      }
+      bool matched = false;
+      for (int g = 1; g <= j; g++) {
+        if (std::fabs(H[i * T1 + (j - g)] - w_t[g] - h) <= eps) {
+          j -= g;
+          matched = true;
+          break;
+        }
+      }
+      if (matched) continue;
+      for (int g = 1; g <= i; g++) {
+        if (std::fabs(H[(i - g) * T1 + j] - w_s[g] - h) <= eps) {
+          i -= g;
+          matched = true;
+          break;
+        }
+      }
+      if (matched) continue;
+      // numerical fallback (traceback_general: unconditional diagonal)
+      mapping[j - 1] = i - 1;
+      i--;
+      j--;
+    }
   }
 }
 

@@ -159,6 +159,91 @@ def pack_fill(flat_tok, flat_pos, flat_tag, starts, lens, cap: int):
     return tok, pos, tag
 
 
+_LOCALITY_CODE = {"local": 0, "global": 1, "semiglobal": 2}
+
+
+def _tb_common(H, S, len_s, len_t, end_cells):
+    H = np.ascontiguousarray(H, np.float32)
+    S = np.ascontiguousarray(S, np.float32)
+    B, S1, T1 = H.shape
+    _, Ls, Lt = S.shape
+    ls = np.ascontiguousarray(len_s, np.int32)
+    lt = np.ascontiguousarray(len_t, np.int32)
+    mapping = np.empty((B, Lt), np.int32)
+    if end_cells is not None:
+        ec = np.ascontiguousarray(end_cells, np.int32)
+        ec_ptr = ec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        ec = None
+        ec_ptr = None
+    return H, S, ls, lt, mapping, ec, ec_ptr, B, S1, T1, Ls, Lt
+
+
+def traceback_affine_batch(
+    H, S, len_s, len_t, gaps, locality: str, end_cells=None
+):
+    """Batched affine-gap DP traceback (bit-exact mirror of
+    ops/alignment.traceback, fuzz-tested); returns [B, Lt] mappings or None
+    when the native lib is unavailable.  H: [B, S1, T1], S: [B, Ls, Lt]."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vn_traceback_affine_batch"):
+        return None
+    H, S, ls, lt, mapping, ec, ec_ptr, B, S1, T1, Ls, Lt = _tb_common(
+        H, S, len_s, len_t, end_cells
+    )
+    lib.vn_traceback_affine_batch(
+        H.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        S.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(B),
+        ctypes.c_int64(S1),
+        ctypes.c_int64(T1),
+        ctypes.c_int64(Ls),
+        ctypes.c_int64(Lt),
+        ctypes.c_double(float(gaps.open_s)),
+        ctypes.c_double(float(gaps.extend_s)),
+        ctypes.c_double(float(gaps.open_t)),
+        ctypes.c_double(float(gaps.extend_t)),
+        ctypes.c_int(_LOCALITY_CODE[locality]),
+        ec_ptr,
+        mapping.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return mapping
+
+
+def traceback_general_batch(
+    H, S, len_s, len_t, w_s, w_t, locality: str, end_cells=None
+):
+    """Batched general-gap DP traceback (mirror of
+    ops/alignment.traceback_general); returns [B, Lt] mappings or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vn_traceback_general_batch"):
+        return None
+    H, S, ls, lt, mapping, ec, ec_ptr, B, S1, T1, Ls, Lt = _tb_common(
+        H, S, len_s, len_t, end_cells
+    )
+    w_s = np.ascontiguousarray(w_s, np.float32)
+    w_t = np.ascontiguousarray(w_t, np.float32)
+    lib.vn_traceback_general_batch(
+        H.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        S.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(B),
+        ctypes.c_int64(S1),
+        ctypes.c_int64(T1),
+        ctypes.c_int64(Ls),
+        ctypes.c_int64(Lt),
+        w_s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w_t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(_LOCALITY_CODE[locality]),
+        ec_ptr,
+        mapping.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return mapping
+
+
 class NativeLexicon:
     """String-interning lexicon backed by the C++ library (reference
     vocabulary.h StringStorage/LexiconImpl); drop-in for the hot part of

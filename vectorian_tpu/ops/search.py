@@ -42,6 +42,7 @@ from vectorian_tpu.ops.alignment import (
     traceback,
     traceback_general,
 )
+from vectorian_tpu import native
 from vectorian_tpu.ops.simmatrix import (
     QueryPlan,
     combine_static_plan,
@@ -1939,6 +1940,20 @@ class BruteForceEngine:
                 H_np = np.asarray(fetched[grp["r_H"]])
                 Sw_np = np.asarray(fetched[grp["r_Sw"]])
                 Su_np = np.asarray(fetched[grp["r_Su"]])
+                g = grp["g"]
+                lens = np.asarray(
+                    [len(st["sels"][j]) for j in js], np.int32
+                )
+                lts = np.full((g,), len_t, np.int32)
+                if gap_costs is not None:
+                    nat_maps = native.traceback_general_batch(
+                        H_np[:g], Sw_np[:g], lens, lts,
+                        grp["w_s"], grp["w_t"], locality,
+                    )
+                else:
+                    nat_maps = native.traceback_affine_batch(
+                        H_np[:g], Sw_np[:g], lens, lts, gaps, locality
+                    )
                 for pos, j in enumerate(js):
                     sel = st["sels"][j]
                     ln = len(sel)
@@ -1950,7 +1965,9 @@ class BruteForceEngine:
                             S[:ln, :len_t],
                             Su[:ln, :len_t],
                         )
-                    if gap_costs is not None:
+                    if nat_maps is not None:
+                        mapping = nat_maps[pos, :len_t]
+                    elif gap_costs is not None:
                         mapping = traceback_general(
                             H_np[pos], S, ln, len_t,
                             grp["w_s"], grp["w_t"], locality,
@@ -1962,10 +1979,11 @@ class BruteForceEngine:
                     # per-edge similarity before tag weighting
                     # (ScoreComputer, metric/alignment.h:307-352), indexed
                     # in filtered space
-                    sims = np.zeros((len_t,), np.float32)
-                    for jt, sf in enumerate(mapping):
-                        if sf >= 0:
-                            sims[jt] = Su[sf, jt]
+                    sims = np.where(
+                        mapping >= 0,
+                        Su[np.maximum(mapping, 0), np.arange(len_t)],
+                        np.float32(0.0),
+                    ).astype(np.float32)
                     # translate filtered offsets back to original slice
                     # offsets
                     mapping = np.where(
@@ -2168,11 +2186,23 @@ class BruteForceEngine:
 
         for grp in groups:
             raw_np = np.asarray(fetched[grp["r_raw"]])
-            H_np = Sw_np = Su_np = None
+            H_np = Sw_np = Su_np = nat_maps = None
             if want_flows:
                 H_np = np.asarray(fetched[grp["r_H"]])
                 Sw_np = np.asarray(fetched[grp["r_Sw"]])
                 Su_np = np.asarray(fetched[grp["r_Su"]])
+                g = len(grp["pairs"])
+                lens = np.asarray(
+                    [len(states[ri]["sels"][j]) for ri, j, _ in grp["pairs"]],
+                    np.int32,
+                )
+                lts = np.asarray(
+                    [states[ri]["len_t"] for ri, _, _ in grp["pairs"]],
+                    np.int32,
+                )
+                nat_maps = native.traceback_affine_batch(
+                    H_np[:g], Sw_np[:g], lens, lts, gaps, locality
+                )
             for pos_i, (ri, j, sid) in enumerate(grp["pairs"]):
                 st = states[ri]
                 st["raw"][j] = raw_np[pos_i]
@@ -2185,13 +2215,17 @@ class BruteForceEngine:
                 Su = Su_np[pos_i]
                 if st["on_sims"] is not None:
                     st["on_sims"](sid, S[:ln_j, :len_t], Su[:ln_j, :len_t])
-                mapping = traceback(
-                    H_np[pos_i], S, ln_j, len_t, gaps, locality
-                )
-                sims = np.zeros((len_t,), np.float32)
-                for jt, sf in enumerate(mapping):
-                    if sf >= 0:
-                        sims[jt] = Su[sf, jt]
+                if nat_maps is not None:
+                    mapping = nat_maps[pos_i, :len_t]
+                else:
+                    mapping = traceback(
+                        H_np[pos_i], S, ln_j, len_t, gaps, locality
+                    )
+                sims = np.where(
+                    mapping >= 0,
+                    Su[np.maximum(mapping, 0), np.arange(len_t)],
+                    np.float32(0.0),
+                ).astype(np.float32)
                 mapping = np.where(
                     mapping >= 0, sel[np.maximum(mapping, 0)], -1
                 )
