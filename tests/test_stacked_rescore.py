@@ -217,3 +217,33 @@ def test_stacked_empty_request_mixed_in(setup, monkeypatch):
     stacked, fallback = _run_both(eng, reqs, gaps, "local", monkeypatch)
     _assert_equal(stacked, fallback)
     assert stacked[1][2].shape == (0,)
+
+
+def test_fused_topk_exact_matches_unfused(setup, monkeypatch):
+    """find_batch with the fused top-k exact rescore must return the same
+    matches (ids, scores, mappings) as with fusion disabled."""
+    session, index, emb, _ = setup
+    calls = {"fused": 0}
+    orig_init = BruteForceEngine.__dict__["_stacked_plan_tables"]
+
+    def spy(self, qps):
+        out = orig_init(self, qps)
+        if out is not None:
+            calls["fused"] += 1
+        return out
+
+    monkeypatch.setattr(BruteForceEngine, "_stacked_plan_tables", spy)
+    fused = index.find_batch(QUERIES, n=4, min_score=0.05)
+    assert calls["fused"] >= 1
+    monkeypatch.setattr(
+        BruteForceEngine, "_stacked_plan_tables", lambda self, qps: None
+    )
+    plain = index.find_batch(QUERIES, n=4, min_score=0.05)
+    monkeypatch.setattr(BruteForceEngine, "_stacked_plan_tables", orig_init)
+    for rf, rp in zip(fused, plain):
+        assert [(m.slice_id, m.score) for m in rf] == [
+            (m.slice_id, m.score) for m in rp
+        ]
+        for mf, mp in zip(rf, rp):
+            np.testing.assert_array_equal(mf._mapping, mp._mapping)
+            np.testing.assert_array_equal(mf._similarities, mp._similarities)

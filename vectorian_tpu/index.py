@@ -1404,11 +1404,17 @@ class BruteForceIndex(Index):
             )
 
         # round 1: candidate selection (host-complete score vectors or
-        # device-top-k candidate sources) and one batched flows-rescore of
-        # every query's overfetch
+        # device-top-k candidate sources).  Fused sources already carry
+        # each candidate's exact raw DP score from the top-k dispatch
+        # (initial_exact) — their flow extraction is DEFERRED to round 3,
+        # which only touches the final top-n.  Unfused items (host score
+        # vectors, filtered/general-gap rescores) keep the one batched
+        # flows-rescore of the n+32 overfetch.
         meta = []
-        reqs = []
-        for q_scores, plan, pq, norm_total, tagw, boost in items:
+        reqs, req_qis = [], []
+        for qi, (q_scores, plan, pq, norm_total, tagw, boost) in enumerate(
+            items
+        ):
             src = (
                 HostVecSource(engine, q_scores)
                 if isinstance(q_scores, np.ndarray)
@@ -1420,27 +1426,43 @@ class BruteForceIndex(Index):
                 if boost is not None
                 else eps
             )
-            cand, rest_max = src.initial(n + 32, min_score - eps_b)
+            raw_init = None
+            if hasattr(src, "initial_exact"):
+                cand, rest_max, raw_init = src.initial_exact(
+                    n + 32, min_score - eps_b
+                )
+            else:
+                cand, rest_max = src.initial(n + 32, min_score - eps_b)
             meta.append(
                 {
                     "eps_b": eps_b,
                     "cand": cand,
                     "rest_max": rest_max,
                     "src": src,
+                    "raw_init": raw_init,
                 }
             )
-            reqs.append(
-                {
-                    "slice_ids": cand,
-                    "qp": plan,
-                    "len_t": pq.n_tokens,
-                    "tag_weights": tagw,
-                    "want_flows": True,
-                }
+            if raw_init is None:
+                reqs.append(
+                    {
+                        "slice_ids": cand,
+                        "qp": plan,
+                        "len_t": pq.n_tokens,
+                        "tag_weights": tagw,
+                        "want_flows": True,
+                    }
+                )
+                req_qis.append(qi)
+        res1_by_qi = dict(
+            zip(
+                req_qis,
+                engine.rescore_many(
+                    reqs, gaps, self._locality, gap_costs=gap_costs,
+                    doc_filter=doc_filter,
+                )
+                if reqs
+                else [],
             )
-        res1 = engine.rescore_many(
-            reqs, gaps, self._locality, gap_costs=gap_costs,
-            doc_filter=doc_filter,
         )
 
         # round 2: cut-safety per query; unsafe cuts are tie-BOUNDED —
@@ -1452,8 +1474,13 @@ class BruteForceIndex(Index):
         for qi, ((q_scores, plan, pq, norm_total, tagw, boost), m) in (
             enumerate(zip(items, meta))
         ):
-            mappings, edge_sims, raw = res1[qi]
             cand = m["cand"]
+            if m["raw_init"] is not None:
+                raw = m["raw_init"]
+                mappings = edge_sims = None
+                assert boost is None  # boosted batches rank host-side
+            else:
+                mappings, edge_sims, raw = res1_by_qi[qi]
             exact = raw / max(norm_total, 1e-9)
             if boost is not None:
                 exact = exact * np.asarray(boost, np.float32)[
@@ -1461,16 +1488,23 @@ class BruteForceIndex(Index):
                 ]
             order = order_by_score(packed, cand, exact)
             keep = [j for j in order if exact[j] > min_score][:n]
-            first = [
-                Match(
-                    self, pq, slice_id=cand[j], score=float(exact[j]),
-                    metric=metric_name, mapping=mappings[j],
-                    similarities=edge_sims[j],
-                )
-                for j in keep
-            ]
-            m["first"] = first
-            s_n = first[n - 1].score if len(first) >= n else min_score
+            if mappings is not None:
+                first = [
+                    Match(
+                        self, pq, slice_id=cand[j], score=float(exact[j]),
+                        metric=metric_name, mapping=mappings[j],
+                        similarities=edge_sims[j],
+                    )
+                    for j in keep
+                ]
+                m["first"] = first
+                scores_kept = [mt.score for mt in first]
+            else:
+                # deferred flows: hold (sid, score) until round 3
+                ents = [(cand[j], float(exact[j])) for j in keep]
+                m["first_entries"] = ents
+                scores_kept = [s for _, s in ents]
+            s_n = scores_kept[n - 1] if len(scores_kept) >= n else min_score
             thresh = s_n - m["eps_b"]
             if m["src"].covers_all(n + 32) or m["rest_max"] < thresh:
                 continue
@@ -1515,8 +1549,8 @@ class BruteForceIndex(Index):
         )
 
         # round 3: merge extras by exact score; extract flows for ONLY the
-        # extras that enter a final top-n
-        surv_reqs, surv_qis = [], []
+        # entries that enter a final top-n (deferred-flow items fetch
+        # their top-n flows here too — never the n+32 overfetch)
         for qi, (_, _, raw_extra) in zip(extra_qis, res2):
             q_scores, plan, pq, norm_total, tagw, boost = items[qi]
             m = meta[qi]
@@ -1526,10 +1560,16 @@ class BruteForceIndex(Index):
                 exact_extra = exact_extra * np.asarray(boost, np.float32)[
                     np.asarray(extra, np.int64)
                 ]
-            entries = [
-                (key_of(mt.slice_id, mt.score), mt, None)
-                for mt in m["first"]
-            ]
+            if "first" in m:
+                entries = [
+                    (key_of(mt.slice_id, mt.score), mt, None)
+                    for mt in m["first"]
+                ]
+            else:
+                entries = [
+                    (key_of(sid, s), None, (sid, s))
+                    for sid, s in m["first_entries"]
+                ]
             entries += [
                 (
                     key_of(e, float(exact_extra[i])),
@@ -1541,6 +1581,21 @@ class BruteForceIndex(Index):
             ]
             entries.sort(key=lambda t: t[0])
             m["entries"] = entries[:n]
+        # deferred items without extras still owe their top-n flows
+        for m, (q_scores, plan, pq, norm_total, tagw, boost) in zip(
+            meta, items
+        ):
+            if "entries" not in m and "first_entries" in m:
+                m["entries"] = [
+                    (key_of(sid, s), None, (sid, s))
+                    for sid, s in m["first_entries"]
+                ]
+        surv_reqs, surv_qis = [], []
+        for qi, (m, (q_scores, plan, pq, norm_total, tagw, boost)) in (
+            enumerate(zip(meta, items))
+        ):
+            if "entries" not in m:
+                continue
             survivors = [t[2][0] for t in m["entries"] if t[2] is not None]
             if survivors:
                 surv_reqs.append(

@@ -235,16 +235,44 @@ class BucketTopKSource:
     rest_max >= thresh, forcing the tie-bounded extras round that reads
     the column and recovers it."""
 
-    def __init__(self, engine, pending, Q: int, k: int):
+    def __init__(self, engine, pending, Q: int, k: int, exact_ctx=None):
+        """``exact_ctx``: optional fused-rescore context
+        {table, V, lt_q, tw_args, gaps, locality, any_tags} — when present
+        the top-k dispatch ALSO computes each selected row's exact f32 raw
+        DP score in the same kernel (see _topk_exact_rescore), so the
+        finalizer's round-1 rescore round trip disappears."""
         self._engine = engine
         self._pending = pending
         self.Q = Q
         self.k = k
+        self.has_exact = exact_ctx is not None
         refs = []
         metas = []
         for db, scores in pending:
             kk = min(k, db["n"])
-            if kk < db["n"]:
+            if exact_ctx is not None:
+                ec = exact_ctx
+                if kk < db["n"]:
+                    vals, idx, raw = _topk_exact_rescore(
+                        scores, db["tokens"], db["pos"],
+                        db["lengths"].astype(jnp.int32), ec["table"],
+                        *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        n=db["n"], kk=kk, V=ec["V"],
+                        locality=ec["locality"], any_tags=ec["any_tags"],
+                    )
+                    metas.append({"db": db, "kk": kk, "full": False})
+                    refs.extend((vals, idx, raw))
+                else:
+                    vals, raw = _full_exact_rescore(
+                        scores, db["tokens"], db["pos"],
+                        db["lengths"].astype(jnp.int32), ec["table"],
+                        *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        n=db["n"], V=ec["V"],
+                        locality=ec["locality"], any_tags=ec["any_tags"],
+                    )
+                    metas.append({"db": db, "kk": kk, "full": True})
+                    refs.extend((vals, raw))
+            elif kk < db["n"]:
                 vals, idx = jax.lax.top_k(scores[: db["n"]].T, kk + 1)
                 metas.append({"db": db, "kk": kk, "full": False})
                 refs.append(vals)
@@ -273,6 +301,9 @@ class BucketTopKSource:
                 m["vals"] = vals[:, :kk]
                 m["sids"] = db["slice_index"][idx[:, :kk]]
                 m["bound"] = vals[:, kk].astype(np.float32)
+            if self.has_exact:
+                m["exact"] = np.asarray(fetched[pos])  # [Q, kk] raw f32
+                pos += 1
             self._buckets.append(m)
         self._col_cache = {}
 
@@ -288,15 +319,21 @@ class BucketTopKSource:
             sum(b["db"]["n"] for b in self._buckets) <= m
         )
 
-    def initial(self, qi: int, m: int, thresh: float):
+    def initial(self, qi: int, m: int, thresh: float, with_exact=False):
         vals = np.concatenate([b["vals"][qi] for b in self._buckets])
         sids = np.concatenate([b["sids"][qi] for b in self._buckets])
         bound = max(
             (float(b["bound"][qi]) for b in self._buckets),
             default=float("-inf"),
         )
+        exact = (
+            np.concatenate([b["exact"][qi] for b in self._buckets])
+            if with_exact and self.has_exact
+            else None
+        )
         keep = vals >= thresh
         vk, ik = vals[keep], sids[keep]
+        ek = exact[keep] if exact is not None else None
         rest_max = bound
         if len(vals) > len(vk):
             rest_max = max(rest_max, float(np.max(vals[~keep])))
@@ -304,7 +341,12 @@ class BucketTopKSource:
             ap = np.argpartition(-vk, m)
             rest_max = max(rest_max, float(vk[ap[m]]))
             vk, ik = vk[ap[:m]], ik[ap[:m]]
-        return [int(c) for c in ik], rest_max
+            if ek is not None:
+                ek = ek[ap[:m]]
+        cand = [int(c) for c in ik]
+        if with_exact:
+            return cand, rest_max, ek
+        return cand, rest_max
 
     # cap on the device-side thresholded index select: extras are
     # tie-bounded and usually small, but Zipf tie groups run to thousands
@@ -405,6 +447,11 @@ class TopKView:
 
     def initial(self, m: int, thresh: float):
         return self._src.initial(self.qi, m, thresh)
+
+    def initial_exact(self, m: int, thresh: float):
+        """(cand, rest_max, exact raw scores or None) — the exact scores
+        arrive with the fused top-k dispatch (no extra round trip)."""
+        return self._src.initial(self.qi, m, thresh, with_exact=True)
 
 
 @dataclass
@@ -864,6 +911,115 @@ def _slices_similarity_batch(
     return S, S_un
 
 
+def _stack_tw(tag_weights, Qp: int, Tmax: int):
+    """Per-request tag-weighting arrays stacked to [Qp, Tmax] (+[Qp]
+    scalars + tagged mask) for the multi-query rescore kernels; untagged
+    slots stay inert (selected away by the tagged mask in-kernel)."""
+    tw_w = np.zeros((Qp, Tmax), np.float32)
+    tw_pos = np.full((Qp, Tmax), -1, np.int8)
+    tw_pen = np.zeros((Qp,), np.float32)
+    tw_thr = np.zeros((Qp,), np.float32)
+    tagged = np.zeros((Qp,), bool)
+    for si, tg in enumerate(tag_weights or ()):
+        if tg is None:
+            continue
+        T = len(tg.t_pos_weights)
+        tw_w[si, :T] = tg.t_pos_weights
+        tw_pos[si, :T] = tg.pos_t
+        tw_pen[si] = tg.pos_mismatch_penalty
+        tw_thr[si] = tg.similarity_threshold
+        tagged[si] = True
+    return (
+        jnp.asarray(tw_w),
+        jnp.asarray(tw_pos),
+        jnp.asarray(tw_pen),
+        jnp.asarray(tw_thr),
+        jnp.asarray(tagged),
+    )
+
+
+def _mq_similarity(
+    tok, pos, qidx, table, tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags
+):
+    """Gather + per-row tag weighting for multi-query rescore rows (shared
+    by the stacked finalizer and the fused top-k rescore — the arithmetic
+    must be identical between them for byte-equal scores)."""
+    S = table[qidx[:, None] * V + tok]  # [g, L, Tmax]
+    Su = S
+    if any_tags:
+        w = tw_w[qidx][:, None, :] * jnp.where(
+            pos[:, :, None] == tw_pos[qidx][:, None, :],
+            1.0,
+            1.0 - tw_pen[qidx][:, None, None],
+        )
+        Swt = S * w
+        Swt = jnp.where(Swt > tw_thr[qidx][:, None, None], Swt, 0.0)
+        S = jnp.where(tagged[qidx][:, None, None], Swt, S)
+    return S, Su
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "kk", "V", "locality", "any_tags"),
+)
+def _topk_exact_rescore(
+    scores: jnp.ndarray,  # [n_pad, Q] normalized device ranking scores
+    tokens: jnp.ndarray,  # [n_pad, L]
+    pos_all: jnp.ndarray,  # [n_pad, L] i8
+    ln_all: jnp.ndarray,  # [n_pad] i32 slice lengths
+    table: jnp.ndarray,  # [Qp * V, Tmax] f32 stacked plan matrices
+    tw_w, tw_pos, tw_pen, tw_thr, tagged,  # [Qp, ...] tag-weight stacks
+    lt_q: jnp.ndarray,  # [Q] i32 needle lengths
+    gaps: AffineGapParams,
+    n: int,
+    kk: int,
+    V: int,
+    locality: str,
+    any_tags: bool,
+):
+    """Per-bucket device top-k FUSED with the exact f32 rescore of the
+    selected rows: the finalizer's round-1 rescore dispatch (and its
+    round trip) disappears — candidates arrive on the host already
+    carrying their exact raw DP scores.  Bit-exact vs the stacked
+    rescore: same table gather, same tag arithmetic, same DP recurrence
+    (per-lane bits are independent of the batch shape)."""
+    vals, idx = jax.lax.top_k(scores[:n].T, kk + 1)  # [Q, kk+1]
+    rows = idx[:, :kk].reshape(-1)
+    Q = idx.shape[0]
+    qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), kk)
+    S, _ = _mq_similarity(
+        tokens[rows], pos_all[rows], qidx, table,
+        tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
+    )
+    raw = align_scores.__wrapped__(
+        S, ln_all[rows], lt_q[qidx], gaps, locality
+    )
+    return vals, idx, raw.reshape(Q, kk)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "V", "locality", "any_tags")
+)
+def _full_exact_rescore(
+    scores, tokens, pos_all, ln_all, table,
+    tw_w, tw_pos, tw_pen, tw_thr, tagged,
+    lt_q, gaps, n: int, V: int, locality: str, any_tags: bool,
+):
+    """Fused exact rescore of EVERY row of a small (fully-fetched) bucket
+    for all Q queries; returns (scores[:n].T, raw [Q, n])."""
+    Q = lt_q.shape[0]
+    rows = jnp.tile(jnp.arange(n, dtype=jnp.int32), Q)
+    qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), n)
+    S, _ = _mq_similarity(
+        tokens[rows], pos_all[rows], qidx, table,
+        tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
+    )
+    raw = align_scores.__wrapped__(
+        S, ln_all[rows], lt_q[qidx], gaps, locality
+    )
+    return scores[:n].T, raw.reshape(Q, n)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("V", "locality", "with_sel", "want_flows", "any_tags"),
@@ -905,17 +1061,10 @@ def _stacked_rescore(
     if with_sel:
         tok = jnp.take_along_axis(tok, sel_pad, axis=1)
         pos = jnp.take_along_axis(pos, sel_pad, axis=1)
-    S = table[qidx[:, None] * V + tok]  # [gp, L, Tmax]
-    Su = S
-    if any_tags:
-        w = tw_w[qidx][:, None, :] * jnp.where(
-            pos[:, :, None] == tw_pos[qidx][:, None, :],
-            1.0,
-            1.0 - tw_pen[qidx][:, None, None],
-        )
-        Swt = S * w
-        Swt = jnp.where(Swt > tw_thr[qidx][:, None, None], Swt, 0.0)
-        S = jnp.where(tagged[qidx][:, None, None], Swt, S)
+    S, Su = _mq_similarity(
+        tok, pos, qidx, table, tw_w, tw_pos, tw_pen, tw_thr, tagged,
+        V, any_tags,
+    )
     if want_flows:
         H, _, _, raw = align_matrices_scores.__wrapped__(
             S, ln, lt, gaps, locality
@@ -1232,7 +1381,32 @@ class BruteForceEngine:
             tag_weights=tag_weights, sim_dtype=sim_dtype,
             gap_costs=gap_costs, doc_filter=doc_filter,
         )
-        src = BucketTopKSource(self, pending, len(plans), k)
+        # fused exact rescore: the top-k dispatch also computes each
+        # selected row's exact f32 raw DP score (static-only plans, affine
+        # gaps, no doc filter — the host-sel filtered rescore and the
+        # per-row general-gap DP stay on the separate finalizer round)
+        exact_ctx = None
+        if (
+            gap_costs is None
+            and doc_filter is None
+            and all(qp.is_static_only for qp in plans)
+        ):
+            stacked = self._stacked_plan_tables(plans)
+            if stacked is not None:
+                table, V, Tmax, Qp = stacked
+                exact_ctx = {
+                    "table": table,
+                    "V": V,
+                    "lt_q": jnp.asarray(len_ts, jnp.int32),
+                    "tw_args": _stack_tw(
+                        list(tag_weights) if tag_weights else None, Qp, Tmax
+                    ),
+                    "gaps": gaps,
+                    "locality": locality,
+                    "any_tags": tag_weights is not None
+                    and any(t is not None for t in tag_weights),
+                }
+        src = BucketTopKSource(self, pending, len(plans), k, exact_ctx)
         if with_err:
             return src, entry_err
         return src
@@ -2096,28 +2270,10 @@ class BruteForceEngine:
         any_tags = any(
             requests[ri].get("tag_weights") is not None for ri in slot
         )
-        tw_w = np.zeros((Qp, Tmax), np.float32)
-        tw_pos = np.full((Qp, Tmax), -1, np.int8)
-        tw_pen = np.zeros((Qp,), np.float32)
-        tw_thr = np.zeros((Qp,), np.float32)
-        tagged = np.zeros((Qp,), bool)
+        tw_list = [None] * Qp
         for ri, si in slot.items():
-            tg = requests[ri].get("tag_weights")
-            if tg is None:
-                continue
-            T = len(tg.t_pos_weights)
-            tw_w[si, :T] = tg.t_pos_weights
-            tw_pos[si, :T] = tg.pos_t
-            tw_pen[si] = tg.pos_mismatch_penalty
-            tw_thr[si] = tg.similarity_threshold
-            tagged[si] = True
-        tw_args = (
-            jnp.asarray(tw_w),
-            jnp.asarray(tw_pos),
-            jnp.asarray(tw_pen),
-            jnp.asarray(tw_thr),
-            jnp.asarray(tagged),
-        )
+            tw_list[si] = requests[ri].get("tag_weights")
+        tw_args = _stack_tw(tw_list, Qp, Tmax)
         by_bucket: Dict[int, list] = {}
         for ri, j, sid in pairs:
             bi = int(self._slice_loc[sid, 0])
