@@ -775,17 +775,54 @@ class BruteForceIndex(Index):
         if debug is None and not opts.get("bidirectional"):
             # low-latency path: device-side top-k, only O(buckets*k) values
             # cross to the host
+            if submatch_weight == 0.0 and boost is None and qp.is_static_only:
+                # the serving machinery with Q=1: the fused top-k dispatch
+                # returns candidates WITH their exact f32 raw scores and
+                # flow payloads, so a tie-safe query completes in ONE
+                # device fetch; boundary ties resolve through tie-bounded
+                # device column selects (never a full corpus re-read).
+                # Results stay byte-identical to find_batch by
+                # construction — both run _finalize_quantized_many.
+                qp_f = qp
+                if qp.plan != ("static", 0):
+                    # collapse the modifier tree to one matrix (pure
+                    # identity-gather re-evaluation — bit-equal per cell,
+                    # see combine_static_plan)
+                    from vectorian_tpu.ops.simmatrix import (
+                        QueryPlan as _QP,
+                        combine_static_plan,
+                    )
+
+                    cm = combine_static_plan(
+                        qp.plan, tuple(qp.static_sims),
+                        tuple(qp.mixed_weights),
+                    )
+                    import jax.numpy as jnp
+                    qp_f = _QP(
+                        plan=("static", 0), static_sims=[cm],
+                        static_mags=[jnp.zeros((cm.shape[0],))],
+                        ctx_names=[], ctx_queries=[], mixed_weights=[],
+                    )
+                src = self._engine.score_topk_multi(
+                    [qp_f], [T], gaps, self._locality, [norm_total], n + 32,
+                    tag_weights=[tagw] if tagw is not None else None,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )
+                if query.query.aborted:
+                    return []
+                return self._finalize_quantized_many(
+                    [(src.qview(0), qp_f, query, norm_total, tagw, None)],
+                    gaps, token_sim.name, n, min_score, 0.0,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )[0]
             if submatch_weight == 0.0:
-                # candidate MEMBERSHIP is guarded like _finalize_quantized:
-                # device ranking drifts ~1 ulp from the exact rescore, so
-                # fetch with an eps slack and accept the cut only when the
-                # best unfetched device score is provably below the exact
-                # n-th — find(), find_batch() and the mesh path then return
-                # byte-identical matches.  The slack is ulp-scaled (the
-                # drift is relative rounding, ~1.2e-7 per op): a loose
-                # constant here would trigger device refetches — each a
-                # fresh top_k compile on a tunneled runtime — whenever two
-                # scores are merely CLOSE at the boundary
+                # boosted or contextual-plan queries: device top-k with the
+                # ulp-scaled membership slack (candidate MEMBERSHIP is
+                # guarded like _finalize_quantized: device ranking drifts
+                # ~1 ulp from the exact rescore; a loose constant here
+                # would trigger device refetches — each a fresh top_k
+                # compile on a tunneled runtime — whenever two scores are
+                # merely CLOSE at the boundary)
                 scale = 1e-6 if qp.is_static_only else self._ctx_floor(qp)
                 ulp = lambda x: scale * max(1.0, abs(x))
                 n_slices = self._engine.packed.n_slices
@@ -1591,12 +1628,32 @@ class BruteForceIndex(Index):
                     for sid, s in m["first_entries"]
                 ]
         surv_reqs, surv_qis = [], []
+        payload_flows = {}  # qi -> {sid: (mapping, edge_sims)}
         for qi, (m, (q_scores, plan, pq, norm_total, tagw, boost)) in (
             enumerate(zip(meta, items))
         ):
             if "entries" not in m:
                 continue
             survivors = [t[2][0] for t in m["entries"] if t[2] is not None]
+            # fused sources shipped flow payloads (H/Sw/Su) with the
+            # initial fetch — traceback host-side, no extra round trip
+            src = m["src"]
+            if survivors and hasattr(src, "flows_payload"):
+                got = {}
+                rest = []
+                len_t = pq.n_tokens
+                for sid in survivors:
+                    pay = src.flows_payload(sid)
+                    if pay is None:
+                        rest.append(sid)
+                        continue
+                    H_row, Sw_row, Su_row, ln = pay
+                    got[sid] = self._flows_from_payload(
+                        H_row, Sw_row, Su_row, ln, len_t, gaps
+                    )
+                if got:
+                    payload_flows[qi] = got
+                survivors = rest
             if survivors:
                 surv_reqs.append(
                     {
@@ -1616,14 +1673,16 @@ class BruteForceIndex(Index):
             if surv_reqs
             else []
         )
-        flow_maps = {}
+        flow_maps = dict(payload_flows)
         for (qi, req), (mappings, edge_sims, _) in zip(
             zip(surv_qis, surv_reqs), res3
         ):
-            flow_maps[qi] = {
-                sid: (mappings[j], edge_sims[j])
-                for j, sid in enumerate(req["slice_ids"])
-            }
+            flow_maps.setdefault(qi, {}).update(
+                {
+                    sid: (mappings[j], edge_sims[j])
+                    for j, sid in enumerate(req["slice_ids"])
+                }
+            )
 
         out = []
         for qi, m in enumerate(meta):
@@ -1648,6 +1707,30 @@ class BruteForceIndex(Index):
                     )
             out.append(merged)
         return out
+
+    def _flows_from_payload(self, H, Sw, Su, ln: int, len_t: int, gaps):
+        """(mapping, edge_sims) from a fused-fetch flow payload — the exact
+        arithmetic of rescore_many's unpack (native batched traceback with
+        the python fallback), so payload and rescored flows are
+        byte-identical.  Fused paths never have a doc filter, so the
+        filtered-offset translation is the identity."""
+        from vectorian_tpu import native
+        from vectorian_tpu.ops.alignment import traceback
+
+        nat = native.traceback_affine_batch(
+            H[None], Sw[None], np.asarray([ln], np.int32),
+            np.asarray([len_t], np.int32), gaps, self._locality,
+        )
+        if nat is not None:
+            mapping = nat[0, :len_t]
+        else:
+            mapping = traceback(H, Sw, ln, len_t, gaps, self._locality)
+        sims = np.where(
+            mapping >= 0,
+            Su[np.maximum(mapping, 0), np.arange(len_t)],
+            np.float32(0.0),
+        ).astype(np.float32)
+        return mapping.astype(np.int32), sims
 
     def _quant_eps(
         self, entry_err: float, pq, norm_total: float, plan=None

@@ -246,32 +246,50 @@ class BucketTopKSource:
         self.Q = Q
         self.k = k
         self.has_exact = exact_ctx is not None
+        self.exact_ctx = exact_ctx
         refs = []
         metas = []
         for db, scores in pending:
             kk = min(k, db["n"])
             if exact_ctx is not None:
                 ec = exact_ctx
+                # flow payloads (H/Sw/Su of the fetched rows) ride the same
+                # transfer when small — a tie-safe query then finishes in
+                # ONE device fetch; past the cap flows fall back to the
+                # final-round rescore
+                pay_bytes = (
+                    Q * kk * 4 * (
+                        (db["capacity"] + 1) * (ec["Tmax"] + 1)
+                        + 2 * db["capacity"] * ec["Tmax"]
+                    )
+                )
+                with_pay = pay_bytes <= self.PAYLOAD_MAX_BYTES
                 if kk < db["n"]:
-                    vals, idx, raw = _topk_exact_rescore(
+                    vals, idx, raw, H, Sw, Su = _topk_exact_rescore(
                         scores, db["tokens"], db["pos"],
                         db["lengths"].astype(jnp.int32), ec["table"],
                         *ec["tw_args"], ec["lt_q"], ec["gaps"],
                         n=db["n"], kk=kk, V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
                     )
-                    metas.append({"db": db, "kk": kk, "full": False})
+                    metas.append(
+                        {"db": db, "kk": kk, "full": False, "pay": with_pay}
+                    )
                     refs.extend((vals, idx, raw))
                 else:
-                    vals, raw = _full_exact_rescore(
+                    vals, raw, H, Sw, Su = _full_exact_rescore(
                         scores, db["tokens"], db["pos"],
                         db["lengths"].astype(jnp.int32), ec["table"],
                         *ec["tw_args"], ec["lt_q"], ec["gaps"],
                         n=db["n"], V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
                     )
-                    metas.append({"db": db, "kk": kk, "full": True})
+                    metas.append(
+                        {"db": db, "kk": kk, "full": True, "pay": with_pay}
+                    )
                     refs.extend((vals, raw))
+                if with_pay:
+                    refs.extend((H, Sw, Su))
             elif kk < db["n"]:
                 vals, idx = jax.lax.top_k(scores[: db["n"]].T, kk + 1)
                 metas.append({"db": db, "kk": kk, "full": False})
@@ -304,8 +322,38 @@ class BucketTopKSource:
             if self.has_exact:
                 m["exact"] = np.asarray(fetched[pos])  # [Q, kk] raw f32
                 pos += 1
+                if m.get("pay"):
+                    m["H"] = np.asarray(fetched[pos]).reshape(
+                        self.Q, -1, *fetched[pos].shape[1:]
+                    )
+                    m["Sw"] = np.asarray(fetched[pos + 1]).reshape(
+                        self.Q, -1, *fetched[pos + 1].shape[1:]
+                    )
+                    m["Su"] = np.asarray(fetched[pos + 2]).reshape(
+                        self.Q, -1, *fetched[pos + 2].shape[1:]
+                    )
+                    pos += 3
             self._buckets.append(m)
         self._col_cache = {}
+
+    # flow payloads (H/Sw/Su) ride the initial fetch only up to this size;
+    # bigger batches defer flows to the final-round rescore instead
+    PAYLOAD_MAX_BYTES = 8 << 20
+
+    def flows_payload(self, qi: int, sid: int):
+        """(H [S1, T1], Sw [L, Tmax], Su, slice_len) for a candidate that
+        was fetched with flow payloads, else None (caller rescores)."""
+        if not self.has_exact:
+            return None
+        for m in self._buckets:
+            if not m.get("pay"):
+                continue
+            hit = np.flatnonzero(m["sids"][qi] == sid)
+            if hit.size:
+                p = int(hit[0])
+                ln = int(self._engine._packed.slice_len[sid])
+                return m["H"][qi, p], m["Sw"][qi, p], m["Su"][qi, p], ln
+        return None
 
     def qview(self, qi: int) -> "TopKView":
         return TopKView(self, qi)
@@ -452,6 +500,9 @@ class TopKView:
         """(cand, rest_max, exact raw scores or None) — the exact scores
         arrive with the fused top-k dispatch (no extra round trip)."""
         return self._src.initial(self.qi, m, thresh, with_exact=True)
+
+    def flows_payload(self, sid: int):
+        return self._src.flows_payload(self.qi, sid)
 
 
 @dataclass
@@ -977,24 +1028,26 @@ def _topk_exact_rescore(
     locality: str,
     any_tags: bool,
 ):
-    """Per-bucket device top-k FUSED with the exact f32 rescore of the
-    selected rows: the finalizer's round-1 rescore dispatch (and its
-    round trip) disappears — candidates arrive on the host already
-    carrying their exact raw DP scores.  Bit-exact vs the stacked
-    rescore: same table gather, same tag arithmetic, same DP recurrence
-    (per-lane bits are independent of the batch shape)."""
+    """Per-bucket device top-k FUSED with the exact f32 rescore AND the
+    traceback DP matrices of the selected rows: the finalizer's rescore
+    round trips disappear — candidates arrive on the host already
+    carrying their exact raw scores and flow payloads (H/Sw/Su, a few
+    hundred KB at serving shapes), so a tie-safe query completes in ONE
+    device fetch.  Bit-exact vs the stacked rescore: same table gather,
+    same tag arithmetic, same DP recurrence (per-lane bits are
+    independent of the batch shape)."""
     vals, idx = jax.lax.top_k(scores[:n].T, kk + 1)  # [Q, kk+1]
     rows = idx[:, :kk].reshape(-1)
     Q = idx.shape[0]
     qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), kk)
-    S, _ = _mq_similarity(
+    S, Su = _mq_similarity(
         tokens[rows], pos_all[rows], qidx, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
-    raw = align_scores.__wrapped__(
+    H, _, _, raw = align_matrices_scores.__wrapped__(
         S, ln_all[rows], lt_q[qidx], gaps, locality
     )
-    return vals, idx, raw.reshape(Q, kk)
+    return vals, idx, raw.reshape(Q, kk), H, S, Su
 
 
 @functools.partial(
@@ -1005,19 +1058,19 @@ def _full_exact_rescore(
     tw_w, tw_pos, tw_pen, tw_thr, tagged,
     lt_q, gaps, n: int, V: int, locality: str, any_tags: bool,
 ):
-    """Fused exact rescore of EVERY row of a small (fully-fetched) bucket
-    for all Q queries; returns (scores[:n].T, raw [Q, n])."""
+    """Fused exact rescore + flow payloads for EVERY row of a small
+    (fully-fetched) bucket for all Q queries."""
     Q = lt_q.shape[0]
     rows = jnp.tile(jnp.arange(n, dtype=jnp.int32), Q)
     qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), n)
-    S, _ = _mq_similarity(
+    S, Su = _mq_similarity(
         tokens[rows], pos_all[rows], qidx, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
-    raw = align_scores.__wrapped__(
+    H, _, _, raw = align_matrices_scores.__wrapped__(
         S, ln_all[rows], lt_q[qidx], gaps, locality
     )
-    return scores[:n].T, raw.reshape(Q, n)
+    return scores[:n].T, raw.reshape(Q, n), H, S, Su
 
 
 @functools.partial(
@@ -1397,6 +1450,7 @@ class BruteForceEngine:
                 exact_ctx = {
                     "table": table,
                     "V": V,
+                    "Tmax": Tmax,
                     "lt_q": jnp.asarray(len_ts, jnp.int32),
                     "tw_args": _stack_tw(
                         list(tag_weights) if tag_weights else None, Qp, Tmax
