@@ -247,3 +247,71 @@ def test_fused_topk_exact_matches_unfused(setup, monkeypatch):
         for mf, mp in zip(rf, rp):
             np.testing.assert_array_equal(mf._mapping, mp._mapping)
             np.testing.assert_array_equal(mf._similarities, mp._similarities)
+
+
+def test_fused_extras_cover_tie_groups(monkeypatch):
+    """Tie-heavy corpus: the fused above-threshold select must deliver
+    exact raw scores for EVERY tie-extra (no follow-up rescore), with
+    results equal to the f32 oracle and find()."""
+    from vectorian_tpu.alignment import AffineGapCost, LocalAlignment
+    from vectorian_tpu.embedding.static import KeyedVectors
+    from vectorian_tpu.ops.search import BucketTopKSource
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsi",
+             "zeta", "eta", "theta", "iota", "kappa"]
+    emb = KeyedVectors(
+        "toy", words, rng.normal(size=(len(words), 24)).astype("float32")
+    )
+    sents = []
+    for _ in range(200):
+        ids = np.minimum(rng.zipf(1.3, size=6), len(words)) - 1
+        sents.append(" ".join(words[i] for i in ids) + ".")
+    sents = sents + sents[:100]  # exact duplicates -> boundary ties
+    docs = [
+        StringImporter()(" ".join(sents[i::4]), title=f"d{i}")
+        for i in range(4)
+    ]
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(
+        OptimizedSpanSim(
+            EmbeddingTokenSim(emb), LocalAlignment(AffineGapCost(0.3, 0.1))
+        )
+    )
+    qs = [
+        " ".join(
+            words[int(i) - 1]
+            for i in np.minimum(rng.zipf(1.3, size=k), len(words))
+        )
+        for k in (3, 5, 2, 4)
+    ]
+    stats = {"calls": 0, "raws": 0, "ids": 0}
+    orig = BucketTopKSource.above_exact_many
+
+    def spy(self, reqs):
+        out = orig(self, reqs)
+        stats["calls"] += 1
+        for ids, rmap in out:
+            stats["ids"] += len(ids)
+            stats["raws"] += len(rmap)
+        return out
+
+    monkeypatch.setattr(BucketTopKSource, "above_exact_many", spy)
+    want = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(
+            qs, n=6, min_score=0.05, sim_precision="float32"
+        )
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(qs, n=6, min_score=0.05)
+    ]
+    single = [
+        [(m.slice_id, m.score) for m in index.find(q, n=6, min_score=0.05)]
+        for q in qs
+    ]
+    assert got == want and single == want
+    assert stats["calls"] >= 1
+    assert stats["ids"] > 0 and stats["raws"] == stats["ids"]

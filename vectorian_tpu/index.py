@@ -1553,29 +1553,43 @@ class BruteForceIndex(Index):
             for call in above_calls:
                 by_parent.setdefault(id(call[1].parent), []).append(call)
             extras_by_qi = {}
+            raws_by_qi = {}
             for calls in by_parent.values():
                 parent = calls[0][1].parent
-                found = parent.above_many(
-                    [(src, thresh, seen) for _, src, thresh, seen in calls]
-                )
-                for (qi, _, _, _), ids in zip(calls, found):
-                    extras_by_qi[qi] = ids
+                packed_reqs = [
+                    (src, thresh, seen) for _, src, thresh, seen in calls
+                ]
+                if getattr(parent, "has_exact", False):
+                    # fused select: exact raw scores arrive with the ids
+                    found = parent.above_exact_many(packed_reqs)
+                    for (qi, _, _, _), (ids, rmap) in zip(calls, found):
+                        extras_by_qi[qi] = ids
+                        raws_by_qi[qi] = rmap
+                else:
+                    found = parent.above_many(packed_reqs)
+                    for (qi, _, _, _), ids in zip(calls, found):
+                        extras_by_qi[qi] = ids
             for qi, _, _, _ in above_calls:
                 extra = extras_by_qi.get(qi) or []
                 if not extra:
                     continue
                 _, plan, pq, _, tagw, _ = items[qi]
                 meta[qi]["extra"] = extra
-                extra_reqs.append(
-                    {
-                        "slice_ids": extra,
-                        "qp": plan,
-                        "len_t": pq.n_tokens,
-                        "tag_weights": tagw,
-                        "want_flows": False,
-                    }
-                )
-                extra_qis.append(qi)
+                rmap = raws_by_qi.get(qi, {})
+                meta[qi]["extra_raws"] = rmap
+                missing = [e for e in extra if e not in rmap]
+                if missing:
+                    meta[qi]["extra_missing"] = missing
+                    extra_reqs.append(
+                        {
+                            "slice_ids": missing,
+                            "qp": plan,
+                            "len_t": pq.n_tokens,
+                            "tag_weights": tagw,
+                            "want_flows": False,
+                        }
+                    )
+                    extra_qis.append(qi)
         res2 = (
             engine.rescore_many(
                 extra_reqs, gaps, self._locality, gap_costs=gap_costs,
@@ -1588,10 +1602,18 @@ class BruteForceIndex(Index):
         # round 3: merge extras by exact score; extract flows for ONLY the
         # entries that enter a final top-n (deferred-flow items fetch
         # their top-n flows here too — never the n+32 overfetch)
-        for qi, (_, _, raw_extra) in zip(extra_qis, res2):
+        missing_raws = {
+            qi: dict(zip(meta[qi]["extra_missing"], res[2]))
+            for qi, res in zip(extra_qis, res2)
+        }
+        for qi, m in enumerate(meta):
+            if "extra" not in m:
+                continue
             q_scores, plan, pq, norm_total, tagw, boost = items[qi]
-            m = meta[qi]
             extra = m["extra"]
+            rmap = dict(m.get("extra_raws", {}))
+            rmap.update(missing_raws.get(qi, {}))
+            raw_extra = np.asarray([rmap[e] for e in extra], np.float32)
             exact_extra = raw_extra / max(norm_total, 1e-9)
             if boost is not None:
                 exact_extra = exact_extra * np.asarray(boost, np.float32)[

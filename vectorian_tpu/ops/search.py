@@ -182,6 +182,35 @@ def _col_above_idx(scores, qi, thresh, n, size):
     return jnp.flatnonzero(mask, size=size, fill_value=-1), jnp.sum(mask)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "size", "V", "locality", "any_tags"),
+)
+def _col_above_exact(
+    scores, qi, thresh, tokens, pos_all, ln_all, table,
+    tw_w, tw_pos, tw_pen, tw_thr, tagged, lt_q, gaps,
+    n: int, size: int, V: int, locality: str, any_tags: bool,
+):
+    """Thresholded column select FUSED with the exact f32 rescore of the
+    selected rows — the tie-extras round costs one device fetch instead
+    of two (select, then rescore-by-ids).  Padding rows (idx -1) produce
+    garbage raw values that callers mask."""
+    col = jax.lax.dynamic_index_in_dim(scores[:n], qi, axis=1, keepdims=False)
+    mask = col >= thresh
+    idx = jnp.flatnonzero(mask, size=size, fill_value=-1)
+    cnt = jnp.sum(mask)
+    rows = jnp.maximum(idx, 0)
+    qvec = jnp.full((size,), qi, jnp.int32)
+    S, _ = _mq_similarity(
+        tokens[rows], pos_all[rows], qvec, table,
+        tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
+    )
+    raw = align_scores.__wrapped__(
+        S, ln_all[rows], lt_q[qvec], gaps, locality
+    )
+    return idx, cnt, raw
+
+
 class HostVecSource:
     """Candidate source over a complete host-side [n_slices] device-score
     vector (one query) — the finalizer's provable-cut machinery talks to
@@ -410,9 +439,21 @@ class BucketTopKSource:
         return self._col_cache[key]
 
     def above_many(self, reqs):
-        # phase 1: device-side thresholded select for every needed
-        # (bucket, query) column, batched into one transfer; only
-        # tie groups overflowing the cap fall back to a full column read
+        return [ids for ids, _ in self._above_impl(reqs, False)]
+
+    def above_exact_many(self, reqs):
+        """Like above_many but each request also gets {sid: exact raw f32
+        DP score} for ids covered by the fused select — one fetch serves
+        both the tie-extras select AND their exact rescore.  Ids missing
+        from the map (overflowed tie groups, cached full columns) still
+        need the finalizer's rescore."""
+        return self._above_impl(reqs, self.has_exact)
+
+    def _above_impl(self, reqs, with_exact: bool):
+        # phase 1: device-side thresholded select (optionally fused with
+        # the exact rescore) for every needed (bucket, query) column,
+        # batched into one transfer; only tie groups overflowing the cap
+        # fall back to a full column read
         need = []
         for view, thresh, _ in reqs:
             qi = view.qi
@@ -424,26 +465,44 @@ class BucketTopKSource:
                 ):
                     need.append((bi, qi, thresh))
         sel = {}
+        raws = {}
         if need:
             refs = []
+            per = 3 if with_exact else 2
             for bi, qi, thresh in need:
                 db, scores = self._pending[bi]
                 size = min(self.ABOVE_CAP, db["n"])
-                idx, cnt = _col_above_idx(
-                    scores, np.int32(qi), np.float32(thresh),
-                    db["n"], size,
-                )
-                refs.append(idx)
-                refs.append(cnt)
+                if with_exact:
+                    ec = self.exact_ctx
+                    idx, cnt, raw = _col_above_exact(
+                        scores, np.int32(qi), np.float32(thresh),
+                        db["tokens"], db["pos"],
+                        db["lengths"].astype(jnp.int32), ec["table"],
+                        *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        n=db["n"], size=size, V=ec["V"],
+                        locality=ec["locality"], any_tags=ec["any_tags"],
+                    )
+                    refs.extend((idx, cnt, raw))
+                else:
+                    idx, cnt = _col_above_idx(
+                        scores, np.int32(qi), np.float32(thresh),
+                        db["n"], size,
+                    )
+                    refs.extend((idx, cnt))
             fetched = jax.device_get(refs)
             full_need = []
             for j, (bi, qi, thresh) in enumerate(need):
-                idx = np.asarray(fetched[2 * j])
-                cnt = int(fetched[2 * j + 1])
+                idx = np.asarray(fetched[per * j])
+                cnt = int(fetched[per * j + 1])
                 if cnt > min(self.ABOVE_CAP, self._pending[bi][0]["n"]):
                     full_need.append((bi, qi))
                 else:
-                    sel[(bi, qi)] = idx[idx >= 0]
+                    kept = idx >= 0
+                    sel[(bi, qi)] = idx[kept]
+                    if with_exact:
+                        raws[(bi, qi)] = np.asarray(
+                            fetched[per * j + 2]
+                        )[kept]
             if full_need:
                 cols = jax.device_get(
                     [
@@ -458,23 +517,31 @@ class BucketTopKSource:
             qi = view.qi
             seen = set(excl)
             ids = []
+            rmap = {}
             for bi, b in enumerate(self._buckets):
+                hit_raws = None
                 if not b["full"] and float(b["bound"][qi]) >= thresh:
                     db = self._pending[bi][0]
                     if (bi, qi) in sel and (bi, qi) not in self._col_cache:
                         hit = db["slice_index"][sel[(bi, qi)]]
+                        hit_raws = raws.get((bi, qi))
                     else:
                         col = self._column(bi, qi)
                         hit = db["slice_index"][np.flatnonzero(col >= thresh)]
                 else:
                     vq = b["vals"][qi]
-                    hit = b["sids"][qi][vq >= thresh]
-                for c in hit:
+                    keep = vq >= thresh
+                    hit = b["sids"][qi][keep]
+                    if with_exact and "exact" in b:
+                        hit_raws = b["exact"][qi][keep]
+                for p, c in enumerate(hit):
                     c = int(c)
                     if c not in seen:
                         seen.add(c)
                         ids.append(c)
-            out.append(ids)
+                        if hit_raws is not None:
+                            rmap[c] = float(hit_raws[p])
+            out.append((ids, rmap))
         return out
 
 
