@@ -226,8 +226,8 @@ def test_fused_topk_exact_matches_unfused(setup, monkeypatch):
     calls = {"fused": 0}
     orig_init = BruteForceEngine.__dict__["_stacked_plan_tables"]
 
-    def spy(self, qps):
-        out = orig_init(self, qps)
+    def spy(self, qps, **kw):
+        out = orig_init(self, qps, **kw)
         if out is not None:
             calls["fused"] += 1
         return out
@@ -236,7 +236,8 @@ def test_fused_topk_exact_matches_unfused(setup, monkeypatch):
     fused = index.find_batch(QUERIES, n=4, min_score=0.05)
     assert calls["fused"] >= 1
     monkeypatch.setattr(
-        BruteForceEngine, "_stacked_plan_tables", lambda self, qps: None
+        BruteForceEngine, "_stacked_plan_tables",
+        lambda self, qps, **kw: None
     )
     plain = index.find_batch(QUERIES, n=4, min_score=0.05)
     monkeypatch.setattr(BruteForceEngine, "_stacked_plan_tables", orig_init)
@@ -315,3 +316,48 @@ def test_fused_extras_cover_tie_groups(monkeypatch):
     assert got == want and single == want
     assert stats["calls"] >= 1
     assert stats["ids"] > 0 and stats["raws"] == stats["ids"]
+
+
+def test_tree_metric_find_vs_find_batch_byte_equality(setup):
+    """Modifier-tree static metrics: find() collapses via the jitted
+    identity-gather (combine_static_plan) while find_batch collapses via
+    the eager modifier combine — the two [V, T] matrices (and therefore
+    every score and tie-break) must agree bit-for-bit."""
+    from vectorian_tpu.alignment import AffineGapCost, LocalAlignment
+    from vectorian_tpu.sim.kernel import Bias, Scale
+    from vectorian_tpu.sim.modifier import (
+        MaximumTokenSimilarity,
+        MixedTokenSimilarity,
+        UnaryTokenSimilarityModifier,
+    )
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+
+    session, index, emb, emb2 = setup
+    trees = [
+        MixedTokenSimilarity(
+            [EmbeddingTokenSim(emb), EmbeddingTokenSim(emb2)], [0.6, 0.4]
+        ),
+        UnaryTokenSimilarityModifier(
+            MixedTokenSimilarity(
+                [EmbeddingTokenSim(emb), EmbeddingTokenSim(emb2)],
+                [0.7, 0.3],
+            ),
+            [Bias(-0.03), Scale(1.1)],
+        ),
+        MaximumTokenSimilarity(
+            [EmbeddingTokenSim(emb), EmbeddingTokenSim(emb2)]
+        ),
+    ]
+    for tree in trees:
+        ix = session.partition("sentence").index(
+            OptimizedSpanSim(tree, LocalAlignment(AffineGapCost(0.2, 0.1)))
+        )
+        batch = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(QUERIES, n=5, min_score=-1.0)
+        ]
+        single = [
+            [(m.slice_id, m.score) for m in ix.find(q, n=5, min_score=-1.0)]
+            for q in QUERIES
+        ]
+        assert single == batch, tree

@@ -783,35 +783,17 @@ class BruteForceIndex(Index):
                 # device column selects (never a full corpus re-read).
                 # Results stay byte-identical to find_batch by
                 # construction — both run _finalize_quantized_many.
-                qp_f = qp
-                if qp.plan != ("static", 0):
-                    # collapse the modifier tree to one matrix (pure
-                    # identity-gather re-evaluation — bit-equal per cell,
-                    # see combine_static_plan)
-                    from vectorian_tpu.ops.simmatrix import (
-                        QueryPlan as _QP,
-                        combine_static_plan,
-                    )
-
-                    cm = combine_static_plan(
-                        qp.plan, tuple(qp.static_sims),
-                        tuple(qp.mixed_weights),
-                    )
-                    import jax.numpy as jnp
-                    qp_f = _QP(
-                        plan=("static", 0), static_sims=[cm],
-                        static_mags=[jnp.zeros((cm.shape[0],))],
-                        ctx_names=[], ctx_queries=[], mixed_weights=[],
-                    )
+                # compile_plan folds static-only modifier trees to one
+                # matrix, so the plan is always ("static", 0) here
                 src = self._engine.score_topk_multi(
-                    [qp_f], [T], gaps, self._locality, [norm_total], n + 32,
+                    [qp], [T], gaps, self._locality, [norm_total], n + 32,
                     tag_weights=[tagw] if tagw is not None else None,
                     gap_costs=gap_costs, doc_filter=doc_filter,
                 )
                 if query.query.aborted:
                     return []
                 return self._finalize_quantized_many(
-                    [(src.qview(0), qp_f, query, norm_total, tagw, None)],
+                    [(src.qview(0), qp, query, norm_total, tagw, None)],
                     gaps, token_sim.name, n, min_score, 0.0,
                     gap_costs=gap_costs, doc_filter=doc_filter,
                 )[0]
@@ -1310,31 +1292,22 @@ class BruteForceIndex(Index):
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
             prepared.append(pq)
-            # collapse the full (static-only) token-sim tree to one matrix,
-            # at the SAME padded needle width find() uses: the leaf GEMM's
-            # tiling (and therefore its f32 rounding) depends on the needle
-            # width, so differing widths would break the byte-identical
-            # find()/find_batch() contract at the last ulp
+            # compile the plan at the SAME padded needle width find() uses
+            # (the leaf GEMM's tiling — and so its f32 rounding — depends
+            # on the needle width) and through the SAME compile_plan fold
+            # (static-only modifier trees collapse to one matrix inside
+            # compile_plan), so find()/find_batch() gather identical bits
             tok_ids_p, strings_p, _, Tpad = _pad_needle(
                 pq, self._session, with_ctx=False
             )
-            sim = compile_similarity(
+            qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
                 tok_ids_p,
                 strings_p,
+                {},
             )
-            from vectorian_tpu.ops.simmatrix import QueryPlan
-            import jax.numpy as jnp
-
-            qp = QueryPlan(
-                plan=("static", 0),
-                static_sims=[sim["similarity"]],
-                static_mags=[jnp.zeros((sim["similarity"].shape[0],))],
-                ctx_names=[],
-                ctx_queries=[],
-                mixed_weights=[],
-            )
+            assert qp.plan == ("static", 0), "static batch requires fold"
             plans.append(qp)
             len_ts.append(max(pq.n_tokens, 1))
             tagw = self._tag_weighting(pq, width=Tpad)
@@ -1728,31 +1701,25 @@ class BruteForceIndex(Index):
                         )
                     )
             out.append(merged)
+        # the stacked-table memo only serves reuse WITHIN this batch's
+        # rounds; drop it so it never pins device memory across batches
+        engine.release_stack_memo()
         return out
 
     def _flows_from_payload(self, H, Sw, Su, ln: int, len_t: int, gaps):
-        """(mapping, edge_sims) from a fused-fetch flow payload — the exact
-        arithmetic of rescore_many's unpack (native batched traceback with
-        the python fallback), so payload and rescored flows are
-        byte-identical.  Fused paths never have a doc filter, so the
-        filtered-offset translation is the identity."""
-        from vectorian_tpu import native
-        from vectorian_tpu.ops.alignment import traceback
+        """(mapping, edge_sims) from a fused-fetch flow payload — shares
+        rescore_many's unpack helpers (batch_tracebacks/edge_sims_of), so
+        payload and rescored flows are byte-identical.  Fused paths never
+        have a doc filter, so the filtered-offset translation is the
+        identity."""
+        from vectorian_tpu.ops.search import batch_tracebacks, edge_sims_of
 
-        nat = native.traceback_affine_batch(
+        (mapping,) = batch_tracebacks(
             H[None], Sw[None], np.asarray([ln], np.int32),
             np.asarray([len_t], np.int32), gaps, self._locality,
         )
-        if nat is not None:
-            mapping = nat[0, :len_t]
-        else:
-            mapping = traceback(H, Sw, ln, len_t, gaps, self._locality)
-        sims = np.where(
-            mapping >= 0,
-            Su[np.maximum(mapping, 0), np.arange(len_t)],
-            np.float32(0.0),
-        ).astype(np.float32)
-        return mapping.astype(np.int32), sims
+        sims = edge_sims_of(mapping, Su, len_t)
+        return np.asarray(mapping, np.int32), sims
 
     def _quant_eps(
         self, entry_err: float, pq, norm_total: float, plan=None

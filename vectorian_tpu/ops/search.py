@@ -278,13 +278,16 @@ class BucketTopKSource:
         self.exact_ctx = exact_ctx
         refs = []
         metas = []
+        pay_budget = self.PAYLOAD_MAX_BYTES  # WHOLE-FETCH budget
         for db, scores in pending:
             kk = min(k, db["n"])
             if exact_ctx is not None:
                 ec = exact_ctx
                 # flow payloads (H/Sw/Su of the fetched rows) ride the same
                 # transfer when small — a tie-safe query then finishes in
-                # ONE device fetch; past the cap flows fall back to the
+                # ONE device fetch; the budget caps the TOTAL transfer
+                # across buckets (per-bucket caps could stack to many MB on
+                # many-bucket corpora), past it flows fall back to the
                 # final-round rescore
                 pay_bytes = (
                     Q * kk * 4 * (
@@ -292,7 +295,9 @@ class BucketTopKSource:
                         + 2 * db["capacity"] * ec["Tmax"]
                     )
                 )
-                with_pay = pay_bytes <= self.PAYLOAD_MAX_BYTES
+                with_pay = pay_bytes <= pay_budget
+                if with_pay:
+                    pay_budget -= pay_bytes
                 if kk < db["n"]:
                     vals, idx, raw, H, Sw, Su = _topk_exact_rescore(
                         scores, db["tokens"], db["pos"],
@@ -1029,6 +1034,47 @@ def _slices_similarity_batch(
     return S, S_un
 
 
+def batch_tracebacks(H, Sw, lens, lts, gaps, locality, w_s=None, w_t=None):
+    """Native batched DP traceback with the per-row python fallback — the
+    ONE home for flow extraction (payload, stacked and per-query rescore
+    paths must share it bit-for-bit).  Returns a [B] list of mappings,
+    each [lts[i]] int32 in filtered space."""
+    if w_s is not None:
+        nat = native.traceback_general_batch(
+            H, Sw, lens, lts, w_s, w_t, locality
+        )
+    else:
+        nat = native.traceback_affine_batch(H, Sw, lens, lts, gaps, locality)
+    out = []
+    for i in range(len(lens)):
+        if nat is not None:
+            out.append(nat[i, : int(lts[i])])
+        elif w_s is not None:
+            out.append(
+                traceback_general(
+                    H[i], Sw[i], int(lens[i]), int(lts[i]), w_s, w_t,
+                    locality,
+                )
+            )
+        else:
+            out.append(
+                traceback(
+                    H[i], Sw[i], int(lens[i]), int(lts[i]), gaps, locality
+                )
+            )
+    return out
+
+
+def edge_sims_of(mapping, Su, len_t: int) -> np.ndarray:
+    """Per-edge unmodified similarity for an injective mapping
+    (ScoreComputer, metric/alignment.h:307-352), filtered-space rows."""
+    return np.where(
+        mapping >= 0,
+        Su[np.maximum(mapping, 0), np.arange(len_t)],
+        np.float32(0.0),
+    ).astype(np.float32)
+
+
 def _stack_tw(tag_weights, Qp: int, Tmax: int):
     """Per-request tag-weighting arrays stacked to [Qp, Tmax] (+[Qp]
     scalars + tagged mask) for the multi-query rescore kernels; untagged
@@ -1511,9 +1557,9 @@ class BruteForceEngine:
             and doc_filter is None
             and all(qp.is_static_only for qp in plans)
         ):
-            stacked = self._stacked_plan_tables(plans)
+            stacked = self._stacked_plan_tables(plans, require_identity=True)
             if stacked is not None:
-                table, V, Tmax, Qp = stacked
+                table, V, Tmax, Qp, _ = stacked
                 exact_ctx = {
                     "table": table,
                     "V": V,
@@ -2240,15 +2286,10 @@ class BruteForceEngine:
                     [len(st["sels"][j]) for j in js], np.int32
                 )
                 lts = np.full((g,), len_t, np.int32)
-                if gap_costs is not None:
-                    nat_maps = native.traceback_general_batch(
-                        H_np[:g], Sw_np[:g], lens, lts,
-                        grp["w_s"], grp["w_t"], locality,
-                    )
-                else:
-                    nat_maps = native.traceback_affine_batch(
-                        H_np[:g], Sw_np[:g], lens, lts, gaps, locality
-                    )
+                maps = batch_tracebacks(
+                    H_np[:g], Sw_np[:g], lens, lts, gaps, locality,
+                    w_s=grp.get("w_s"), w_t=grp.get("w_t"),
+                )
                 for pos, j in enumerate(js):
                     sel = st["sels"][j]
                     ln = len(sel)
@@ -2260,25 +2301,8 @@ class BruteForceEngine:
                             S[:ln, :len_t],
                             Su[:ln, :len_t],
                         )
-                    if nat_maps is not None:
-                        mapping = nat_maps[pos, :len_t]
-                    elif gap_costs is not None:
-                        mapping = traceback_general(
-                            H_np[pos], S, ln, len_t,
-                            grp["w_s"], grp["w_t"], locality,
-                        )
-                    else:
-                        mapping = traceback(
-                            H_np[pos], S, ln, len_t, gaps, locality
-                        )
-                    # per-edge similarity before tag weighting
-                    # (ScoreComputer, metric/alignment.h:307-352), indexed
-                    # in filtered space
-                    sims = np.where(
-                        mapping >= 0,
-                        Su[np.maximum(mapping, 0), np.arange(len_t)],
-                        np.float32(0.0),
-                    ).astype(np.float32)
+                    mapping = maps[pos]
+                    sims = edge_sims_of(mapping, Su, len_t)
                     # translate filtered offsets back to original slice
                     # offsets
                     mapping = np.where(
@@ -2293,21 +2317,33 @@ class BruteForceEngine:
     # the per-query fallback is cheaper than the HBM churn
     STACKED_TABLE_MAX_BYTES = 512 << 20
 
-    def _stacked_plan_tables(self, qps: List[QueryPlan]):
+    def _stacked_plan_tables(
+        self, qps: List[QueryPlan], require_identity: bool = False
+    ):
         """Stack per-request combined plan matrices into one flat
-        [Qp * V, Tmax] gather table (row ``qidx * V + token``).
+        [Qp * V, Tmax] gather table (row ``slot * V + token``).
 
-        Returns (table, V, Tmax, Qp) or None when the requests cannot
-        stack (vocab row counts differ) or the table would be too large.
-        The stack is a pure device-side copy of already-compiled plan
-        matrices, so gathered values are bit-identical to per-query
-        gathers.  Single-slot memo: within one serving batch the fused
-        top-k and the flows round stack the SAME plan objects — the memo
-        holds strong references to the plans so the id-key stays valid."""
-        key = tuple(id(qp) for qp in qps)
+        Returns (table, V, Tmax, Qp, slots) — ``slots[i]`` is plan i's row
+        block in the table — or None when the requests cannot stack (vocab
+        row counts differ) or the table would be too large.  The stack is
+        a pure device-side copy of already-compiled plan matrices, so
+        gathered values are bit-identical to per-query gathers.
+
+        Single-slot memo: within one serving batch the fused top-k stacks
+        ALL plans and the later rescore rounds stack SUBSETS of them — a
+        subset reuses the memoized table through its slot map instead of
+        rebuilding (the memo holds strong plan references so the id keys
+        stay valid; ``release_stack_memo`` drops the pinned table at batch
+        end).  ``require_identity``: only reuse when slots == 0..Q-1 (the
+        fused kernels equate table slot with query index)."""
         cached = getattr(self, "_stack_memo", None)
-        if cached is not None and cached[0] == key:
-            return cached[2]
+        if cached is not None:
+            slots_map = cached[0]
+            if all(id(qp) in slots_map for qp in qps):
+                slots = [slots_map[id(qp)] for qp in qps]
+                if not require_identity or slots == list(range(len(qps))):
+                    table, V, Tmax, Qp = cached[2]
+                    return table, V, Tmax, Qp, slots
         mats = []
         V = None
         for qp in qps:
@@ -2334,9 +2370,17 @@ class BruteForceEngine:
         ]
         mats = mats + [mats[0]] * (Qp - len(mats))
         table = jnp.stack(mats).reshape(Qp * V, Tmax)
-        out = (table, V, Tmax, Qp)
-        self._stack_memo = (key, list(qps), out)
-        return out
+        self._stack_memo = (
+            {id(qp): i for i, qp in enumerate(qps)},
+            list(qps),
+            (table, V, Tmax, Qp),
+        )
+        return table, V, Tmax, Qp, list(range(len(qps)))
+
+    def release_stack_memo(self):
+        """Drop the stacked-table memo (frees up to STACKED_TABLE_MAX_BYTES
+        of device memory pinned for within-batch reuse)."""
+        self._stack_memo = None
 
     def _rescore_many_stacked(
         self,
@@ -2350,12 +2394,11 @@ class BruteForceEngine:
         affine gaps): ONE similarity+DP dispatch per touched bucket for the
         WHOLE request batch.  Returns None when the requests cannot stack
         (the caller falls back to the per-query path)."""
-        stacked = self._stacked_plan_tables(
-            [r["qp"] for r in requests if len(r["slice_ids"])]
-        )
+        live_qps = [r["qp"] for r in requests if len(r["slice_ids"])]
+        stacked = self._stacked_plan_tables(live_qps)
         if stacked is None:
             return None
-        table, V, Tmax, Qp = stacked
+        table, V, Tmax, Qp, slot_of = stacked
         # request index -> stacked table slot (live requests only)
         slot = {}
         states = []
@@ -2381,7 +2424,7 @@ class BruteForceEngine:
             states.append(st)
             if k == 0:
                 continue
-            slot[ri] = len(slot)
+            slot[ri] = slot_of[len(slot)]
             sels = [
                 self.filtered_positions(sid, doc_filter) for sid in slice_ids
             ]
@@ -2485,7 +2528,7 @@ class BruteForceEngine:
                     [states[ri]["len_t"] for ri, _, _ in grp["pairs"]],
                     np.int32,
                 )
-                nat_maps = native.traceback_affine_batch(
+                maps = batch_tracebacks(
                     H_np[:g], Sw_np[:g], lens, lts, gaps, locality
                 )
             for pos_i, (ri, j, sid) in enumerate(grp["pairs"]):
@@ -2500,17 +2543,8 @@ class BruteForceEngine:
                 Su = Su_np[pos_i]
                 if st["on_sims"] is not None:
                     st["on_sims"](sid, S[:ln_j, :len_t], Su[:ln_j, :len_t])
-                if nat_maps is not None:
-                    mapping = nat_maps[pos_i, :len_t]
-                else:
-                    mapping = traceback(
-                        H_np[pos_i], S, ln_j, len_t, gaps, locality
-                    )
-                sims = np.where(
-                    mapping >= 0,
-                    Su[np.maximum(mapping, 0), np.arange(len_t)],
-                    np.float32(0.0),
-                ).astype(np.float32)
+                mapping = maps[pos_i]
+                sims = edge_sims_of(mapping, Su, len_t)
                 mapping = np.where(
                     mapping >= 0, sel[np.maximum(mapping, 0)], -1
                 )

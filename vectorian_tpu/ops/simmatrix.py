@@ -250,6 +250,33 @@ def compile_plan(
         raise TypeError(f"cannot compile token similarity {node!r}")
 
     qp.plan = walk(token_sim)
+    if (
+        qp.is_static_only
+        and not needs_magnitudes
+        and qp.plan != ("static", 0)
+    ):
+        # canonicalize static-only modifier trees: fold to ONE combined
+        # [V, T] matrix so every consumer (ranking gather, stacked rescore,
+        # chunk evaluator, find_batch collapse) reads the exact same bits.
+        # Evaluating the tree in different jit contexts can fuse the
+        # mixed-node multiply-adds differently (1-ulp drift — enough to
+        # flip a (doc, slice) tie between find() and find_batch()); a
+        # single fold through combine_static_plan leaves only bit-stable
+        # gathers downstream.  Mixture weights stay runtime values: a
+        # weight change re-RUNS the fold (same compiled kernel), it never
+        # recompiles.
+        combined = combine_static_plan(
+            qp.plan, tuple(qp.static_sims), tuple(qp.mixed_weights)
+        )
+        return QueryPlan(
+            plan=("static", 0),
+            static_sims=[combined],
+            static_mags=[jnp.zeros((combined.shape[0],))],
+            ctx_names=[],
+            ctx_queries=[],
+            mixed_weights=[],
+            needs_magnitudes=False,
+        )
     return qp
 
 
