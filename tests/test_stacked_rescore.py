@@ -361,3 +361,78 @@ def test_tree_metric_find_vs_find_batch_byte_equality(setup):
             for q in QUERIES
         ]
         assert single == batch, tree
+
+
+def test_general_gap_fused_serving_exact(monkeypatch):
+    """Exponential/custom gap models through the fused serving pipeline:
+    byte-equality across precisions and single-vs-batch, with the fused
+    context active (the general DP shares one index-level cost-vector
+    pair; closures are prefix-stable under needle padding)."""
+    from vectorian_tpu.alignment import (
+        CustomGapCost,
+        ExponentialGapCost,
+        LocalAlignment,
+        SemiGlobalAlignment,
+    )
+    from vectorian_tpu.embedding.static import KeyedVectors
+    from vectorian_tpu.ops.search import BucketTopKSource
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsi",
+             "zeta", "eta", "theta", "iota", "kappa"]
+    emb = KeyedVectors(
+        "toy", words, rng.normal(size=(len(words), 24)).astype("float32")
+    )
+    sents = []
+    for _ in range(150):
+        ids = np.minimum(rng.zipf(1.3, size=6), len(words)) - 1
+        sents.append(" ".join(words[i] for i in ids) + ".")
+    sents = sents + sents[:70]
+    docs = [
+        StringImporter()(" ".join(sents[i::4]), title=f"d{i}")
+        for i in range(4)
+    ]
+    session = Session(docs, embeddings=[emb])
+    qs = [
+        " ".join(
+            words[int(i) - 1]
+            for i in np.minimum(rng.zipf(1.3, size=k), len(words))
+        )
+        for k in (3, 5, 2)
+    ]
+    fired = {"n": 0}
+    orig = BucketTopKSource.__init__
+
+    def spy(self, engine, pending, Q, k, exact_ctx=None):
+        if exact_ctx is not None and exact_ctx["gap_costs"] is not None:
+            fired["n"] += 1
+        orig(self, engine, pending, Q, k, exact_ctx)
+
+    monkeypatch.setattr(BucketTopKSource, "__init__", spy)
+    for gap, loc in [
+        (ExponentialGapCost(3.0), LocalAlignment),
+        (CustomGapCost(lambda k: 0.1 * (k ** 1.5)), SemiGlobalAlignment),
+    ]:
+        index = session.partition("sentence").index(
+            OptimizedSpanSim(EmbeddingTokenSim(emb), loc(gap))
+        )
+        want = [
+            [(m.slice_id, m.score) for m in r]
+            for r in index.find_batch(
+                qs, n=5, min_score=0.05, sim_precision="float32"
+            )
+        ]
+        got = [
+            [(m.slice_id, m.score) for m in r]
+            for r in index.find_batch(qs, n=5, min_score=0.05)
+        ]
+        single = [
+            [
+                (m.slice_id, m.score)
+                for m in index.find(q, n=5, min_score=0.05)
+            ]
+            for q in qs
+        ]
+        assert got == want and single == want, loc.__name__
+    assert fired["n"] >= 2

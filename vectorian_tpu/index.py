@@ -1644,7 +1644,8 @@ class BruteForceIndex(Index):
                         continue
                     H_row, Sw_row, Su_row, ln = pay
                     got[sid] = self._flows_from_payload(
-                        H_row, Sw_row, Su_row, ln, len_t, gaps
+                        H_row, Sw_row, Su_row, ln, len_t, gaps,
+                        gap_costs=gap_costs,
                     )
                 if got:
                     payload_flows[qi] = got
@@ -1706,17 +1707,25 @@ class BruteForceIndex(Index):
         engine.release_stack_memo()
         return out
 
-    def _flows_from_payload(self, H, Sw, Su, ln: int, len_t: int, gaps):
+    def _flows_from_payload(
+        self, H, Sw, Su, ln: int, len_t: int, gaps, gap_costs=None
+    ):
         """(mapping, edge_sims) from a fused-fetch flow payload — shares
         rescore_many's unpack helpers (batch_tracebacks/edge_sims_of), so
         payload and rescored flows are byte-identical.  Fused paths never
         have a doc filter, so the filtered-offset translation is the
-        identity."""
+        identity.  General gap models pass the index-level cost vectors
+        (prefix-stable under the payload's padded widths)."""
         from vectorian_tpu.ops.search import batch_tracebacks, edge_sims_of
 
+        w_s = w_t = None
+        if gap_costs is not None:
+            w_s = gap_costs[0].costs(Sw.shape[0] + 1)
+            w_t = gap_costs[1].costs(Sw.shape[1] + 1)
         (mapping,) = batch_tracebacks(
             H[None], Sw[None], np.asarray([ln], np.int32),
             np.asarray([len_t], np.int32), gaps, self._locality,
+            w_s=w_s, w_t=w_t,
         )
         sims = edge_sims_of(mapping, Su, len_t)
         return np.asarray(mapping, np.int32), sims

@@ -184,12 +184,13 @@ def _col_above_idx(scores, qi, thresh, n, size):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "size", "V", "locality", "any_tags"),
+    static_argnames=("n", "size", "V", "locality", "any_tags", "general"),
 )
 def _col_above_exact(
     scores, qi, thresh, tokens, pos_all, ln_all, table,
-    tw_w, tw_pos, tw_pen, tw_thr, tagged, lt_q, gaps,
+    tw_w, tw_pos, tw_pen, tw_thr, tagged, lt_q, gaps, gv_s, gv_t,
     n: int, size: int, V: int, locality: str, any_tags: bool,
+    general: bool,
 ):
     """Thresholded column select FUSED with the exact f32 rescore of the
     selected rows — the tie-extras round costs one device fetch instead
@@ -205,9 +206,14 @@ def _col_above_exact(
         tokens[rows], pos_all[rows], qvec, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
-    raw = align_scores.__wrapped__(
-        S, ln_all[rows], lt_q[qvec], gaps, locality
-    )
+    if general:
+        raw = align_scores_general.__wrapped__(
+            S, ln_all[rows], lt_q[qvec], gv_s, gv_t, locality
+        )
+    else:
+        raw = align_scores.__wrapped__(
+            S, ln_all[rows], lt_q[qvec], gaps, locality
+        )
     return idx, cnt, raw
 
 
@@ -298,13 +304,16 @@ class BucketTopKSource:
                 with_pay = pay_bytes <= pay_budget
                 if with_pay:
                     pay_budget -= pay_bytes
+                gv_s = self._bucket_gv_s(db, ec)
                 if kk < db["n"]:
                     vals, idx, raw, H, Sw, Su = _topk_exact_rescore(
                         scores, db["tokens"], db["pos"],
                         db["lengths"].astype(jnp.int32), ec["table"],
                         *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        gv_s, ec["gv_t"],
                         n=db["n"], kk=kk, V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
+                        general=ec["gap_costs"] is not None,
                     )
                     metas.append(
                         {"db": db, "kk": kk, "full": False, "pay": with_pay}
@@ -315,8 +324,10 @@ class BucketTopKSource:
                         scores, db["tokens"], db["pos"],
                         db["lengths"].astype(jnp.int32), ec["table"],
                         *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        gv_s, ec["gv_t"],
                         n=db["n"], V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
+                        general=ec["gap_costs"] is not None,
                     )
                     metas.append(
                         {"db": db, "kk": kk, "full": True, "pay": with_pay}
@@ -373,6 +384,21 @@ class BucketTopKSource:
     # flow payloads (H/Sw/Su) ride the initial fetch only up to this size;
     # bigger batches defer flows to the final-round rescore instead
     PAYLOAD_MAX_BYTES = 8 << 20
+
+    @staticmethod
+    def _bucket_gv_s(db, ec):
+        """Per-bucket s-side general-gap cost vector (zeros placeholder on
+        the affine path), cached per capacity in the exact context."""
+        cache = ec.setdefault("_gv_s_cache", {})
+        L = db["capacity"]
+        if L not in cache:
+            gc = ec["gap_costs"]
+            cache[L] = jnp.asarray(
+                gc[0].costs(L + 1)
+                if gc is not None
+                else np.zeros((L + 1,), np.float32)
+            )
+        return cache[L]
 
     def flows_payload(self, qi: int, sid: int):
         """(H [S1, T1], Sw [L, Tmax], Su, slice_len) for a candidate that
@@ -484,8 +510,10 @@ class BucketTopKSource:
                         db["tokens"], db["pos"],
                         db["lengths"].astype(jnp.int32), ec["table"],
                         *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        self._bucket_gv_s(db, ec), ec["gv_t"],
                         n=db["n"], size=size, V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
+                        general=ec["gap_costs"] is not None,
                     )
                     refs.extend((idx, cnt, raw))
                 else:
@@ -1122,9 +1150,25 @@ def _mq_similarity(
     return S, Su
 
 
+def _mq_matrices_scores(S, ln, lt, gaps, gv_s, gv_t, locality, general):
+    """H + raw for multi-query rescore rows, affine or general-gap (the
+    general DP takes the index-level shared cost vectors; their values and
+    min-plus closures are prefix-stable under needle padding, so the
+    per-row len_t masks keep results bit-equal to per-query widths)."""
+    if general:
+        H, raw = align_matrices_scores_general.__wrapped__(
+            S, ln, lt, gv_s, gv_t, locality
+        )
+    else:
+        H, _, _, raw = align_matrices_scores.__wrapped__(
+            S, ln, lt, gaps, locality
+        )
+    return H, raw
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "kk", "V", "locality", "any_tags"),
+    static_argnames=("n", "kk", "V", "locality", "any_tags", "general"),
 )
 def _topk_exact_rescore(
     scores: jnp.ndarray,  # [n_pad, Q] normalized device ranking scores
@@ -1135,11 +1179,14 @@ def _topk_exact_rescore(
     tw_w, tw_pos, tw_pen, tw_thr, tagged,  # [Qp, ...] tag-weight stacks
     lt_q: jnp.ndarray,  # [Q] i32 needle lengths
     gaps: AffineGapParams,
+    gv_s: jnp.ndarray,  # [L+1] general-gap cost vector (general only)
+    gv_t: jnp.ndarray,  # [Tmax+1]
     n: int,
     kk: int,
     V: int,
     locality: str,
     any_tags: bool,
+    general: bool,
 ):
     """Per-bucket device top-k FUSED with the exact f32 rescore AND the
     traceback DP matrices of the selected rows: the finalizer's rescore
@@ -1157,19 +1204,20 @@ def _topk_exact_rescore(
         tokens[rows], pos_all[rows], qidx, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
-    H, _, _, raw = align_matrices_scores.__wrapped__(
-        S, ln_all[rows], lt_q[qidx], gaps, locality
+    H, raw = _mq_matrices_scores(
+        S, ln_all[rows], lt_q[qidx], gaps, gv_s, gv_t, locality, general
     )
     return vals, idx, raw.reshape(Q, kk), H, S, Su
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "V", "locality", "any_tags")
+    jax.jit, static_argnames=("n", "V", "locality", "any_tags", "general")
 )
 def _full_exact_rescore(
     scores, tokens, pos_all, ln_all, table,
     tw_w, tw_pos, tw_pen, tw_thr, tagged,
-    lt_q, gaps, n: int, V: int, locality: str, any_tags: bool,
+    lt_q, gaps, gv_s, gv_t,
+    n: int, V: int, locality: str, any_tags: bool, general: bool,
 ):
     """Fused exact rescore + flow payloads for EVERY row of a small
     (fully-fetched) bucket for all Q queries."""
@@ -1180,15 +1228,17 @@ def _full_exact_rescore(
         tokens[rows], pos_all[rows], qidx, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
-    H, _, _, raw = align_matrices_scores.__wrapped__(
-        S, ln_all[rows], lt_q[qidx], gaps, locality
+    H, raw = _mq_matrices_scores(
+        S, ln_all[rows], lt_q[qidx], gaps, gv_s, gv_t, locality, general
     )
     return scores[:n].T, raw.reshape(Q, n), H, S, Su
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("V", "locality", "with_sel", "want_flows", "any_tags"),
+    static_argnames=(
+        "V", "locality", "with_sel", "want_flows", "any_tags", "general",
+    ),
 )
 def _stacked_rescore(
     tokens: jnp.ndarray,  # [N, L] i32 whole bucket
@@ -1205,11 +1255,14 @@ def _stacked_rescore(
     ln: jnp.ndarray,  # [gp] i32
     lt: jnp.ndarray,  # [gp] i32 per-row needle length
     gaps: AffineGapParams,
+    gv_s: jnp.ndarray,  # [L+1] shared general-gap cost vectors
+    gv_t: jnp.ndarray,  # [Tmax+1]
     V: int,
     locality: str,
     with_sel: bool,
     want_flows: bool,
     any_tags: bool,
+    general: bool,
 ):
     """Similarity gather + tag weighting + affine DP for the rescore rows of
     MANY queries in ONE dispatch (the per-query finalizer paid Q x buckets
@@ -1232,10 +1285,14 @@ def _stacked_rescore(
         V, any_tags,
     )
     if want_flows:
-        H, _, _, raw = align_matrices_scores.__wrapped__(
-            S, ln, lt, gaps, locality
+        H, raw = _mq_matrices_scores(
+            S, ln, lt, gaps, gv_s, gv_t, locality, general
         )
         return raw, H, S, Su
+    if general:
+        return align_scores_general.__wrapped__(
+            S, ln, lt, gv_s, gv_t, locality
+        )
     return align_scores.__wrapped__(S, ln, lt, gaps, locality)
 
 
@@ -1549,14 +1606,10 @@ class BruteForceEngine:
         )
         # fused exact rescore: the top-k dispatch also computes each
         # selected row's exact f32 raw DP score (static-only plans, affine
-        # gaps, no doc filter — the host-sel filtered rescore and the
-        # per-row general-gap DP stay on the separate finalizer round)
+        # or shared general gap model, no doc filter — the host-sel
+        # filtered rescore stays on the separate finalizer round)
         exact_ctx = None
-        if (
-            gap_costs is None
-            and doc_filter is None
-            and all(qp.is_static_only for qp in plans)
-        ):
+        if doc_filter is None and all(qp.is_static_only for qp in plans):
             stacked = self._stacked_plan_tables(plans, require_identity=True)
             if stacked is not None:
                 table, V, Tmax, Qp, _ = stacked
@@ -1569,6 +1622,12 @@ class BruteForceEngine:
                         list(tag_weights) if tag_weights else None, Qp, Tmax
                     ),
                     "gaps": gaps,
+                    "gap_costs": gap_costs,
+                    "gv_t": jnp.asarray(
+                        gap_costs[1].costs(Tmax + 1)
+                        if gap_costs is not None
+                        else np.zeros((Tmax + 1,), np.float32)
+                    ),
                     "locality": locality,
                     "any_tags": tag_weights is not None
                     and any(t is not None for t in tag_weights),
@@ -2158,13 +2217,12 @@ class BruteForceEngine:
         combined plan matrices stack into one table and each row gathers
         its own query's columns — byte-identical (see _stacked_rescore)."""
         live_reqs = [r for r in requests if len(r["slice_ids"])]
-        if (
-            gap_costs is None
-            and len(live_reqs) > 1
-            and all(r["qp"].is_static_only for r in live_reqs)
+        if len(live_reqs) > 1 and all(
+            r["qp"].is_static_only for r in live_reqs
         ):
             out = self._rescore_many_stacked(
-                requests, gaps, locality, doc_filter, chunk
+                requests, gaps, locality, doc_filter, chunk,
+                gap_costs=gap_costs,
             )
             if out is not None:
                 return out
@@ -2389,11 +2447,13 @@ class BruteForceEngine:
         locality: str,
         doc_filter: Optional[DocFilterSpec],
         chunk: int,
+        gap_costs=None,
     ):
         """Stacked fast path of :meth:`rescore_many` (static-only plans,
-        affine gaps): ONE similarity+DP dispatch per touched bucket for the
-        WHOLE request batch.  Returns None when the requests cannot stack
-        (the caller falls back to the per-query path)."""
+        affine or shared general gap model): ONE similarity+DP dispatch per
+        touched bucket for the WHOLE request batch.  Returns None when the
+        requests cannot stack (the caller falls back to the per-query
+        path)."""
         live_qps = [r["qp"] for r in requests if len(r["slice_ids"])]
         stacked = self._stacked_plan_tables(live_qps)
         if stacked is None:
@@ -2454,9 +2514,21 @@ class BruteForceEngine:
             by_bucket.setdefault(bi, []).append((ri, j, sid))
         refs: List = []
         groups = []
+        gv_t_np = (
+            gap_costs[1].costs(Tmax + 1)
+            if gap_costs is not None
+            else np.zeros((Tmax + 1,), np.float32)
+        )
+        gv_t_d = jnp.asarray(gv_t_np)
         for bi, plist in by_bucket.items():
             db = self._device_buckets[bi]
             L = db["capacity"]
+            gv_s_np = (
+                gap_costs[0].costs(L + 1)
+                if gap_costs is not None
+                else np.zeros((L + 1,), np.float32)
+            )
+            gv_s_d = jnp.asarray(gv_s_np)
             for c0 in range(0, len(plist), chunk):
                 pc = plist[c0 : c0 + chunk]
                 g = len(pc)
@@ -2488,13 +2560,16 @@ class BruteForceEngine:
                     jnp.asarray(ln),
                     jnp.asarray(lt),
                     gaps,
+                    gv_s_d,
+                    gv_t_d,
                     V=V,
                     locality=locality,
                     with_sel=doc_filter is not None,
                     want_flows=want_flows,
                     any_tags=any_tags,
+                    general=gap_costs is not None,
                 )
-                grp = {"pairs": pc}
+                grp = {"pairs": pc, "w_s": gv_s_np, "w_t": gv_t_np}
                 if want_flows:
                     raw, H, Sw, Su = out
                     grp["r_raw"] = len(refs)
@@ -2529,7 +2604,9 @@ class BruteForceEngine:
                     np.int32,
                 )
                 maps = batch_tracebacks(
-                    H_np[:g], Sw_np[:g], lens, lts, gaps, locality
+                    H_np[:g], Sw_np[:g], lens, lts, gaps, locality,
+                    w_s=grp["w_s"] if gap_costs is not None else None,
+                    w_t=grp["w_t"] if gap_costs is not None else None,
                 )
             for pos_i, (ri, j, sid) in enumerate(grp["pairs"]):
                 st = states[ri]
