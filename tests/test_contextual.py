@@ -203,3 +203,27 @@ def test_cache_contextual_embeddings(tmp_path):
         assert "pre-ctx" in ix._engine._ctx_stores
         r = ix.find("old king rides", n=2, min_score=-5)
         assert len(r) >= 1
+
+
+def test_mixed_tree_find_batch_falls_back(ctx_session):
+    """find_batch on a mixed static+contextual modifier tree serves each
+    query through the exact per-query path (byte-equal to find())."""
+    from vectorian_tpu.sim.modifier import MixedTokenSimilarity
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    session, static_emb, ctx_emb = ctx_session
+    tree = MixedTokenSimilarity(
+        [EmbeddingTokenSim(static_emb), EmbeddingTokenSim(ctx_emb)],
+        [0.5, 0.5],
+    )
+    ix = session.partition("sentence").index(tree)
+    qs = ["the old king rides", "a bird sings loud"]
+    batch = [
+        [(m.slice_id, m.score) for m in r]
+        for r in ix.find_batch(qs, n=4, min_score=-1.0)
+    ]
+    single = [
+        [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=-1.0)]
+        for q in qs
+    ]
+    assert batch == single

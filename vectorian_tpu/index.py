@@ -1154,9 +1154,13 @@ class BruteForceIndex(Index):
                     "mesh find_batch supports static and single-contextual "
                     "alignment metrics (no mixed-modifier contextual trees)"
                 )
-            raise NotImplementedError(
-                "find_batch supports static or single-contextual metrics"
-            )
+            # mixed static+contextual modifier trees: serve the batch
+            # through the exact per-query path (no batched kernel exists
+            # for cross-modality trees; results must still come back)
+            return [
+                self.find(t, n=n, min_score=min_score, **kwargs)
+                for t in texts
+            ]
         # options the batched kernel genuinely cannot take — delegate to
         # the exact single-query path rather than silently ignoring them
         if BATCH_HARD_OPTIONS & set(kwargs):
