@@ -103,3 +103,56 @@ def test_cross_path_parity(setup, trial):
     except NotImplementedError:
         return
     assert mgot == got
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_cross_path_parity_options(setup, trial):
+    """Campaign extension for the fused serving paths: tag-weighted
+    alignment, document-side token filters and general gaps mixed with
+    randomized localities — find()/find_batch()(/mesh) byte-equality."""
+    session, emb, base = setup
+    p = session.partition("sentence")
+    r = np.random.default_rng(7000 + trial)
+    qs = [
+        " ".join(r.choice(base, size=int(r.integers(2, 8)))) for _ in range(3)
+    ]
+    msc = float(r.uniform(-1.0, 0.15))
+    gap = GAPS[trial % 4](r)
+    loc = LOCS[trial % 3]
+    kwargs = {}
+    if trial % 2 == 0:
+        # drop a handful of corpus words on the document side
+        kwargs["token_filter"] = [
+            str(w) for w in r.choice(base, size=3, replace=False)
+        ]
+    if trial % 2 == 1:
+        tw = {"NN": float(r.uniform(0.5, 1.0)), "JJ": float(r.uniform(0.2, 0.8))}
+        ix = p.index(
+            OptimizedSpanSim(
+                EmbeddingTokenSim(emb), loc(gap), tag_weights=tw,
+                pos_mismatch_penalty=float(r.uniform(0, 0.4)),
+                similarity_threshold=float(r.uniform(0, 0.2)),
+            )
+        )
+    else:
+        ix = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), loc(gap)))
+    want = [
+        [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=msc, **kwargs)]
+        for q in qs
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in rr]
+        for rr in ix.find_batch(qs, n=4, min_score=msc, **kwargs)
+    ]
+    assert got == want
+    if kwargs:
+        return  # mesh rejects per-query options by design
+    ms = vt.MeshSearch(vt.make_mesh())
+    try:
+        mgot = [
+            [(m.slice_id, m.score) for m in rr]
+            for rr in ix.find_batch(qs, n=4, min_score=msc, mesh=ms)
+        ]
+    except NotImplementedError:
+        return
+    assert mgot == got
