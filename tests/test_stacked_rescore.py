@@ -436,3 +436,42 @@ def test_general_gap_fused_serving_exact(monkeypatch):
         ]
         assert got == want and single == want, loc.__name__
     assert fired["n"] >= 2
+
+
+def test_doc_filter_fused_serving_exact(setup, monkeypatch):
+    """Document-side token filters run through the fused pipeline (the
+    in-kernel compaction must replicate host filtered_positions): the
+    fused context must be ACTIVE and results byte-equal across paths."""
+    from vectorian_tpu.ops.search import BucketTopKSource
+
+    session, index, emb, _ = setup
+    fired = {"n": 0}
+    orig = BucketTopKSource.__init__
+
+    def spy(self, engine, pending, Q, k, exact_ctx=None):
+        if exact_ctx is not None and exact_ctx["with_filter"]:
+            fired["n"] += 1
+        orig(self, engine, pending, Q, k, exact_ctx)
+
+    monkeypatch.setattr(BucketTopKSource, "__init__", spy)
+    kw = dict(n=5, min_score=-2.0, token_filter=["the", "a"],
+              pos_filter=["DET"])
+    want = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(QUERIES, sim_precision="float32", **kw)
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(QUERIES, **kw)
+    ]
+    single = [
+        [(m.slice_id, m.score) for m in index.find(q, **kw)]
+        for q in QUERIES
+    ]
+    assert got == want and single == want
+    assert fired["n"] >= 1
+    # mappings must point at un-filtered slice offsets
+    r0 = index.find_batch(QUERIES[:1], **kw)[0]
+    for m in r0:
+        mp = m._mapping
+        assert mp.max() < 64 and (mp >= -1).all()

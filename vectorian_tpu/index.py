@@ -1647,10 +1647,22 @@ class BruteForceIndex(Index):
                         rest.append(sid)
                         continue
                     H_row, Sw_row, Su_row, ln = pay
-                    got[sid] = self._flows_from_payload(
+                    sel = None
+                    if doc_filter is not None:
+                        # filtered payloads were compacted in-kernel; the
+                        # host sel (same keep order) translates mappings
+                        # back to original slice offsets
+                        sel = engine.filtered_positions(sid, doc_filter)
+                        ln = len(sel)
+                    mp, es = self._flows_from_payload(
                         H_row, Sw_row, Su_row, ln, len_t, gaps,
                         gap_costs=gap_costs,
                     )
+                    if sel is not None:
+                        mp = np.where(
+                            mp >= 0, sel[np.maximum(mp, 0)], -1
+                        ).astype(np.int32)
+                    got[sid] = (mp, es)
                 if got:
                     payload_flows[qi] = got
                 survivors = rest

@@ -184,13 +184,17 @@ def _col_above_idx(scores, qi, thresh, n, size):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "size", "V", "locality", "any_tags", "general"),
+    static_argnames=(
+        "n", "size", "V", "locality", "any_tags", "general", "with_filter",
+    ),
 )
 def _col_above_exact(
-    scores, qi, thresh, tokens, pos_all, ln_all, table,
-    tw_w, tw_pos, tw_pen, tw_thr, tagged, lt_q, gaps, gv_s, gv_t,
+    scores, qi, thresh, tokens, pos_all, tag_all, ln_all, table,
+    tw_w, tw_pos, tw_pen, tw_thr, tagged,
+    flt_pos, flt_tag, flt_tok,
+    lt_q, gaps, gv_s, gv_t,
     n: int, size: int, V: int, locality: str, any_tags: bool,
-    general: bool,
+    general: bool, with_filter: bool,
 ):
     """Thresholded column select FUSED with the exact f32 rescore of the
     selected rows — the tie-extras round costs one device fetch instead
@@ -202,18 +206,18 @@ def _col_above_exact(
     cnt = jnp.sum(mask)
     rows = jnp.maximum(idx, 0)
     qvec = jnp.full((size,), qi, jnp.int32)
+    tok, pos, ln = tokens[rows], pos_all[rows], ln_all[rows]
+    if with_filter:
+        tok, pos, ln = _mq_compact(
+            tok, pos, tag_all[rows], ln, (flt_pos, flt_tag, flt_tok)
+        )
     S, _ = _mq_similarity(
-        tokens[rows], pos_all[rows], qvec, table,
+        tok, pos, qvec, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
-    if general:
-        raw = align_scores_general.__wrapped__(
-            S, ln_all[rows], lt_q[qvec], gv_s, gv_t, locality
-        )
-    else:
-        raw = align_scores.__wrapped__(
-            S, ln_all[rows], lt_q[qvec], gaps, locality
-        )
+    raw = _mq_scores(
+        S, ln, lt_q[qvec], gaps, gv_s, gv_t, locality, general
+    )
     return idx, cnt, raw
 
 
@@ -307,13 +311,14 @@ class BucketTopKSource:
                 gv_s = self._bucket_gv_s(db, ec)
                 if kk < db["n"]:
                     vals, idx, raw, H, Sw, Su = _topk_exact_rescore(
-                        scores, db["tokens"], db["pos"],
+                        scores, db["tokens"], db["pos"], db["tag"],
                         db["lengths"].astype(jnp.int32), ec["table"],
-                        *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        *ec["tw_args"], *ec["flt"], ec["lt_q"], ec["gaps"],
                         gv_s, ec["gv_t"],
                         n=db["n"], kk=kk, V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
                         general=ec["gap_costs"] is not None,
+                        with_filter=ec["with_filter"],
                     )
                     metas.append(
                         {"db": db, "kk": kk, "full": False, "pay": with_pay}
@@ -321,13 +326,14 @@ class BucketTopKSource:
                     refs.extend((vals, idx, raw))
                 else:
                     vals, raw, H, Sw, Su = _full_exact_rescore(
-                        scores, db["tokens"], db["pos"],
+                        scores, db["tokens"], db["pos"], db["tag"],
                         db["lengths"].astype(jnp.int32), ec["table"],
-                        *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        *ec["tw_args"], *ec["flt"], ec["lt_q"], ec["gaps"],
                         gv_s, ec["gv_t"],
                         n=db["n"], V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
                         general=ec["gap_costs"] is not None,
+                        with_filter=ec["with_filter"],
                     )
                     metas.append(
                         {"db": db, "kk": kk, "full": True, "pay": with_pay}
@@ -507,13 +513,14 @@ class BucketTopKSource:
                     ec = self.exact_ctx
                     idx, cnt, raw = _col_above_exact(
                         scores, np.int32(qi), np.float32(thresh),
-                        db["tokens"], db["pos"],
+                        db["tokens"], db["pos"], db["tag"],
                         db["lengths"].astype(jnp.int32), ec["table"],
-                        *ec["tw_args"], ec["lt_q"], ec["gaps"],
+                        *ec["tw_args"], *ec["flt"], ec["lt_q"], ec["gaps"],
                         self._bucket_gv_s(db, ec), ec["gv_t"],
                         n=db["n"], size=size, V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
                         general=ec["gap_costs"] is not None,
+                        with_filter=ec["with_filter"],
                     )
                     refs.extend((idx, cnt, raw))
                 else:
@@ -1130,6 +1137,19 @@ def _stack_tw(tag_weights, Qp: int, Tmax: int):
     )
 
 
+def _mq_compact(tok, pos, tag, ln, flt):
+    """In-kernel doc-filter compaction for fused rescore rows: kept tokens
+    move to the front in original order (the device replica of
+    filtered_positions — the gathered prefix must equal the host sel
+    gather for byte-equal rescores)."""
+    perm, new_ln, _ = _compact_slices(tok, pos, tag, ln, *flt)
+    return (
+        jnp.take_along_axis(tok, perm, axis=1),
+        jnp.take_along_axis(pos, perm, axis=1),
+        new_ln,
+    )
+
+
 def _mq_similarity(
     tok, pos, qidx, table, tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags
 ):
@@ -1154,7 +1174,11 @@ def _mq_matrices_scores(S, ln, lt, gaps, gv_s, gv_t, locality, general):
     """H + raw for multi-query rescore rows, affine or general-gap (the
     general DP takes the index-level shared cost vectors; their values and
     min-plus closures are prefix-stable under needle padding, so the
-    per-row len_t masks keep results bit-equal to per-query widths)."""
+    per-row len_t masks keep results bit-equal to per-query widths).
+
+    Zero-length rows (empty or fully-filtered slices) report NEG_SCORE —
+    the per-query rescore skips them entirely, and a local-DP 0.0 would
+    otherwise surface as a fake match at negative min_score."""
     if general:
         H, raw = align_matrices_scores_general.__wrapped__(
             S, ln, lt, gv_s, gv_t, locality
@@ -1163,20 +1187,33 @@ def _mq_matrices_scores(S, ln, lt, gaps, gv_s, gv_t, locality, general):
         H, _, _, raw = align_matrices_scores.__wrapped__(
             S, ln, lt, gaps, locality
         )
-    return H, raw
+    return H, jnp.where(ln > 0, raw, NEG_SCORE)
+
+
+def _mq_scores(S, ln, lt, gaps, gv_s, gv_t, locality, general):
+    """Score-only variant of _mq_matrices_scores (same NEG_SCORE mask)."""
+    if general:
+        raw = align_scores_general.__wrapped__(S, ln, lt, gv_s, gv_t, locality)
+    else:
+        raw = align_scores.__wrapped__(S, ln, lt, gaps, locality)
+    return jnp.where(ln > 0, raw, NEG_SCORE)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "kk", "V", "locality", "any_tags", "general"),
+    static_argnames=(
+        "n", "kk", "V", "locality", "any_tags", "general", "with_filter",
+    ),
 )
 def _topk_exact_rescore(
     scores: jnp.ndarray,  # [n_pad, Q] normalized device ranking scores
     tokens: jnp.ndarray,  # [n_pad, L]
     pos_all: jnp.ndarray,  # [n_pad, L] i8
+    tag_all: jnp.ndarray,  # [n_pad, L] i16 (filter path only)
     ln_all: jnp.ndarray,  # [n_pad] i32 slice lengths
     table: jnp.ndarray,  # [Qp * V, Tmax] f32 stacked plan matrices
     tw_w, tw_pos, tw_pen, tw_thr, tagged,  # [Qp, ...] tag-weight stacks
+    flt_pos, flt_tag, flt_tok,  # doc-filter masks (with_filter only)
     lt_q: jnp.ndarray,  # [Q] i32 needle lengths
     gaps: AffineGapParams,
     gv_s: jnp.ndarray,  # [L+1] general-gap cost vector (general only)
@@ -1187,6 +1224,7 @@ def _topk_exact_rescore(
     locality: str,
     any_tags: bool,
     general: bool,
+    with_filter: bool,
 ):
     """Per-bucket device top-k FUSED with the exact f32 rescore AND the
     traceback DP matrices of the selected rows: the finalizer's rescore
@@ -1200,36 +1238,51 @@ def _topk_exact_rescore(
     rows = idx[:, :kk].reshape(-1)
     Q = idx.shape[0]
     qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), kk)
+    tok, pos, ln = tokens[rows], pos_all[rows], ln_all[rows]
+    if with_filter:
+        tok, pos, ln = _mq_compact(
+            tok, pos, tag_all[rows], ln, (flt_pos, flt_tag, flt_tok)
+        )
     S, Su = _mq_similarity(
-        tokens[rows], pos_all[rows], qidx, table,
+        tok, pos, qidx, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
     H, raw = _mq_matrices_scores(
-        S, ln_all[rows], lt_q[qidx], gaps, gv_s, gv_t, locality, general
+        S, ln, lt_q[qidx], gaps, gv_s, gv_t, locality, general
     )
     return vals, idx, raw.reshape(Q, kk), H, S, Su
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "V", "locality", "any_tags", "general")
+    jax.jit,
+    static_argnames=(
+        "n", "V", "locality", "any_tags", "general", "with_filter",
+    ),
 )
 def _full_exact_rescore(
-    scores, tokens, pos_all, ln_all, table,
+    scores, tokens, pos_all, tag_all, ln_all, table,
     tw_w, tw_pos, tw_pen, tw_thr, tagged,
+    flt_pos, flt_tag, flt_tok,
     lt_q, gaps, gv_s, gv_t,
     n: int, V: int, locality: str, any_tags: bool, general: bool,
+    with_filter: bool,
 ):
     """Fused exact rescore + flow payloads for EVERY row of a small
     (fully-fetched) bucket for all Q queries."""
     Q = lt_q.shape[0]
     rows = jnp.tile(jnp.arange(n, dtype=jnp.int32), Q)
     qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), n)
+    tok, pos, ln = tokens[rows], pos_all[rows], ln_all[rows]
+    if with_filter:
+        tok, pos, ln = _mq_compact(
+            tok, pos, tag_all[rows], ln, (flt_pos, flt_tag, flt_tok)
+        )
     S, Su = _mq_similarity(
-        tokens[rows], pos_all[rows], qidx, table,
+        tok, pos, qidx, table,
         tw_w, tw_pos, tw_pen, tw_thr, tagged, V, any_tags,
     )
     H, raw = _mq_matrices_scores(
-        S, ln_all[rows], lt_q[qidx], gaps, gv_s, gv_t, locality, general
+        S, ln, lt_q[qidx], gaps, gv_s, gv_t, locality, general
     )
     return scores[:n].T, raw.reshape(Q, n), H, S, Su
 
@@ -1289,11 +1342,7 @@ def _stacked_rescore(
             S, ln, lt, gaps, gv_s, gv_t, locality, general
         )
         return raw, H, S, Su
-    if general:
-        return align_scores_general.__wrapped__(
-            S, ln, lt, gv_s, gv_t, locality
-        )
-    return align_scores.__wrapped__(S, ln, lt, gaps, locality)
+    return _mq_scores(S, ln, lt, gaps, gv_s, gv_t, locality, general)
 
 
 class BruteForceEngine:
@@ -1606,10 +1655,10 @@ class BruteForceEngine:
         )
         # fused exact rescore: the top-k dispatch also computes each
         # selected row's exact f32 raw DP score (static-only plans, affine
-        # or shared general gap model, no doc filter — the host-sel
-        # filtered rescore stays on the separate finalizer round)
+        # or shared general gap model; doc filters compact in-kernel — the
+        # device replica of filtered_positions)
         exact_ctx = None
-        if doc_filter is None and all(qp.is_static_only for qp in plans):
+        if all(qp.is_static_only for qp in plans):
             stacked = self._stacked_plan_tables(plans, require_identity=True)
             if stacked is not None:
                 table, V, Tmax, Qp, _ = stacked
@@ -1631,6 +1680,8 @@ class BruteForceEngine:
                     "locality": locality,
                     "any_tags": tag_weights is not None
                     and any(t is not None for t in tag_weights),
+                    "flt": self._filter_args(doc_filter),
+                    "with_filter": doc_filter is not None,
                 }
         src = BucketTopKSource(self, pending, len(plans), k, exact_ctx)
         if with_err:
