@@ -475,3 +475,42 @@ def test_doc_filter_fused_serving_exact(setup, monkeypatch):
     for m in r0:
         mp = m._mapping
         assert mp.max() < 64 and (mp >= -1).all()
+
+
+def test_boosted_batch_uses_device_topk(setup, monkeypatch):
+    """Boosted batches rank through the device top-k (per-query boost
+    columns in-kernel) instead of the full host score read, byte-equal to
+    find() and the f32 oracle."""
+    from vectorian_tpu.saliency import KeywordSignal, Saliency
+
+    session, index, emb, _ = setup
+    sal = Saliency(strength=0.8).add_signal(KeywordSignal("king"), 1.0)
+    calls = {"all": 0, "topk": 0}
+    oa = BruteForceEngine.score_all_multi
+    ot = BruteForceEngine.score_topk_multi
+
+    def wa(self, *a, **k):
+        calls["all"] += 1
+        return oa(self, *a, **k)
+
+    def wt(self, *a, **k):
+        calls["topk"] += 1
+        return ot(self, *a, **k)
+
+    monkeypatch.setattr(BruteForceEngine, "score_all_multi", wa)
+    monkeypatch.setattr(BruteForceEngine, "score_topk_multi", wt)
+    kw = dict(n=5, min_score=0.01, booster=sal)
+    want = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(QUERIES, sim_precision="float32", **kw)
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(QUERIES, **kw)
+    ]
+    single = [
+        [(m.slice_id, m.score) for m in index.find(q, **kw)]
+        for q in QUERIES
+    ]
+    assert got == want and single == want
+    assert calls["topk"] >= 2 and calls["all"] == 0

@@ -1211,38 +1211,24 @@ class BruteForceIndex(Index):
                 mesh, start_time, boosts=boosts, doc_filter=doc_filter,
             )
 
-        # boosted batches rank on full host-side score vectors (the boost
-        # multiplies host-side, after the corpus pass); unboosted batches
-        # use device-side per-bucket top-k — only O(buckets * Q * k) pairs
-        # cross the tunnel instead of the [n_slices, Q] matrix
+        # device-side per-bucket top-k for every batch — only
+        # O(buckets * Q * k) pairs cross the tunnel instead of the
+        # [n_slices, Q] matrix; per-query boosts multiply the ranking
+        # in-kernel (the exact rescore re-applies them host-side under the
+        # boost-scaled eps slack)
         entry_err = 0.0
-        scores = src = None
         if quantize:
-            if boosts is None:
-                src, entry_err = self._engine.score_topk_multi(
-                    plans, len_ts, gaps, self._locality, norm_totals,
-                    n + 32, sim_dtype=sim_precision, with_err=True,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
-                )
-            else:
-                scores, entry_err = self._engine.score_all_multi(
-                    plans, len_ts, gaps, self._locality, norm_totals,
-                    sim_dtype=sim_precision, with_err=True,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
-                )  # [n_slices, Q]
+            src, entry_err = self._engine.score_topk_multi(
+                plans, len_ts, gaps, self._locality, norm_totals,
+                n + 32, sim_dtype=sim_precision, with_err=True,
+                gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
+            )
         else:
-            if boosts is None:
-                src = self._engine.score_topk_multi(
-                    plans, len_ts, gaps, self._locality, norm_totals,
-                    n + 32, tag_weights=tagws if any_tags else None,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
-                )
-            else:
-                scores = self._engine.score_all_multi(
-                    plans, len_ts, gaps, self._locality, norm_totals,
-                    tag_weights=tagws if any_tags else None,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
-                )
+            src = self._engine.score_topk_multi(
+                plans, len_ts, gaps, self._locality, norm_totals,
+                n + 32, tag_weights=tagws if any_tags else None,
+                gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
+            )
 
         # every batch (quantized, f32, tag-weighted) reports the
         # FINALIZER's exact f32 scores under the provable cut (entry_err
@@ -1256,21 +1242,12 @@ class BruteForceIndex(Index):
         for qi, pq in enumerate(prepared):
             if pq.n_tokens == 0:
                 continue
-            if src is not None:
-                q_src = src.qview(qi)
-                boost_q = None
-            else:
-                q_scores = scores[:, qi]
-                boost_q = boosts[qi] if boosts is not None else None
-                if boost_q is not None:
-                    q_scores = np.where(
-                        q_scores <= NEG_SCORE * 0.5,
-                        q_scores,
-                        q_scores * boost_q,
-                    ).astype(np.float32)
-                q_src = q_scores
             items.append(
-                (q_src, plans[qi], pq, norm_totals[qi], tagws[qi], boost_q)
+                (
+                    src.qview(qi), plans[qi], pq, norm_totals[qi],
+                    tagws[qi],
+                    boosts[qi] if boosts is not None else None,
+                )
             )
             item_qis.append(qi)
         per_q = self._finalize_quantized_many(
@@ -1492,7 +1469,6 @@ class BruteForceIndex(Index):
             if m["raw_init"] is not None:
                 raw = m["raw_init"]
                 mappings = edge_sims = None
-                assert boost is None  # boosted batches rank host-side
             else:
                 mappings, edge_sims, raw = res1_by_qi[qi]
             exact = raw / max(norm_total, 1e-9)

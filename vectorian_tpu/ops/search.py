@@ -791,7 +791,7 @@ def _bucket_scores_multiquery(
     len_t: jnp.ndarray,  # [Q] i32
     gaps: AffineGapParams,
     norm_total: jnp.ndarray,  # [Q] f32
-    boost: jnp.ndarray,  # [N] f32 per-slice boost (with_boost only)
+    boost: jnp.ndarray,  # [N, 1] shared or [N, Q] per-query boosts
     tw_weights: jnp.ndarray,  # [T, Q] f32 per-query tag weights
     tw_pos_t: jnp.ndarray,  # [T, Q] i8 per-query needle pos ids
     tw_penalty: jnp.ndarray,  # [Q] f32 per-query mismatch penalty
@@ -845,7 +845,7 @@ def _bucket_scores_multiquery(
     nt = n_queries >= PALLAS_MIN_BATCH and not general_gaps
 
     def one_chunk(args):
-        tokT, posT, tagT, ln, bst = args  # [L, c], [L, c], [L, c], [c], [c]
+        tokT, posT, tagT, ln, bst = args  # [L, c] x3, [c], [c, 1|Q]
         c = tokT.shape[1]
         # ONE gather serves Q queries, in kernel-native layout.  A bf16
         # table halves the gather's HBM traffic (the pass is near the HBM
@@ -907,7 +907,7 @@ def _bucket_scores_multiquery(
         raw = raw * sim_scale  # back from quantized units (no-op at 1.0)
         scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
         if with_boost:
-            scores = scores * bst[:, None]
+            scores = scores * bst  # [c, 1] broadcasts; [c, Q] per query
         return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
 
     # transpose the (tiny) index arrays once, outside the chunk loop, so the
@@ -920,7 +920,7 @@ def _bucket_scores_multiquery(
         pos_T,
         tag_T,
         lengths.reshape(n_chunks, chunk),
-        boost.reshape(n_chunks, chunk),
+        boost.reshape(n_chunks, chunk, -1),
     )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
 
@@ -1639,6 +1639,7 @@ class BruteForceEngine:
         with_err: bool = False,
         gap_costs=None,
         doc_filter: Optional[DocFilterSpec] = None,
+        boosts=None,
     ):
         """Multi-query corpus pass with DEVICE-SIDE per-bucket top-k: only
         O(buckets * Q * k) (score, id) pairs reach the host instead of the
@@ -1647,11 +1648,13 @@ class BruteForceEngine:
         Returns a ``BucketTopKSource`` implementing the candidate-source
         protocol the finalizer consumes; tie-unsafe boundaries and
         unsafe-cut extras fall back to reading single score COLUMNS (4 MB
-        at 1M slices) from the still-resident device score matrices."""
+        at 1M slices) from the still-resident device score matrices.
+        ``boosts``: per-query [n_slices] multipliers folded into the
+        ranking in-kernel."""
         pending, entry_err = self._dispatch_multi(
             plans, len_ts, gaps, locality, norm_totals,
             tag_weights=tag_weights, sim_dtype=sim_dtype,
-            gap_costs=gap_costs, doc_filter=doc_filter,
+            gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
         )
         # fused exact rescore: the top-k dispatch also computes each
         # selected row's exact f32 raw DP score (static-only plans, affine
@@ -1691,10 +1694,14 @@ class BruteForceEngine:
     def _dispatch_multi(
         self, plans, len_ts, gaps, locality, norm_totals,
         tag_weights=None, sim_dtype=None, gap_costs=None, doc_filter=None,
+        boosts=None,
     ):
         """Dispatch half of the multi-query corpus pass: returns
         ([(db, scores_dev [n_pad, Q])] with scores left on device, and the
-        quantization entry error)."""
+        quantization entry error).  ``boosts``: optional per-query
+        [n_slices] multipliers — ranking scores carry them in-kernel (the
+        exact rescore applies them host-side; eps slack scales with the
+        largest boost in the finalizer)."""
         if sim_dtype is not None and tag_weights is not None and any(
             tw is not None for tw in tag_weights
         ):
@@ -1746,6 +1753,15 @@ class BruteForceEngine:
             else:
                 gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
                 gv_t = jnp.zeros((Tpad + 1,), jnp.float32)
+            n_pad = db["tokens"].shape[0]
+            if boosts is not None:
+                bmat = np.ones((n_pad, Q), np.float32)
+                for qi, b in enumerate(boosts):
+                    if b is not None:
+                        bmat[: db["n"], qi] = b[db["slice_index"]]
+                bvec = jnp.asarray(bmat)
+            else:
+                bvec = jnp.ones((n_pad, 1), jnp.float32)
             scores = _bucket_scores_multiquery(
                 db["tokens"],
                 db["pos"],
@@ -1755,7 +1771,7 @@ class BruteForceEngine:
                 lt_arr,
                 gaps,
                 nt_arr,
-                jnp.ones((db["tokens"].shape[0],), jnp.float32),
+                bvec,
                 *tw_args,
                 *flt,
                 gv_s,
@@ -1767,6 +1783,7 @@ class BruteForceEngine:
                 with_tags=with_tags,
                 general_gaps=gap_costs is not None,
                 with_filter=doc_filter is not None,
+                with_boost=boosts is not None,
                 sim_scale=sim_scale,
             )
             pending.append((db, scores))
