@@ -129,3 +129,57 @@ class TestBucketTopKSource:
         n_cached = len(src._col_cache)
         src.above_many([(v0, 0.8, set())])
         assert len(src._col_cache) == n_cached  # no refetch
+
+
+class _FakePacked:
+    def __init__(self, n, docs=None):
+        self.n_slices = n
+        self.slice_doc = (
+            np.asarray(docs, np.int64) if docs is not None
+            else np.zeros(n, np.int64)
+        )
+        self.slice_idx = np.arange(n, dtype=np.int64)
+
+
+class _FakeEngine:
+    def __init__(self, n, docs=None):
+        self._packed = _FakePacked(n, docs)
+
+    @property
+    def packed(self):
+        return self._packed
+
+    def top_k(self, scores, k, min_score=0.2):
+        from vectorian_tpu.ops.search import BruteForceEngine
+
+        return BruteForceEngine.top_k(self, scores, k, min_score)
+
+
+class TestTopKExactly:
+    """top_k_exactly must replicate engine.top_k's tie-complete pool over
+    the device matrices — the transport batch paths rank on it."""
+
+    def test_matches_host_topk_on_tie_heavy_matrices(self):
+        rng = np.random.default_rng(11)
+        for trial in range(6):
+            n = int(rng.integers(20, 120))
+            Q = int(rng.integers(1, 4))
+            # heavy ties: quantized scores
+            scores = (rng.integers(0, 8, size=(Q, n)) / 8.0).astype(
+                np.float32
+            )
+            docs = rng.integers(0, 5, size=n)
+            eng = _FakeEngine(n, docs)
+            k = int(rng.integers(1, 12))
+            msc = float(rng.uniform(-0.2, 0.6))
+            # split into two buckets to exercise cross-bucket merge
+            cut = n // 2
+            b1 = _bucket(np.arange(cut), [s[:cut] for s in scores])
+            b2 = _bucket(np.arange(cut, n), [s[cut:] for s in scores])
+            src = BucketTopKSource(eng, [b1, b2], Q, max(k // 2, 1))
+            for qi in range(Q):
+                want = eng.top_k(scores[qi], k, min_score=msc)
+                got, smap = src.top_k_exactly(qi, k, msc)
+                assert got == want, (trial, qi)
+                for sid in got:
+                    assert smap[sid] == float(scores[qi][sid])

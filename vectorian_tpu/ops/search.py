@@ -182,6 +182,17 @@ def _col_above_idx(scores, qi, thresh, n, size):
     return jnp.flatnonzero(mask, size=size, fill_value=-1), jnp.sum(mask)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "size"))
+def _col_above_vals(scores, qi, thresh, n, size):
+    """_col_above_idx that also returns the selected scores — consumers
+    that rank on the device values (transport metrics) complete boundary
+    tie groups without a full column read."""
+    col = jax.lax.dynamic_index_in_dim(scores[:n], qi, axis=1, keepdims=False)
+    mask = col >= thresh
+    idx = jnp.flatnonzero(mask, size=size, fill_value=-1)
+    return idx, jnp.sum(mask), col[jnp.maximum(idx, 0)]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -424,6 +435,70 @@ class BucketTopKSource:
     def qview(self, qi: int) -> "TopKView":
         return TopKView(self, qi)
 
+    def score_map(self, qi: int, thresh: float):
+        """({sid: device score} over fetched entries >= thresh, upper
+        bound on every UNFETCHED score) for one query."""
+        smap = {}
+        bound = float("-inf")
+        for b in self._buckets:
+            vq = b["vals"][qi]
+            keep = vq >= thresh
+            for sid, sc in zip(b["sids"][qi][keep], vq[keep]):
+                smap[int(sid)] = float(sc)
+            bound = max(bound, float(b["bound"][qi]))
+        return smap, bound
+
+    def top_k_exactly(self, qi: int, k: int, min_score: float):
+        """(top ids, {sid: device score}) replicating
+        BruteForceEngine.top_k's tie-complete semantics over the
+        still-resident device score matrices: the candidate pool is every
+        slice scoring >= the k-th largest value (boundary ties resolve by
+        the (doc, slice) order), completed with one fused
+        select-with-values round when the initial per-bucket fetch might
+        truncate the pool."""
+        smap, bound = self.score_map(qi, min_score)
+        if smap:
+            vals = np.fromiter(smap.values(), np.float32, len(smap))
+            if len(vals) >= k:
+                thr = float(-np.partition(-vals, k - 1)[k - 1])
+            else:
+                thr = min_score
+            cut = max(thr, min_score)
+            if bound >= cut:
+                # unfetched slices could reach the pool: fetch EVERYTHING
+                # >= cut (values included), making the pool complete —
+                # added entries can only raise the k-th value, so the
+                # completed pool still covers every slice >= the true thr
+                ((ids, vmap),) = self.above_vals_many(
+                    [(self.qview(qi), cut, set(smap))]
+                )
+                smap.update(vmap)
+                vals = np.fromiter(smap.values(), np.float32, len(smap))
+                if len(vals) >= k:
+                    thr = float(-np.partition(-vals, k - 1)[k - 1])
+                    cut = max(thr, min_score)
+        elif bound >= min_score:
+            ((ids, vmap),) = self.above_vals_many(
+                [(self.qview(qi), min_score, set())]
+            )
+            smap.update(vmap)
+            vals = np.fromiter(smap.values(), np.float32, len(smap))
+            cut = min_score
+            if len(vals) >= k:
+                cut = max(
+                    float(-np.partition(-vals, k - 1)[k - 1]), min_score
+                )
+        else:
+            return [], smap
+        cand = np.asarray(
+            [sid for sid, sc in smap.items() if sc >= cut], np.int64
+        )
+        if cand.size == 0:
+            return [], smap
+        cvals = np.asarray([smap[int(c)] for c in cand], np.float32)
+        order = order_by_score(self._engine.packed, cand, cvals)
+        return [int(c) for c in cand[order][:k]], smap
+
     def covers_all(self, m: int) -> bool:
         # full buckets alone are NOT enough: ``initial`` truncates the
         # merged candidate list to m, so slices can be dropped whenever
@@ -476,7 +551,7 @@ class BucketTopKSource:
         return self._col_cache[key]
 
     def above_many(self, reqs):
-        return [ids for ids, _ in self._above_impl(reqs, False)]
+        return [ids for ids, _ in self._above_impl(reqs, "ids")]
 
     def above_exact_many(self, reqs):
         """Like above_many but each request also gets {sid: exact raw f32
@@ -484,9 +559,16 @@ class BucketTopKSource:
         both the tie-extras select AND their exact rescore.  Ids missing
         from the map (overflowed tie groups, cached full columns) still
         need the finalizer's rescore."""
-        return self._above_impl(reqs, self.has_exact)
+        return self._above_impl(reqs, "exact" if self.has_exact else "ids")
 
-    def _above_impl(self, reqs, with_exact: bool):
+    def above_vals_many(self, reqs):
+        """Like above_many but each request also gets {sid: device ranking
+        score} — for consumers that rank directly on the device values
+        (transport metrics); the map is always COMPLETE (full-column
+        fallbacks have the values too)."""
+        return self._above_impl(reqs, "vals")
+
+    def _above_impl(self, reqs, mode: str):
         # phase 1: device-side thresholded select (optionally fused with
         # the exact rescore) for every needed (bucket, query) column,
         # batched into one transfer; only tie groups overflowing the cap
@@ -505,11 +587,11 @@ class BucketTopKSource:
         raws = {}
         if need:
             refs = []
-            per = 3 if with_exact else 2
+            per = 2 if mode == "ids" else 3
             for bi, qi, thresh in need:
                 db, scores = self._pending[bi]
                 size = min(self.ABOVE_CAP, db["n"])
-                if with_exact:
+                if mode == "exact":
                     ec = self.exact_ctx
                     idx, cnt, raw = _col_above_exact(
                         scores, np.int32(qi), np.float32(thresh),
@@ -523,6 +605,12 @@ class BucketTopKSource:
                         with_filter=ec["with_filter"],
                     )
                     refs.extend((idx, cnt, raw))
+                elif mode == "vals":
+                    idx, cnt, vals = _col_above_vals(
+                        scores, np.int32(qi), np.float32(thresh),
+                        db["n"], size,
+                    )
+                    refs.extend((idx, cnt, vals))
                 else:
                     idx, cnt = _col_above_idx(
                         scores, np.int32(qi), np.float32(thresh),
@@ -539,7 +627,7 @@ class BucketTopKSource:
                 else:
                     kept = idx >= 0
                     sel[(bi, qi)] = idx[kept]
-                    if with_exact:
+                    if mode != "ids":
                         raws[(bi, qi)] = np.asarray(
                             fetched[per * j + 2]
                         )[kept]
@@ -567,13 +655,18 @@ class BucketTopKSource:
                         hit_raws = raws.get((bi, qi))
                     else:
                         col = self._column(bi, qi)
-                        hit = db["slice_index"][np.flatnonzero(col >= thresh)]
+                        pos_hit = np.flatnonzero(col >= thresh)
+                        hit = db["slice_index"][pos_hit]
+                        if mode == "vals":
+                            hit_raws = col[pos_hit]
                 else:
                     vq = b["vals"][qi]
                     keep = vq >= thresh
                     hit = b["sids"][qi][keep]
-                    if with_exact and "exact" in b:
+                    if mode == "exact" and "exact" in b:
                         hit_raws = b["exact"][qi][keep]
+                    elif mode == "vals":
+                        hit_raws = vq[keep]
                 for p, c in enumerate(hit):
                     c = int(c)
                     if c not in seen:

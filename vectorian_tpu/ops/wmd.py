@@ -661,7 +661,6 @@ class WMDEngine:
                 n, min_score,
             )
 
-        out = np.full((engine.packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
         for db in engine._device_buckets:
             if db["n"] == 0:
@@ -684,14 +683,18 @@ class WMDEngine:
                 n_queries=Q,
             )
             pending.append((db, scores))
-        for db, scores in pending:
-            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        # device-side per-bucket top-k instead of the full [n_slices, Q]
+        # host read (128 MB at 1M x 32); top_k_exactly replicates
+        # engine.top_k's tie-complete pool over the resident matrices
+        from vectorian_tpu.ops.search import BucketTopKSource
+
+        src = BucketTopKSource(engine, pending, Q, n + 32)
 
         results = []
         packed = engine.packed
         for qi, (query, qp) in enumerate(zip(queries, qps)):
-            states[qi]["scores"] = out[:, qi]
-            top = engine.top_k(out[:, qi], n, min_score=min_score)
+            top, smap = src.top_k_exactly(qi, n, min_score)
+            states[qi]["scores"] = smap
             matches = (
                 self._host_rescore(
                     index, query, qp, states[qi], top, min_score, None
@@ -746,7 +749,6 @@ class WMDEngine:
                 (int(qps[0].static_sims[0].shape[0]),), np.float32
             )
 
-        out = np.full((engine.packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
         for db in engine._device_buckets:
             if db["n"] == 0:
@@ -768,15 +770,18 @@ class WMDEngine:
                 n_queries=Q,
             )
             pending.append((db, scores))
-        for db, scores in pending:
-            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        # device-side per-bucket top-4n (tie-complete, engine.top_k
+        # semantics) replaces the full [n_slices, Q] host read
+        from vectorian_tpu.ops.search import BucketTopKSource
+
+        src = BucketTopKSource(engine, pending, Q, 4 * n + 32)
 
         results = []
         packed = engine.packed
         rank_min = min_score - SINKHORN_RANK_SLACK
         for qi, (query, qp) in enumerate(zip(queries, qps)):
-            states[qi]["scores"] = out[:, qi]
-            top = engine.top_k(out[:, qi], 4 * n, min_score=rank_min)
+            top, smap = src.top_k_exactly(qi, 4 * n, rank_min)
+            states[qi]["scores"] = smap
             matches = (
                 self._host_rescore(
                     index, query, qp, states[qi], top, min_score, None
