@@ -561,20 +561,6 @@ class WMDEngine:
             )
         doc_filter = index._doc_filter(query)
 
-        state = self._score(index, query, qp, doc_filter=doc_filter)
-        state["boost"] = boost
-        scores = state["scores"]
-        if boost is not None:
-            valid = scores > NEG_SCORE * 0.5
-            scores = np.where(valid, scores * boost, NEG_SCORE).astype(
-                np.float32
-            )
-            state["scores"] = scores
-        if debug:
-            debug("scores", {"scores": scores})
-        # Sinkhorn-ranked algorithms (full WMD/WRD) overfetch: the device
-        # ranking is approximate (~2e-3) and the exact host rescore below
-        # re-sorts, so borderline true top-n candidates must be in the pool
         a = self._args
         relaxed = self._algorithm == "word-movers-distance" and a["relaxed"]
         overfetch = n if relaxed else 4 * n
@@ -586,7 +572,31 @@ class WMDEngine:
             max(1.0, float(boost.max())) if boost is not None else 1.0
         )
         rank_min = min_score if relaxed else min_score - slack
-        top = self._engine.top_k(scores, overfetch, min_score=rank_min)
+        use_device = boost is None and debug is None
+        state = self._score(
+            index, query, qp, doc_filter=doc_filter, device=use_device
+        )
+        state["boost"] = boost
+        if use_device:
+            # device top-k (engine.top_k semantics) replaces the full
+            # [n_slices] host read — the transport analogue of the fused
+            # alignment pipeline's candidate fetch
+            from vectorian_tpu.ops.search import BucketTopKSource
+
+            src = BucketTopKSource(self._engine, state["scores"], 1, overfetch)
+            top, smap = src.top_k_exactly(0, overfetch, rank_min)
+            state["scores"] = smap
+        else:
+            scores = state["scores"]
+            if boost is not None:
+                valid = scores > NEG_SCORE * 0.5
+                scores = np.where(valid, scores * boost, NEG_SCORE).astype(
+                    np.float32
+                )
+                state["scores"] = scores
+            if debug:
+                debug("scores", {"scores": scores})
+            top = self._engine.top_k(scores, overfetch, min_score=rank_min)
         if not top:
             return []
         matches = self._host_rescore(
@@ -1000,9 +1010,11 @@ class WMDEngine:
             # next pass) — avoids a fresh remote compile per doubling
             m = max(tok_d.shape[0] for _, tok_d, *_ in shards)
 
-    def _score(self, index, query, qp, doc_filter=None) -> dict:
+    def _score(self, index, query, qp, doc_filter=None, device=False) -> dict:
         """Device ranking pass; returns scores plus the mass/tag/filter
-        state the host rescore needs."""
+        state the host rescore needs.  ``device=True`` leaves the per-bucket
+        score matrices on device (state["scores"] is then a pending list
+        for BucketTopKSource instead of a host vector)."""
         T = query.n_tokens
         engine = self._engine
         a = self._args
@@ -1032,7 +1044,7 @@ class WMDEngine:
                 qp, mass_t, T,
                 bool(a["injective"]), bool(a["symmetric"]),
                 bool(a["normalize_bow"]), unique, tagw,
-                doc_filter=doc_filter,
+                doc_filter=doc_filter, device=device,
             )
         elif self._algorithm == "word-movers-distance":
             # device ranking always on normalized masses (Sinkhorn scale);
@@ -1040,6 +1052,7 @@ class WMDEngine:
             scores = self._score_buckets_emd(
                 qp, mass_t, use_magnitudes=False, normalize=True,
                 unique=unique, tagw=tagw, doc_filter=doc_filter,
+                device=device,
             )
         elif self._algorithm == "word-rotators-distance":
             mass_t_mag = np.asarray(qp.ctx_queries[0]["magnitudes"], np.float32) if (
@@ -1052,6 +1065,7 @@ class WMDEngine:
                 qp, mass_t_mag, use_magnitudes=True,
                 normalize=bool(a.get("normalize_magnitudes", True)),
                 unique=unique, tagw=tagw, doc_filter=doc_filter,
+                device=device,
             )
         else:
             raise ValueError(self._algorithm)
@@ -1232,9 +1246,9 @@ class WMDEngine:
         )
 
     def _score_buckets_rwmd(self, qp, mass_t, len_t, injective, symmetric,
-                            normalize_bow, unique, tagw=None, doc_filter=None):
+                            normalize_bow, unique, tagw=None, doc_filter=None,
+                            device=False):
         engine = self._engine
-        out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         tw = self._tagw_args(tagw, len(mass_t))
         df = self._df_args(doc_filter)
         max_score_t = tagw.total if tagw is not None else float(len_t)
@@ -1270,14 +1284,17 @@ class WMDEngine:
                 with_filter=doc_filter is not None,
             )
             pending.append((db, scores))
+        if device:
+            # [n_pad] -> [n_pad, 1] so BucketTopKSource can rank in place
+            return [(db, scores[:, None]) for db, scores in pending]
+        out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
 
     def _score_buckets_emd(self, qp, mass_t, use_magnitudes, normalize, unique,
-                           tagw=None, doc_filter=None):
+                           tagw=None, doc_filter=None, device=False):
         engine = self._engine
-        out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         tw = self._tagw_args(tagw, len(mass_t))
         df = self._df_args(doc_filter)
         pending = []
@@ -1310,6 +1327,9 @@ class WMDEngine:
                 with_filter=doc_filter is not None,
             )
             pending.append((db, scores))
+        if device:
+            return [(db, scores[:, None]) for db, scores in pending]
+        out = np.full((engine.packed.n_slices,), NEG_SCORE, np.float32)
         for db, scores in pending:
             out[db["slice_index"]] = np.asarray(scores[: db["n"]])
         return out
