@@ -210,3 +210,21 @@ def test_doc_side_filters():
     ]
     assert "king" in matched_texts and "horse" in matched_texts
     assert "stop" not in matched_texts
+
+
+def test_gap_cost_closure_prefix_stable_across_widths():
+    """Equal (constant) round counts make closure prefixes bit-identical
+    across padded widths — a width-derived count measured ~4e-6 drift
+    between widths 256 and 257, enough to flip (doc, slice) ties between
+    find() (own width) and find_batch() (batch-padded width)."""
+    import jax.numpy as jnp
+
+    from vectorian_tpu.ops.alignment import gap_cost_closure
+
+    rng = np.random.default_rng(0)
+    base = np.cumsum(rng.uniform(0, 0.3, size=601)).astype(np.float32)
+    base[0] = 0.0
+    for a, b in [(5, 9), (9, 33), (200, 300), (256, 257), (300, 600)]:
+        wa = np.asarray(gap_cost_closure(jnp.asarray(base[: a + 1])))
+        wb = np.asarray(gap_cost_closure(jnp.asarray(base[: b + 1])))
+        np.testing.assert_array_equal(wa, wb[: a + 1], err_msg=f"{a} vs {b}")

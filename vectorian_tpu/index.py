@@ -1712,8 +1712,10 @@ class BruteForceIndex(Index):
 
         w_s = w_t = None
         if gap_costs is not None:
-            w_s = gap_costs[0].costs(Sw.shape[0] + 1)
-            w_t = gap_costs[1].costs(Sw.shape[1] + 1)
+            from vectorian_tpu.ops.search import gap_vec
+
+            w_s = gap_vec(gap_costs[0], Sw.shape[0] + 1)
+            w_t = gap_vec(gap_costs[1], Sw.shape[1] + 1)
         (mapping,) = batch_tracebacks(
             H[None], Sw[None], np.asarray([ln], np.int32),
             np.asarray([len_t], np.int32), gaps, self._locality,
@@ -1915,11 +1917,13 @@ class BruteForceIndex(Index):
                 complete = complete and m >= tok_d.shape[0]
                 gap_vecs = None
                 if gap_costs is not None:
+                    from vectorian_tpu.ops.search import gap_vec
+
                     gap_vecs = (
                         ms.put_replicated(
-                            gap_costs[0].costs(db["capacity"] + 1)
+                            gap_vec(gap_costs[0], db["capacity"] + 1)
                         ),
-                        ms.put_replicated(gap_costs[1].costs(Tpad + 1)),
+                        ms.put_replicated(gap_vec(gap_costs[1], Tpad + 1)),
                     )
                 bst_d = None
                 if with_boost:
@@ -2250,11 +2254,13 @@ class BruteForceIndex(Index):
                 complete = complete and m >= ctx_d.shape[0]
                 gap_vecs = None
                 if gap_costs is not None:
+                    from vectorian_tpu.ops.search import gap_vec
+
                     gap_vecs = (
                         ms.put_replicated(
-                            gap_costs[0].costs(db["capacity"] + 1)
+                            gap_vec(gap_costs[0], db["capacity"] + 1)
                         ),
-                        ms.put_replicated(gap_costs[1].costs(Tpad + 1)),
+                        ms.put_replicated(gap_vec(gap_costs[1], Tpad + 1)),
                     )
                 out = ms.ctx_score_topk_multiquery(
                     ctx_d, len_d, q_norm, q_unmod, q_mags, lt_arr, gaps,

@@ -307,16 +307,18 @@ def gap_cost_closure(w: jnp.ndarray) -> jnp.ndarray:
         Z = jnp.where(valid, W[:, None] + W[jnp.maximum(diff, 0)], jnp.inf)
         return jnp.minimum(W, jnp.min(Z, axis=0)), None
 
-    # FIXED round count (not width-derived): each round's update is
+    # CONSTANT round count for every width: each round's update is
     # prefix-causal (W[g] reads only W[0..g]), so equal round counts make
     # closure prefixes bit-identical across padded widths — a width-derived
-    # count could tighten a shared entry by 1 ulp via an extra round's
-    # differently-associated composition sum, breaking the byte-equality
-    # between per-query-width and batch-padded general-gap rescores.
-    # 2^8 = 256 composition parts covers every needle width the engine
-    # packs (tokens per slice are bounded far below this).
+    # count tightens a shared entry by ~1 ulp via an extra round's
+    # differently-associated composition sum (measured ~4e-6 between
+    # widths 256 and 257), breaking the byte-equality between
+    # per-query-width and batch-padded general-gap rescores.  16 rounds
+    # close every gap length up to 2^16 (queries are sentences — needle
+    # widths sit orders of magnitude below that); wider vectors take the
+    # width-derived count (unreachable in practice, noted discontinuity).
     rounds = max(int(np.ceil(np.log2(max(n1 - 1, 1)))), 1)
-    rounds = max(rounds, 8) if n1 - 1 <= 256 else rounds
+    rounds = 16 if n1 - 1 <= (1 << 16) else rounds
     W, _ = jax.lax.scan(round_, w, None, length=rounds)
     return W
 

@@ -138,6 +138,18 @@ def quantization_entry_err(sim_dtype, max_abs_dev) -> float:
     return max_abs * 2.0 ** -8
 
 
+def gap_vec(gap_cost_side, n1: int) -> np.ndarray:
+    """THE single constructor for general-gap cost vectors (length ``n1``
+    = padded width + 1; zeros placeholder when the side is None/affine).
+    Every ranking / fused-rescore / stacked-rescore / traceback site must
+    build through here: byte-equality across find/find_batch/mesh depends
+    on the f32 values (and their min-plus closures) being identical at
+    every site."""
+    if gap_cost_side is None:
+        return np.zeros((n1,), np.float32)
+    return np.asarray(gap_cost_side.costs(n1), np.float32)
+
+
 def order_by_score(packed, ids, scores) -> np.ndarray:
     """Positions of ``ids`` in the reference's deterministic match order:
     score desc, then doc id asc, then slice idx asc (match_impl.h:8-42).
@@ -411,9 +423,7 @@ class BucketTopKSource:
         if L not in cache:
             gc = ec["gap_costs"]
             cache[L] = jnp.asarray(
-                gc[0].costs(L + 1)
-                if gc is not None
-                else np.zeros((L + 1,), np.float32)
+                gap_vec(gc[0] if gc is not None else None, L + 1)
             )
         return cache[L]
 
@@ -449,55 +459,62 @@ class BucketTopKSource:
         return smap, bound
 
     def top_k_exactly(self, qi: int, k: int, min_score: float):
-        """(top ids, {sid: device score}) replicating
+        return self.top_k_exactly_many([qi], k, min_score)[0]
+
+    def top_k_exactly_many(self, qis, k: int, min_score: float):
+        """[(top ids, {sid: device score})] per query, replicating
         BruteForceEngine.top_k's tie-complete semantics over the
         still-resident device score matrices: the candidate pool is every
         slice scoring >= the k-th largest value (boundary ties resolve by
-        the (doc, slice) order), completed with one fused
-        select-with-values round when the initial per-bucket fetch might
-        truncate the pool."""
-        smap, bound = self.score_map(qi, min_score)
-        if smap:
-            vals = np.fromiter(smap.values(), np.float32, len(smap))
-            if len(vals) >= k:
-                thr = float(-np.partition(-vals, k - 1)[k - 1])
-            else:
-                thr = min_score
-            cut = max(thr, min_score)
-            if bound >= cut:
-                # unfetched slices could reach the pool: fetch EVERYTHING
-                # >= cut (values included), making the pool complete —
-                # added entries can only raise the k-th value, so the
-                # completed pool still covers every slice >= the true thr
-                ((ids, vmap),) = self.above_vals_many(
-                    [(self.qview(qi), cut, set(smap))]
-                )
-                smap.update(vmap)
+        the (doc, slice) order).  Pools that the initial per-bucket fetch
+        might truncate are completed with ONE fused select-with-values
+        round shared by ALL queries — per-query completion rounds would
+        pay a tunnel round trip each on tie-heavy corpora.  Fetching
+        everything >= the provisional cut can only raise the k-th value,
+        so the completed pool still covers every slice >= the true
+        threshold."""
+        smaps, cuts, unsafe = {}, {}, []
+        for qi in qis:
+            smap, bound = self.score_map(qi, min_score)
+            smaps[qi] = smap
+            if smap:
                 vals = np.fromiter(smap.values(), np.float32, len(smap))
-                if len(vals) >= k:
-                    thr = float(-np.partition(-vals, k - 1)[k - 1])
-                    cut = max(thr, min_score)
-        elif bound >= min_score:
-            ((ids, vmap),) = self.above_vals_many(
-                [(self.qview(qi), min_score, set())]
-            )
-            smap.update(vmap)
-            vals = np.fromiter(smap.values(), np.float32, len(smap))
-            cut = min_score
-            if len(vals) >= k:
-                cut = max(
-                    float(-np.partition(-vals, k - 1)[k - 1]), min_score
+                thr = (
+                    float(-np.partition(-vals, k - 1)[k - 1])
+                    if len(vals) >= k
+                    else min_score
                 )
-        else:
-            return [], smap
-        cand = np.asarray(
-            [sid for sid, sc in smap.items() if sc >= cut], np.int64
-        )
-        if cand.size == 0:
-            return [], smap
-        cvals = np.asarray([smap[int(c)] for c in cand], np.float32)
-        order = order_by_score(self._engine.packed, cand, cvals)
-        return [int(c) for c in cand[order][:k]], smap
+                cuts[qi] = max(thr, min_score)
+            else:
+                cuts[qi] = min_score
+            if bound >= cuts[qi]:
+                unsafe.append(qi)
+        if unsafe:
+            found = self.above_vals_many(
+                [(self.qview(qi), cuts[qi], set(smaps[qi])) for qi in unsafe]
+            )
+            for qi, (_ids, vmap) in zip(unsafe, found):
+                smaps[qi].update(vmap)
+                vals = np.fromiter(
+                    smaps[qi].values(), np.float32, len(smaps[qi])
+                )
+                if len(vals) >= k:
+                    cuts[qi] = max(
+                        float(-np.partition(-vals, k - 1)[k - 1]), min_score
+                    )
+        out = []
+        for qi in qis:
+            smap, cut = smaps[qi], cuts[qi]
+            cand = np.asarray(
+                [sid for sid, sc in smap.items() if sc >= cut], np.int64
+            )
+            if cand.size == 0:
+                out.append(([], smap))
+                continue
+            cvals = np.asarray([smap[int(c)] for c in cand], np.float32)
+            order = order_by_score(self._engine.packed, cand, cvals)
+            out.append(([int(c) for c in cand[order][:k]], smap))
+        return out
 
     def covers_all(self, m: int) -> bool:
         # full buckets alone are NOT enough: ``initial`` truncates the
@@ -1608,12 +1625,13 @@ class BruteForceEngine:
             tw = tag_weights.device_args()
         else:
             tw = TagWeightingSpec.identity_args(T)
-        if gap_costs is not None:
-            gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
-            gv_t = jnp.asarray(gap_costs[1].costs(T + 1))
-        else:
-            gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
-            gv_t = jnp.zeros((T + 1,), jnp.float32)
+        gv_s = jnp.asarray(
+            gap_vec(gap_costs[0] if gap_costs is not None else None,
+                    db["capacity"] + 1)
+        )
+        gv_t = jnp.asarray(
+            gap_vec(gap_costs[1] if gap_costs is not None else None, T + 1)
+        )
         return bvec, tw, gv_s, gv_t
 
     def score_all(
@@ -1769,9 +1787,10 @@ class BruteForceEngine:
                     "gaps": gaps,
                     "gap_costs": gap_costs,
                     "gv_t": jnp.asarray(
-                        gap_costs[1].costs(Tmax + 1)
-                        if gap_costs is not None
-                        else np.zeros((Tmax + 1,), np.float32)
+                        gap_vec(
+                            gap_costs[1] if gap_costs is not None else None,
+                            Tmax + 1,
+                        )
                     ),
                     "locality": locality,
                     "any_tags": tag_weights is not None
@@ -1837,15 +1856,13 @@ class BruteForceEngine:
         for db in self._device_buckets:
             if db["n"] == 0:
                 continue
-            if gap_costs is not None:
-                # the index's gap model is shared by every query in the
-                # batch: ONE [L+1]/[Tpad+1] cost-vector pair serves all Q
-                # (the DP masks columns past each query's len_t)
-                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
-                gv_t = jnp.asarray(gap_costs[1].costs(Tpad + 1))
-            else:
-                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
-                gv_t = jnp.zeros((Tpad + 1,), jnp.float32)
+            # the index's gap model is shared by every query in the
+            # batch: ONE [L+1]/[Tpad+1] cost-vector pair serves all Q
+            # (the DP masks columns past each query's len_t)
+            gc_s = gap_costs[0] if gap_costs is not None else None
+            gc_t = gap_costs[1] if gap_costs is not None else None
+            gv_s = jnp.asarray(gap_vec(gc_s, db["capacity"] + 1))
+            gv_t = jnp.asarray(gap_vec(gc_t, Tpad + 1))
             n_pad = db["tokens"].shape[0]
             if boosts is not None:
                 bmat = np.ones((n_pad, Q), np.float32)
@@ -1907,12 +1924,14 @@ class BruteForceEngine:
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
-            if gap_costs is not None:
-                gv_s = jnp.asarray(gap_costs[0].costs(db["capacity"] + 1))
-                gv_t = jnp.asarray(gap_costs[1].costs(Tpad + 1))
-            else:
-                gv_s = jnp.zeros((db["capacity"] + 1,), jnp.float32)
-                gv_t = jnp.zeros((Tpad + 1,), jnp.float32)
+            gv_s = jnp.asarray(
+                gap_vec(gap_costs[0] if gap_costs is not None else None,
+                        db["capacity"] + 1)
+            )
+            gv_t = jnp.asarray(
+                gap_vec(gap_costs[1] if gap_costs is not None else None,
+                        Tpad + 1)
+            )
             scores = _bucket_scores_multiquery_ctx(
                 self._ctx_stores[name][bi],
                 db["lengths"],
@@ -2446,8 +2465,8 @@ class BruteForceEngine:
                     ln_arr = jnp.asarray(ln_np)
                     lt_arr = jnp.full((gp_rows,), len_t, jnp.int32)
                     if gap_costs is not None:
-                        w_s = gap_costs[0].costs(grp["L"] + 1)
-                        w_t = gap_costs[1].costs(Tw + 1)
+                        w_s = gap_vec(gap_costs[0], grp["L"] + 1)
+                        w_t = gap_vec(gap_costs[1], Tw + 1)
                         grp["w_s"], grp["w_t"] = w_s, w_t
                         if want_flows:
                             H, raw = align_matrices_scores_general(
@@ -2675,19 +2694,15 @@ class BruteForceEngine:
             by_bucket.setdefault(bi, []).append((ri, j, sid))
         refs: List = []
         groups = []
-        gv_t_np = (
-            gap_costs[1].costs(Tmax + 1)
-            if gap_costs is not None
-            else np.zeros((Tmax + 1,), np.float32)
+        gv_t_np = gap_vec(
+            gap_costs[1] if gap_costs is not None else None, Tmax + 1
         )
         gv_t_d = jnp.asarray(gv_t_np)
         for bi, plist in by_bucket.items():
             db = self._device_buckets[bi]
             L = db["capacity"]
-            gv_s_np = (
-                gap_costs[0].costs(L + 1)
-                if gap_costs is not None
-                else np.zeros((L + 1,), np.float32)
+            gv_s_np = gap_vec(
+                gap_costs[0] if gap_costs is not None else None, L + 1
             )
             gv_s_d = jnp.asarray(gv_s_np)
             for c0 in range(0, len(plist), chunk):

@@ -702,8 +702,9 @@ class WMDEngine:
 
         results = []
         packed = engine.packed
+        tops = src.top_k_exactly_many(range(Q), n, min_score)
         for qi, (query, qp) in enumerate(zip(queries, qps)):
-            top, smap = src.top_k_exactly(qi, n, min_score)
+            top, smap = tops[qi]
             states[qi]["scores"] = smap
             matches = (
                 self._host_rescore(
@@ -789,8 +790,9 @@ class WMDEngine:
         results = []
         packed = engine.packed
         rank_min = min_score - SINKHORN_RANK_SLACK
+        tops = src.top_k_exactly_many(range(Q), 4 * n, rank_min)
         for qi, (query, qp) in enumerate(zip(queries, qps)):
-            top, smap = src.top_k_exactly(qi, 4 * n, rank_min)
+            top, smap = tops[qi]
             states[qi]["scores"] = smap
             matches = (
                 self._host_rescore(
