@@ -45,7 +45,10 @@ def _wrap(cls, name):
 _wrap(S.BruteForceEngine, "_dispatch_multi")
 _wrap(S.BucketTopKSource, "__init__")
 _wrap(S.BucketTopKSource, "above_many")
+_wrap(S.BucketTopKSource, "above_exact_many")
+_wrap(S.BucketTopKSource, "_above_impl")
 _wrap(S.BruteForceEngine, "rescore_many")
+_wrap(S.BruteForceEngine, "_stacked_plan_tables")
 _wrap(S.BruteForceEngine, "batch_slice_similarity")
 
 # inside rescore_many: device_get wait vs host traceback
