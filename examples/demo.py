@@ -12,6 +12,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# this environment's jax build IGNORES the JAX_PLATFORMS env var; the
+# config update is the only reliable pin (and only works pre-init)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import vectorian_tpu as vt
