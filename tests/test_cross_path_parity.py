@@ -61,6 +61,9 @@ TRANSPORTS = [
     lambda: WordMoversDistance.rwmd("bow/fast"),
     lambda: WordMoversDistance.wmd("nbow"),
     lambda: WordRotatorsDistance(),
+    # non-injective greedy + symmetric — the variant whose batch kernel
+    # was width-sensitive (mixed-width batches now group by width)
+    lambda: WordMoversDistance.rwmd("nbow/distributed"),
 ]
 
 
@@ -156,3 +159,34 @@ def test_cross_path_parity_options(setup, trial):
     except NotImplementedError:
         return
     assert mgot == got
+
+
+def test_distributed_rwmd_mixed_width_batch(setup):
+    """Non-injective symmetric relaxed WMD ("nbow/distributed") with
+    MIXED needle widths in one batch: the batch kernel's f32 sum
+    reduction tree changes with the padded width (measured 1-ulp drift
+    vs the query's own compile width), so width groups must serve at
+    their own widths — find() and find_batch() stay byte-identical."""
+    session, emb, base = setup
+    p = session.partition("sentence")
+    r = np.random.default_rng(5014)
+    # lengths straddling the 4-token pad bucket: widths 4 and 8 mix
+    qs = [
+        " ".join(r.choice(base, size=k)) for k in (4, 7, 2, 5)
+    ]
+    ix = p.index(
+        OptimizedSpanSim(
+            EmbeddingTokenSim(emb),
+            WordMoversDistance.rwmd("nbow/distributed"),
+        )
+    )
+    for msc in (-0.5, 0.05):
+        want = [
+            [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=msc)]
+            for q in qs
+        ]
+        got = [
+            [(m.slice_id, m.score) for m in rr]
+            for rr in ix.find_batch(qs, n=4, min_score=msc)
+        ]
+        assert got == want

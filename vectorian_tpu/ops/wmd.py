@@ -629,6 +629,29 @@ class WMDEngine:
         )
         Q = len(queries)
         widths = [engine._plan_width(qp) for qp in qps]
+        relaxed_ = self._algorithm == "word-movers-distance" and a.get(
+            "relaxed"
+        )
+        if relaxed_ and len(set(widths)) > 1:
+            # relaxed scores are REPORTED from the device kernel, and f32
+            # sum reduction trees change with the padded needle width (pad
+            # zeros are exact, but they re-pair the real addends — a
+            # measured 1-ulp drift vs the query's own compile width that
+            # can flip (doc, slice) ties against find()).  Serve each
+            # width group at its own width; full-WMD/WRD scores are
+            # host-recomputed exactly, so they keep the single padded pass.
+            groups = {}
+            for qi, w in enumerate(widths):
+                groups.setdefault(w, []).append(qi)
+            out = [None] * Q
+            for w, qis in groups.items():
+                sub = self.find_batch(
+                    index, [queries[i] for i in qis],
+                    [qps[i] for i in qis], n, min_score, mesh=mesh,
+                )
+                for i, rr in zip(qis, sub):
+                    out[i] = rr
+            return out
         Tmax = max(widths)
         sim_multi = jnp.stack(
             [
