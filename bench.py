@@ -250,6 +250,20 @@ def main():
         # smaller chunks compile ~3x faster on the tunneled remote-compile
         # runtime; per-pass dispatch overhead is amortized by Q anyway
         os.environ.setdefault("VECTORIAN_CHUNK", "1024")
+        # hard internal wall for the e2e stage: cold remote compiles can
+        # exceed the driver's timeout, and a killed process loses the
+        # HEADLINE json too — the alarm aborts e2e (raising between python
+        # steps) so the headline always prints
+        import signal
+
+        def _alarm(_sig, _frm):
+            raise TimeoutError("e2e stage exceeded its wall budget")
+
+        try:
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(int(max(budget - (time.time() - t_start) - 90, 60)))
+        except (ValueError, OSError):
+            pass  # non-main thread / platform without SIGALRM
         try:
             e2e_rate, p50_ms, n_slices = bench_e2e(n_e2e)
             out["e2e_alignments_per_sec"] = round(e2e_rate, 1)
@@ -257,6 +271,11 @@ def main():
             out["e2e_slices"] = int(n_slices)
         except Exception as e:  # the headline must still report
             out["e2e_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            try:
+                signal.alarm(0)
+            except (ValueError, OSError):
+                pass
 
     print(json.dumps(out))
 
