@@ -232,6 +232,12 @@ def main():
         "vs_baseline": round(alignments_per_sec / baseline, 4),
     }
 
+    # loss-proof headline: print it BEFORE the e2e stage (a driver kill
+    # inside one blocking remote compile would otherwise lose everything);
+    # the final enriched line reprints the same keys plus the e2e fields,
+    # so tail-parsing drivers pick up the richest line available
+    print(json.dumps(out), flush=True)
+
     e2e_env = os.environ.get("VECTORIAN_BENCH_E2E", "")
     n_e2e = 1_000_000 if e2e_env == "" else int(e2e_env or 0)
     # time budget: remote compiles can eat minutes; the driver must always
@@ -262,7 +268,7 @@ def main():
         try:
             signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(int(max(budget - (time.time() - t_start) - 90, 60)))
-        except (ValueError, OSError):
+        except (ValueError, OSError, AttributeError):
             pass  # non-main thread / platform without SIGALRM
         try:
             e2e_rate, p50_ms, n_slices = bench_e2e(n_e2e)
@@ -274,7 +280,7 @@ def main():
         finally:
             try:
                 signal.alarm(0)
-            except (ValueError, OSError):
+            except (ValueError, OSError, AttributeError):
                 pass
 
     print(json.dumps(out))

@@ -79,7 +79,7 @@ def test_cross_path_parity(setup, trial):
     if trial % 4 == 3:
         ix = p.index(
             OptimizedSpanSim(
-                EmbeddingTokenSim(emb), TRANSPORTS[trial % len(TRANSPORTS)]()
+                EmbeddingTokenSim(emb), TRANSPORTS[(trial // 4) % len(TRANSPORTS)]()
             )
         )
     else:

@@ -677,7 +677,7 @@ class WMDEngine:
             )
         len_ts = jnp.asarray([q.n_tokens for q in queries], jnp.int32)
 
-        relaxed = self._algorithm == "word-movers-distance" and a.get("relaxed")
+        relaxed = relaxed_
         if mesh is not None:
             if relaxed:
                 return self._find_batch_mesh_rwmd(
