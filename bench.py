@@ -118,6 +118,64 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
     return e2e_rate, p50_ms, n_slices
 
 
+def probe_backend(timeout_s: float = 150.0):
+    """Check that the jax backend can initialize AT ALL, in a subprocess.
+
+    The tunneled TPU runtime can wedge so hard that ``jax.devices()`` itself
+    hangs for minutes or raises "Unable to initialize backend 'axon':
+    UNAVAILABLE" (this killed round 2's bench before any JSON printed, see
+    BENCH_r02.json).  A subprocess probe with a hard timeout is the only
+    safe way to test it: an in-process hang would take the bench down with
+    it.  Returns (ok, message).
+    """
+    import subprocess
+
+    code = (
+        "import jax, sys\n"
+        "d = jax.devices()\n"
+        "sys.stdout.write('OK %d %s' % (len(d), d[0].platform))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s (tunnel wedged?)"
+    if r.returncode == 0 and r.stdout.startswith("OK"):
+        return True, r.stdout.strip()
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    return False, tail[-1] if tail else f"probe rc={r.returncode}"
+
+
+def wait_for_backend(budget_s: float):
+    """Retry the backend probe until it succeeds or the budget runs out.
+
+    CLAUDE.md: a wedged tunnel clears by waiting — nothing host-side fixes
+    it.  So we poll with a bounded per-probe timeout and sleep between
+    attempts.  Returns (ok, last_message, waited_s).
+    """
+    t0 = time.time()
+    attempt = 0
+    last = ""
+    while True:
+        attempt += 1
+        remaining = budget_s - (time.time() - t0)
+        if remaining <= 0:
+            return False, last, time.time() - t0
+        ok, last = probe_backend(timeout_s=min(150.0, max(remaining, 30.0)))
+        if ok:
+            return True, last, time.time() - t0
+        _log(f"backend probe #{attempt} failed: {last}")
+        remaining = budget_s - (time.time() - t0)
+        if remaining <= 0:
+            return False, last, time.time() - t0
+        time.sleep(min(60.0, max(remaining, 1.0)))
+
+
 def main():
     import jax
 
@@ -237,6 +295,8 @@ def main():
     # the final enriched line reprints the same keys plus the e2e fields,
     # so tail-parsing drivers pick up the richest line available
     print(json.dumps(out), flush=True)
+    global _HEADLINE_PRINTED
+    _HEADLINE_PRINTED = True
 
     e2e_env = os.environ.get("VECTORIAN_BENCH_E2E", "")
     n_e2e = 1_000_000 if e2e_env == "" else int(e2e_env or 0)
@@ -286,6 +346,49 @@ def main():
     print(json.dumps(out))
 
 
+_HEADLINE_PRINTED = False
+
+
+def _error_json(msg: str) -> None:
+    """The driver tail-parses stdout for ONE json line; emit a diagnosable
+    line (value 0, explicit error field) instead of dying with a stack."""
+    if _HEADLINE_PRINTED:
+        # a good headline already reached stdout — do not downgrade the
+        # tail-parsed line to an error; log the failure to stderr instead
+        _log(f"post-headline failure (headline stands): {msg}")
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "sentence-alignments/sec/chip",
+                "value": 0.0,
+                "unit": "alignments/s",
+                "vs_baseline": 0.0,
+                "error": msg,
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    # gate: never touch the device in-process until a subprocess probe says
+    # the backend initializes — and wait out a wedged tunnel (bounded)
+    probe_budget = float(os.environ.get("VECTORIAN_BENCH_PROBE_BUDGET", "1500"))
+    ok, msg, waited = wait_for_backend(probe_budget)
+    if not ok:
+        _error_json(
+            f"backend unavailable after {waited:.0f}s of probing: {msg}"
+        )
+        sys.exit(0)
+    if waited > 10:
+        _log(f"backend came up after {waited:.0f}s ({msg})")
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the JSON line must still print
+        import traceback
+
+        traceback.print_exc()
+        _error_json(f"{type(e).__name__}: {e}")
+        sys.exit(0)

@@ -57,11 +57,11 @@ def rwmd(sim):
     )
 
 
-def wmd_sinkhorn(sim):
+def wmd_bound(sim):
     return _bucket_emd_scores(
         ("static", 0), tokens, ts, inv, pos, tag, lengths,
         (sim,), (mags,), (), (), (),
-        mass_t, jnp.asarray(0.02, jnp.float32), *tw,
+        mass_t, *tw,
         use_magnitudes=False, normalize_mass=True, chunk=CHUNK,
     )
 
@@ -70,13 +70,13 @@ def wrd(sim):
     return _bucket_emd_scores(
         ("static", 0), tokens, ts, inv, pos, tag, lengths,
         (sim,), (mags,), (), (), (),
-        mass_t, jnp.asarray(0.02, jnp.float32), *tw,
+        mass_t, *tw,
         use_magnitudes=True, normalize_mass=True, chunk=CHUNK,
     )
 
 
 timed("RWMD (nbow symmetric)", rwmd)
-timed("full WMD (Sinkhorn ranking)", wmd_sinkhorn)
-timed("WRD (Sinkhorn ranking)", wrd)
+timed("full WMD (bound ranking)", wmd_bound)
+timed("WRD (bound ranking)", wrd)
 
 os._exit(0)

@@ -134,3 +134,29 @@ def test_relaxed_wmd_parity(setup):
         for q in qs
     ]
     assert single == got
+
+
+def test_full_emd_provable_cut_parity(setup):
+    """Full WMD + WRD on the real chip: the device bound kernel
+    (_emd_score_bound) drives the provable-cut exact rescore — find()
+    and find_batch() must agree byte-for-byte, and the top-k must equal
+    the exhaustive exact-EMD oracle (every slice solved host-side)."""
+    from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
+
+    session, emb, qs = setup
+    for mk in (WordMoversDistance.wmd("nbow"), WordRotatorsDistance()):
+        ix = _spans(session, emb, mk)
+        n_slices = int(ix.packed.n_slices)
+        got = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(qs[:2], n=5, min_score=0.05)
+        ]
+        single = [
+            [(m.slice_id, m.score) for m in ix.find(q, n=5, min_score=0.05)]
+            for q in qs[:2]
+        ]
+        assert single == got
+        # exhaustive oracle for the first query (reference wmd.h:194-270)
+        full = ix.find(qs[0], n=n_slices + 8, min_score=-1.0)
+        want = [(m.slice_id, m.score) for m in full if m.score > 0.05][:5]
+        assert got[0] == want

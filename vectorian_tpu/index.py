@@ -1107,9 +1107,11 @@ class BruteForceIndex(Index):
         The TPU bottleneck of a single query is the per-token vocab gather,
         whose cost is per-index rather than per-byte; stacking the Q query
         similarity matrices column-wise makes the same gather serve every
-        query, so batch throughput scales ~Q-fold.  Static-only alignment
-        metrics; tag weighting is supported; boosters and doc-side filters
-        use the single-query path.
+        query, so batch throughput scales ~Q-fold.  Tag weighting,
+        boosters and doc-side filters all ride the batch kernels (filters
+        compact tokens in-kernel, boosts multiply ranking and rescore
+        alike); only the ``BATCH_HARD_OPTIONS`` delegate to the per-query
+        path.
 
         ``sim_precision``: ``"int8"`` (the default) ranks with a symmetric
         int8 similarity table — quartering the corpus pass's HBM traffic —
@@ -1129,12 +1131,13 @@ class BruteForceIndex(Index):
         Transport metrics: relaxed-WMD batches report the same exact
         scores as ``find()`` (the greedy transport is exact, overfetch
         guards tie-breaks only).  Full-WMD and WRD batches rank on the
-        device with Sinkhorn and exactly rescore a 4n candidate
-        overfetch; the reported scores are exact, but candidate
-        MEMBERSHIP at the overfetch boundary is heuristic — a slice whose
-        Sinkhorn rank fell below the 4n cut can be missed even though its
-        exact score would qualify.  Use ``find()`` per query when strict
-        full-EMD completeness matters."""
+        device with a PROVABLE upper bound on the exact EMD score (the
+        relaxed transport from the lighter-marginal side,
+        ops/wmd._emd_score_bound) and exactly rescore candidates in
+        descending-bound order until every remaining bound sits below the
+        n-th exact score — both the reported scores and the top-k
+        membership match the reference's exhaustive exact EMD
+        (wmd.h:194-270) and ``find()`` byte-for-byte."""
         if self._algorithm != "alignment":
             return self._find_batch_transport(
                 texts, n=n, min_score=min_score, mesh=mesh, **kwargs

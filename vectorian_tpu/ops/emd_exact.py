@@ -3,9 +3,10 @@
 The reference uses pyemd's ``emd_hat_gd_metric<double>`` (vendored submodule,
 vectorian/core/cpp/alignment/pyemd.h:11-17, transport.h:91-145) for full WMD
 and WRD.  Here exact EMD is solved as a linear program with scipy's HiGHS —
-used for (a) golden tests of the batched Sinkhorn kernel and (b) exact
-re-scoring of the device-ranked top-k candidates, so final scores match the
-exact-EMD reference while the corpus-wide ranking runs on TPU.
+used for (a) golden tests of the device transport kernels and (b) exact
+re-scoring of the bound-ranked candidates (ops/wmd._emd_score_bound's
+provable cut), so final scores AND top-k membership match the exact-EMD
+reference while the corpus-wide ranking runs on TPU.
 
 emd_hat semantics for unbalanced problems: the lighter side receives a
 virtual sink; moving mass to the sink costs ``extra_mass_penalty`` (or the

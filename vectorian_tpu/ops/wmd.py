@@ -17,9 +17,13 @@ TPU re-architecture:
   ascending-distance order; leftover mass costs the maximum distance 1.0.
   Both directions batched; `symmetric` takes the tighter.
 * FullSolver / WRD exact EMD (wmd.h:194-270, wrd.h:62-146): device ranking
-  via batched log-domain Sinkhorn (ops/sinkhorn.py), exact host EMD rescore
-  of the top-k (ops/emd_exact.py) so reported scores match the exact
-  reference semantics.
+  via a PROVABLE upper bound on the exact score (the greedy relaxed
+  transport from the lighter-marginal side, see _emd_score_bound), exact
+  host EMD rescore (ops/emd_exact.py) of every candidate whose bound can
+  still reach the reported top-k — so both the reported scores AND the
+  top-k membership match the reference's exhaustive exact-EMD semantics
+  (wmd.h:194-270 solves every slice; here the bound proves which slices
+  can be skipped).
 """
 
 from __future__ import annotations
@@ -33,14 +37,13 @@ import numpy as np
 
 from vectorian_tpu.ops.emd_exact import emd_score
 from vectorian_tpu.ops.search import NEG_SCORE
-from vectorian_tpu.ops.sinkhorn import sinkhorn_emd_score
 
 MAX_SIMILARITY = 1.0
-# normalized-score slack for Sinkhorn-ranked (full WMD / WRD) candidate
-# fetches: the entropic regularization biases device scores by ~1e-3, so the
-# ranking threshold sits this far below min_score (the exact host rescore
-# applies the true cut); heuristic — Sinkhorn has no hard error bound
-SINKHORN_RANK_SLACK = 0.05
+# absolute score slack covering device-f32 vs host-f64 drift in the
+# provable-cut comparisons (greedy reductions over <=128 f32 terms drift
+# ~1e-6 relative; near-balanced direction masking adds ~1e-6·mass/flow):
+# the slack only ever ADDS candidates to the exact rescore, never drops one
+CUT_EPS = 5e-4
 
 
 def dedup_masses(ids, valid) -> np.ndarray:
@@ -131,6 +134,40 @@ def _greedy_fill_cost(w1, D, cap, injective: bool):
     cost = jnp.sum(moved * Df, axis=2)
     leftover = jnp.maximum(w1 - jnp.sum(moved, axis=2), 0.0)
     return jnp.sum(cost + leftover * MAX_SIMILARITY, axis=1)
+
+
+def _emd_score_bound(m_t: jnp.ndarray, m_s: jnp.ndarray, Dts: jnp.ndarray):
+    """[B] provable upper bound on the exact FullSolver score.
+
+    The exact score is ``1 - cost_real/flow`` (wmd.h:252 via emd_score):
+    ``flow = min(sum(m_t), sum(m_s))`` is the real-to-real transported
+    mass, and ``cost_real`` solves the LP whose LIGHTER side's marginals
+    are exact while the heavier side's act as capacities (the emd_hat sink
+    absorbs the imbalance at a constant cost, so the penalty never affects
+    the real flows).  The greedy relaxed fill from the lighter side
+    (per-source independent ascending-distance assignment — the exact RWMD
+    kernel, wmd.h:339-376) is feasible-dominated by every real flow, hence
+    ``greedy <= cost_real`` and ``1 - greedy/flow >= exact score``.
+
+    Near-balanced masses (|sum difference| <= tol) take the max of both
+    directions (tighter, like symmetric RWMD); the direction validity
+    error this introduces is <= tol·max(D)/flow, absorbed by CUT_EPS at
+    the cut comparisons.
+
+    m_t: [B, T] query masses; m_s: [B, L] slice masses; Dts: [B, T, L].
+    """
+    st = jnp.sum(m_t, axis=1)
+    ss = jnp.sum(m_s, axis=1)
+    flow = jnp.minimum(st, ss)
+    tol = 1e-6 * jnp.maximum(st, ss)
+    g_ts = _greedy_fill_cost(m_t, Dts, m_s, False)
+    g_st = _greedy_fill_cost(m_s, jnp.swapaxes(Dts, 1, 2), m_t, False)
+    neg = jnp.asarray(-jnp.inf, g_ts.dtype)
+    g = jnp.maximum(
+        jnp.where(st <= ss + tol, g_ts, neg),
+        jnp.where(ss <= st + tol, g_st, neg),
+    )
+    return 1.0 - g / jnp.maximum(flow, 1e-9)
 
 
 @functools.partial(
@@ -318,7 +355,7 @@ def _bucket_rwmd_scores_multi(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "use_magnitudes", "normalize_mass", "chunk", "n_iters", "n_queries",
+        "use_magnitudes", "normalize_mass", "chunk", "n_queries",
     ),
 )
 def _bucket_emd_scores_multi(
@@ -327,24 +364,22 @@ def _bucket_emd_scores_multi(
     sim_multi: jnp.ndarray,  # [V, T, Q] stacked query similarity tables
     mags_vocab: jnp.ndarray,  # [V] static row magnitudes (WRD masses)
     mass_t: jnp.ndarray,  # [T, Q] per-query masses (counts or magnitudes)
-    eps: jnp.ndarray,
     use_magnitudes: bool,
     normalize_mass: bool,
     chunk: int,
     n_queries: int,
-    n_iters: int = 50,
 ):
-    """[N, Q] full-WMD / WRD Sinkhorn ranking — Q static queries share one
-    corpus pass (gather amortizes like the relaxed batch; the exact EMD
-    rescore on host stays per query)."""
+    """[N, Q] full-WMD / WRD provable score BOUNDS — Q static queries share
+    one corpus pass (gather amortizes like the relaxed batch; the exact EMD
+    rescore on host stays per query, driven by the bound's provable cut)."""
     N, L = token_ids.shape
     n_chunks = N // chunk
 
     def one_chunk(args):
         tokT, ln = args  # [L, c], [c]
         return _emd_chunk_scores_multi(
-            tokT, ln, sim_multi, mags_vocab, mass_t, eps,
-            use_magnitudes, normalize_mass, n_iters,
+            tokT, ln, sim_multi, mags_vocab, mass_t,
+            use_magnitudes, normalize_mass,
         )
 
     tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
@@ -355,11 +390,13 @@ def _bucket_emd_scores_multi(
 
 
 def _emd_chunk_scores_multi(
-    tokT, ln, sim_multi, mags_vocab, mass_t, eps,
-    use_magnitudes: bool, normalize_mass: bool, n_iters: int,
+    tokT, ln, sim_multi, mags_vocab, mass_t,
+    use_magnitudes: bool, normalize_mass: bool,
 ):
-    """[c, Q] Sinkhorn EMD ranking scores for one [L, c] token chunk —
-    shared by the single-chip chunk loop and the mesh shard kernel."""
+    """[c, Q] exact-EMD score upper bounds for one [L, c] token chunk —
+    shared by the single-chip chunk loop and the mesh shard kernel.  The
+    masses replicate the host rescore's exactly (same normalization flag),
+    so _emd_score_bound's guarantee carries to the reported scores."""
     L = tokT.shape[0]
     T, Q = sim_multi.shape[1], sim_multi.shape[2]
     c = ln.shape[0]
@@ -380,7 +417,7 @@ def _emd_chunk_scores_multi(
         m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
     D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
     Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
-    score = sinkhorn_emd_score(m_t, m_s_b, Dts, eps, n_iters)
+    score = _emd_score_bound(m_t, m_s_b, Dts)
     score = score.reshape(c, Q)
     return jnp.where(ln[:, None] > 0, score, NEG_SCORE)
 
@@ -388,7 +425,7 @@ def _emd_chunk_scores_multi(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "use_magnitudes", "normalize_mass", "chunk", "n_iters",
+        "plan", "use_magnitudes", "normalize_mass", "chunk",
         "unique_masses", "with_tags", "with_filter",
     ),
 )
@@ -406,7 +443,6 @@ def _bucket_emd_scores(
     ctx_queries: tuple,
     mixed_weights: tuple,
     mass_t: jnp.ndarray,  # [T] query masses (counts or magnitudes)
-    eps: jnp.ndarray,
     tw_weights: jnp.ndarray,  # [T] f32 (unused unless with_tags)
     tw_pos_t: jnp.ndarray,  # [T] i8
     tw_penalty: jnp.ndarray,  # scalar f32
@@ -417,13 +453,13 @@ def _bucket_emd_scores(
     use_magnitudes: bool,
     normalize_mass: bool,
     chunk: int,
-    # 50 iters @ eps=0.02 matches 100 to ~2e-3 (measured)
-    n_iters: int = 50,
     unique_masses: bool = False,
     with_tags: bool = False,
     with_filter: bool = False,
 ):
-    """Full WMD / WRD device ranking via Sinkhorn (exact rescore on host)."""
+    """Full WMD / WRD device ranking via the provable exact-score upper
+    bound (_emd_score_bound); the exact host EMD rescore, driven by the
+    bound's cut, owns the reported scores AND the top-k membership."""
     from vectorian_tpu.ops.search import _apply_tag_weights
     from vectorian_tpu.ops.simmatrix import eval_plan_chunk
 
@@ -469,7 +505,7 @@ def _bucket_emd_scores(
             m_s = m_s / jnp.maximum(jnp.sum(m_s, axis=1, keepdims=True), 1e-9)
             m_t = m_t / jnp.maximum(jnp.sum(m_t, axis=1, keepdims=True), 1e-9)
         D = jnp.maximum(MAX_SIMILARITY - jnp.swapaxes(S, 1, 2), 0.0)  # [c, T, L]
-        score = sinkhorn_emd_score(m_t, m_s, D, eps, n_iters)
+        score = _emd_score_bound(m_t, m_s, D)
         ok = jnp.sum(valid, axis=1) > 0
         return jnp.where(ok, score, NEG_SCORE)
 
@@ -563,29 +599,67 @@ class WMDEngine:
 
         a = self._args
         relaxed = self._algorithm == "word-movers-distance" and a["relaxed"]
-        overfetch = n if relaxed else 4 * n
-        # Sinkhorn device scores carry ~1e-3 entropic bias: rank-fetch with a
-        # slack below min_score so borderline true matches reach the exact
-        # rescore (which applies the exact threshold); relaxed scores are
-        # exact and need none.  Boosts scale the bias with them.
-        slack = SINKHORN_RANK_SLACK * (
-            max(1.0, float(boost.max())) if boost is not None else 1.0
-        )
-        rank_min = min_score if relaxed else min_score - slack
         use_device = boost is None and debug is None
         state = self._score(
             index, query, qp, doc_filter=doc_filter, device=use_device
         )
         state["boost"] = boost
+        packed = self._engine.packed
+
+        if relaxed:
+            # relaxed scores are the exact product scores; the overfetch
+            # only guards (doc, slice) tie-breaks at the k-th boundary
+            if use_device:
+                from vectorian_tpu.ops.search import BucketTopKSource
+
+                src = BucketTopKSource(self._engine, state["scores"], 1, n)
+                top, smap = src.top_k_exactly(0, n, min_score)
+                state["scores"] = smap
+            else:
+                scores = state["scores"]
+                if boost is not None:
+                    valid = scores > NEG_SCORE * 0.5
+                    scores = np.where(
+                        valid, scores * boost, NEG_SCORE
+                    ).astype(np.float32)
+                    state["scores"] = scores
+                if debug:
+                    debug("scores", {"scores": scores})
+                top = self._engine.top_k(scores, n, min_score=min_score)
+            if not top:
+                return []
+            matches = self._host_rescore(
+                index, query, qp, state, top, min_score, debug
+            )
+            matches.sort(
+                key=lambda m: (
+                    -m.score,
+                    int(packed.slice_doc[m.slice_id]),
+                    int(packed.slice_idx[m.slice_id]),
+                )
+            )
+            return matches[:n]
+
+        # full WMD / WRD: device scores are PROVABLE upper bounds on the
+        # exact score (_emd_score_bound), so exact-rescoring candidates in
+        # descending-bound order until every remaining bound sits below the
+        # n-th exact score reproduces the reference's exhaustive exact-EMD
+        # top-k (wmd.h:194-270) without solving every slice
+        eps = CUT_EPS * (
+            max(1.0, float(boost.max())) if boost is not None else 1.0
+        )
+        rank_min = min_score - eps
         if use_device:
-            # device top-k (engine.top_k semantics) replaces the full
-            # [n_slices] host read — the transport analogue of the fused
-            # alignment pipeline's candidate fetch
             from vectorian_tpu.ops.search import BucketTopKSource
 
-            src = BucketTopKSource(self._engine, state["scores"], 1, overfetch)
-            top, smap = src.top_k_exactly(0, overfetch, rank_min)
+            src = BucketTopKSource(self._engine, state["scores"], 1, n + 32)
+            smap, rest = src.score_map(0, rank_min)
             state["scores"] = smap
+
+            def fetch_all(cut):
+                found = src.above_vals_many([(src.qview(0), cut, set(smap))])
+                return found[0][1]
+
         else:
             scores = state["scores"]
             if boost is not None:
@@ -596,13 +670,104 @@ class WMDEngine:
                 state["scores"] = scores
             if debug:
                 debug("scores", {"scores": scores})
-            top = self._engine.top_k(scores, overfetch, min_score=rank_min)
-        if not top:
-            return []
-        matches = self._host_rescore(
-            index, query, qp, state, top, min_score, debug
+            cand = np.flatnonzero(scores >= rank_min)
+            smap = {int(c): float(scores[c]) for c in cand}
+            rest = float("-inf")  # the host vector is already complete
+            fetch_all = None
+        return self._rescore_with_cut(
+            index, query, qp, state, smap, rest, n, min_score,
+            fetch_all=fetch_all, debug=debug,
         )
+
+    @staticmethod
+    def _nth_cut(matches, n: int, min_score: float) -> float:
+        """The score every further candidate must (weakly) reach: the n-th
+        best exact score so far, or the threshold while fewer than n
+        qualify."""
+        if len(matches) < n:
+            return min_score
+        return sorted((m.score for m in matches), reverse=True)[n - 1]
+
+    def _ordered_by_bound(self, d: dict) -> List[int]:
+        """Candidate sids in descending-bound order ((doc, slice) breaking
+        bound ties — the same deterministic order as the final ranking)."""
+        from vectorian_tpu.ops.search import order_by_score
+
+        if not d:
+            return []
+        ids = np.fromiter(d.keys(), np.int64, len(d))
+        vals = np.asarray([d[int(i)] for i in ids], np.float64)
+        o = order_by_score(self._engine.packed, ids, vals)
+        return [int(i) for i in ids[o]]
+
+    def _consume_ordered(
+        self, index, query, qp, state, smap, cand, matches, n, min_score,
+        eps, debug=None,
+    ) -> None:
+        """Exact-EMD rescore of bound-ordered candidates into ``matches``,
+        in batches (each batch = one batched similarity fetch), stopping
+        once every remaining candidate's bound is provably below the n-th
+        exact score: bound >= exact, so bound < nth - eps cannot displace
+        or tie any reported match."""
+        i = 0
+        step = max(2 * n, 32)
+        while i < len(cand):
+            if (
+                len(matches) >= n
+                and smap[cand[i]] < self._nth_cut(matches, n, min_score) - eps
+            ):
+                return
+            matches.extend(
+                self._host_rescore(
+                    index, query, qp, state, cand[i : i + step], min_score,
+                    debug,
+                )
+            )
+            i += step
+
+    def _rescore_with_cut(
+        self, index, query, qp, state, smap, rest, n, min_score,
+        fetch_all=None, debug=None,
+    ) -> List:
+        """Provably complete full-WMD / WRD top-k (reference parity with
+        wmd.h:194-270's exhaustive exact EMD): ``smap`` maps fetched sids to
+        their provable score bounds, ``rest`` upper-bounds every unfetched
+        slice, ``fetch_all(cut)`` returns the complete {sid: bound} map of
+        everything >= cut (one device completion round; None when smap is
+        already complete).  After the final pass every slice NOT exactly
+        rescored has bound < nth - eps <= exact nth, so it can neither beat
+        nor tie the reported top-k."""
         packed = self._engine.packed
+        boost = state.get("boost")
+        eps = CUT_EPS * (
+            max(1.0, float(np.max(boost))) if boost is not None else 1.0
+        )
+        rank_min = min_score - eps
+        matches: List = []
+        cand0 = self._ordered_by_bound(
+            {s: v for s, v in smap.items() if v >= rank_min}
+        )
+        self._consume_ordered(
+            index, query, qp, state, smap, cand0, matches, n, min_score,
+            eps, debug,
+        )
+        if fetch_all is not None:
+            cut = max(self._nth_cut(matches, n, min_score) - eps, rank_min)
+            if rest >= cut:
+                extra = fetch_all(cut)
+                new = {
+                    int(s): float(v)
+                    for s, v in extra.items()
+                    if int(s) not in smap and v >= cut
+                }
+                smap.update(
+                    {int(s): float(v) for s, v in extra.items()}
+                )
+                self._consume_ordered(
+                    index, query, qp, state, smap,
+                    self._ordered_by_bound(new), matches, n, min_score,
+                    eps, debug,
+                )
         matches.sort(
             key=lambda m: (
                 -m.score,
@@ -746,22 +911,10 @@ class WMDEngine:
             results.append(matches[:n])
         return results
 
-    def _find_batch_emd(
-        self, index, queries, qps, sim_multi, mass_t, states, Tmax,
-        n: int, min_score: float,
-    ) -> List:
-        """Batched full-WMD / WRD: Q queries share one Sinkhorn-ranking
-        corpus pass (the vocab gather amortizes; Sinkhorn itself scales
-        with Q), then the exact EMD rescore runs per query as usual.
-
-        The batched Sinkhorn reduces over the cross-query padded Tmax axis
-        (and a smaller chunk), so RANK scores can differ from the
-        single-query kernel at the last ulp; both are approximate rankings
-        whose 4n-overfetch feeds the same exact EMD rescore, but candidate
-        membership at the exact 4n-th boundary is not bit-guaranteed to
-        match the single-query path (Sinkhorn has no error bound to build
-        a provable cut from)."""
-        engine = self._engine
+    def _batch_emd_masses(self, index, queries, qps, states, Tmax):
+        """(mass_dev [Tmax, Q], normalize, mags_vocab) for a full-WMD / WRD
+        serving batch — the bound kernel's masses mirror the exact host
+        rescore's exactly (provable-cut requirement)."""
         a = self._args
         Q = len(queries)
         is_wrd = self._algorithm == "word-rotators-distance"
@@ -774,20 +927,39 @@ class WMDEngine:
             normalize = bool(a.get("normalize_magnitudes", True))
             mags_vocab = np.asarray(qps[0].static_mags[0], np.float32)
         else:
-            # full WMD: device ranking always on normalized masses
-            # (Sinkhorn scale); the host rescore uses the requested
-            # bow/nbow masses
-            mass_dev = mass_t
-            normalize = True
+            mass_dev = None  # caller already built the bow masses
+            normalize = bool(a["normalize_bow"])
             mags_vocab = np.zeros(
                 (int(qps[0].static_sims[0].shape[0]),), np.float32
             )
+        return mass_dev, normalize, mags_vocab, is_wrd
+
+    def _find_batch_emd(
+        self, index, queries, qps, sim_multi, mass_t, states, Tmax,
+        n: int, min_score: float,
+    ) -> List:
+        """Batched full-WMD / WRD: Q queries share one bound-ranking corpus
+        pass (the vocab gather amortizes like the relaxed batch), then each
+        query's exact EMD rescore runs under the provable cut — candidates
+        are consumed in descending-bound order until every remaining bound
+        sits below the n-th exact score, and one FUSED completion round
+        serves every query whose initial fetch could not prove its cut.
+        Results match the reference's exhaustive exact EMD (wmd.h:194-270)
+        and the single-query ``find()`` byte-for-byte."""
+        engine = self._engine
+        Q = len(queries)
+        mass_dev, normalize, mags_vocab, is_wrd = self._batch_emd_masses(
+            index, queries, qps, states, Tmax
+        )
+        if mass_dev is None:
+            mass_dev = mass_t
 
         pending = []
         for db in engine._device_buckets:
             if db["n"] == 0:
                 continue
-            # Sinkhorn holds [chunk*Q, T, L] potentials: bound chunk*Q
+            # the greedy-fill mask is O(L^2) per (slice, query): bound
+            # chunk*Q like the relaxed batch
             chunk = db["chunk"]
             while chunk > 64 and chunk * Q > 4096:
                 chunk //= 2
@@ -797,33 +969,74 @@ class WMDEngine:
                 sim_multi,
                 jnp.asarray(mags_vocab),
                 jnp.asarray(mass_dev),
-                jnp.asarray(0.02, jnp.float32),
                 use_magnitudes=is_wrd,
                 normalize_mass=normalize,
                 chunk=chunk,
                 n_queries=Q,
             )
             pending.append((db, scores))
-        # device-side per-bucket top-4n (tie-complete, engine.top_k
-        # semantics) replaces the full [n_slices, Q] host read
         from vectorian_tpu.ops.search import BucketTopKSource
 
-        src = BucketTopKSource(engine, pending, Q, 4 * n + 32)
+        src = BucketTopKSource(engine, pending, Q, n + 32)
+        return self._rescore_with_cut_many(
+            index, queries, qps, states, src, n, min_score
+        )
 
-        results = []
-        packed = engine.packed
-        rank_min = min_score - SINKHORN_RANK_SLACK
-        tops = src.top_k_exactly_many(range(Q), 4 * n, rank_min)
-        for qi, (query, qp) in enumerate(zip(queries, qps)):
-            top, smap = tops[qi]
+    def _rescore_with_cut_many(
+        self, index, queries, qps, states, src, n: int, min_score: float,
+    ) -> List:
+        """Batched provable-cut driver over a BucketTopKSource: phase 1
+        consumes each query's fetched bound candidates; queries whose
+        unfetched bound can still reach their n-th exact score share ONE
+        fused completion round (per-query rounds would pay a tunnel round
+        trip each)."""
+        packed = self._engine.packed
+        Q = len(queries)
+        eps = CUT_EPS
+        rank_min = min_score - eps
+        smaps, rests, per_q = [], [], []
+        for qi in range(Q):
+            smap, rest = src.score_map(qi, rank_min)
             states[qi]["scores"] = smap
-            matches = (
-                self._host_rescore(
-                    index, query, qp, states[qi], top, min_score, None
-                )
-                if top
-                else []
+            smaps.append(smap)
+            rests.append(rest)
+        for qi, (query, qp) in enumerate(zip(queries, qps)):
+            matches: List = []
+            cand0 = self._ordered_by_bound(
+                {s: v for s, v in smaps[qi].items() if v >= rank_min}
             )
+            self._consume_ordered(
+                index, query, qp, states[qi], smaps[qi], cand0, matches,
+                n, min_score, eps,
+            )
+            per_q.append(matches)
+        unsafe, cuts = [], {}
+        for qi in range(Q):
+            cut = max(self._nth_cut(per_q[qi], n, min_score) - eps, rank_min)
+            if rests[qi] >= cut:
+                unsafe.append(qi)
+                cuts[qi] = cut
+        if unsafe:
+            found = src.above_vals_many(
+                [(src.qview(qi), cuts[qi], set(smaps[qi])) for qi in unsafe]
+            )
+            for qi, (_ids, vmap) in zip(unsafe, found):
+                new = {
+                    int(s): float(v)
+                    for s, v in vmap.items()
+                    if int(s) not in smaps[qi] and v >= cuts[qi]
+                }
+                smaps[qi].update(
+                    {int(s): float(v) for s, v in vmap.items()}
+                )
+                self._consume_ordered(
+                    index, queries[qi], qps[qi], states[qi], smaps[qi],
+                    self._ordered_by_bound(new), per_q[qi], n, min_score,
+                    eps,
+                )
+        results = []
+        for qi in range(Q):
+            matches = per_q[qi]
             matches.sort(
                 key=lambda m: (
                     -m.score,
@@ -838,44 +1051,34 @@ class WMDEngine:
         self, index, queries, qps, sim_multi, mass_t, states, Tmax,
         n: int, min_score: float, mesh,
     ) -> List:
-        """Mesh-sharded full-WMD / WRD serving batch: per-shard batched
-        Sinkhorn ranking + top-4n all-gather merge, then the exact host EMD
-        rescore per query (same semantics as the single-chip
-        _find_batch_emd — the reported scores are exact, candidate
-        membership at the 4n Sinkhorn boundary stays heuristic)."""
+        """Mesh-sharded full-WMD / WRD serving batch: per-shard bound
+        ranking (the same provable _emd_score_bound) + top-k all-gather
+        merge with a ``next_best`` bound, then the exact host EMD rescore
+        under the provable cut.  A query whose unfetched bound can still
+        reach its n-th exact score triggers ONE full-coverage round
+        (k = every shard row) instead of per-doubling remote compiles —
+        results match the single-chip paths byte-for-byte."""
         import jax
-        from vectorian_tpu.ops.search import order_by_score
         from vectorian_tpu.parallel.mesh import MeshSearch
 
         engine = self._engine
-        a = self._args
         ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
         Q = len(queries)
-        is_wrd = self._algorithm == "word-rotators-distance"
-        if is_wrd:
-            mass_dev = np.zeros((Tmax, Q), np.float32)
-            for qi, (query, qp) in enumerate(zip(queries, qps)):
-                mm = self._static_needle_magnitudes(qp, query, index)
-                mass_dev[: len(mm), qi] = mm
-                states[qi]["mass_t_mag"] = mm
-            normalize = bool(a.get("normalize_magnitudes", True))
-            mags_vocab = np.asarray(qps[0].static_mags[0], np.float32)
-        else:
+        mass_dev, normalize, mags_vocab, is_wrd = self._batch_emd_masses(
+            index, queries, qps, states, Tmax
+        )
+        if mass_dev is None:
             mass_dev = mass_t
-            normalize = True
-            mags_vocab = np.zeros(
-                (int(qps[0].static_sims[0].shape[0]),), np.float32
-            )
 
         table = ms.put_replicated(np.asarray(sim_multi))
         mags_d = ms.put_replicated(mags_vocab)
         mass_d = ms.put_replicated(mass_dev)
-        eps = jnp.asarray(0.02, jnp.float32)
         n_dev = ms.n_devices
+        eps = CUT_EPS
+        rank_min = min_score - eps
+        packed = engine.packed
 
-        k = 4 * n
-        score_maps = [dict() for _ in range(Q)]
-        pending = []
+        shards = []
         for db in engine._device_buckets:
             if db["n"] == 0:
                 continue
@@ -890,56 +1093,71 @@ class WMDEngine:
             ln = np.pad(np.asarray(db["lengths"], np.int32), (0, npad))
             tok_d = jax.device_put(tok, ms._sharded)
             len_d = jax.device_put(ln, ms._sharded)
-            out = ms.emd_topk_multiquery(
-                tok_d, len_d, table, mags_d, mass_d, eps,
-                use_magnitudes=is_wrd, normalize_mass=normalize,
-                k=min(k, tok.shape[0]), chunk=chunk,
-            )
-            pending.append((db, out))
-        for db, (s, i) in pending:
-            s, i = np.asarray(s), np.asarray(i)
-            for q in range(Q):
-                valid = (
-                    (i[q] < db["n"])
-                    & np.isfinite(s[q])
-                    & (s[q] > NEG_SCORE * 0.5)
-                )
-                for sid, sc in zip(
-                    db["slice_index"][i[q][valid]], s[q][valid]
-                ):
-                    score_maps[q][int(sid)] = float(sc)
+            shards.append((db, tok_d, len_d, chunk))
 
-        rank_min = min_score - SINKHORN_RANK_SLACK
-        results = []
-        packed = engine.packed
-        for qi, (query, qp) in enumerate(zip(queries, qps)):
-            smap = score_maps[qi]
-            cand = [sid for sid, sc in smap.items() if sc >= rank_min]
-            if cand:
-                cand_arr = np.asarray(cand, np.int64)
-                vals = np.asarray([smap[c] for c in cand], np.float64)
-                order = order_by_score(packed, cand_arr, vals)
-                top = [int(c) for c in cand_arr[order][: 4 * n]]
-            else:
-                top = []
-            state = dict(states[qi])
-            state["scores"] = smap
-            matches = (
-                self._host_rescore(
-                    index, query, qp, state, top, min_score, None
+        m = n + 32
+        while True:
+            pending = []
+            complete = True
+            for db, tok_d, len_d, chunk in shards:
+                complete = complete and m >= tok_d.shape[0]
+                out = ms.emd_topk_multiquery(
+                    tok_d, len_d, table, mags_d, mass_d,
+                    use_magnitudes=is_wrd, normalize_mass=normalize,
+                    k=min(m, tok_d.shape[0]), chunk=chunk, with_next=True,
                 )
-                if top
-                else []
-            )
-            matches.sort(
-                key=lambda mm: (
-                    -mm.score,
-                    int(packed.slice_doc[mm.slice_id]),
-                    int(packed.slice_idx[mm.slice_id]),
+                pending.append((db, out))
+
+            score_maps = [dict() for _ in range(Q)]
+            rest = np.full((Q,), -np.inf)
+            for db, (s, i, nxt) in pending:
+                s, i = np.asarray(s), np.asarray(i)
+                rest = np.maximum(rest, np.asarray(nxt))
+                for q in range(Q):
+                    valid = (
+                        (i[q] < db["n"])
+                        & np.isfinite(s[q])
+                        & (s[q] > NEG_SCORE * 0.5)
+                    )
+                    for sid, sc in zip(
+                        db["slice_index"][i[q][valid]], s[q][valid]
+                    ):
+                        score_maps[q][int(sid)] = float(sc)
+
+            results = []
+            retry = False
+            for qi, (query, qp) in enumerate(zip(queries, qps)):
+                smap = score_maps[qi]
+                state = dict(states[qi])
+                state["scores"] = smap
+                matches: List = []
+                cand0 = self._ordered_by_bound(
+                    {s: v for s, v in smap.items() if v >= rank_min}
                 )
-            )
-            results.append(matches[:n])
-        return results
+                self._consume_ordered(
+                    index, query, qp, state, smap, cand0, matches,
+                    n, min_score, eps,
+                )
+                cut = max(self._nth_cut(matches, n, min_score) - eps,
+                          rank_min)
+                # provable cut: every unfetched slice's bound (hence its
+                # exact score) sits below anything that can reach the top-k
+                if not complete and rest[qi] >= cut:
+                    retry = True
+                    break
+                matches.sort(
+                    key=lambda mm: (
+                        -mm.score,
+                        int(packed.slice_doc[mm.slice_id]),
+                        int(packed.slice_idx[mm.slice_id]),
+                    )
+                )
+                results.append(matches[:n])
+            if not retry:
+                return results
+            # unsafe cut: full coverage in one more round (complete=True
+            # next pass) — avoids a fresh remote compile per doubling
+            m = max(tok_d.shape[0] for _, tok_d, *_ in shards)
 
     def _find_batch_mesh_rwmd(
         self, index, queries, qps, sim_multi, mass_t, len_ts, states,
@@ -1072,10 +1290,12 @@ class WMDEngine:
                 doc_filter=doc_filter, device=device,
             )
         elif self._algorithm == "word-movers-distance":
-            # device ranking always on normalized masses (Sinkhorn scale);
-            # the exact host rescore below uses the requested bow/nbow masses
+            # bound masses MUST mirror the exact host rescore's (same
+            # bow/nbow normalization) — _emd_score_bound's guarantee is
+            # relative to the masses the LP actually solves
             scores = self._score_buckets_emd(
-                qp, mass_t, use_magnitudes=False, normalize=True,
+                qp, mass_t, use_magnitudes=False,
+                normalize=bool(a["normalize_bow"]),
                 unique=unique, tagw=tagw, doc_filter=doc_filter,
                 device=device,
             )
@@ -1341,7 +1561,6 @@ class WMDEngine:
                 ctx_q,
                 weights,
                 jnp.asarray(mass_t, jnp.float32),
-                jnp.asarray(0.02, jnp.float32),
                 *tw,
                 *df,
                 use_magnitudes=use_magnitudes,

@@ -395,7 +395,7 @@ class MeshSearch:
         jax.jit,
         static_argnames=(
             "self", "use_magnitudes", "normalize_mass", "k", "chunk",
-            "n_iters",
+            "with_next",
         ),
     )
     def emd_topk_multiquery(
@@ -405,19 +405,20 @@ class MeshSearch:
         sim_multi: jnp.ndarray,  # [V, T, Q] replicated
         mags_vocab: jnp.ndarray,  # [V] replicated (WRD masses)
         mass_t: jnp.ndarray,  # [T, Q] per-query masses
-        eps: jnp.ndarray,  # Sinkhorn regularization
         use_magnitudes: bool,
         normalize_mass: bool,
         k: int = 10,
-        chunk: int = 64,  # Sinkhorn holds [chunk*Q, T, L]; must divide N/d
-        n_iters: int = 50,
+        chunk: int = 64,  # greedy fill holds [chunk*Q, ., .]; divides N/d
+        with_next: bool = False,
     ):
-        """Full-WMD / WRD serving batch over the mesh: each shard runs the
-        batched Sinkhorn ranking over its slices (in ``chunk``-sized pieces
-        — the potentials are [chunk*Q, T, L]), local top-k, one all-gather
-        merge (the transport analogue of score_topk_multiquery; ranking is
-        approximate, the caller's exact host EMD rescore is the product
-        score — wmd.h:194-270 semantics)."""
+        """Full-WMD / WRD serving batch over the mesh: each shard ranks its
+        slices with the PROVABLE exact-score upper bound (_emd_score_bound,
+        in ``chunk``-sized pieces), local top-k, one all-gather merge (the
+        transport analogue of score_topk_multiquery).  ``next_best`` (when
+        ``with_next``) upper-bounds every slice outside the returned set,
+        so the caller's exact host EMD rescore can prove its cut — full
+        wmd.h:194-270 exhaustive-exact semantics without solving every
+        slice."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -438,20 +439,23 @@ class MeshSearch:
             def one_chunk(args):
                 tok_c, ln_c = args  # [chunk, L], [chunk]
                 return _emd_chunk_scores_multi(
-                    tok_c.T, ln_c, sim_multi, mags_vocab, mass_t, eps,
-                    use_magnitudes, normalize_mass, n_iters,
+                    tok_c.T, ln_c, sim_multi, mags_vocab, mass_t,
+                    use_magnitudes, normalize_mass,
                 )
 
             xs = (tok.reshape(n_chunks, chunk, L),
                   ln.reshape(n_chunks, chunk))
             scores = jax.lax.map(one_chunk, xs).reshape(sn, Q)
-            return _merge_local_topk(scores, axis, shard_n, n_dev, k, False)
+            return _merge_local_topk(
+                scores, axis, shard_n, n_dev, k, with_next
+            )
 
+        out_specs = (P(), P(), P()) if with_next else (P(), P())
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
             in_specs=(P(axis), P(axis)),
-            out_specs=(P(), P()),
+            out_specs=out_specs,
             check_vma=False,
         )
         return fn(token_ids, lengths)
