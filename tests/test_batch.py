@@ -174,17 +174,44 @@ def test_unsafe_cut_rescore_is_tie_bounded(monkeypatch):
     assert sum(rescored) < 140, rescored
 
 
-def test_find_batch_hard_options_delegate(session_ix):
-    """Options the batch kernels cannot take (submatch_weight) delegate to
-    the exact single-query path."""
+def test_find_batch_submatch_weight_matches_single(session_ix):
+    """submatch_weight rides the batch kernels (_finalize_submatch_many:
+    closed-form-bounded 4n overfetch + flow-aware exact rescore) and
+    returns byte-identical results to find()'s per-query path."""
     session, index, locations = session_ix
     qs = ["the old king rides the grey horse", "a small bird sings"]
-    batch = index.find_batch(qs, n=4, min_score=-5.0, submatch_weight=0.5)
-    for q, br in zip(qs, batch):
-        sr = index.find(q, n=4, min_score=-5.0, submatch_weight=0.5)
-        got = [(m.slice_id, m.score) for m in br]
-        want = [(m.slice_id, m.score) for m in sr]
-        assert got == want, q
+    for prec in ("float32", "int8"):
+        batch = index.find_batch(
+            qs, n=4, min_score=-5.0, submatch_weight=0.5, sim_precision=prec
+        )
+        for q, br in zip(qs, batch):
+            sr = index.find(q, n=4, min_score=-5.0, submatch_weight=0.5)
+            got = [(m.slice_id, m.score) for m in br]
+            want = [(m.slice_id, m.score) for m in sr]
+            assert got == want, (q, prec)
+
+
+def test_find_batch_bidirectional_matches_single(session_ix):
+    """bidirectional rides the batch kernels (both orientations on the
+    stacked table, exact-score merge with forward winning ties) and
+    returns byte-identical results to find()."""
+    session, index, locations = session_ix
+    qs = ["horse grey the rides king old the", "a small bird sings"]
+    for kw in (
+        {"bidirectional": True},
+        {"bidirectional": True, "submatch_weight": 0.4},
+    ):
+        batch = index.find_batch(qs, n=4, min_score=-5.0, **kw)
+        for q, br in zip(qs, batch):
+            sr = index.find(q, n=4, min_score=-5.0, **kw)
+            got = [(m.slice_id, m.score) for m in br]
+            want = [(m.slice_id, m.score) for m in sr]
+            assert got == want, (q, kw)
+        # the reversed-needle orientation must actually WIN somewhere:
+        # the corpus plants the reversed query as a sentence
+        plain = index.find(qs[0], n=4, min_score=-5.0)
+        bi = index.find(qs[0], n=4, min_score=-5.0, bidirectional=True)
+        assert bi[0].score >= plain[0].score
 
 
 def test_score_all_multi_mixed_tag_batch(session_ix):

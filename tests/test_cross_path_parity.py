@@ -161,6 +161,54 @@ def test_cross_path_parity_options(setup, trial):
     assert mgot == got
 
 
+@pytest.mark.parametrize("trial", range(6))
+def test_cross_path_parity_submatch_bidirectional(setup, trial):
+    """Campaign extension for the last batch-served options
+    (BATCH_HARD_OPTIONS shrank to {'debug'}): ``submatch_weight`` (the
+    closed-form-bounded overfetch finalizer) and ``bidirectional`` (both
+    orientations on the stacked table, exact-score merge), alone and
+    combined, across gap models / localities / tag weights —
+    find()/find_batch()/mesh byte-equality."""
+    session, emb, base = setup
+    p = session.partition("sentence")
+    r = np.random.default_rng(9100 + trial)
+    qs = [
+        " ".join(r.choice(base, size=int(r.integers(2, 8)))) for _ in range(3)
+    ]
+    msc = float(r.uniform(-0.5, 0.15))
+    kwargs = {}
+    if trial % 3 != 1:
+        kwargs["submatch_weight"] = float(r.uniform(0.1, 1.0))
+    if trial % 3 != 0:
+        kwargs["bidirectional"] = True
+    gap = GAPS[trial % 4](r)
+    if trial % 2 == 1:
+        ix = p.index(
+            OptimizedSpanSim(
+                EmbeddingTokenSim(emb), LOCS[trial % 3](gap),
+                tag_weights={"NN": 0.8, "JJ": 0.4},
+                pos_mismatch_penalty=0.2,
+            )
+        )
+    else:
+        ix = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), LOCS[trial % 3](gap)))
+    want = [
+        [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=msc, **kwargs)]
+        for q in qs
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in rr]
+        for rr in ix.find_batch(qs, n=4, min_score=msc, **kwargs)
+    ]
+    assert got == want
+    ms = vt.MeshSearch(vt.make_mesh())
+    mgot = [
+        [(m.slice_id, m.score) for m in rr]
+        for rr in ix.find_batch(qs, n=4, min_score=msc, mesh=ms, **kwargs)
+    ]
+    assert mgot == got
+
+
 def test_distributed_rwmd_mixed_width_batch(setup):
     """Non-injective symmetric relaxed WMD ("nbow/distributed") with
     MIXED needle widths in one batch: the batch kernel's f32 sum

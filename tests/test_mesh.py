@@ -241,7 +241,7 @@ def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
     session, index = session_ix_mesh
     ms = MeshSearch(make_mesh())
     with pytest.raises(NotImplementedError):
-        index.find_batch(["king"], n=2, mesh=ms, submatch_weight=0.5)
+        index.find_batch(["king"], n=2, mesh=ms, debug=lambda *a: None)
     emb = session.embeddings[0]
     # transport + tag weights cannot ride the mesh transport kernels
     wix = session.partition("sentence").index(

@@ -105,6 +105,36 @@ def _submatch_upper_bound(
     return np.where(d < 0, d, ub)
 
 
+def _submatch_fetch_thresh(
+    t: float, norm_total: float, w: float, sim_max: float, eps_q: float
+) -> float:
+    """Largest device score provably unable to reach a submatch-rescored
+    score of ``t``: every slice whose exact rescored score can reach t has
+    device score STRICTLY above the returned threshold, so fetching
+    everything >= it is a provably complete extras round.  The bound
+    ``_submatch_upper_bound`` is monotone in the device score (``eps_q``
+    covers device-vs-exact ranking drift), so the inverse is a bisection.
+    Returns -inf when even deeply negative device scores can't be excluded
+    (then the caller reads everything)."""
+
+    def ub(d: float) -> float:
+        return float(
+            _submatch_upper_bound(d + eps_q, norm_total, w, sim_max)
+        )
+
+    lo = min(-1.0, float(t) - 1.0)
+    hi = max(float(t), lo + 1.0)  # ub(d) >= d, so ub(hi) >= t
+    if ub(lo) >= t:
+        return -np.inf
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if ub(mid) >= t:
+            hi = mid
+        else:
+            lo = mid
+    return lo
+
+
 def _metric_ctx_names(token_sim):
     """Names of the contextual embeddings a token-sim tree actually uses."""
     return {
@@ -141,12 +171,19 @@ def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True,
 
 # per-query options the batched kernels do not take: find_batch delegates
 # (or, with a mesh, raises) instead of silently ignoring them.  The static
-# batch kernels DO take boosters and doc-side filters (BATCH_HARD_OPTIONS
-# is the remaining truly-delegated set); the contextual batch still
-# delegates the full set.
-BATCH_HARD_OPTIONS = frozenset({"bidirectional", "submatch_weight", "debug"})
+# batch kernels take boosters, doc-side filters, ``submatch_weight``
+# (closed-form-bounded overfetch, ``_finalize_submatch_many``) and
+# ``bidirectional`` (both orientations ride the stacked table; exact-score
+# merge) — only ``debug`` remains truly delegated, plus the
+# submatch+booster combination (per-slice boosts are not modeled by the
+# closed-form bound; find() serves it per query).  The contextual batch
+# still delegates the full set.
+BATCH_HARD_OPTIONS = frozenset({"debug"})
 BATCH_DELEGATED_OPTIONS = BATCH_HARD_OPTIONS | frozenset(
-    {"booster", "pos_filter", "tag_filter", "token_filter"}
+    {
+        "bidirectional", "submatch_weight",
+        "booster", "pos_filter", "tag_filter", "token_filter",
+    }
 )
 
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
@@ -772,6 +809,48 @@ class BruteForceIndex(Index):
                 out[sid] = float(s)
             return out
 
+        if (
+            debug is None
+            and opts.get("bidirectional")
+            and qp.is_static_only
+            and not (submatch_weight != 0.0 and boost is not None)
+        ):
+            # fused bidirectional: both orientations ride ONE stacked-table
+            # corpus pass through the same finalizer find_batch uses, then
+            # merge by exact score with forward winning ties — so
+            # find()/find_batch() stay byte-equal.  (The reference scores
+            # both orientations exactly and keeps the better match,
+            # query.cpp:81-84; the old two-pass full-read path below picked
+            # the orientation by DEVICE score, which can differ at 1-ulp
+            # ties — it remains only for debug/contextual/boosted-submatch.)
+            qp_rev = _reverse_plan(qp, T)
+            tagw_rev = _reverse_tagw(tagw, T)
+            k_fetch = (4 * n + 32) if submatch_weight != 0.0 else (n + 32)
+            src = self._engine.score_topk_multi(
+                [qp, qp_rev], [T, T], gaps, self._locality,
+                [norm_total, norm_total], k_fetch,
+                tag_weights=[tagw, tagw_rev] if tagw is not None else None,
+                gap_costs=gap_costs, doc_filter=doc_filter,
+                boosts=[boost, boost] if boost is not None else None,
+            )
+            if query.query.aborted:
+                return []
+            items = [
+                (src.qview(0), qp, query, norm_total, tagw, boost),
+                (src.qview(1), qp_rev, query, norm_total, tagw_rev, boost),
+            ]
+            if submatch_weight != 0.0:
+                pair = self._finalize_submatch_many(
+                    items, gaps, n, min_score, 0.0, submatch_weight,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )
+            else:
+                pair = self._finalize_quantized_many(
+                    items, gaps, token_sim.name, n, min_score, 0.0,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                )
+            return self._merge_bidirectional(pair[0], pair[1], query, n)
+
         if debug is None and not opts.get("bidirectional"):
             # low-latency path: device-side top-k, only O(buckets*k) values
             # cross to the host
@@ -1166,12 +1245,19 @@ class BruteForceIndex(Index):
             ]
         # options the batched kernel genuinely cannot take — delegate to
         # the exact single-query path rather than silently ignoring them
-        if BATCH_HARD_OPTIONS & set(kwargs):
+        submatch_w = float(kwargs.get("submatch_weight") or 0.0)
+        bidirectional = bool(kwargs.get("bidirectional"))
+        delegated = BATCH_HARD_OPTIONS & set(kwargs)
+        if submatch_w != 0.0 and kwargs.get("booster") is not None:
+            # per-slice boosts are not modeled by the closed-form submatch
+            # bound — find() serves this combination through its per-query
+            # 4n heuristic; the batch must match those semantics exactly
+            delegated = delegated | {"submatch_weight"}
+        if delegated:
             if mesh is not None:
                 raise NotImplementedError(
                     "mesh find_batch does not take per-query options "
-                    f"({sorted(BATCH_HARD_OPTIONS & set(kwargs))}); use the "
-                    "single-chip path"
+                    f"({sorted(delegated)}); use the single-chip path"
                 )
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
@@ -1207,11 +1293,33 @@ class BruteForceIndex(Index):
             if live:
                 doc_filter = self._doc_filter(live[0])
 
+        # bidirectional: both orientations ride the SAME stacked table as
+        # extra subqueries (reversed needle columns); per-query results
+        # merge by exact score afterwards (_merge_bidirectional) — the
+        # reference scores both orientations exactly too (query.cpp:81-84)
+        Q0 = len(prepared)
+        if bidirectional:
+            plans = plans + [
+                _reverse_plan(qp, max(pq.n_tokens, 1))
+                for qp, pq in zip(plans, prepared)
+            ]
+            tagws = tagws + [
+                _reverse_tagw(tw, max(pq.n_tokens, 1)) if tw else None
+                for tw, pq in zip(tagws, prepared)
+            ]
+            prepared = prepared + prepared
+            len_ts = len_ts + len_ts
+            norm_totals = norm_totals + norm_totals
+            if boosts is not None:
+                boosts = boosts + boosts
+
         if mesh is not None:
             return self._find_batch_mesh(
                 prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
                 sim_precision, quantize, token_sim.name, n, min_score,
                 mesh, start_time, boosts=boosts, doc_filter=doc_filter,
+                submatch_w=submatch_w,
+                bidir_q0=Q0 if bidirectional else None,
             )
 
         # device-side per-bucket top-k for every batch — only
@@ -1220,16 +1328,19 @@ class BruteForceIndex(Index):
         # in-kernel (the exact rescore re-applies them host-side under the
         # boost-scaled eps slack)
         entry_err = 0.0
+        # submatch rescoring can lift slices past device-ranked candidates:
+        # fetch the 4n closed-form-bounded overfetch (find()'s k)
+        k_fetch = (4 * n + 32) if submatch_w != 0.0 else (n + 32)
         if quantize:
             src, entry_err = self._engine.score_topk_multi(
                 plans, len_ts, gaps, self._locality, norm_totals,
-                n + 32, sim_dtype=sim_precision, with_err=True,
+                k_fetch, sim_dtype=sim_precision, with_err=True,
                 gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
             )
         else:
             src = self._engine.score_topk_multi(
                 plans, len_ts, gaps, self._locality, norm_totals,
-                n + 32, tag_weights=tagws if any_tags else None,
+                k_fetch, tag_weights=tagws if any_tags else None,
                 gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
             )
 
@@ -1253,17 +1364,34 @@ class BruteForceIndex(Index):
                 )
             )
             item_qis.append(qi)
-        per_q = self._finalize_quantized_many(
-            items, gaps, token_sim.name, n, min_score, entry_err,
-            gap_costs=gap_costs, doc_filter=doc_filter,
-        )
+        if submatch_w != 0.0:
+            per_q = self._finalize_submatch_many(
+                items, gaps, n, min_score, entry_err, submatch_w,
+                gap_costs=gap_costs, doc_filter=doc_filter,
+            )
+        else:
+            per_q = self._finalize_quantized_many(
+                items, gaps, token_sim.name, n, min_score, entry_err,
+                gap_costs=gap_costs, doc_filter=doc_filter,
+            )
         matches_by_qi = dict(zip(item_qis, per_q))
+        if bidirectional:
+            matches_by_qi = {
+                qi: self._merge_bidirectional(
+                    matches_by_qi.get(qi, []),
+                    matches_by_qi.get(qi + Q0, []),
+                    prepared[qi],
+                    n,
+                )
+                for qi in range(Q0)
+                if qi in matches_by_qi or (qi + Q0) in matches_by_qi
+            }
         elapsed = time.time() - start_time
         return [
             Result(self, matches_by_qi[qi], elapsed)
             if qi in matches_by_qi
             else Result(self, [], 0.0)
-            for qi in range(len(prepared))
+            for qi in range(Q0)
         ]
 
     def _prepare_static_batch(self, texts, n, min_score, sim_precision, kwargs):
@@ -1727,6 +1855,211 @@ class BruteForceIndex(Index):
         sims = edge_sims_of(mapping, Su, len_t)
         return np.asarray(mapping, np.int32), sims
 
+    def _submatch_matches(
+        self, pq, cand, res, tagw, norm_total, submatch_w, min_score, n,
+    ) -> List["Match"]:
+        """Submatch-rescored matches from one ``rescore_many`` result —
+        the batched analogue of find()'s rescore_with_flows +
+        ``_exact_scores`` + ``_build_matches`` chain, running the identical
+        f32 arithmetic so find()/find_batch() stay byte-equal."""
+        token_sim = self._args["metric"]["token_sim"]
+        mappings, edge_sims, raw = res
+        nt = np.float32(max(norm_total, 1e-9))
+        exact = {}
+        for j, sid in enumerate(cand):
+            exact[sid] = float(np.float32(raw[j]) / nt)
+        return self._build_matches(
+            pq, token_sim, cand, mappings, edge_sims, exact.__getitem__,
+            submatch_w, tagw, norm_total, min_score, n, None,
+        )
+
+    def _submatch_cut_from_rescore(
+        self, res, cand, rest_max, pq, plan, tagw, norm_total,
+        n: int, min_score: float, eps_q: float, submatch_w: float,
+    ) -> Optional[List["Match"]]:
+        """Submatch variant of ``_cut_from_rescore``: the cut is proved on
+        the RESCORED scale — the closed-form bound lifts the best device
+        score outside the candidate set (`rest_max`, drift-padded by
+        ``eps_q``) to an upper bound on any unfetched slice's rescored
+        score.  Returns None when unsafe."""
+        matches = self._submatch_matches(
+            pq, cand, res, tagw, norm_total, submatch_w, min_score, n
+        )
+        s_n = matches[n - 1].score if len(matches) >= n else min_score
+        sim_max = plan_sim_upper(plan)
+        if np.isfinite(sim_max):
+            ub = float(
+                _submatch_upper_bound(
+                    rest_max + eps_q, norm_total, submatch_w, sim_max
+                )
+            )
+            if ub < s_n - 1e-6:
+                return matches
+        return None
+
+    def _finalize_submatch_many(
+        self, items, gaps, n: int, min_score: float, entry_err: float,
+        submatch_w: float, gap_costs=None, doc_filter=None,
+    ) -> List[List["Match"]]:
+        """Batched finalizer for submatch-rescored queries (w > 0,
+        reference_score semantics metric/alignment.h:84-106).  Every
+        candidate's exact score needs its FLOW mapping (the matched-token
+        count enters reference_score), so round 1 always rescores with
+        flows; the cut is proved through the closed-form submatch upper
+        bound on the device next-best value (find()'s single-query logic),
+        and unsafe queries fetch extras against the bound's bisected
+        inverse threshold — provably complete, like the w=0 finalizer.
+
+        ``items`` = (src_or_scores, plan, pq, norm_total, tagw, boost);
+        boosted items are rejected (callers delegate boosted submatch to
+        the per-query path — per-slice boosts are not modeled by the
+        bound, matching find())."""
+        engine = self._engine
+        packed = engine.packed
+        k0 = 4 * n + 32
+        meta, reqs = [], []
+        for (src_or_scores, plan, pq, norm_total, tagw, boost) in items:
+            assert boost is None, "boosted submatch delegates per query"
+            src = (
+                HostVecSource(engine, src_or_scores)
+                if isinstance(src_or_scores, np.ndarray)
+                else src_or_scores
+            )
+            cand, rest_max = src.initial(k0, -1e30)
+            meta.append({"src": src, "cand": cand, "rest_max": rest_max})
+            reqs.append(
+                {
+                    "slice_ids": cand,
+                    "qp": plan,
+                    "len_t": pq.n_tokens,
+                    "tag_weights": tagw,
+                    "want_flows": True,
+                }
+            )
+        res1 = engine.rescore_many(
+            reqs, gaps, self._locality, gap_costs=gap_costs,
+            doc_filter=doc_filter,
+        )
+
+        above_calls = []
+        for qi, (item, m, res) in enumerate(zip(items, meta, res1)):
+            (_s, plan, pq, norm_total, tagw, _b) = item
+            matches = self._submatch_matches(
+                pq, m["cand"], res, tagw, norm_total, submatch_w,
+                min_score, n,
+            )
+            m["matches"] = matches
+            if m["src"].covers_all(k0):
+                continue
+            s_n = matches[n - 1].score if len(matches) >= n else min_score
+            eps_q = self._quant_eps(entry_err, pq, norm_total, plan=plan)
+            sim_max = plan_sim_upper(plan)
+            if np.isfinite(sim_max):
+                ub = float(
+                    _submatch_upper_bound(
+                        m["rest_max"] + eps_q, norm_total, submatch_w,
+                        sim_max,
+                    )
+                )
+                if ub < s_n - 1e-6:
+                    continue
+                thr = _submatch_fetch_thresh(
+                    s_n - 1e-6, norm_total, submatch_w, sim_max, eps_q
+                )
+            else:
+                # unknowable similarity ceiling: rescore everything —
+                # still a provable cut (mirrors find()'s full-read branch)
+                thr = -np.inf
+            above_calls.append(
+                (qi, m["src"], thr, set(int(c) for c in m["cand"]))
+            )
+
+        extra_reqs, extra_qis = [], []
+        if above_calls:
+            by_parent = {}
+            for call in above_calls:
+                by_parent.setdefault(id(call[1].parent), []).append(call)
+            for calls in by_parent.values():
+                parent = calls[0][1].parent
+                found = parent.above_many(
+                    [(src, thr, seen) for _, src, thr, seen in calls]
+                )
+                for (qi, _s, _t, _e), ids in zip(calls, found):
+                    if ids:
+                        meta[qi]["extra"] = ids
+            for qi, m in enumerate(meta):
+                if "extra" not in m:
+                    continue
+                (_s, plan, pq, _nt, tagw, _b) = items[qi]
+                extra_reqs.append(
+                    {
+                        "slice_ids": m["extra"],
+                        "qp": plan,
+                        "len_t": pq.n_tokens,
+                        "tag_weights": tagw,
+                        "want_flows": True,
+                    }
+                )
+                extra_qis.append(qi)
+        res2 = (
+            engine.rescore_many(
+                extra_reqs, gaps, self._locality, gap_costs=gap_costs,
+                doc_filter=doc_filter,
+            )
+            if extra_reqs
+            else []
+        )
+        for qi, res in zip(extra_qis, res2):
+            (_s, plan, pq, norm_total, tagw, _b) = items[qi]
+            more = self._submatch_matches(
+                pq, meta[qi]["extra"], res, tagw, norm_total, submatch_w,
+                min_score, n,
+            )
+            merged = sorted(
+                meta[qi]["matches"] + more,
+                key=lambda mt: (
+                    -mt.score,
+                    int(packed.slice_doc[mt.slice_id]),
+                    int(packed.slice_idx[mt.slice_id]),
+                ),
+            )
+            meta[qi]["matches"] = merged[:n]
+        engine.release_stack_memo()
+        return [m["matches"] for m in meta]
+
+    def _merge_bidirectional(self, fwd, rev, pq, n: int) -> List["Match"]:
+        """Exact-score max over the two needle orientations (reference
+        'bidirectional' option, query.cpp:81-84): sorting is a total order
+        ((score desc, doc, slice)), so every combined top-n member appears
+        in its winning orientation's own top-n — merging the two
+        per-orientation top-n lists IS the combined top-n.  Forward wins
+        score ties; reversed-orientation mappings translate back to
+        forward needle positions (mapping[::-1], like find()'s old
+        two-pass path)."""
+        packed = self._engine.packed
+        best = {mt.slice_id: mt for mt in fwd}
+        for mt in rev:
+            cur = best.get(mt.slice_id)
+            if cur is None or mt.score > cur.score:
+                best[mt.slice_id] = Match(
+                    self,
+                    pq,
+                    slice_id=mt.slice_id,
+                    score=mt.score,
+                    metric=mt.metric,
+                    mapping=np.asarray(mt._mapping)[::-1].copy(),
+                    similarities=np.asarray(mt._similarities)[::-1].copy(),
+                )
+        out = sorted(
+            best.values(),
+            key=lambda mt: (
+                -mt.score,
+                int(packed.slice_doc[mt.slice_id]),
+                int(packed.slice_idx[mt.slice_id]),
+            ),
+        )
+        return out[:n]
+
     def _quant_eps(
         self, entry_err: float, pq, norm_total: float, plan=None
     ) -> float:
@@ -1835,7 +2168,7 @@ class BruteForceIndex(Index):
     def _find_batch_mesh(
         self, prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
         sim_precision, quantize, metric_name, n, min_score, mesh, start_time,
-        boosts=None, doc_filter=None,
+        boosts=None, doc_filter=None, submatch_w=0.0, bidir_q0=None,
     ) -> List[Result]:
         """Mesh-sharded serving batch: every bucket's slice axis is sharded
         over the mesh (SURVEY.md §2.4 — the reference's document ThreadPool
@@ -1910,7 +2243,7 @@ class BruteForceIndex(Index):
             )
 
         entry_err = None
-        m = n + 32
+        m = (4 * n + 32) if submatch_w != 0.0 else (n + 32)
         while True:
             pending = []
             complete = True
@@ -1978,18 +2311,25 @@ class BruteForceIndex(Index):
                 # finalize with TIE-BOUNDED extras (a forced cut over all
                 # candidates would rescore the corpus); one batched rescore
                 # per round across all queries
-                finalized = self._finalize_quantized_many(
-                    [
-                        (
-                            full_scores[q], plans[q], prepared[q],
-                            norm_totals[q], tagws[q],
-                            boosts[q] if boosts is not None else None,
-                        )
-                        for q in live_qis
-                    ],
-                    gaps, metric_name, n, min_score, entry_err,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
-                )
+                f_items = [
+                    (
+                        full_scores[q], plans[q], prepared[q],
+                        norm_totals[q], tagws[q],
+                        boosts[q] if boosts is not None else None,
+                    )
+                    for q in live_qis
+                ]
+                if submatch_w != 0.0:
+                    finalized = self._finalize_submatch_many(
+                        f_items, gaps, n, min_score, entry_err,
+                        submatch_w, gap_costs=gap_costs,
+                        doc_filter=doc_filter,
+                    )
+                else:
+                    finalized = self._finalize_quantized_many(
+                        f_items, gaps, metric_name, n, min_score, entry_err,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )
                 per_q = dict(zip(live_qis, finalized))
             else:
                 # one rescore_many round for every query's candidate set;
@@ -2010,16 +2350,35 @@ class BruteForceIndex(Index):
                 )
                 for q, res in zip(live_qis, res_all):
                     eps = self._quant_eps(entry_err, prepared[q], norm_totals[q])
-                    matches = self._cut_from_rescore(
-                        res, cands[q], float(rest_max[q]), prepared[q],
-                        norm_totals[q], metric_name, n, min_score, eps,
-                        boost=boosts[q] if boosts is not None else None,
-                    )
+                    if submatch_w != 0.0:
+                        matches = self._submatch_cut_from_rescore(
+                            res, cands[q], float(rest_max[q]), prepared[q],
+                            plans[q], tagws[q], norm_totals[q], n,
+                            min_score, eps, submatch_w,
+                        )
+                    else:
+                        matches = self._cut_from_rescore(
+                            res, cands[q], float(rest_max[q]), prepared[q],
+                            norm_totals[q], metric_name, n, min_score, eps,
+                            boost=boosts[q] if boosts is not None else None,
+                        )
                     if matches is None:
                         retry = True
                         break
                     per_q[q] = matches
             if not retry:
+                if bidir_q0 is not None:
+                    per_q = {
+                        q: self._merge_bidirectional(
+                            per_q.get(q, []),
+                            per_q.get(q + bidir_q0, []),
+                            prepared[q],
+                            n,
+                        )
+                        for q in range(bidir_q0)
+                        if q in per_q or (q + bidir_q0) in per_q
+                    }
+                    Q = bidir_q0
                 elapsed = time.time() - start_time
                 return [
                     Result(self, per_q[q], elapsed)
