@@ -209,6 +209,59 @@ def test_cross_path_parity_submatch_bidirectional(setup, trial):
     assert mgot == got
 
 
+@pytest.mark.parametrize("trial", range(6))
+def test_cross_path_parity_transport_options(setup, trial):
+    """Transport batches with boosters / doc-side token filters / tag
+    weights (VERDICT-r2 gap: these used to fall back to Q per-query
+    passes, and raised over a mesh) — find()/find_batch()/mesh
+    byte-equality for relaxed WMD, full WMD and WRD."""
+    from vectorian_tpu.saliency import KeywordSignal, Saliency
+
+    session, emb, base = setup
+    p = session.partition("sentence")
+    r = np.random.default_rng(8200 + trial)
+    qs = [
+        " ".join(r.choice(base, size=int(r.integers(2, 6)))) for _ in range(3)
+    ]
+    msc = float(r.uniform(-0.2, 0.2))
+    mk = TRANSPORTS[trial % len(TRANSPORTS)]
+    kwargs = {}
+    if trial % 2 == 0:
+        kwargs["booster"] = Saliency(strength=0.5).add_signal(
+            KeywordSignal(base[trial % 7]), 1.0
+        )
+    if trial % 3 == 0:
+        kwargs["token_filter"] = [
+            str(w) for w in r.choice(base, size=3, replace=False)
+        ]
+    if trial % 2 == 1:
+        ix = p.index(
+            OptimizedSpanSim(
+                EmbeddingTokenSim(emb), mk(),
+                tag_weights={"NN": 0.8, "JJ": 0.5},
+                pos_mismatch_penalty=0.15,
+                similarity_threshold=0.05,
+            )
+        )
+    else:
+        ix = p.index(OptimizedSpanSim(EmbeddingTokenSim(emb), mk()))
+    want = [
+        [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=msc, **kwargs)]
+        for q in qs
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in rr]
+        for rr in ix.find_batch(qs, n=4, min_score=msc, **kwargs)
+    ]
+    assert got == want
+    ms = vt.MeshSearch(vt.make_mesh())
+    mgot = [
+        [(m.slice_id, m.score) for m in rr]
+        for rr in ix.find_batch(qs, n=4, min_score=msc, mesh=ms, **kwargs)
+    ]
+    assert mgot == got
+
+
 def test_distributed_rwmd_mixed_width_batch(setup):
     """Non-injective symmetric relaxed WMD ("nbow/distributed") with
     MIXED needle widths in one batch: the batch kernel's f32 sum

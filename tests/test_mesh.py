@@ -243,7 +243,9 @@ def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
     with pytest.raises(NotImplementedError):
         index.find_batch(["king"], n=2, mesh=ms, debug=lambda *a: None)
     emb = session.embeddings[0]
-    # transport + tag weights cannot ride the mesh transport kernels
+    # transport + tag weights ride the mesh transport kernels now
+    # (tag-weighted sims + (id, tag) BOW identity in-shard) — byte-equal
+    # to the single-query path
     wix = session.partition("sentence").index(
         OptimizedSpanSim(
             EmbeddingTokenSim(emb), WordRotatorsDistance(),
@@ -251,8 +253,16 @@ def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
             similarity_threshold=0.0,
         )
     )
-    with pytest.raises(NotImplementedError):
-        wix.find_batch(["king"], n=2, mesh=ms)
+    qs = ["king rides", "a bird"]
+    want = [
+        [(m.slice_id, m.score) for m in wix.find(q, n=3, min_score=0.05)]
+        for q in qs
+    ]
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in wix.find_batch(qs, n=3, min_score=0.05, mesh=ms)
+    ]
+    assert got == want
 
 
 def test_find_batch_mesh_doc_filter(session_ix_mesh):

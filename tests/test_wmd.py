@@ -344,8 +344,16 @@ def test_rwmd_multi_kernel_vs_oracle(rng):
         mass_t[: len_t[q], q] = dedup_masses(qtok, np.ones(len_t[q], bool))
     got = np.asarray(
         _bucket_rwmd_scores_multi(
-            jnp.asarray(tok), jnp.asarray(lengths), jnp.asarray(sim_multi),
+            jnp.asarray(tok), jnp.asarray(lengths),
+            jnp.zeros((N, L), jnp.int8), jnp.zeros((N, L), jnp.int16),
+            jnp.asarray(sim_multi),
             jnp.asarray(mass_t), jnp.asarray(len_t),
+            jnp.asarray(len_t, jnp.float32),
+            jnp.ones((N, Q), jnp.float32),
+            jnp.ones((T, Q), jnp.float32), jnp.full((T, Q), -1, jnp.int8),
+            jnp.zeros((Q,), jnp.float32), jnp.full((Q,), -1.0, jnp.float32),
+            jnp.zeros((1,), bool), jnp.zeros((1,), bool),
+            jnp.zeros((1,), bool),
             injective=False, symmetric=True, normalize_bow=True,
             chunk=N, n_queries=Q,
         )

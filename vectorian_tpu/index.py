@@ -2404,14 +2404,15 @@ class BruteForceIndex(Index):
         from vectorian_tpu.sim.token import EmbeddingTokenSim as _ETS
 
         relaxed = a["algorithm"] == "word-movers-distance" and a.get("relaxed")
+        # tag weighting, boosters and doc-side filters now ride the batched
+        # transport kernels (tag-weighted sims + (id, tag) BOW identity /
+        # in-kernel mass exclusion / in-kernel score multiply); only
+        # ``debug`` (and the submatch/bidirectional no-ops, which transport
+        # metrics ignore like find()) stays per-query
         plain = (
             isinstance(token_sim, _ETS)
             and all(getattr(e, "is_static", True) for e in token_sim.embeddings)
-            and not self._args.get("tag_weights")
-            and not (
-                (BATCH_DELEGATED_OPTIONS - {"bidirectional", "submatch_weight"})
-                & set(kwargs)
-            )
+            and not (BATCH_HARD_OPTIONS & set(kwargs))
         )
         supported = plain and a["algorithm"] in (
             "word-movers-distance", "word-rotators-distance"
@@ -2419,8 +2420,7 @@ class BruteForceIndex(Index):
         if mesh is not None and not supported:
             raise NotImplementedError(
                 "mesh find_batch supports transport metrics (relaxed/full "
-                "WMD, WRD) over plain static metrics only (no tag weights "
-                "/ boosters / filters)"
+                "WMD, WRD) over static plans without per-query debug hooks"
             )
         if not supported:
             return [
@@ -2429,15 +2429,19 @@ class BruteForceIndex(Index):
         needs_mag = a["algorithm"] == "word-rotators-distance"
 
         start_time = time.time()
-        queries, qps, order = [], [], []
+        booster = kwargs.get("booster")
+        queries, qps, tagws, boosts, order = [], [], [], [], []
         results: List[Optional[Result]] = [None] * len(texts)
+        doc_filter = None
         for ti, text in enumerate(texts):
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
             if pq.n_tokens == 0:
                 results[ti] = Result(self, [], 0.0)
                 continue
-            tok_ids_p, strings_p, _, _ = _pad_needle(pq, self._session, with_ctx=False)
+            tok_ids_p, strings_p, _, Tpad = _pad_needle(
+                pq, self._session, with_ctx=False
+            )
             qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
@@ -2448,11 +2452,28 @@ class BruteForceIndex(Index):
             )
             queries.append(pq)
             qps.append(qp)
+            # per-query tag spec / boost vector (the specs pad to each
+            # query's own plan width — the host rescore runs there; the
+            # batch kernel packs them to the common Tmax itself)
+            tagws.append(self._tag_weighting(pq, width=Tpad))
+            boosts.append(
+                np.asarray(
+                    booster.compile(self._session, self._partition, pq),
+                    np.float32,
+                )
+                if booster is not None
+                else None
+            )
+            if doc_filter is None:
+                doc_filter = self._doc_filter(pq)
             order.append(ti)
         if queries:
             wmd = WMDEngine(self._engine, a)
             match_lists = wmd.find_batch(
-                self, queries, qps, n, min_score, mesh=mesh
+                self, queries, qps, n, min_score, mesh=mesh,
+                tagws=tagws,
+                boosts=boosts if booster is not None else None,
+                doc_filter=doc_filter,
             )
             dur = time.time() - start_time
             for ti, ml in zip(order, match_lists):

@@ -290,124 +290,253 @@ def _bucket_rwmd_scores(
     return jax.lax.map(one_chunk, xs).reshape(N)
 
 
+def _tag_weights_multi(S, posT, tw_w, tw_p, tw_pen, tw_thr):
+    """Per-query tag weighting for the stacked [L, c, T, Q] similarity
+    layout — the transport analogue of search._apply_tag_weights, same
+    elementwise formula (reference TagWeightedSlice, slice/static.h:186-288)
+    so single-query and batched kernels report bit-equal scores.
+    posT: [L, c] i8; tw_w/tw_p: [T, Q]; tw_pen/tw_thr: [Q]."""
+    w = tw_w[None, None, :, :] * jnp.where(
+        posT[:, :, None, None] == tw_p[None, None, :, :],
+        1.0,
+        1.0 - tw_pen[None, None, None, :],
+    )
+    Sw = S * w
+    return jnp.where(Sw > tw_thr[None, None, None, :], Sw, 0.0)
+
+
+def _multi_filter_keep(tok, posT, tagT, valid, df_pos_ex, df_tag_ex, df_tok_ex):
+    """[c, L] doc-filter keep mask (FilteredSlice, slice/static.h:104-184):
+    excluded tokens never enter the BOW / carry mass."""
+    return valid & ~(
+        df_pos_ex[jnp.maximum(posT.T, 0).astype(jnp.int32)]
+        | df_tag_ex[jnp.maximum(tagT.T, 0).astype(jnp.int32)]
+        | df_tok_ex[jnp.maximum(tok, 0)]
+    )
+
+
+def _rwmd_chunk_scores_multi(
+    tokT, ln, posT, tagT, sim_multi, mass_t, len_t, max_score_t,
+    tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
+    injective: bool, symmetric: bool, normalize_bow: bool,
+    with_tags: bool, with_filter: bool,
+):
+    """[c, Q] relaxed-WMD scores for one [L, c] token chunk — shared by
+    the single-chip batch kernel and the mesh shard kernel (the two paths
+    must stay byte-equal).  Mirrors the single-query _bucket_rwmd_scores
+    semantics: tag-weighted similarity + (id, tag) BOW identity, filtered
+    positions carry no mass and shrink the effective length."""
+    L, c = tokT.shape
+    T, Q = sim_multi.shape[1], sim_multi.shape[2]
+    S = sim_multi[tokT]  # [L, c, T, Q]
+    if with_tags:
+        S = _tag_weights_multi(S, posT, tw_w, tw_p, tw_pen, tw_thr)
+    tok = tokT.T  # [c, L]
+    p = jnp.arange(L, dtype=jnp.int32)
+    valid = p[None, :] < ln[:, None]  # [c, L]
+    keep = None
+    if with_filter:
+        keep = _multi_filter_keep(
+            tok, posT, tagT, valid, df_pos_ex, df_tag_ex, df_tok_ex
+        )
+    if with_tags:
+        mass_s = _device_masses(tok, ln, tagT.T, keep=keep)  # (id, tag)
+    else:
+        mass_s = _device_masses(tok, ln, keep=keep)  # [c, L] counts
+    eff_len = (
+        jnp.sum(keep, axis=1) if keep is not None else ln
+    ).astype(jnp.float32)
+    w_sum_s = jnp.maximum(eff_len, 1e-9)  # [c]
+    w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)  # [Q]
+    if normalize_bow:
+        m_s = mass_s / w_sum_s[:, None]
+        m_t = mass_t / w_sum_t[None, :]
+    else:
+        m_s = mass_s
+        m_t = mass_t
+    D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
+    Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
+    m_t_b = jnp.tile(m_t.T[None], (c, 1, 1)).reshape(c * Q, T)
+    m_s_b = jnp.repeat(m_s, Q, axis=0)  # [c*Q, L], b = ci*Q + q
+    acc0 = _greedy_fill_cost(m_t_b, Dts, m_s_b, injective)  # [c*Q]
+    if not normalize_bow:
+        acc0 = acc0 / jnp.tile(w_sum_t, c)
+    if symmetric:
+        Dst = jnp.transpose(D, (1, 3, 0, 2)).reshape(c * Q, L, T)
+        acc1 = _greedy_fill_cost(m_s_b, Dst, m_t_b, injective)
+        if not normalize_bow:
+            acc1 = acc1 / jnp.repeat(w_sum_s, Q)
+        cost = jnp.maximum(acc0, acc1)
+    else:
+        cost = acc0
+    # cost_to_score (wmd.h:139-141): max_cost = 1 (nbow) or
+    # max_sum_of_similarities (bow: len_t untagged, tag-weight sum when
+    # tag-weighted — wmd.h:411-412)
+    max_cost = (
+        1.0
+        if normalize_bow
+        else jnp.tile(jnp.maximum(max_score_t, 1e-9), c)
+    )
+    score = ((max_cost - cost) / max_cost).reshape(c, Q)
+    return jnp.where(eff_len[:, None] > 0, score, NEG_SCORE)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "injective", "symmetric", "normalize_bow", "chunk", "n_queries",
+        "with_tags", "with_filter", "with_boost",
     ),
 )
 def _bucket_rwmd_scores_multi(
     token_ids: jnp.ndarray,  # [N, L] i32
     lengths: jnp.ndarray,  # [N] i32
+    pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
     sim_multi: jnp.ndarray,  # [V, T, Q] stacked query similarity tables
     mass_t: jnp.ndarray,  # [T, Q] per-query deduped masses (0-padded)
     len_t: jnp.ndarray,  # [Q] i32 real token counts
+    max_score_t: jnp.ndarray,  # [Q] f32 max_sum_of_similarities
+    boost: jnp.ndarray,  # [N, Q] per-slice boosts (unused unless with_boost)
+    tw_w: jnp.ndarray,  # [T, Q] f32 (unused unless with_tags)
+    tw_p: jnp.ndarray,  # [T, Q] i8
+    tw_pen: jnp.ndarray,  # [Q] f32
+    tw_thr: jnp.ndarray,  # [Q] f32
+    df_pos_ex: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    df_tag_ex: jnp.ndarray,  # [n_tags] bool
+    df_tok_ex: jnp.ndarray,  # [V] bool
     injective: bool,
     symmetric: bool,
     normalize_bow: bool,
     chunk: int,
     n_queries: int,
+    with_tags: bool = False,
+    with_filter: bool = False,
+    with_boost: bool = False,
 ):
     """[N, Q] relaxed-WMD scores — Q static queries share one corpus pass
-    (the vocab gather, like the alignment serving batch)."""
+    (the vocab gather, like the alignment serving batch).  Tag weighting,
+    doc-side filters and per-slice boosts ride the same kernel (reference
+    Booster, metric/alignment.h:598 — boost multiplies the exact scores,
+    so ranking and reporting both carry it)."""
     N, L = token_ids.shape
-    T, Q = sim_multi.shape[1], sim_multi.shape[2]
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tokT, ln = args  # [L, c], [c]
-        c = ln.shape[0]
-        S = sim_multi[tokT]  # [L, c, T, Q]
-        mass_s = _device_masses(tokT.T, ln)  # [c, L] shared across queries
-        w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)  # [c]
-        w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)  # [Q]
-        if normalize_bow:
-            m_s = mass_s / w_sum_s[:, None]
-            m_t = mass_t / w_sum_t[None, :]
-        else:
-            m_s = mass_s
-            m_t = mass_t
-        D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
-        Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
-        m_t_b = jnp.tile(m_t.T[None], (c, 1, 1)).reshape(c * Q, T)
-        m_s_b = jnp.repeat(m_s, Q, axis=0)  # [c*Q, L], b = ci*Q + q
-        acc0 = _greedy_fill_cost(m_t_b, Dts, m_s_b, injective)  # [c*Q]
-        if not normalize_bow:
-            acc0 = acc0 / jnp.tile(w_sum_t, c)
-        if symmetric:
-            Dst = jnp.transpose(D, (1, 3, 0, 2)).reshape(c * Q, L, T)
-            acc1 = _greedy_fill_cost(m_s_b, Dst, m_t_b, injective)
-            if not normalize_bow:
-                acc1 = acc1 / jnp.repeat(w_sum_s, Q)
-            cost = jnp.maximum(acc0, acc1)
-        else:
-            cost = acc0
-        # cost_to_score (wmd.h:139-141): max_cost = 1 (nbow) or len_t (bow)
-        max_cost = 1.0 if normalize_bow else jnp.tile(w_sum_t, c)
-        score = ((max_cost - cost) / max_cost).reshape(c, Q)
-        return jnp.where(ln[:, None] > 0, score, NEG_SCORE)
+        tokT, ln, posT, tagT = args  # [L, c], [c], [L, c], [L, c]
+        return _rwmd_chunk_scores_multi(
+            tokT, ln, posT, tagT, sim_multi, mass_t, len_t, max_score_t,
+            tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
+            injective, symmetric, normalize_bow, with_tags, with_filter,
+        )
 
     tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
-    xs = (tokens_T, lengths.reshape(n_chunks, chunk))
-    return jax.lax.map(one_chunk, xs).reshape(N, Q)
+    pos_T = jnp.swapaxes(pos_ids.reshape(n_chunks, chunk, L), 1, 2)
+    tag_T = jnp.swapaxes(tag_ids.reshape(n_chunks, chunk, L), 1, 2)
+    xs = (tokens_T, lengths.reshape(n_chunks, chunk), pos_T, tag_T)
+    scores = jax.lax.map(one_chunk, xs).reshape(N, n_queries)
+    if with_boost:
+        # same arithmetic as find()'s host-side boosted relaxed path:
+        # multiply valid scores, keep NEG_SCORE sentinels intact
+        scores = jnp.where(
+            scores > NEG_SCORE * 0.5, scores * boost, NEG_SCORE
+        )
+    return scores
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "use_magnitudes", "normalize_mass", "chunk", "n_queries",
+        "with_tags", "with_filter", "with_boost",
     ),
 )
 def _bucket_emd_scores_multi(
     token_ids: jnp.ndarray,  # [N, L] i32
     lengths: jnp.ndarray,  # [N] i32
+    pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
     sim_multi: jnp.ndarray,  # [V, T, Q] stacked query similarity tables
     mags_vocab: jnp.ndarray,  # [V] static row magnitudes (WRD masses)
     mass_t: jnp.ndarray,  # [T, Q] per-query masses (counts or magnitudes)
+    boost: jnp.ndarray,  # [N, Q] per-slice boosts (unused unless with_boost)
+    tw_w: jnp.ndarray,  # [T, Q] f32 (unused unless with_tags)
+    tw_p: jnp.ndarray,  # [T, Q] i8
+    tw_pen: jnp.ndarray,  # [Q] f32
+    tw_thr: jnp.ndarray,  # [Q] f32
+    df_pos_ex: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    df_tag_ex: jnp.ndarray,  # [n_tags] bool
+    df_tok_ex: jnp.ndarray,  # [V] bool
     use_magnitudes: bool,
     normalize_mass: bool,
     chunk: int,
     n_queries: int,
+    with_tags: bool = False,
+    with_filter: bool = False,
+    with_boost: bool = False,
 ):
     """[N, Q] full-WMD / WRD provable score BOUNDS — Q static queries share
     one corpus pass (gather amortizes like the relaxed batch; the exact EMD
-    rescore on host stays per query, driven by the bound's provable cut)."""
+    rescore on host stays per query, driven by the bound's provable cut).
+    Boosts multiply the bounds (bound*b >= exact*b for b >= 0, so the cut
+    stays provable); tag weighting and doc filters mirror the single-query
+    kernel."""
     N, L = token_ids.shape
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tokT, ln = args  # [L, c], [c]
+        tokT, ln, posT, tagT = args  # [L, c], [c], [L, c], [L, c]
         return _emd_chunk_scores_multi(
-            tokT, ln, sim_multi, mags_vocab, mass_t,
-            use_magnitudes, normalize_mass,
+            tokT, ln, posT, tagT, sim_multi, mags_vocab, mass_t,
+            tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
+            use_magnitudes, normalize_mass, with_tags, with_filter,
         )
 
     tokens_T = jnp.swapaxes(token_ids.reshape(n_chunks, chunk, L), 1, 2)
-    xs = (tokens_T, lengths.reshape(n_chunks, chunk))
-    return jax.lax.map(one_chunk, xs).reshape(
-        N, sim_multi.shape[2]
-    )
+    pos_T = jnp.swapaxes(pos_ids.reshape(n_chunks, chunk, L), 1, 2)
+    tag_T = jnp.swapaxes(tag_ids.reshape(n_chunks, chunk, L), 1, 2)
+    xs = (tokens_T, lengths.reshape(n_chunks, chunk), pos_T, tag_T)
+    scores = jax.lax.map(one_chunk, xs).reshape(N, n_queries)
+    if with_boost:
+        scores = jnp.where(
+            scores > NEG_SCORE * 0.5, scores * boost, NEG_SCORE
+        )
+    return scores
 
 
 def _emd_chunk_scores_multi(
-    tokT, ln, sim_multi, mags_vocab, mass_t,
+    tokT, ln, posT, tagT, sim_multi, mags_vocab, mass_t,
+    tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
     use_magnitudes: bool, normalize_mass: bool,
+    with_tags: bool = False, with_filter: bool = False,
 ):
     """[c, Q] exact-EMD score upper bounds for one [L, c] token chunk —
     shared by the single-chip chunk loop and the mesh shard kernel.  The
-    masses replicate the host rescore's exactly (same normalization flag),
-    so _emd_score_bound's guarantee carries to the reported scores."""
+    masses replicate the host rescore's exactly (same normalization flag,
+    same (id, tag) BOW identity, same filter exclusions), so
+    _emd_score_bound's guarantee carries to the reported scores."""
     L = tokT.shape[0]
     T, Q = sim_multi.shape[1], sim_multi.shape[2]
     c = ln.shape[0]
     S = sim_multi[tokT].astype(jnp.float32)  # [L, c, T, Q]
+    if with_tags:
+        S = _tag_weights_multi(S, posT, tw_w, tw_p, tw_pen, tw_thr)
+    tok = tokT.T  # [c, L]
     p = jnp.arange(L, dtype=jnp.int32)
     valid = p[None, :] < ln[:, None]  # [c, L]
+    keep = None
+    if with_filter:
+        keep = _multi_filter_keep(
+            tok, posT, tagT, valid, df_pos_ex, df_tag_ex, df_tok_ex
+        )
+        valid = keep
     if use_magnitudes:
         # WRD: every position its own entry, mass = |v| (wrd.h:62-146)
-        m_s = jnp.where(valid, mags_vocab[tokT.T], 0.0)  # [c, L]
+        m_s = jnp.where(valid, mags_vocab[tok], 0.0)  # [c, L]
+    elif with_tags:
+        m_s = _device_masses(tok, ln, tagT.T, keep=keep)  # (id, tag)
     else:
-        m_s = _device_masses(tokT.T, ln)  # dedup by vocab id
+        m_s = _device_masses(tok, ln, keep=keep)  # dedup by vocab id
     m_t = jnp.tile(mass_t.T[None], (c, 1, 1)).reshape(c * Q, T)
     m_s_b = jnp.repeat(m_s, Q, axis=0)  # [c*Q, L]
     if normalize_mass:
@@ -419,7 +548,8 @@ def _emd_chunk_scores_multi(
     Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
     score = _emd_score_bound(m_t, m_s_b, Dts)
     score = score.reshape(c, Q)
-    return jnp.where(ln[:, None] > 0, score, NEG_SCORE)
+    ok = jnp.sum(valid, axis=1) > 0  # [c]
+    return jnp.where(ok[:, None], score, NEG_SCORE)
 
 
 @functools.partial(
@@ -777,14 +907,52 @@ class WMDEngine:
         )
         return matches[:n]
 
+    @staticmethod
+    def _tagw_args_multi(tagws, Tmax: int, Q: int):
+        """[Tmax, Q] device tag-weighting columns (identity for untagged
+        queries — same packing as the alignment mesh batch)."""
+        tw_w = np.ones((Tmax, Q), np.float32)
+        tw_p = np.full((Tmax, Q), -1, np.int8)
+        pen = np.zeros((Q,), np.float32)
+        thr = np.full((Q,), -1.0, np.float32)
+        for qi, tw in enumerate(tagws):
+            if tw is None:
+                continue
+            t = len(tw.t_pos_weights)
+            tw_w[:t, qi] = tw.t_pos_weights
+            tw_p[:t, qi] = tw.pos_t
+            pen[qi] = tw.pos_mismatch_penalty
+            thr[qi] = tw.similarity_threshold
+        return tuple(
+            jnp.asarray(a) for a in (tw_w, tw_p, pen, thr)
+        )
+
+    @staticmethod
+    def _bucket_boost_mat(db, boosts, Q: int, n_rows: int) -> np.ndarray:
+        """[n_rows, Q] per-slice boost matrix for one bucket (ones for
+        unboosted queries and padding rows)."""
+        bmat = np.ones((n_rows, Q), np.float32)
+        for qi, b in enumerate(boosts):
+            if b is not None:
+                bmat[: db["n"], qi] = b[db["slice_index"]]
+        return bmat
+
     def find_batch(
         self, index, queries, qps, n: int, min_score: float, mesh=None,
+        tagws=None, boosts=None, doc_filter=None,
     ) -> List:
         """Batched relaxed-WMD over static plans: one corpus pass serves
         Q queries (the gather amortizes like the alignment serving batch),
         then the per-query host rescore/flows run as usual.  With ``mesh``
         the corpus pass shards over the device mesh (exact scores; the
-        per-query next-best bound guards merge-boundary ties)."""
+        per-query next-best bound guards merge-boundary ties).
+
+        ``tagws``: per-query TagWeightingSpec list (tag-weighted similarity
+        + (id, tag) BOW identity, in-kernel); ``boosts``: per-query
+        [n_slices] multipliers (multiply ranking scores/bounds AND the
+        exact rescore, reference metric/alignment.h:598/:710);
+        ``doc_filter``: shared doc-side token filter (in-kernel mass
+        exclusion)."""
         engine = self._engine
         a = self._args
         # only plain single-table plans stack into [V, T, Q] — modifier
@@ -793,6 +961,8 @@ class WMDEngine:
             "WMDEngine.find_batch requires collapsed static plans"
         )
         Q = len(queries)
+        if tagws is None:
+            tagws = [None] * Q
         widths = [engine._plan_width(qp) for qp in qps]
         relaxed_ = self._algorithm == "word-movers-distance" and a.get(
             "relaxed"
@@ -813,6 +983,13 @@ class WMDEngine:
                 sub = self.find_batch(
                     index, [queries[i] for i in qis],
                     [qps[i] for i in qis], n, min_score, mesh=mesh,
+                    tagws=[tagws[i] for i in qis],
+                    boosts=(
+                        [boosts[i] for i in qis]
+                        if boosts is not None
+                        else None
+                    ),
+                    doc_filter=doc_filter,
                 )
                 for i, rr in zip(qis, sub):
                     out[i] = rr
@@ -825,38 +1002,65 @@ class WMDEngine:
             ],
             axis=2,
         )  # [V, Tmax, Q]
+        # (id, tag) BOW identity when tag-weighted (TaggedTokenFactory,
+        # bow.h:150-202) — tag weights are index-level, so the identity is
+        # uniform across the batch
+        tagged = any(tw is not None for tw in tagws)
         mass_t = np.zeros((Tmax, Q), np.float32)
+        max_score_t = np.zeros((Q,), np.float32)
         states = []
         for qi, (query, qp) in enumerate(zip(queries, qps)):
-            m = self._query_masses(query)
+            m = self._query_masses(query, tagged=tagged)
             mass_t[: len(m), qi] = m
+            tw = tagws[qi]
+            max_score_t[qi] = (
+                tw.total if tw is not None else float(query.n_tokens)
+            )
             states.append(
                 {
                     "mass_t": np.pad(m, (0, widths[qi] - len(m))),
                     "mass_t_mag": None,
-                    "tagw": None,
-                    "tagged": False,
+                    "tagw": tw,
+                    "tagged": tagged,
                     "unique": False,
                     "T": query.n_tokens,
+                    "doc_filter": doc_filter,
+                    "boost": (
+                        boosts[qi] if boosts is not None else None
+                    ),
                 }
             )
         len_ts = jnp.asarray([q.n_tokens for q in queries], jnp.int32)
+        tw_args = self._tagw_args_multi(tagws, Tmax, Q)
+        df_args = self._df_args(doc_filter)
+        with_tags = tagged
+        with_filter = doc_filter is not None
+        with_boost = boosts is not None and any(
+            b is not None for b in boosts
+        )
 
         relaxed = relaxed_
         if mesh is not None:
             if relaxed:
                 return self._find_batch_mesh_rwmd(
                     index, queries, qps, sim_multi, mass_t, len_ts, states,
-                    n, min_score, mesh,
+                    n, min_score, mesh, max_score_t=max_score_t,
+                    tw_args=tw_args, df_args=df_args, boosts=boosts,
+                    with_tags=with_tags, with_filter=with_filter,
+                    with_boost=with_boost,
                 )
             return self._find_batch_mesh_emd(
                 index, queries, qps, sim_multi, mass_t, states, Tmax,
-                n, min_score, mesh,
+                n, min_score, mesh, tw_args=tw_args, df_args=df_args,
+                boosts=boosts, with_tags=with_tags,
+                with_filter=with_filter, with_boost=with_boost,
             )
         if not relaxed:
             return self._find_batch_emd(
                 index, queries, qps, sim_multi, mass_t, states, Tmax,
-                n, min_score,
+                n, min_score, tw_args=tw_args, df_args=df_args,
+                boosts=boosts, with_tags=with_tags,
+                with_filter=with_filter, with_boost=with_boost,
             )
 
         pending = []
@@ -868,17 +1072,35 @@ class WMDEngine:
             chunk = db["chunk"]
             while chunk > 64 and chunk * Q > 4096:
                 chunk //= 2
+            bmat = (
+                jnp.asarray(
+                    self._bucket_boost_mat(
+                        db, boosts, Q, int(db["tokens"].shape[0])
+                    )
+                )
+                if with_boost
+                else jnp.ones((1, Q), jnp.float32)
+            )
             scores = _bucket_rwmd_scores_multi(
                 db["tokens"],
                 db["lengths"],
+                db["pos"],
+                db["tag"],
                 sim_multi,
                 jnp.asarray(mass_t),
                 len_ts,
+                jnp.asarray(max_score_t),
+                bmat,
+                *tw_args,
+                *df_args,
                 injective=bool(a["injective"]),
                 symmetric=bool(a["symmetric"]),
                 normalize_bow=bool(a["normalize_bow"]),
                 chunk=chunk,
                 n_queries=Q,
+                with_tags=with_tags,
+                with_filter=with_filter,
+                with_boost=with_boost,
             )
             pending.append((db, scores))
         # device-side per-bucket top-k instead of the full [n_slices, Q]
@@ -936,7 +1158,8 @@ class WMDEngine:
 
     def _find_batch_emd(
         self, index, queries, qps, sim_multi, mass_t, states, Tmax,
-        n: int, min_score: float,
+        n: int, min_score: float, tw_args=None, df_args=None, boosts=None,
+        with_tags=False, with_filter=False, with_boost=False,
     ) -> List:
         """Batched full-WMD / WRD: Q queries share one bound-ranking corpus
         pass (the vocab gather amortizes like the relaxed batch), then each
@@ -963,16 +1186,33 @@ class WMDEngine:
             chunk = db["chunk"]
             while chunk > 64 and chunk * Q > 4096:
                 chunk //= 2
+            bmat = (
+                jnp.asarray(
+                    self._bucket_boost_mat(
+                        db, boosts, Q, int(db["tokens"].shape[0])
+                    )
+                )
+                if with_boost
+                else jnp.ones((1, Q), jnp.float32)
+            )
             scores = _bucket_emd_scores_multi(
                 db["tokens"],
                 db["lengths"],
+                db["pos"],
+                db["tag"],
                 sim_multi,
                 jnp.asarray(mags_vocab),
                 jnp.asarray(mass_dev),
+                bmat,
+                *(tw_args or self._tagw_args_multi([None] * Q, Tmax, Q)),
+                *(df_args or self._df_args(None)),
                 use_magnitudes=is_wrd,
                 normalize_mass=normalize,
                 chunk=chunk,
                 n_queries=Q,
+                with_tags=with_tags,
+                with_filter=with_filter,
+                with_boost=with_boost,
             )
             pending.append((db, scores))
         from vectorian_tpu.ops.search import BucketTopKSource
@@ -992,27 +1232,39 @@ class WMDEngine:
         trip each)."""
         packed = self._engine.packed
         Q = len(queries)
-        eps = CUT_EPS
-        rank_min = min_score - eps
+        # per-query drift slack: boosted bounds carry boost-scaled drift
+        # (bound*b >= exact*b keeps the cut provable; the eps comparison
+        # must scale with it, same as the single-query path)
+        eps_q = []
+        for qi in range(Q):
+            b = states[qi].get("boost")
+            eps_q.append(
+                CUT_EPS * (max(1.0, float(np.max(b))) if b is not None else 1.0)
+            )
         smaps, rests, per_q = [], [], []
         for qi in range(Q):
+            rank_min = min_score - eps_q[qi]
             smap, rest = src.score_map(qi, rank_min)
             states[qi]["scores"] = smap
             smaps.append(smap)
             rests.append(rest)
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             matches: List = []
+            rank_min = min_score - eps_q[qi]
             cand0 = self._ordered_by_bound(
                 {s: v for s, v in smaps[qi].items() if v >= rank_min}
             )
             self._consume_ordered(
                 index, query, qp, states[qi], smaps[qi], cand0, matches,
-                n, min_score, eps,
+                n, min_score, eps_q[qi],
             )
             per_q.append(matches)
         unsafe, cuts = [], {}
         for qi in range(Q):
-            cut = max(self._nth_cut(per_q[qi], n, min_score) - eps, rank_min)
+            cut = max(
+                self._nth_cut(per_q[qi], n, min_score) - eps_q[qi],
+                min_score - eps_q[qi],
+            )
             if rests[qi] >= cut:
                 unsafe.append(qi)
                 cuts[qi] = cut
@@ -1032,7 +1284,7 @@ class WMDEngine:
                 self._consume_ordered(
                     index, queries[qi], qps[qi], states[qi], smaps[qi],
                     self._ordered_by_bound(new), per_q[qi], n, min_score,
-                    eps,
+                    eps_q[qi],
                 )
         results = []
         for qi in range(Q):
@@ -1049,7 +1301,8 @@ class WMDEngine:
 
     def _find_batch_mesh_emd(
         self, index, queries, qps, sim_multi, mass_t, states, Tmax,
-        n: int, min_score: float, mesh,
+        n: int, min_score: float, mesh, tw_args=None, df_args=None,
+        boosts=None, with_tags=False, with_filter=False, with_boost=False,
     ) -> List:
         """Mesh-sharded full-WMD / WRD serving batch: per-shard bound
         ranking (the same provable _emd_score_bound) + top-k all-gather
@@ -1074,8 +1327,20 @@ class WMDEngine:
         mags_d = ms.put_replicated(mags_vocab)
         mass_d = ms.put_replicated(mass_dev)
         n_dev = ms.n_devices
-        eps = CUT_EPS
-        rank_min = min_score - eps
+        if tw_args is None:
+            tw_args = self._tagw_args_multi([None] * Q, Tmax, Q)
+        if df_args is None:
+            df_args = self._df_args(None)
+        tw_d = tuple(ms.put_replicated(np.asarray(a)) for a in tw_args)
+        df_d = tuple(ms.put_replicated(np.asarray(a)) for a in df_args)
+        # per-query boost-scaled drift slack (same as the single-chip cut)
+        eps_q = []
+        for qi in range(Q):
+            b = states[qi].get("boost")
+            eps_q.append(
+                CUT_EPS
+                * (max(1.0, float(np.max(b))) if b is not None else 1.0)
+            )
         packed = engine.packed
 
         shards = []
@@ -1093,18 +1358,38 @@ class WMDEngine:
             ln = np.pad(np.asarray(db["lengths"], np.int32), (0, npad))
             tok_d = jax.device_put(tok, ms._sharded)
             len_d = jax.device_put(ln, ms._sharded)
-            shards.append((db, tok_d, len_d, chunk))
+            pos_d = tag_d = bst_d = None
+            if with_tags or with_filter:
+                pos_d = jax.device_put(
+                    np.pad(db["pos_np"], ((0, npad), (0, 0))), ms._sharded
+                )
+                tag_d = jax.device_put(
+                    np.pad(db["tag_np"], ((0, npad), (0, 0))), ms._sharded
+                )
+            if with_boost:
+                bst_d = jax.device_put(
+                    self._bucket_boost_mat(
+                        db, boosts, Q, tok.shape[0]
+                    ),
+                    ms._sharded,
+                )
+            shards.append((db, tok_d, len_d, pos_d, tag_d, bst_d, chunk))
 
         m = n + 32
         while True:
             pending = []
             complete = True
-            for db, tok_d, len_d, chunk in shards:
+            for db, tok_d, len_d, pos_d, tag_d, bst_d, chunk in shards:
                 complete = complete and m >= tok_d.shape[0]
                 out = ms.emd_topk_multiquery(
                     tok_d, len_d, table, mags_d, mass_d,
                     use_magnitudes=is_wrd, normalize_mass=normalize,
                     k=min(m, tok_d.shape[0]), chunk=chunk, with_next=True,
+                    pos_ids=pos_d, tag_ids=tag_d, boost=bst_d,
+                    tw_args=tw_d if with_tags else None,
+                    df_args=df_d if with_filter else None,
+                    with_tags=with_tags, with_filter=with_filter,
+                    with_boost=with_boost,
                 )
                 pending.append((db, out))
 
@@ -1131,14 +1416,15 @@ class WMDEngine:
                 state = dict(states[qi])
                 state["scores"] = smap
                 matches: List = []
+                rank_min = min_score - eps_q[qi]
                 cand0 = self._ordered_by_bound(
                     {s: v for s, v in smap.items() if v >= rank_min}
                 )
                 self._consume_ordered(
                     index, query, qp, state, smap, cand0, matches,
-                    n, min_score, eps,
+                    n, min_score, eps_q[qi],
                 )
-                cut = max(self._nth_cut(matches, n, min_score) - eps,
+                cut = max(self._nth_cut(matches, n, min_score) - eps_q[qi],
                           rank_min)
                 # provable cut: every unfetched slice's bound (hence its
                 # exact score) sits below anything that can reach the top-k
@@ -1161,12 +1447,16 @@ class WMDEngine:
 
     def _find_batch_mesh_rwmd(
         self, index, queries, qps, sim_multi, mass_t, len_ts, states,
-        n: int, min_score: float, mesh,
+        n: int, min_score: float, mesh, max_score_t=None,
+        tw_args=None, df_args=None, boosts=None,
+        with_tags=False, with_filter=False, with_boost=False,
     ) -> List:
         """Mesh-sharded relaxed-WMD serving batch: per-bucket slice shards
         run the greedy transport fill, per-query top-k merges over one
         all-gather.  Scores are exact, so the overfetch loop only guards
-        (doc, slice) tie-breaks at the merge boundary (next-best bound)."""
+        (doc, slice) tie-breaks at the merge boundary (next-best bound).
+        Tag weighting / doc filters / boosts ride the shard kernel like
+        the single-chip batch."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1180,13 +1470,33 @@ class WMDEngine:
         Q = len(queries)
         table = jax.device_put(sim_multi, NamedSharding(ms.mesh, P()))
         mass_d = jnp.asarray(mass_t)
+        if max_score_t is None:
+            max_score_t = np.asarray(
+                [float(q.n_tokens) for q in queries], np.float32
+            )
+        if tw_args is None:
+            tw_args = self._tagw_args_multi([None] * Q, mass_t.shape[0], Q)
+        if df_args is None:
+            df_args = self._df_args(None)
+        mst_d = ms.put_replicated(np.asarray(max_score_t, np.float32))
+        tw_d = tuple(ms.put_replicated(np.asarray(x)) for x in tw_args)
+        df_d = tuple(ms.put_replicated(np.asarray(x)) for x in df_args)
+        boost_by_db = {}
+        if with_boost:
+            for db, tok_d, *_ in shards:
+                boost_by_db[id(db)] = jax.device_put(
+                    self._bucket_boost_mat(
+                        db, boosts, Q, int(tok_d.shape[0])
+                    ),
+                    ms._sharded,
+                )
         packed = engine.packed
 
         m = n + 32
         while True:
             pending = []
             complete = True
-            for db, tok_d, len_d, _, _ in shards:
+            for db, tok_d, len_d, pos_d, tag_d in shards:
                 complete = complete and m >= tok_d.shape[0]
                 out = ms.rwmd_topk_multiquery(
                     tok_d, len_d, table, mass_d, len_ts,
@@ -1194,6 +1504,13 @@ class WMDEngine:
                     symmetric=bool(a["symmetric"]),
                     normalize_bow=bool(a["normalize_bow"]),
                     k=min(m, tok_d.shape[0]), with_next=True,
+                    max_score_t=mst_d,
+                    pos_ids=pos_d, tag_ids=tag_d,
+                    boost=boost_by_db.get(id(db)),
+                    tw_args=tw_d if with_tags else None,
+                    df_args=df_d if with_filter else None,
+                    with_tags=with_tags, with_filter=with_filter,
+                    with_boost=with_boost,
                 )
                 pending.append((db, out))
 

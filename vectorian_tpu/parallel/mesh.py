@@ -309,7 +309,7 @@ class MeshSearch:
         jax.jit,
         static_argnames=(
             "self", "injective", "symmetric", "normalize_bow", "k",
-            "with_next",
+            "with_next", "with_tags", "with_filter", "with_boost",
         ),
     )
     def rwmd_topk_multiquery(
@@ -324,59 +324,67 @@ class MeshSearch:
         normalize_bow: bool,
         k: int = 10,
         with_next: bool = False,
+        max_score_t=None,  # [Q] f32 max_sum_of_similarities (replicated)
+        pos_ids=None,  # [N, L] i8 sharded (tags/filter)
+        tag_ids=None,  # [N, L] i16 sharded
+        boost=None,  # [N, Q] f32 sharded per-slice boosts
+        tw_args=None,  # ([T, Q] w, [T, Q] pos, [Q] pen, [Q] thr) replicated
+        df_args=None,  # (pos_ex, tag_ex, tok_ex) replicated
+        with_tags: bool = False,
+        with_filter: bool = False,
+        with_boost: bool = False,
     ):
         """Relaxed-WMD serving batch over the mesh: each shard gathers its
-        slices' similarity rows, runs the greedy transport fill, and the
-        per-query top-k merges over one all-gather (the transport analogue
-        of score_topk_multiquery; exact scores — the reference RWMD
-        semantics, wmd.h:273-417).  Returns like score_topk_multiquery."""
+        slices' similarity rows, runs the greedy transport fill
+        (ops/wmd._rwmd_chunk_scores_multi — the SAME function the
+        single-chip batch maps over chunks, so the two paths stay
+        byte-equal), and the per-query top-k merges over one all-gather.
+        Tag weighting, doc filters and per-slice boosts ride in-shard."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
         from vectorian_tpu.ops.wmd import (
-            MAX_SIMILARITY,
             NEG_SCORE,
-            _device_masses,
-            _greedy_fill_cost,
+            _rwmd_chunk_scores_multi,
         )
 
         axis = self._mesh.axis_names[0]
         n_dev = self.n_devices
         shard_n = token_ids.shape[0] // n_dev
-        T, Q = sim_multi.shape[1], sim_multi.shape[2]
+        Q = sim_multi.shape[2]
+        if max_score_t is None:
+            max_score_t = len_t.astype(jnp.float32)
+        if pos_ids is None:
+            pos_ids = jnp.zeros(token_ids.shape, jnp.int8)
+        if tag_ids is None:
+            tag_ids = jnp.zeros(token_ids.shape, jnp.int16)
+        if boost is None:
+            boost = jnp.ones((token_ids.shape[0], Q), jnp.float32)
+        if tw_args is None:
+            T = sim_multi.shape[1]
+            tw_args = (
+                jnp.ones((T, Q), jnp.float32),
+                jnp.full((T, Q), -1, jnp.int8),
+                jnp.zeros((Q,), jnp.float32),
+                jnp.full((Q,), -1.0, jnp.float32),
+            )
+        if df_args is None:
+            z = jnp.zeros((1,), bool)
+            df_args = (z, z, z)
 
-        def shard_fn(tok, ln):
-            c, L = tok.shape
-            S = sim_multi[tok.T].astype(jnp.float32)  # [L, c, T, Q]
-            mass_s = _device_masses(tok, ln)  # [c, L]
-            w_sum_s = jnp.maximum(ln.astype(jnp.float32), 1e-9)
-            w_sum_t = jnp.maximum(len_t.astype(jnp.float32), 1e-9)  # [Q]
-            if normalize_bow:
-                m_s = mass_s / w_sum_s[:, None]
-                m_t = mass_t / w_sum_t[None, :]
-            else:
-                m_s = mass_s
-                m_t = mass_t
-            D = jnp.maximum(MAX_SIMILARITY - S, 0.0)  # [L, c, T, Q]
-            Dts = jnp.transpose(D, (1, 3, 2, 0)).reshape(c * Q, T, L)
-            m_t_b = jnp.tile(m_t.T[None], (c, 1, 1)).reshape(c * Q, T)
-            m_s_b = jnp.repeat(m_s, Q, axis=0)
-            acc0 = _greedy_fill_cost(m_t_b, Dts, m_s_b, injective)
-            if not normalize_bow:
-                acc0 = acc0 / jnp.tile(w_sum_t, c)
-            if symmetric:
-                Dst = jnp.transpose(D, (1, 3, 0, 2)).reshape(c * Q, L, T)
-                acc1 = _greedy_fill_cost(m_s_b, Dst, m_t_b, injective)
-                if not normalize_bow:
-                    acc1 = acc1 / jnp.repeat(w_sum_s, Q)
-                cost = jnp.maximum(acc0, acc1)
-            else:
-                cost = acc0
-            max_cost = 1.0 if normalize_bow else jnp.tile(w_sum_t, c)
-            score = ((max_cost - cost) / max_cost).reshape(c, Q)
-            scores = jnp.where(ln[:, None] > 0, score, NEG_SCORE)
+        def shard_fn(tok, ln, pos, tag, bst):
+            scores = _rwmd_chunk_scores_multi(
+                tok.T, ln, pos.T, tag.T, sim_multi, mass_t, len_t,
+                max_score_t, *tw_args, *df_args,
+                injective, symmetric, normalize_bow, with_tags,
+                with_filter,
+            )
+            if with_boost:
+                scores = jnp.where(
+                    scores > NEG_SCORE * 0.5, scores * bst, NEG_SCORE
+                )
             return _merge_local_topk(
                 scores, axis, shard_n, n_dev, k, with_next
             )
@@ -385,17 +393,17 @@ class MeshSearch:
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
-            in_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=out_specs,
             check_vma=False,
         )
-        return fn(token_ids, lengths)
+        return fn(token_ids, lengths, pos_ids, tag_ids, boost)
 
     @functools.partial(
         jax.jit,
         static_argnames=(
             "self", "use_magnitudes", "normalize_mass", "k", "chunk",
-            "with_next",
+            "with_next", "with_tags", "with_filter", "with_boost",
         ),
     )
     def emd_topk_multiquery(
@@ -410,6 +418,14 @@ class MeshSearch:
         k: int = 10,
         chunk: int = 64,  # greedy fill holds [chunk*Q, ., .]; divides N/d
         with_next: bool = False,
+        pos_ids=None,  # [N, L] i8 sharded (tags/filter)
+        tag_ids=None,  # [N, L] i16 sharded
+        boost=None,  # [N, Q] f32 sharded per-slice boosts
+        tw_args=None,  # ([T, Q] w, [T, Q] pos, [Q] pen, [Q] thr) replicated
+        df_args=None,  # (pos_ex, tag_ex, tok_ex) replicated
+        with_tags: bool = False,
+        with_filter: bool = False,
+        with_boost: bool = False,
     ):
         """Full-WMD / WRD serving batch over the mesh: each shard ranks its
         slices with the PROVABLE exact-score upper bound (_emd_score_bound,
@@ -418,7 +434,8 @@ class MeshSearch:
         ``with_next``) upper-bounds every slice outside the returned set,
         so the caller's exact host EMD rescore can prove its cut — full
         wmd.h:194-270 exhaustive-exact semantics without solving every
-        slice."""
+        slice.  Tag weighting / doc filters / boosts ride in-shard (boosted
+        bounds stay provable: bound*b >= exact*b for b >= 0)."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -431,21 +448,45 @@ class MeshSearch:
         shard_n = token_ids.shape[0] // n_dev
         assert shard_n % chunk == 0, (shard_n, chunk)
         Q = sim_multi.shape[2]
+        if pos_ids is None:
+            pos_ids = jnp.zeros(token_ids.shape, jnp.int8)
+        if tag_ids is None:
+            tag_ids = jnp.zeros(token_ids.shape, jnp.int16)
+        if boost is None:
+            boost = jnp.ones((token_ids.shape[0], Q), jnp.float32)
+        if tw_args is None:
+            T = sim_multi.shape[1]
+            tw_args = (
+                jnp.ones((T, Q), jnp.float32),
+                jnp.full((T, Q), -1, jnp.int8),
+                jnp.zeros((Q,), jnp.float32),
+                jnp.full((Q,), -1.0, jnp.float32),
+            )
+        if df_args is None:
+            z = jnp.zeros((1,), bool)
+            df_args = (z, z, z)
 
-        def shard_fn(tok, ln):
+        def shard_fn(tok, ln, pos, tag, bst):
             sn, L = tok.shape
             n_chunks = sn // chunk
 
             def one_chunk(args):
-                tok_c, ln_c = args  # [chunk, L], [chunk]
+                tok_c, ln_c, pos_c, tag_c = args  # [chunk, L], [chunk], ...
                 return _emd_chunk_scores_multi(
-                    tok_c.T, ln_c, sim_multi, mags_vocab, mass_t,
-                    use_magnitudes, normalize_mass,
+                    tok_c.T, ln_c, pos_c.T, tag_c.T, sim_multi, mags_vocab,
+                    mass_t, *tw_args, *df_args,
+                    use_magnitudes, normalize_mass, with_tags, with_filter,
                 )
 
             xs = (tok.reshape(n_chunks, chunk, L),
-                  ln.reshape(n_chunks, chunk))
+                  ln.reshape(n_chunks, chunk),
+                  pos.reshape(n_chunks, chunk, L),
+                  tag.reshape(n_chunks, chunk, L))
             scores = jax.lax.map(one_chunk, xs).reshape(sn, Q)
+            if with_boost:
+                scores = jnp.where(
+                    scores > NEG_SCORE * 0.5, scores * bst, NEG_SCORE
+                )
             return _merge_local_topk(
                 scores, axis, shard_n, n_dev, k, with_next
             )
@@ -454,11 +495,11 @@ class MeshSearch:
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
-            in_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=out_specs,
             check_vma=False,
         )
-        return fn(token_ids, lengths)
+        return fn(token_ids, lengths, pos_ids, tag_ids, boost)
 
     @functools.partial(
         jax.jit,
