@@ -205,25 +205,96 @@ def test_cache_contextual_embeddings(tmp_path):
         assert len(r) >= 1
 
 
-def test_mixed_tree_find_batch_falls_back(ctx_session):
-    """find_batch on a mixed static+contextual modifier tree serves each
-    query through the exact per-query path (byte-equal to find())."""
-    from vectorian_tpu.sim.modifier import MixedTokenSimilarity
+def test_mixed_tree_find_batch_matches_single(ctx_session):
+    """find_batch on a mixed static+contextual modifier tree serves the
+    batch through ONE stacked-leaf corpus pass (score_all_multi_tree) —
+    single-chip AND mesh — byte-equal to find() (the finalizer's exact
+    per-slice rescore owns the reported scores, so the batched GEMM's
+    different reduction tiling never shows)."""
+    import vectorian_tpu as vt
+    from vectorian_tpu.sim.modifier import (
+        MaximumTokenSimilarity,
+        MixedTokenSimilarity,
+    )
     from vectorian_tpu.sim.token import EmbeddingTokenSim
 
     session, static_emb, ctx_emb = ctx_session
-    tree = MixedTokenSimilarity(
-        [EmbeddingTokenSim(static_emb), EmbeddingTokenSim(ctx_emb)],
-        [0.5, 0.5],
-    )
-    ix = session.partition("sentence").index(tree)
+    qs = ["the old king rides", "a bird sings loud", "cat sleeps"]
+    for tree in (
+        MixedTokenSimilarity(
+            [EmbeddingTokenSim(static_emb), EmbeddingTokenSim(ctx_emb)],
+            [0.5, 0.5],
+        ),
+        MaximumTokenSimilarity(
+            [EmbeddingTokenSim(static_emb), EmbeddingTokenSim(ctx_emb)]
+        ),
+    ):
+        ix = session.partition("sentence").index(tree)
+        batch = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(qs, n=4, min_score=-1.0)
+        ]
+        single = [
+            [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=-1.0)]
+            for q in qs
+        ]
+        assert batch == single
+        ms = vt.MeshSearch(vt.make_mesh())
+        mesh = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(qs, n=4, min_score=-1.0, mesh=ms)
+        ]
+        assert mesh == single
+        # per-query options on cross-modality trees stay per-query
+        b2 = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(qs[:2], n=3, min_score=-1.0,
+                                   submatch_weight=0.5)
+        ]
+        s2 = [
+            [
+                (m.slice_id, m.score)
+                for m in ix.find(q, n=3, min_score=-1.0, submatch_weight=0.5)
+            ]
+            for q in qs[:2]
+        ]
+        assert b2 == s2
+
+
+def test_ctx_find_batch_booster_matches_single(ctx_session):
+    """Boosters ride the contextual AND mixed-tree serving batches
+    (in-kernel ranking multiply + boosted exact rescore), single-chip and
+    mesh, byte-equal to find()."""
+    import vectorian_tpu as vt
+    from vectorian_tpu.saliency import KeywordSignal, Saliency
+
+    session, static_emb, ctx_emb = ctx_session
+    sal = Saliency(strength=0.8).add_signal(KeywordSignal("horse"), 1.0)
     qs = ["the old king rides", "a bird sings loud"]
-    batch = [
-        [(m.slice_id, m.score) for m in r]
-        for r in ix.find_batch(qs, n=4, min_score=-1.0)
-    ]
-    single = [
-        [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=-1.0)]
-        for q in qs
-    ]
-    assert batch == single
+    for token_sim in (
+        EmbeddingTokenSim(ctx_emb),
+        MixedTokenSimilarity(
+            [EmbeddingTokenSim(static_emb), EmbeddingTokenSim(ctx_emb)],
+            [0.5, 0.5],
+        ),
+    ):
+        ix = session.partition("sentence").index(token_sim)
+        want = [
+            [
+                (m.slice_id, m.score)
+                for m in ix.find(q, n=4, min_score=0.01, booster=sal)
+            ]
+            for q in qs
+        ]
+        got = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(qs, n=4, min_score=0.01, booster=sal)
+        ]
+        assert got == want
+        ms = vt.MeshSearch(vt.make_mesh())
+        got_mesh = [
+            [(m.slice_id, m.score) for m in r]
+            for r in ix.find_batch(qs, n=4, min_score=0.01, booster=sal,
+                                   mesh=ms)
+        ]
+        assert got_mesh == want

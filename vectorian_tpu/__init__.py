@@ -49,6 +49,11 @@ from vectorian_tpu.embedding.span import (  # noqa: F401
     SentenceEmbedding,
     TextSpanEmbedding,
 )
+from vectorian_tpu.embedding.pipeline import (  # noqa: F401
+    SpacySpanEmbedding,
+    decompose_nlp,
+    register_decomposer,
+)
 from vectorian_tpu.embedding.zoo import Zoo  # noqa: F401
 from vectorian_tpu.saliency import KeywordSignal, Saliency  # noqa: F401
 

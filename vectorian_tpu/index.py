@@ -135,6 +135,17 @@ def _submatch_fetch_thresh(
     return lo
 
 
+def _boosted_col(col: np.ndarray, boost) -> np.ndarray:
+    """Host-side boosted ranking column: multiply valid scores, keep the
+    NEG_SCORE sentinels intact (same f32 arithmetic as the in-kernel boost
+    multiply on the static batch path)."""
+    if boost is None:
+        return col
+    return np.where(
+        col > NEG_SCORE * 0.5, col * boost, col
+    ).astype(np.float32)
+
+
 def _metric_ctx_names(token_sim):
     """Names of the contextual embeddings a token-sim tree actually uses."""
     return {
@@ -1231,18 +1242,26 @@ class BruteForceIndex(Index):
                 return self._find_batch_ctx(
                     texts, n=n, min_score=min_score, mesh=mesh, **kwargs
                 )
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh find_batch supports static and single-contextual "
-                    "alignment metrics (no mixed-modifier contextual trees)"
-                )
-            # mixed static+contextual modifier trees: serve the batch
-            # through the exact per-query path (no batched kernel exists
-            # for cross-modality trees; results must still come back)
-            return [
-                self.find(t, n=n, min_score=min_score, **kwargs)
-                for t in texts
-            ]
+            delegated_tree = (
+                (BATCH_DELEGATED_OPTIONS - {"booster"}) & set(kwargs)
+            )
+            if delegated_tree or self._args.get("tag_weights"):
+                # per-query options / tag weights on cross-modality trees:
+                # serve through the exact per-query path
+                if mesh is not None:
+                    raise NotImplementedError(
+                        "mesh find_batch does not take per-query options "
+                        "or tag weights on mixed-modifier contextual trees"
+                    )
+                return [
+                    self.find(t, n=n, min_score=min_score, **kwargs)
+                    for t in texts
+                ]
+            # mixed static+contextual modifier trees ride a batched
+            # stacked-leaf corpus pass (single-chip AND mesh)
+            return self._find_batch_tree(
+                texts, n=n, min_score=min_score, mesh=mesh, **kwargs
+            )
         # options the batched kernel genuinely cannot take — delegate to
         # the exact single-query path rather than silently ignoring them
         submatch_w = float(kwargs.get("submatch_weight") or 0.0)
@@ -2480,6 +2499,240 @@ class BruteForceIndex(Index):
                 results[ti] = Result(self, ml, dur)
         return [r if r is not None else Result(self, [], 0.0) for r in results]
 
+    def _find_batch_tree(
+        self, texts, n: int = 100, min_score: float = 0.2, mesh=None, **kwargs
+    ) -> List[Result]:
+        """Batched search over a MIXED static+contextual modifier tree:
+        every leaf evaluates against the Q-stacked query axis in one
+        corpus pass (stacked [V, T*Q] static tables + [T*Q, d] contextual
+        query matrices — ops/search.stack_tree_plans), the modifier ops
+        vectorize elementwise, and the finalizer exactly rescores under
+        the contextual membership floor.  Closes the round-2 exclusion:
+        the reference serves every metric uniformly through its document
+        ThreadPool (index.py:530-560, modifier factory
+        metric/modifier.cpp:18-74).  Boosters ride the batch (multiply
+        ranking scores in-kernel and the exact rescore alike)."""
+        booster = kwargs.get("booster")
+        token_sim = self._args["metric"]["token_sim"]
+        ctx_names = _metric_ctx_names(token_sim)
+        for name in sorted(ctx_names):
+            self._engine.ensure_contextual(
+                name, self._session.documents, self._session._ctx_dims[name]
+            )
+        gaps = self._affine_gaps()
+        if gaps is None:
+            gap_costs = (self._gap_s, self._gap_t)
+            gaps = AffineGapParams.of(0, 0, 0, 0)  # unused placeholder
+        else:
+            gap_costs = None
+
+        start_time = time.time()
+        prepared, plans, len_ts, norm_totals = [], [], [], []
+        order, results = [], [None] * len(texts)
+        for ti, text in enumerate(texts):
+            q = self.make_query(text, n=n, min_score=min_score, **kwargs)
+            pq = q.prepare(self._nlp)
+            if pq.n_tokens == 0:
+                results[ti] = Result(self, [], 0.0)
+                continue
+            order.append(ti)
+            prepared.append(pq)
+            tok_ids_p, strings_p, ctx_p, _ = _pad_needle(
+                pq, self._session, ctx_names=ctx_names
+            )
+            qp = compile_plan(
+                token_sim,
+                self._session.compiled_embeddings,
+                tok_ids_p,
+                strings_p,
+                ctx_p,
+            )
+            plans.append(qp)
+            len_ts.append(max(pq.n_tokens, 1))
+            norm_totals.append(float(max(pq.n_tokens, 1)))
+        if not prepared:
+            return [
+                r if r is not None else Result(self, [], 0.0) for r in results
+            ]
+
+        boosts = (
+            [
+                np.asarray(
+                    booster.compile(self._session, self._partition, pq),
+                    np.float32,
+                )
+                for pq in prepared
+            ]
+            if booster is not None
+            else None
+        )
+
+        if mesh is not None:
+            ms_results = self._find_batch_tree_mesh(
+                token_sim, prepared, plans, len_ts, norm_totals, gaps,
+                gap_costs, n, min_score, mesh, start_time, boosts=boosts,
+            )
+            for qi, r in enumerate(ms_results):
+                results[order[qi]] = r
+            return [
+                r if r is not None else Result(self, [], 0.0) for r in results
+            ]
+
+        scores = self._engine.score_all_multi_tree(
+            plans, len_ts, gaps, self._locality, norm_totals,
+            gap_costs=gap_costs,
+        )  # [n_slices, Q]
+        per_q = self._finalize_quantized_many(
+            [
+                (
+                    _boosted_col(
+                        scores[:, qi],
+                        boosts[qi] if boosts is not None else None,
+                    ),
+                    plans[qi], pq, norm_totals[qi], None,
+                    boosts[qi] if boosts is not None else None,
+                )
+                for qi, pq in enumerate(prepared)
+            ],
+            gaps, token_sim.name, n, min_score, 0.0, gap_costs=gap_costs,
+        )
+        elapsed = time.time() - start_time
+        for qi, matches in enumerate(per_q):
+            results[order[qi]] = Result(self, matches, elapsed)
+        return [r if r is not None else Result(self, [], 0.0) for r in results]
+
+    def _find_batch_tree_mesh(
+        self, token_sim, prepared, plans, len_ts, norm_totals, gaps,
+        gap_costs, n, min_score, mesh, start_time, boosts=None,
+    ) -> List[Result]:
+        """Mesh-sharded mixed-tree serving batch: token buckets AND every
+        contextual bucket store shard over the slice axis, the stacked
+        leaf tables replicate, and each shard runs the same tree
+        evaluation + multi DP as the single-chip kernel before the
+        per-query top-k all-gather merge."""
+        import jax.numpy as jnp
+
+        from vectorian_tpu.ops.search import gap_vec, stack_tree_plans
+        from vectorian_tpu.parallel.mesh import MeshSearch
+
+        ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
+        ctx_names = plans[0].ctx_names
+        tok_shards = self._mesh_shards(ms)
+        ctx_shards = [self._ctx_mesh_shards(ms, nm) for nm in ctx_names]
+        Q = len(prepared)
+        statics, ctx_qs, weights, Tpad = stack_tree_plans(plans, len_ts)
+        statics = tuple(ms.put_replicated(np.asarray(t)) for t in statics)
+        ctx_qs = tuple(
+            {k: ms.put_replicated(np.asarray(v)) for k, v in d.items()}
+            for d in ctx_qs
+        )
+        lt_arr = jnp.asarray(len_ts, jnp.int32)
+        nt_arr = jnp.asarray(norm_totals, jnp.float32)
+        with_boost = boosts is not None and any(
+            b is not None for b in boosts
+        )
+
+        m = n + 32
+        while True:
+            pending = []
+            complete = True
+            for si, (db, tok_d, len_d, _, _) in enumerate(tok_shards):
+                complete = complete and m >= tok_d.shape[0]
+                gap_vecs = None
+                if gap_costs is not None:
+                    gap_vecs = (
+                        ms.put_replicated(
+                            gap_vec(gap_costs[0], db["capacity"] + 1)
+                        ),
+                        ms.put_replicated(gap_vec(gap_costs[1], Tpad + 1)),
+                    )
+                ctx_ds = tuple(cs[si][1] for cs in ctx_shards)
+                bst_d = None
+                if with_boost:
+                    import jax
+
+                    bmat = np.ones((tok_d.shape[0], Q), np.float32)
+                    for qi, b in enumerate(boosts):
+                        if b is not None:
+                            bmat[: db["n"], qi] = b[db["slice_index"]]
+                    bst_d = jax.device_put(bmat, ms._sharded)
+                out = ms.tree_score_topk_multiquery(
+                    plans[0].plan, tok_d, len_d, ctx_ds, statics,
+                    tuple(plans[0].static_mags), ctx_qs, weights,
+                    lt_arr, gaps, nt_arr,
+                    locality=self._locality, k=min(m, tok_d.shape[0]),
+                    with_next=True, gap_vecs=gap_vecs,
+                    general_gaps=gap_costs is not None,
+                    boost=bst_d, with_boost=with_boost,
+                )
+                pending.append((db, out))
+
+            cands = [[] for _ in range(Q)]
+            rest_max = np.full((Q,), -np.inf)
+            full_scores = (
+                np.full((Q, self._engine.packed.n_slices), -1e30, np.float32)
+                if complete
+                else None
+            )
+            for db, (s, i, nxt) in pending:
+                s, i = np.asarray(s), np.asarray(i)
+                rest_max = np.maximum(rest_max, np.asarray(nxt))
+                for q in range(Q):
+                    valid = (i[q] < db["n"]) & np.isfinite(s[q])
+                    sids = db["slice_index"][i[q][valid]]
+                    cands[q].extend(int(x) for x in sids)
+                    if full_scores is not None:
+                        full_scores[q, sids] = s[q][valid]
+
+            retry = False
+            if complete:
+                finalized = self._finalize_quantized_many(
+                    [
+                        (
+                            full_scores[q], plans[q], pq, norm_totals[q],
+                            None,
+                            boosts[q] if boosts is not None else None,
+                        )
+                        for q, pq in enumerate(prepared)
+                    ],
+                    gaps, token_sim.name, n, min_score, 0.0,
+                    gap_costs=gap_costs,
+                )
+                per_q = list(finalized)
+            else:
+                per_q = []
+                res_all = self._engine.rescore_many(
+                    [
+                        {
+                            "slice_ids": cands[q],
+                            "qp": plans[q],
+                            "len_t": pq.n_tokens,
+                            "tag_weights": None,
+                            "want_flows": True,
+                        }
+                        for q, pq in enumerate(prepared)
+                    ],
+                    gaps, self._locality, gap_costs=gap_costs,
+                )
+                for (q, pq), res in zip(enumerate(prepared), res_all):
+                    eps = self._quant_eps(
+                        0.0, pq, norm_totals[q], plan=plans[q]
+                    )
+                    matches = self._cut_from_rescore(
+                        res, cands[q], float(rest_max[q]), pq,
+                        norm_totals[q], token_sim.name, n, min_score, eps,
+                        boost=boosts[q] if boosts is not None else None,
+                    )
+                    if matches is None:
+                        retry = True
+                        break
+                    per_q.append(matches)
+            if not retry:
+                elapsed = time.time() - start_time
+                return [Result(self, ml, elapsed) for ml in per_q]
+            # unsafe: one full-coverage round (see _find_batch_mesh)
+            m = max(tok_d.shape[0] for _, tok_d, *_ in tok_shards)
+
     def _find_batch_ctx(
         self, texts, n: int = 100, min_score: float = 0.2, mesh=None, **kwargs
     ) -> List[Result]:
@@ -2487,16 +2740,20 @@ class BruteForceIndex(Index):
         metric evaluation becomes a single GEMM against the Q stacked query
         matrices (the contextual analogue of the static table batching).
         With ``mesh`` the [N, L, d] bucket stores shard over the device
-        mesh and per-query top-k merges over one all-gather."""
-        if BATCH_DELEGATED_OPTIONS & set(kwargs):
+        mesh and per-query top-k merges over one all-gather.  Boosters
+        ride the batch (multiply ranking scores and the exact rescore
+        alike); the remaining per-query options delegate."""
+        delegated = (BATCH_DELEGATED_OPTIONS - {"booster"}) & set(kwargs)
+        if delegated:
             if mesh is not None:
                 raise NotImplementedError(
                     "mesh find_batch does not take per-query options "
-                    f"({sorted(BATCH_DELEGATED_OPTIONS & set(kwargs))})"
+                    f"({sorted(delegated)})"
                 )
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
+        booster = kwargs.get("booster")
         token_sim = self._args["metric"]["token_sim"]
         emb = token_sim.embeddings[0]
         name = emb.name
@@ -2541,10 +2798,23 @@ class BruteForceIndex(Index):
         if not prepared:
             return [r if r is not None else Result(self, [], 0.0) for r in results]
 
+        boosts = (
+            [
+                np.asarray(
+                    booster.compile(self._session, self._partition, pq),
+                    np.float32,
+                )
+                for pq in prepared
+            ]
+            if booster is not None
+            else None
+        )
+
         if mesh is not None:
             ms_results = self._find_batch_ctx_mesh(
                 name, token_sim, prepared, plans, ctx_qs, len_ts,
                 norm_totals, gaps, gap_costs, n, min_score, mesh, start_time,
+                boosts=boosts,
             )
             for qi, r in enumerate(ms_results):
                 results[order[qi]] = r
@@ -2563,7 +2833,14 @@ class BruteForceIndex(Index):
         # finalize through ONE batched rescore per round
         per_q = self._finalize_quantized_many(
             [
-                (scores[:, qi], plans[qi], pq, norm_totals[qi], None, None)
+                (
+                    _boosted_col(
+                        scores[:, qi],
+                        boosts[qi] if boosts is not None else None,
+                    ),
+                    plans[qi], pq, norm_totals[qi], None,
+                    boosts[qi] if boosts is not None else None,
+                )
                 for qi, pq in enumerate(prepared)
             ],
             gaps, token_sim.name, n, min_score, 0.0, gap_costs=gap_costs,
@@ -2608,7 +2885,7 @@ class BruteForceIndex(Index):
 
     def _find_batch_ctx_mesh(
         self, name, token_sim, prepared, plans, ctx_qs, len_ts, norm_totals,
-        gaps, gap_costs, n, min_score, mesh, start_time,
+        gaps, gap_costs, n, min_score, mesh, start_time, boosts=None,
     ) -> List[Result]:
         """Mesh-sharded contextual serving batch: sharded [N, L, d] bucket
         stores, one replicated stacked-query GEMM per shard, per-query
@@ -2628,6 +2905,10 @@ class BruteForceIndex(Index):
         q_mags = ms.put_replicated(np.asarray(q_mags))
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
+        Qb = len(plans)
+        with_boost = boosts is not None and any(
+            b is not None for b in boosts
+        )
 
         m = n + 32
         while True:
@@ -2645,12 +2926,22 @@ class BruteForceIndex(Index):
                         ),
                         ms.put_replicated(gap_vec(gap_costs[1], Tpad + 1)),
                     )
+                bst_d = None
+                if with_boost:
+                    import jax
+
+                    bmat = np.ones((ctx_d.shape[0], Qb), np.float32)
+                    for qi, b in enumerate(boosts):
+                        if b is not None:
+                            bmat[: db["n"], qi] = b[db["slice_index"]]
+                    bst_d = jax.device_put(bmat, ms._sharded)
                 out = ms.ctx_score_topk_multiquery(
                     ctx_d, len_d, q_norm, q_unmod, q_mags, lt_arr, gaps,
                     nt_arr, metric=token_sim.metric,
                     locality=self._locality, k=min(m, ctx_d.shape[0]),
                     with_next=True, gap_vecs=gap_vecs,
                     general_gaps=gap_costs is not None,
+                    boost=bst_d, with_boost=with_boost,
                 )
                 pending.append((db, out))
 
@@ -2679,7 +2970,8 @@ class BruteForceIndex(Index):
                     [
                         (
                             full_scores[q], plans[q], pq, norm_totals[q],
-                            None, None,
+                            None,
+                            boosts[q] if boosts is not None else None,
                         )
                         for q, pq in enumerate(prepared)
                     ],
@@ -2709,6 +3001,7 @@ class BruteForceIndex(Index):
                     matches = self._cut_from_rescore(
                         res, cands[q], float(rest_max[q]), pq,
                         norm_totals[q], token_sim.name, n, min_score, eps,
+                        boost=boosts[q] if boosts is not None else None,
                     )
                     if matches is None:
                         retry = True

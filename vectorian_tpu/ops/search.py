@@ -68,6 +68,67 @@ def _default_chunk() -> int:
 DEFAULT_CHUNK = 4096  # legacy constant; engines call _default_chunk()
 
 
+class _PagedBucket(dict):
+    """Length-bucket dict whose device arrays page in lazily from host
+    copies and can be evicted (``VECTORIAN_PAGE_BUCKETS=1`` serving mode
+    for corpora past the one-chip HBM envelope, docs/performance.md).
+
+    Lookups of the device keys (``tokens``/``tok_sorted``/``sort_inv``/
+    ``pos``/``tag``/``lengths``) upload the matching ``*_np`` host copy on
+    first touch — every existing consumer works unchanged — and
+    :meth:`evict` drops them back to host-only, freeing HBM once the
+    dispatched computation retires.  The corpus-pass loops consume each
+    bucket's scores with a host read before moving on, so at most one
+    bucket (plus its in-flight successor) is resident."""
+
+    _DEVICE_KEYS = (
+        "tokens", "tok_sorted", "sort_inv", "pos", "tag", "lengths",
+    )
+
+    def __missing__(self, key):
+        if key not in self._DEVICE_KEYS:
+            raise KeyError(key)
+        val = jnp.asarray(dict.__getitem__(self, key + "_np"))
+        dict.__setitem__(self, key, val)
+        return val
+
+    def evict(self):
+        for key in self._DEVICE_KEYS:
+            dict.pop(self, key, None)
+
+
+class _LazyScores:
+    """Deferred per-bucket scoring dispatch (paged mode): ``get()`` pages
+    the bucket in and dispatches the kernel; ``release()`` drops the
+    scores AND the bucket's device arrays.  Consumers must force a host
+    read of (part of) the scores before releasing — that read is the only
+    honest completion barrier on the tunneled runtime (CLAUDE.md:
+    block_until_ready does not synchronize there)."""
+
+    __slots__ = ("_db", "_fn", "_scores")
+
+    def __init__(self, db, fn):
+        self._db = db
+        self._fn = fn
+        self._scores = None
+
+    def get(self):
+        if self._scores is None:
+            self._scores = self._fn()
+        return self._scores
+
+    def release(self):
+        self._scores = None
+        if isinstance(self._db, _PagedBucket):
+            self._db.evict()
+
+
+def _paged_default() -> bool:
+    import os
+
+    return os.environ.get("VECTORIAN_PAGE_BUCKETS", "") in ("1", "true")
+
+
 def stack_query_tables(plans, len_ts, sim_dtype=None):
     """Stack Q static query plans into the serving table [V, Tpad, Q]
     ((T, Q)-minor so the vocab gather's output is already the DP kernel's
@@ -1035,6 +1096,123 @@ def _bucket_scores_multiquery(
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
 
 
+def stack_tree_plans(plans, len_ts):
+    """Stack Q structurally-identical modifier-tree plans into per-leaf
+    Q-minor arrays: static leaves -> [V, Tpad*Q] tables, contextual leaves
+    -> [Tpad*Q, d] query-vector dicts (the ctx batch layout).  Every
+    eval_plan_chunk modifier op (mixed/max/min/unary) is elementwise over
+    the similarity tensor's trailing axis, so the SAME tree evaluation
+    serves all Q stacked queries in one pass; the [c, L, Tpad*Q] output
+    reshapes to the multi-DP tiling.  Tree structure and mixed weights are
+    index-level (one token-sim spec), so they are shared.
+    Returns (static_sims, ctx_query_dicts, mixed_weights, Tpad)."""
+    p0 = plans[0]
+    assert all(qp.plan == p0.plan for qp in plans), "tree structure differs"
+    Q = len(plans)
+    Tmax = max(len_ts)
+    Tpad = -(-Tmax // 8) * 8
+    statics = []
+    for k in range(len(p0.static_sims)):
+        V = p0.static_sims[k].shape[0]
+        out = np.zeros((V, Tpad, Q), np.float32)
+        for q, qp in enumerate(plans):
+            m = np.asarray(qp.static_sims[k], np.float32)
+            out[:, : m.shape[1], q] = m
+        statics.append(jnp.asarray(out.reshape(V, Tpad * Q)))
+    ctxs = []
+    for k in range(len(p0.ctx_queries)):
+        u, nrm, mg, Tp2 = stack_ctx_queries(
+            [qp.ctx_queries[k] for qp in plans], len_ts
+        )
+        assert Tp2 == Tpad
+        ctxs.append({"unmodified": u, "normalized": nrm, "magnitudes": mg})
+    return tuple(statics), tuple(ctxs), tuple(p0.mixed_weights), Tpad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "locality", "chunk", "n_queries", "use_pallas",
+        "general_gaps",
+    ),
+)
+def _bucket_scores_multiquery_tree(
+    plan: tuple,
+    token_ids: jnp.ndarray,  # [N, L] i32
+    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L] sorted gather stream
+    sort_inv: jnp.ndarray,  # [n_chunks, chunk*L]
+    lengths: jnp.ndarray,  # [N] i32
+    static_sims: tuple,  # k -> [V, T*Q] stacked (q-minor)
+    static_mags: tuple,
+    ctx_chunks: tuple,  # k -> [N, L, d] bucket stores
+    ctx_queries: tuple,  # k -> dict of [T*Q, ...] stacked query vectors
+    mixed_weights: tuple,
+    len_t: jnp.ndarray,  # [Q] i32
+    gaps: AffineGapParams,
+    norm_total: jnp.ndarray,  # [Q] f32
+    gap_vec_s: jnp.ndarray,  # [L+1] (general-gap path only)
+    gap_vec_t: jnp.ndarray,  # [T+1]
+    locality: str,
+    chunk: int,
+    n_queries: int,
+    use_pallas: bool = False,
+    general_gaps: bool = False,
+):
+    """[N, Q] scores for Q MIXED static+contextual modifier-tree queries
+    in one corpus pass: each leaf evaluates against the stacked query axis
+    (static gather of the [V, T*Q] table / one GEMM against the [T*Q, d]
+    contextual matrix), the modifier tree combines elementwise, and the
+    [c, L, T, Q] similarity feeds the same multi DP tail as the contextual
+    batch (reference modifier factory, metric/modifier.cpp:18-74, served
+    per document there)."""
+    from vectorian_tpu.ops.simmatrix import eval_plan_chunk
+
+    N, L = token_ids.shape
+    Q = n_queries
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tok, ts, inv, ln, ctx = args
+        c = tok.shape[0]
+        S = eval_plan_chunk(
+            plan, tok, static_sims, static_mags, ctx, ctx_queries,
+            mixed_weights, sorted_gather=(ts, inv),
+        )["similarity"]  # [c, L, T*Q]
+        T = S.shape[-1] // Q
+        S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L,c,T,Q]
+        if use_pallas and Q >= PALLAS_MIN_BATCH and not general_gaps:
+            from vectorian_tpu.ops.pallas_dp import (
+                pallas_align_scores_multi_nt,
+            )
+
+            raw = pallas_align_scores_multi_nt(
+                S, jnp.maximum(ln, 1), len_t, gaps, locality
+            )
+        else:
+            S2 = jnp.transpose(S, (1, 3, 0, 2)).reshape(c * Q, L, T)
+            ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
+            lt_rep = jnp.tile(len_t, c)
+            if general_gaps:
+                raw = align_scores_general(
+                    S2, ln_rep, lt_rep, gap_vec_s, gap_vec_t, locality
+                ).reshape(c, Q)
+            else:
+                raw = align_scores(S2, ln_rep, lt_rep, gaps, locality).reshape(
+                    c, Q
+                )
+        scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+        return jnp.where(ln[:, None] > 0, scores, NEG_SCORE)
+
+    xs = (
+        token_ids.reshape(n_chunks, chunk, L),
+        tok_sorted,
+        sort_inv,
+        lengths.reshape(n_chunks, chunk),
+        tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
+    )
+    return jax.lax.map(one_chunk, xs).reshape(N, Q)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1456,10 +1634,19 @@ def _stacked_rescore(
 
 
 class BruteForceEngine:
-    """Scores a PackedCorpus against a compiled query plan."""
+    """Scores a PackedCorpus against a compiled query plan.
 
-    def __init__(self, packed):
+    ``paged=True`` (or ``VECTORIAN_PAGE_BUCKETS=1``) keeps the bucket
+    arrays host-side and streams them through HBM one bucket at a time
+    during corpus passes (upload -> dispatch -> consume with a host read ->
+    evict), extending the one-chip corpus size past the resident
+    [n_slices, Q] envelope (docs/performance.md).  Results are
+    byte-identical to resident mode — the arrays and kernels are the same;
+    only residency and the per-bucket completion barrier differ."""
+
+    def __init__(self, packed, paged: Optional[bool] = None):
         self._packed = packed
+        self._paged = _paged_default() if paged is None else bool(paged)
         self._device_buckets = []
         self._ctx_stores: Dict[str, list] = {}  # name -> per-bucket [Npad, L, d]
         # slice id -> (bucket index, row) for O(1) rescore lookups
@@ -1490,25 +1677,35 @@ class BruteForceEngine:
                 ),
                 axis=1,
             )
-            self._device_buckets.append(
-                {
-                    "capacity": b.capacity,
-                    "chunk": chunk,
-                    "tokens": jnp.asarray(tok),
-                    "tok_sorted": jnp.asarray(tok_sorted),
-                    "sort_inv": jnp.asarray(inv),
-                    "pos": jnp.asarray(pos.astype(np.int8)),
-                    "tag": jnp.asarray(tag.astype(np.int16)),
-                    "lengths": jnp.asarray(ln),
-                    "slice_index": b.slice_index,
-                    "n": n,
-                    # host copies: rescore/finalizer paths read per-slice
-                    # rows — a device pull per slice costs a tunnel RTT
-                    "tokens_np": tok,
-                    "pos_np": pos.astype(np.int8),
-                    "tag_np": tag.astype(np.int16),
-                }
-            )
+            entry = {
+                "capacity": b.capacity,
+                "chunk": chunk,
+                "slice_index": b.slice_index,
+                "n": n,
+                "n_pad": tok.shape[0],
+                # host copies: rescore/finalizer paths read per-slice
+                # rows — a device pull per slice costs a tunnel RTT
+                "tokens_np": tok,
+                "pos_np": pos.astype(np.int8),
+                "tag_np": tag.astype(np.int16),
+            }
+            if self._paged:
+                # host-only: device keys page in on first touch and evict
+                # after each pass (the sorted streams need host copies too)
+                entry["tok_sorted_np"] = tok_sorted
+                entry["sort_inv_np"] = inv
+                entry["lengths_np"] = ln
+                self._device_buckets.append(_PagedBucket(entry))
+            else:
+                entry.update(
+                    tokens=jnp.asarray(tok),
+                    tok_sorted=jnp.asarray(tok_sorted),
+                    sort_inv=jnp.asarray(inv),
+                    pos=jnp.asarray(entry["pos_np"]),
+                    tag=jnp.asarray(entry["tag_np"]),
+                    lengths=jnp.asarray(ln),
+                )
+                self._device_buckets.append(entry)
 
     @property
     def packed(self):
@@ -1566,7 +1763,7 @@ class BruteForceEngine:
 
         store = []
         for db in self._device_buckets:
-            npad = int(db["tokens"].shape[0])
+            npad = int(db["n_pad"])
             L = db["capacity"]
             n = db["n"]
             sids = db["slice_index"]
@@ -1580,8 +1777,23 @@ class BruteForceEngine:
             arr[:n] = np.where(mask[:, :, None], flat[idx], 0.0)
             # bf16 in HBM halves the bandwidth of the einsum-dominated
             # contextual path; eval_plan_chunk upcasts to f32 per chunk
-            store.append(jnp.asarray(arr, dtype=jnp.bfloat16))
+            if self._paged:
+                # host-side bf16 (ml_dtypes rounds to-nearest-even exactly
+                # like XLA's convert, so paged == resident bit-for-bit);
+                # _ctx_dev uploads per pass
+                import ml_dtypes
+
+                store.append(arr.astype(ml_dtypes.bfloat16))
+            else:
+                store.append(jnp.asarray(arr, dtype=jnp.bfloat16))
         self._ctx_stores[name] = store
+
+    def _ctx_dev(self, name: str, bucket_index: int):
+        """Device view of one bucket's contextual store ([Npad, L, d]
+        bf16).  Resident mode returns the cached device array; paged mode
+        uploads fresh — the caller's pass consumes and drops it."""
+        store = self._ctx_stores[name][bucket_index]
+        return jnp.asarray(store) if self._paged else store
 
     @staticmethod
     def _plan_width(qp: QueryPlan) -> int:
@@ -1592,7 +1804,7 @@ class BruteForceEngine:
         )
 
     def _plan_args(self, qp: QueryPlan, bucket_index: int):
-        ctx = tuple(self._ctx_stores[nm][bucket_index] for nm in qp.ctx_names)
+        ctx = tuple(self._ctx_dev(nm, bucket_index) for nm in qp.ctx_names)
         return (
             tuple(qp.static_sims),
             tuple(qp.static_mags),
@@ -1616,11 +1828,11 @@ class BruteForceEngine:
         by score_all and score_topk (the single home — the two scoring
         paths must not drift)."""
         if boost is not None:
-            bvec = np.ones((db["tokens"].shape[0],), np.float32)
+            bvec = np.ones((db["n_pad"],), np.float32)
             bvec[: db["n"]] = boost[db["slice_index"]]
             bvec = jnp.asarray(bvec)
         else:
-            bvec = jnp.ones((db["tokens"].shape[0],), jnp.float32)
+            bvec = jnp.ones((db["n_pad"],), jnp.float32)
         if tag_weights is not None:
             tw = tag_weights.device_args()
         else:
@@ -1654,47 +1866,68 @@ class BruteForceEngine:
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
-            bvec, (tw_w, tw_p, tw_pen, tw_thr), gv_s, gv_t = (
-                self._bucket_dispatch_args(db, T, boost, tag_weights, gap_costs)
+
+            def dispatch(db=db, bi=bi):
+                bvec, (tw_w, tw_p, tw_pen, tw_thr), gv_s, gv_t = (
+                    self._bucket_dispatch_args(
+                        db, T, boost, tag_weights, gap_costs
+                    )
+                )
+                static_sims, static_mags, ctx, ctx_q, weights = (
+                    self._plan_args(qp, bi)
+                )
+                return _bucket_scores(
+                    qp.plan,
+                    db["tokens"],
+                    db["tok_sorted"],
+                    db["sort_inv"],
+                    db["pos"],
+                    db["tag"],
+                    db["lengths"],
+                    static_sims,
+                    static_mags,
+                    ctx,
+                    ctx_q,
+                    weights,
+                    jnp.asarray(len_t, jnp.int32),
+                    gaps,
+                    bvec,
+                    jnp.asarray(norm_total, jnp.float32),
+                    tw_w,
+                    tw_p,
+                    tw_pen,
+                    tw_thr,
+                    *flt,
+                    gv_s,
+                    gv_t,
+                    locality=locality,
+                    chunk=db["chunk"],
+                    with_tags=tag_weights is not None,
+                    with_filter=doc_filter is not None,
+                    general_gaps=gap_costs is not None,
+                    use_pallas=use_pallas_default(),
+                )
+
+            pending.append(
+                (db, _LazyScores(db, dispatch) if self._paged else dispatch())
             )
-            static_sims, static_mags, ctx, ctx_q, weights = self._plan_args(qp, bi)
-            scores = _bucket_scores(
-                qp.plan,
-                db["tokens"],
-                db["tok_sorted"],
-                db["sort_inv"],
-                db["pos"],
-                db["tag"],
-                db["lengths"],
-                static_sims,
-                static_mags,
-                ctx,
-                ctx_q,
-                weights,
-                jnp.asarray(len_t, jnp.int32),
-                gaps,
-                bvec,
-                jnp.asarray(norm_total, jnp.float32),
-                tw_w,
-                tw_p,
-                tw_pen,
-                tw_thr,
-                *flt,
-                gv_s,
-                gv_t,
-                locality=locality,
-                chunk=db["chunk"],
-                with_tags=tag_weights is not None,
-                with_filter=doc_filter is not None,
-                general_gaps=gap_costs is not None,
-                use_pallas=use_pallas_default(),
-            )
-            pending.append((db, scores))
         # collect after all buckets are dispatched: device work and host
         # transfers overlap instead of paying a tunnel RTT per bucket
-        for db, scores in pending:
-            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        # (paged mode instead consumes bucket-by-bucket to bound HBM)
+        self._collect_pending(pending, out)
         return out
+
+    def _collect_pending(self, pending, out: np.ndarray):
+        """Drain a corpus pass's per-bucket scores into ``out`` (indexed by
+        slice id).  Lazy (paged) entries dispatch here one bucket at a
+        time: the np.asarray host read is the completion barrier that lets
+        the previous bucket's HBM free before the next uploads."""
+        for db, s in pending:
+            if isinstance(s, _LazyScores):
+                out[db["slice_index"]] = np.asarray(s.get()[: db["n"]])
+                s.release()
+            else:
+                out[db["slice_index"]] = np.asarray(s[: db["n"]])
 
     def score_all_multi(
         self,
@@ -1731,8 +1964,7 @@ class BruteForceEngine:
         out = np.full(
             (self._packed.n_slices, len(plans)), NEG_SCORE, np.float32
         )
-        for db, scores in pending:
-            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        self._collect_pending(pending, out)
         if with_err:
             return out, entry_err
         return out
@@ -1856,47 +2088,52 @@ class BruteForceEngine:
         for db in self._device_buckets:
             if db["n"] == 0:
                 continue
-            # the index's gap model is shared by every query in the
-            # batch: ONE [L+1]/[Tpad+1] cost-vector pair serves all Q
-            # (the DP masks columns past each query's len_t)
-            gc_s = gap_costs[0] if gap_costs is not None else None
-            gc_t = gap_costs[1] if gap_costs is not None else None
-            gv_s = jnp.asarray(gap_vec(gc_s, db["capacity"] + 1))
-            gv_t = jnp.asarray(gap_vec(gc_t, Tpad + 1))
-            n_pad = db["tokens"].shape[0]
-            if boosts is not None:
-                bmat = np.ones((n_pad, Q), np.float32)
-                for qi, b in enumerate(boosts):
-                    if b is not None:
-                        bmat[: db["n"], qi] = b[db["slice_index"]]
-                bvec = jnp.asarray(bmat)
-            else:
-                bvec = jnp.ones((n_pad, 1), jnp.float32)
-            scores = _bucket_scores_multiquery(
-                db["tokens"],
-                db["pos"],
-                db["tag"],
-                db["lengths"],
-                sim_multi,
-                lt_arr,
-                gaps,
-                nt_arr,
-                bvec,
-                *tw_args,
-                *flt,
-                gv_s,
-                gv_t,
-                locality=locality,
-                chunk=db["chunk"],
-                n_queries=Q,
-                use_pallas=use_pallas_default(),
-                with_tags=with_tags,
-                general_gaps=gap_costs is not None,
-                with_filter=doc_filter is not None,
-                with_boost=boosts is not None,
-                sim_scale=sim_scale,
+
+            def dispatch(db=db):
+                # the index's gap model is shared by every query in the
+                # batch: ONE [L+1]/[Tpad+1] cost-vector pair serves all Q
+                # (the DP masks columns past each query's len_t)
+                gc_s = gap_costs[0] if gap_costs is not None else None
+                gc_t = gap_costs[1] if gap_costs is not None else None
+                gv_s = jnp.asarray(gap_vec(gc_s, db["capacity"] + 1))
+                gv_t = jnp.asarray(gap_vec(gc_t, Tpad + 1))
+                n_pad = db["n_pad"]
+                if boosts is not None:
+                    bmat = np.ones((n_pad, Q), np.float32)
+                    for qi, b in enumerate(boosts):
+                        if b is not None:
+                            bmat[: db["n"], qi] = b[db["slice_index"]]
+                    bvec = jnp.asarray(bmat)
+                else:
+                    bvec = jnp.ones((n_pad, 1), jnp.float32)
+                return _bucket_scores_multiquery(
+                    db["tokens"],
+                    db["pos"],
+                    db["tag"],
+                    db["lengths"],
+                    sim_multi,
+                    lt_arr,
+                    gaps,
+                    nt_arr,
+                    bvec,
+                    *tw_args,
+                    *flt,
+                    gv_s,
+                    gv_t,
+                    locality=locality,
+                    chunk=db["chunk"],
+                    n_queries=Q,
+                    use_pallas=use_pallas_default(),
+                    with_tags=with_tags,
+                    general_gaps=gap_costs is not None,
+                    with_filter=doc_filter is not None,
+                    with_boost=boosts is not None,
+                    sim_scale=sim_scale,
+                )
+
+            pending.append(
+                (db, _LazyScores(db, dispatch) if self._paged else dispatch())
             )
-            pending.append((db, scores))
         entry_err = quantization_entry_err(sim_dtype, max_abs_dev)
         return pending, entry_err
 
@@ -1924,35 +2161,103 @@ class BruteForceEngine:
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
-            gv_s = jnp.asarray(
-                gap_vec(gap_costs[0] if gap_costs is not None else None,
-                        db["capacity"] + 1)
+
+            def dispatch(db=db, bi=bi):
+                gv_s = jnp.asarray(
+                    gap_vec(gap_costs[0] if gap_costs is not None else None,
+                            db["capacity"] + 1)
+                )
+                gv_t = jnp.asarray(
+                    gap_vec(gap_costs[1] if gap_costs is not None else None,
+                            Tpad + 1)
+                )
+                return _bucket_scores_multiquery_ctx(
+                    self._ctx_dev(name, bi),
+                    db["lengths"],
+                    q_norm,
+                    q_unmod,
+                    q_mags,
+                    lt_arr,
+                    gaps,
+                    nt_arr,
+                    gv_s,
+                    gv_t,
+                    metric=metric,
+                    locality=locality,
+                    chunk=db["chunk"],
+                    n_queries=Q,
+                    use_pallas=use_pallas_default(),
+                    general_gaps=gap_costs is not None,
+                )
+
+            pending.append(
+                (db, _LazyScores(db, dispatch) if self._paged else dispatch())
             )
-            gv_t = jnp.asarray(
-                gap_vec(gap_costs[1] if gap_costs is not None else None,
-                        Tpad + 1)
+        self._collect_pending(pending, out)
+        return out
+
+    def score_all_multi_tree(
+        self,
+        plans: List[QueryPlan],
+        len_ts: List[int],
+        gaps: AffineGapParams,
+        locality: str,
+        norm_totals: List[float],
+        gap_costs=None,
+    ) -> np.ndarray:
+        """[n_slices, Q] scores for a batch of MIXED static+contextual
+        modifier-tree queries in one corpus pass (stacked per-leaf query
+        axes, see stack_tree_plans).  Contextual stores must already be
+        ensured by the caller."""
+        Q = len(plans)
+        statics, ctx_qs, weights, Tpad = stack_tree_plans(plans, len_ts)
+        lt_arr = jnp.asarray(len_ts, jnp.int32)
+        nt_arr = jnp.asarray(norm_totals, jnp.float32)
+        ctx_names = plans[0].ctx_names
+
+        out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
+        pending = []
+        for bi, db in enumerate(self._device_buckets):
+            if db["n"] == 0:
+                continue
+
+            def dispatch(db=db, bi=bi):
+                ctx_stores = tuple(self._ctx_dev(nm, bi) for nm in ctx_names)
+                gv_s = jnp.asarray(
+                    gap_vec(gap_costs[0] if gap_costs is not None else None,
+                            db["capacity"] + 1)
+                )
+                gv_t = jnp.asarray(
+                    gap_vec(gap_costs[1] if gap_costs is not None else None,
+                            Tpad + 1)
+                )
+                return _bucket_scores_multiquery_tree(
+                    plans[0].plan,
+                    db["tokens"],
+                    db["tok_sorted"],
+                    db["sort_inv"],
+                    db["lengths"],
+                    statics,
+                    tuple(plans[0].static_mags),
+                    ctx_stores,
+                    ctx_qs,
+                    weights,
+                    lt_arr,
+                    gaps,
+                    nt_arr,
+                    gv_s,
+                    gv_t,
+                    locality=locality,
+                    chunk=db["chunk"],
+                    n_queries=Q,
+                    use_pallas=use_pallas_default(),
+                    general_gaps=gap_costs is not None,
+                )
+
+            pending.append(
+                (db, _LazyScores(db, dispatch) if self._paged else dispatch())
             )
-            scores = _bucket_scores_multiquery_ctx(
-                self._ctx_stores[name][bi],
-                db["lengths"],
-                q_norm,
-                q_unmod,
-                q_mags,
-                lt_arr,
-                gaps,
-                nt_arr,
-                gv_s,
-                gv_t,
-                metric=metric,
-                locality=locality,
-                chunk=db["chunk"],
-                n_queries=Q,
-                use_pallas=use_pallas_default(),
-                general_gaps=gap_costs is not None,
-            )
-            pending.append((db, scores))
-        for db, scores in pending:
-            out[db["slice_index"]] = np.asarray(scores[: db["n"]])
+        self._collect_pending(pending, out)
         return out
 
     def score_topk(

@@ -1075,7 +1075,7 @@ class WMDEngine:
             bmat = (
                 jnp.asarray(
                     self._bucket_boost_mat(
-                        db, boosts, Q, int(db["tokens"].shape[0])
+                        db, boosts, Q, int(db["n_pad"])
                     )
                 )
                 if with_boost
@@ -1189,7 +1189,7 @@ class WMDEngine:
             bmat = (
                 jnp.asarray(
                     self._bucket_boost_mat(
-                        db, boosts, Q, int(db["tokens"].shape[0])
+                        db, boosts, Q, int(db["n_pad"])
                     )
                 )
                 if with_boost

@@ -504,7 +504,101 @@ class MeshSearch:
     @functools.partial(
         jax.jit,
         static_argnames=(
+            "self", "plan", "locality", "k", "with_next", "general_gaps",
+            "with_boost",
+        ),
+    )
+    def tree_score_topk_multiquery(
+        self,
+        plan: tuple,
+        token_ids: jnp.ndarray,  # [N, L] sharded over 'data'
+        lengths: jnp.ndarray,  # [N] sharded
+        ctx_stores: tuple,  # k -> [N, L, d] sharded bucket stores
+        static_sims: tuple,  # k -> [V, T*Q] replicated stacked tables
+        static_mags: tuple,
+        ctx_queries: tuple,  # k -> dict of [T*Q, ...] replicated
+        mixed_weights: tuple,
+        len_t: jnp.ndarray,  # [Q]
+        gaps: AffineGapParams,
+        norm_total: jnp.ndarray,  # [Q]
+        locality: str = "local",
+        k: int = 10,
+        with_next: bool = False,
+        gap_vecs=None,  # ([L+1], [T+1]) replicated (general gaps)
+        general_gaps: bool = False,
+        boost=None,  # [N, Q] f32 sharded per-slice boosts
+        with_boost: bool = False,
+    ):
+        """Mixed static+contextual modifier-tree serving batch over the
+        mesh: each shard evaluates the SAME stacked-leaf tree as the
+        single-chip kernel (ops/search._bucket_scores_multiquery_tree —
+        static gathers of the [V, T*Q] tables + GEMMs against the [T*Q, d]
+        contextual matrices, modifier ops elementwise), runs the multi DP,
+        and merges per-query top-k over one all-gather."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from vectorian_tpu.ops.alignment import align_scores_general
+        from vectorian_tpu.ops.simmatrix import eval_plan_chunk
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self.n_devices
+        shard_n = token_ids.shape[0] // n_dev
+        L = token_ids.shape[1]
+        Q = int(len_t.shape[0])
+        if general_gaps:
+            gv_s = jnp.asarray(gap_vecs[0], jnp.float32)
+            gv_t = jnp.asarray(gap_vecs[1], jnp.float32)
+
+        if boost is None:
+            boost = jnp.ones((token_ids.shape[0], Q), jnp.float32)
+
+        def shard_fn(tok, ln, bst, *ctx):
+            c = tok.shape[0]
+            S = eval_plan_chunk(
+                plan, tok, static_sims, static_mags, ctx, ctx_queries,
+                mixed_weights,
+            )["similarity"]  # [c, L, T*Q]
+            T = S.shape[-1] // Q
+            S2 = jnp.transpose(
+                S.reshape(c, L, T, Q), (0, 3, 1, 2)
+            ).reshape(c * Q, L, T)
+            ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
+            lt_rep = jnp.tile(len_t, c)
+            if general_gaps:
+                raw = align_scores_general(
+                    S2, ln_rep, lt_rep, gv_s, gv_t, locality
+                ).reshape(c, Q)
+            else:
+                raw = align_scores(
+                    S2, ln_rep, lt_rep, gaps, locality
+                ).reshape(c, Q)
+            scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+            if with_boost:
+                scores = scores * bst
+            scores = jnp.where(ln[:, None] > 0, scores, -jnp.inf)
+            return _merge_local_topk(
+                scores, axis, shard_n, n_dev, k, with_next
+            )
+
+        n_ctx = len(ctx_stores)
+        out_specs = (P(), P(), P()) if with_next else (P(), P())
+        fn = shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P(axis), P(axis), P(axis)) + (P(axis),) * n_ctx,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return fn(token_ids, lengths, boost, *ctx_stores)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
             "self", "metric", "locality", "k", "with_next", "general_gaps",
+            "with_boost",
         ),
     )
     def ctx_score_topk_multiquery(
@@ -523,11 +617,15 @@ class MeshSearch:
         with_next: bool = False,
         gap_vecs=None,  # ([L+1], [T+1]) replicated (general gaps)
         general_gaps: bool = False,
+        boost=None,  # [N, Q] f32 sharded per-slice boosts
+        with_boost: bool = False,
     ):
         """Contextual serving batch over the mesh: each shard computes its
         slices' similarity blocks with ONE GEMM against the stacked query
         matrix (the sharded analogue of _bucket_scores_multiquery_ctx),
         runs the DP, and merges per-query top-k over one all-gather.
+        Per-slice boosts multiply the ranking scores in-shard (same f32
+        multiply as the exact rescore applies host-side).
         Covers BASELINE's mixed-contextual multi-chip configuration."""
         try:
             from jax import shard_map
@@ -547,7 +645,10 @@ class MeshSearch:
             gv_s = jnp.asarray(gap_vecs[0], jnp.float32)
             gv_t = jnp.asarray(gap_vecs[1], jnp.float32)
 
-        def shard_fn(ctx, ln):
+        if boost is None:
+            boost = jnp.ones((ctx_store.shape[0], Q), jnp.float32)
+
+        def shard_fn(ctx, ln, bst):
             c = ctx.shape[0]
             flat = ctx.astype(jnp.float32).reshape(c * L, d)
             mags = jnp.linalg.norm(flat, axis=-1)
@@ -569,6 +670,8 @@ class MeshSearch:
                     S2, ln_rep, lt_rep, gaps, locality
                 ).reshape(c, Q)
             scores = raw / jnp.maximum(norm_total[None, :], 1e-9)
+            if with_boost:
+                scores = scores * bst
             scores = jnp.where(ln[:, None] > 0, scores, -jnp.inf)
             return _merge_local_topk(
                 scores, axis, shard_n, n_dev, k, with_next
@@ -578,11 +681,11 @@ class MeshSearch:
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
-            in_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis)),
             out_specs=out_specs,
             check_vma=False,
         )
-        return fn(ctx_store, lengths)
+        return fn(ctx_store, lengths, boost)
 
     @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
     def score_topk(
