@@ -115,7 +115,35 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(np.asarray(lats) * 1e3, 50))
     _log(f"e2e: p50 {p50_ms:.0f} ms")
-    return e2e_rate, p50_ms, n_slices
+
+    # recall@10 parity, co-measured in the SAME run (BASELINE's "p50 at
+    # recall@10 parity" clause): the measured pass ranks with the default
+    # int8 table — its top-10 must be byte-identical to the exact f32
+    # ranking AND to per-query find() (the provable-cut guarantee, on the
+    # bench hardware, not just the CPU test suite)
+    def keys(rs):
+        return [[(m.slice_id, m.score) for m in r] for r in rs]
+
+    try:
+        want = keys(res)
+        got_f32 = keys(
+            index.find_batch(queries, n=10, min_score=0.2,
+                             sim_precision="float32")
+        )
+        parity = got_f32 == want
+        for q, w in zip(queries[:4], want[:4]):
+            got_one = [
+                (m.slice_id, m.score)
+                for m in index.find(q, n=10, min_score=0.2)
+            ]
+            parity = parity and got_one == w
+        _log(f"e2e: recall@10 parity {'OK' if parity else 'FAILED'}")
+    except Exception as e:  # never lose the measured e2e fields to the
+        # parity stage (e.g. the e2e wall alarm firing inside the f32
+        # compile) — report parity as unknown instead
+        _log(f"e2e: recall@10 parity stage failed: {e}")
+        parity = None
+    return e2e_rate, p50_ms, n_slices, parity
 
 
 def probe_backend(timeout_s: float = 150.0):
@@ -331,10 +359,12 @@ def main():
         except (ValueError, OSError, AttributeError):
             pass  # non-main thread / platform without SIGALRM
         try:
-            e2e_rate, p50_ms, n_slices = bench_e2e(n_e2e)
+            e2e_rate, p50_ms, n_slices, parity = bench_e2e(n_e2e)
             out["e2e_alignments_per_sec"] = round(e2e_rate, 1)
             out["p50_query_ms"] = round(p50_ms, 1)
             out["e2e_slices"] = int(n_slices)
+            if parity is not None:
+                out["recall10_parity"] = bool(parity)
         except Exception as e:  # the headline must still report
             out["e2e_error"] = f"{type(e).__name__}: {e}"
         finally:

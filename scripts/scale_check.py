@@ -5,7 +5,13 @@ batched searches through the real engine path, and reports p50 query
 latency + alignments/sec with honest chained timing.
 
 Usage: python scripts/scale_check.py [n_slices]
-"""
+       python scripts/scale_check.py paged [n_slices] [Q]
+
+``paged`` runs the >HBM-envelope mode (docs/performance.md): a synthetic
+multi-bucket PackedCorpus served through BruteForceEngine(paged=True) —
+buckets stream host->HBM->evict one at a time, so peak device memory
+stays ~one bucket + the per-bucket top-k, regardless of corpus size
+(verified against device memory_stats when the backend exposes them)."""
 
 import os
 import sys
@@ -121,6 +127,141 @@ def main(n_slices=1_000_000):
     )
 
 
+def _enable_compile_cache():
+    """Persistent jax compilation cache (same dir as bench.py): remote
+    compiles through the tunnel cost minutes; cached executables collapse
+    repeat runs."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "VECTORIAN_JAX_CACHE", os.path.expanduser("~/.cache/vectorian_jax")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
+def main_paged(n_slices=8_000_000, Q=64, n_buckets=16):
+    """Serve an n_slices synthetic corpus through the PAGED engine: the
+    full token arrays never co-reside in HBM; each bucket pages in, scores,
+    and evicts.  Prints per-pass throughput and (when the backend reports
+    memory_stats) peak HBM vs the would-be resident footprint."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from vectorian_tpu.corpus.packing import PackedBucket, PackedCorpus, Partition
+    from vectorian_tpu.ops.alignment import AffineGapParams
+    from vectorian_tpu.ops.search import BruteForceEngine
+    from vectorian_tpu.ops.simmatrix import QueryPlan
+
+    V, T, L = 50_000, 8, 32
+    rng = np.random.default_rng(0)
+    per = n_slices // n_buckets
+    print(
+        f"packing {n_slices} slices into {n_buckets} buckets of {per} "
+        f"(V={V}, L<={L})...",
+        flush=True,
+    )
+    t0 = time.time()
+    buckets = []
+    resident_bytes = 0
+    for b in range(n_buckets):
+        tok = np.minimum(
+            rng.zipf(1.3, size=(per, L)), V - 1
+        ).astype(np.int32)
+        lengths = rng.integers(5, L + 1, size=per).astype(np.int32)
+        sids = np.arange(b * per, (b + 1) * per, dtype=np.int32)
+        buckets.append(
+            PackedBucket(
+                capacity=L,
+                token_ids=tok,
+                pos_ids=np.zeros((per, L), np.int8),
+                tag_ids=np.zeros((per, L), np.int16),
+                lengths=lengths,
+                slice_index=sids,
+            )
+        )
+        # tokens + sorted stream + inverse perm + pos + tag + lengths
+        resident_bytes += tok.nbytes * 3 + per * L * 3 + per * 4
+    n_total = n_buckets * per
+    packed = PackedCorpus(
+        partition=Partition("sentence", 1, 1),
+        buckets=buckets,
+        slice_doc=np.zeros((n_total,), np.int32),
+        slice_idx=np.arange(n_total, dtype=np.int32),
+        slice_start=np.zeros((n_total,), np.int32),
+        slice_len=np.concatenate([b.lengths for b in buckets]),
+        n_docs=1,
+    )
+    engine = BruteForceEngine(packed, paged=True)
+    print(
+        f"  packed in {time.time()-t0:.1f}s; would-be resident bucket "
+        f"arrays: {resident_bytes/1e9:.2f} GB (paged mode keeps "
+        f"~{resident_bytes/n_buckets/1e9:.2f} GB = one bucket in HBM)",
+        flush=True,
+    )
+
+    plans = [
+        QueryPlan(
+            plan=("static", 0),
+            static_sims=[
+                jnp.asarray(
+                    rng.uniform(0, 1, size=(V, T)).astype(np.float32)
+                )
+            ],
+            static_mags=[],
+            ctx_names=[],
+            ctx_queries=[],
+            mixed_weights=[],
+        )
+        for _ in range(Q)
+    ]
+    len_ts = [T] * Q
+    norm_totals = [float(T)] * Q
+    gaps = AffineGapParams.of(0.0, 0.0, 0.0, 0.0)
+
+    def mem_peak():
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            return stats.get("peak_bytes_in_use")
+        except Exception:
+            return None
+
+    t0 = time.perf_counter()
+    src = engine.score_topk_multi(
+        plans, len_ts, gaps, "local", norm_totals, k=10, sim_dtype="int8"
+    )
+    views = [src.qview(qi) for qi in range(Q)]
+    tops = [v.initial(10, 0.0)[0] for v in views]
+    dt = time.perf_counter() - t0
+    peak = mem_peak()
+    print(
+        f"paged top-k pass (Q={Q}, int8): {dt:.1f}s over {n_total} slices "
+        f"-> {n_total*Q/dt/1e6:.1f}M alignments/s; "
+        f"{sum(len(t) for t in tops)} candidates fetched",
+        flush=True,
+    )
+    if peak is not None:
+        print(
+            f"peak HBM in use: {peak/1e9:.2f} GB "
+            f"(full-resident would need >= {resident_bytes/1e9:.2f} GB "
+            f"of bucket arrays alone)",
+            flush=True,
+        )
+    assert all(len(t) > 0 for t in tops)
+    print("paged scale check OK", flush=True)
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    main(n)
+    if len(sys.argv) > 1 and sys.argv[1] == "paged":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+        q = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+        main_paged(n, q)
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+        main(n)

@@ -298,3 +298,49 @@ def test_ctx_find_batch_booster_matches_single(ctx_session):
                                    mesh=ms)
         ]
         assert got_mesh == want
+
+
+def test_ctx_find_batch_options_match_single(ctx_session):
+    """submatch_weight, bidirectional and doc-side token filters ride the
+    contextual AND mixed-tree serving batches (closed round-2 exclusion) —
+    single-chip and mesh, byte-equal to find()."""
+    import vectorian_tpu as vt
+
+    session, static_emb, ctx_emb = ctx_session
+    qs = ["the old king rides", "a bird sings loud", "cat sleeps"]
+    option_sets = [
+        {"submatch_weight": 0.5},
+        {"bidirectional": True},
+        {"token_filter": ["the", "a"]},
+        {"submatch_weight": 0.5, "bidirectional": True,
+         "token_filter": ["the"]},
+    ]
+    for token_sim in (
+        EmbeddingTokenSim(ctx_emb),
+        MixedTokenSimilarity(
+            [EmbeddingTokenSim(static_emb), EmbeddingTokenSim(ctx_emb)],
+            [0.5, 0.5],
+        ),
+    ):
+        ix = session.partition("sentence").index(token_sim)
+        ms = vt.MeshSearch(vt.make_mesh())
+        for kwargs in option_sets:
+            want = [
+                [
+                    (m.slice_id, m.score)
+                    for m in ix.find(q, n=4, min_score=-1.0, **kwargs)
+                ]
+                for q in qs
+            ]
+            got = [
+                [(m.slice_id, m.score) for m in r]
+                for r in ix.find_batch(qs, n=4, min_score=-1.0, **kwargs)
+            ]
+            assert got == want, (type(token_sim).__name__, kwargs)
+            got_mesh = [
+                [(m.slice_id, m.score) for m in r]
+                for r in ix.find_batch(
+                    qs, n=4, min_score=-1.0, mesh=ms, **kwargs
+                )
+            ]
+            assert got_mesh == want, (type(token_sim).__name__, kwargs)

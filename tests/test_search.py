@@ -323,6 +323,12 @@ def test_ctx_multiquery_kernel_vs_oracle(rng):
             jnp.asarray(len_t, jnp.float32),
             jnp.zeros((L + 1,), jnp.float32),
             jnp.zeros((T + 1,), jnp.float32),
+            jnp.zeros((1, 1), jnp.int32),  # token/pos/tag + filter masks
+            jnp.zeros((1, 1), jnp.int32),  # (unused: with_filter=False)
+            jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1,), bool),
+            jnp.zeros((1,), bool),
+            jnp.zeros((1,), bool),
             metric=CosineSim(), locality="local", chunk=N, n_queries=Q,
         )
     )

@@ -61,6 +61,17 @@ def _reverse_plan(qp, n_tokens: int):
     )
 
 
+def _reverse_ctx_query(d: dict, n_tokens: int) -> dict:
+    """Contextual query dict with the needle axis reversed (bidirectional
+    matching) — the ctx analogue of _reverse_plan's rev_rows."""
+
+    def rev_rows(v):
+        v = np.asarray(v)
+        return np.concatenate([v[:n_tokens][::-1], v[n_tokens:]], axis=0)
+
+    return {k: rev_rows(v) for k, v in d.items()}
+
+
 def _reverse_tagw(tagw, n_tokens: int):
     if tagw is None:
         return None
@@ -181,21 +192,16 @@ def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True,
 
 
 # per-query options the batched kernels do not take: find_batch delegates
-# (or, with a mesh, raises) instead of silently ignoring them.  The static
-# batch kernels take boosters, doc-side filters, ``submatch_weight``
-# (closed-form-bounded overfetch, ``_finalize_submatch_many``) and
-# ``bidirectional`` (both orientations ride the stacked table; exact-score
-# merge) — only ``debug`` remains truly delegated, plus the
-# submatch+booster combination (per-slice boosts are not modeled by the
-# closed-form bound; find() serves it per query).  The contextual batch
-# still delegates the full set.
+# (or, with a mesh, raises) instead of silently ignoring them.  EVERY
+# serving batch — static, contextual, and mixed-tree, single-chip and
+# mesh — takes boosters, doc-side filters (in-kernel row compaction),
+# ``submatch_weight`` (closed-form-bounded overfetch,
+# ``_finalize_submatch_many``) and ``bidirectional`` (both orientations
+# ride the stacked queries; exact-score merge).  Only ``debug`` remains
+# truly delegated, plus the submatch+booster combination (per-slice
+# boosts are not modeled by the closed-form bound; find() serves it per
+# query) and tag weights on mixed-modifier trees.
 BATCH_HARD_OPTIONS = frozenset({"debug"})
-BATCH_DELEGATED_OPTIONS = BATCH_HARD_OPTIONS | frozenset(
-    {
-        "bidirectional", "submatch_weight",
-        "booster", "pos_filter", "tag_filter", "token_filter",
-    }
-)
 
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
 TokenMatch = namedtuple("TokenMatch", ["pos_s", "edges"])
@@ -988,11 +994,14 @@ class BruteForceIndex(Index):
             doc_filter=doc_filter,
             gap_costs=gap_costs,
         )
-        use_rev = None
+        qp_rev = tagw_rev = None
         if opts.get("bidirectional"):
-            # score the reversed needle as well and keep the better
-            # orientation per slice (reference 'bidirectional' option,
-            # query.cpp:81-84)
+            # score the reversed needle as well; the better orientation per
+            # slice is chosen by FINAL exact score after the rescore
+            # (reference 'bidirectional' option, query.cpp:81-84 — its
+            # matcher-side reverse_alignment is vestigial, so these
+            # semantics are this repo's own: identical to find_batch's
+            # _merge_bidirectional, keeping every path byte-equal)
             qp_rev = _reverse_plan(qp, T)
             tagw_rev = _reverse_tagw(tagw, T)
             scores_rev = self._engine.score_all(
@@ -1000,7 +1009,8 @@ class BruteForceIndex(Index):
                 boost=boost, tag_weights=tagw_rev, doc_filter=doc_filter,
                 gap_costs=gap_costs,
             )
-            use_rev = scores_rev > scores
+            # the max over orientations upper-bounds both exact scores, so
+            # candidate selection and completeness guards stay valid
             scores = np.maximum(scores, scores_rev)
         if debug:
             debug("scores", {"scores": scores})
@@ -1045,38 +1055,34 @@ class BruteForceIndex(Index):
                 )
 
         def run(top):
-            if use_rev is None:
-                mappings, edge_sims, raw = self._engine.rescore_with_flows(
-                    top, qp, T, gaps, self._locality, tag_weights=tagw,
-                    doc_filter=doc_filter, gap_costs=gap_costs,
-                    on_sims=on_sims, with_scores=True,
-                )
-                exact = _exact_scores(top, raw)
-            else:
-                fwd_ids = [sid for sid in top if not use_rev[sid]]
-                rev_ids = [sid for sid in top if use_rev[sid]]
-                m_f, s_f, r_f = self._engine.rescore_with_flows(
-                    fwd_ids, qp, T, gaps, self._locality, tag_weights=tagw,
-                    doc_filter=doc_filter, gap_costs=gap_costs,
-                    on_sims=on_sims, with_scores=True,
-                )
-                m_r, s_r, r_r = self._engine.rescore_with_flows(
-                    rev_ids, _reverse_plan(qp, T), T, gaps, self._locality,
-                    tag_weights=_reverse_tagw(tagw, T), doc_filter=doc_filter,
-                    gap_costs=gap_costs, on_sims=on_sims, with_scores=True,
-                )
-                by_id = {sid: (m, s) for sid, m, s in zip(fwd_ids, m_f, s_f)}
-                for sid, m, s in zip(rev_ids, m_r, s_r):
-                    by_id[sid] = (m[::-1].copy(), s[::-1].copy())  # un-rev t
-                mappings = [by_id[sid][0] for sid in top]
-                edge_sims = [by_id[sid][1] for sid in top]
-                exact = _exact_scores(fwd_ids, r_f)
-                exact.update(_exact_scores(rev_ids, r_r))
-            return self._build_matches(
+            mappings, edge_sims, raw = self._engine.rescore_with_flows(
+                top, qp, T, gaps, self._locality, tag_weights=tagw,
+                doc_filter=doc_filter, gap_costs=gap_costs,
+                on_sims=on_sims, with_scores=True,
+            )
+            exact = _exact_scores(top, raw)
+            fwd = self._build_matches(
                 query, token_sim, top, mappings, edge_sims,
                 exact.__getitem__, submatch_weight, tagw,
                 norm_total, min_score, n, debug,
             )
+            if qp_rev is None:
+                return fwd
+            # bidirectional: rescore EVERY candidate in the reversed
+            # orientation too and keep the better FINAL score per slice —
+            # the same exact-score merge as find_batch
+            m_r, s_r, r_r = self._engine.rescore_with_flows(
+                top, qp_rev, T, gaps, self._locality, tag_weights=tagw_rev,
+                doc_filter=doc_filter, gap_costs=gap_costs,
+                on_sims=on_sims, with_scores=True,
+            )
+            exact_r = _exact_scores(top, r_r)
+            rev = self._build_matches(
+                query, token_sim, top, m_r, s_r,
+                exact_r.__getitem__, submatch_weight, tagw_rev,
+                norm_total, min_score, n, debug,
+            )
+            return self._merge_bidirectional(fwd, rev, query, n)
 
         def merge_cut(a, b):
             packed = self._engine.packed
@@ -1242,15 +1248,18 @@ class BruteForceIndex(Index):
                 return self._find_batch_ctx(
                     texts, n=n, min_score=min_score, mesh=mesh, **kwargs
                 )
-            delegated_tree = (
-                (BATCH_DELEGATED_OPTIONS - {"booster"}) & set(kwargs)
-            )
+            delegated_tree = BATCH_HARD_OPTIONS & set(kwargs)
+            if (
+                float(kwargs.get("submatch_weight") or 0.0) != 0.0
+                and kwargs.get("booster") is not None
+            ):
+                delegated_tree = delegated_tree | {"submatch_weight"}
             if delegated_tree or self._args.get("tag_weights"):
-                # per-query options / tag weights on cross-modality trees:
+                # debug hooks / tag weights on cross-modality trees:
                 # serve through the exact per-query path
                 if mesh is not None:
                     raise NotImplementedError(
-                        "mesh find_batch does not take per-query options "
+                        "mesh find_batch does not take debug hooks "
                         "or tag weights on mixed-modifier contextual trees"
                     )
                 return [
@@ -2171,7 +2180,7 @@ class BruteForceIndex(Index):
             for db in self._engine._device_buckets:
                 if db["n"] == 0:
                     continue
-                lengths = np.asarray(db["lengths"], np.int32)
+                lengths = db["lengths_np"]
                 tok_d, len_d = ms.shard_bucket(db["tokens_np"], lengths)
                 pad = (-db["pos_np"].shape[0]) % ms.n_devices
                 pos_d = jax.device_put(
@@ -2510,8 +2519,11 @@ class BruteForceIndex(Index):
         the contextual membership floor.  Closes the round-2 exclusion:
         the reference serves every metric uniformly through its document
         ThreadPool (index.py:530-560, modifier factory
-        metric/modifier.cpp:18-74).  Boosters ride the batch (multiply
-        ranking scores in-kernel and the exact rescore alike)."""
+        metric/modifier.cpp:18-74).  Boosters, doc-side filters,
+        ``submatch_weight`` and ``bidirectional`` all ride the batch (same
+        mechanisms as the static path)."""
+        submatch_w = float(kwargs.get("submatch_weight") or 0.0)
+        bidirectional = bool(kwargs.get("bidirectional"))
         booster = kwargs.get("booster")
         token_sim = self._args["metric"]["token_sim"]
         ctx_names = _metric_ctx_names(token_sim)
@@ -2566,11 +2578,30 @@ class BruteForceIndex(Index):
             if booster is not None
             else None
         )
+        doc_filter = None
+        if {"pos_filter", "tag_filter", "token_filter"} & set(kwargs):
+            doc_filter = self._doc_filter(prepared[0])
+
+        # bidirectional: reversed-needle subqueries ride the same stacked
+        # leaf tables (static columns and ctx rows both reverse)
+        Q0 = len(prepared)
+        if bidirectional:
+            plans = plans + [
+                _reverse_plan(qp, max(pq.n_tokens, 1))
+                for qp, pq in zip(plans, prepared)
+            ]
+            prepared = prepared + prepared
+            len_ts = len_ts + len_ts
+            norm_totals = norm_totals + norm_totals
+            if boosts is not None:
+                boosts = boosts + boosts
 
         if mesh is not None:
             ms_results = self._find_batch_tree_mesh(
                 token_sim, prepared, plans, len_ts, norm_totals, gaps,
                 gap_costs, n, min_score, mesh, start_time, boosts=boosts,
+                doc_filter=doc_filter, submatch_w=submatch_w,
+                bidir_q0=Q0 if bidirectional else None,
             )
             for qi, r in enumerate(ms_results):
                 results[order[qi]] = r
@@ -2580,30 +2611,51 @@ class BruteForceIndex(Index):
 
         scores = self._engine.score_all_multi_tree(
             plans, len_ts, gaps, self._locality, norm_totals,
-            gap_costs=gap_costs,
+            gap_costs=gap_costs, doc_filter=doc_filter,
         )  # [n_slices, Q]
-        per_q = self._finalize_quantized_many(
-            [
-                (
-                    _boosted_col(
-                        scores[:, qi],
-                        boosts[qi] if boosts is not None else None,
-                    ),
-                    plans[qi], pq, norm_totals[qi], None,
+        items = [
+            (
+                _boosted_col(
+                    scores[:, qi],
                     boosts[qi] if boosts is not None else None,
+                ),
+                plans[qi], pq, norm_totals[qi], None,
+                boosts[qi] if boosts is not None else None,
+            )
+            for qi, pq in enumerate(prepared)
+        ]
+        if submatch_w != 0.0:
+            per_q = self._finalize_submatch_many(
+                items, gaps, n, min_score, 0.0, submatch_w,
+                gap_costs=gap_costs, doc_filter=doc_filter,
+            )
+        else:
+            per_q = self._finalize_quantized_many(
+                items, gaps, token_sim.name, n, min_score, 0.0,
+                gap_costs=gap_costs, doc_filter=doc_filter,
+            )
+        matches_by_qi = dict(enumerate(per_q))
+        if bidirectional:
+            matches_by_qi = {
+                qi: self._merge_bidirectional(
+                    matches_by_qi.get(qi, []),
+                    matches_by_qi.get(qi + Q0, []),
+                    prepared[qi],
+                    n,
                 )
-                for qi, pq in enumerate(prepared)
-            ],
-            gaps, token_sim.name, n, min_score, 0.0, gap_costs=gap_costs,
-        )
+                for qi in range(Q0)
+            }
         elapsed = time.time() - start_time
-        for qi, matches in enumerate(per_q):
-            results[order[qi]] = Result(self, matches, elapsed)
+        for qi in range(Q0):
+            results[order[qi]] = Result(
+                self, matches_by_qi.get(qi, []), elapsed
+            )
         return [r if r is not None else Result(self, [], 0.0) for r in results]
 
     def _find_batch_tree_mesh(
         self, token_sim, prepared, plans, len_ts, norm_totals, gaps,
         gap_costs, n, min_score, mesh, start_time, boosts=None,
+        doc_filter=None, submatch_w=0.0, bidir_q0=None,
     ) -> List[Result]:
         """Mesh-sharded mixed-tree serving batch: token buckets AND every
         contextual bucket store shard over the slice axis, the stacked
@@ -2631,12 +2683,25 @@ class BruteForceIndex(Index):
         with_boost = boosts is not None and any(
             b is not None for b in boosts
         )
+        with_filter = doc_filter is not None
+        flt_args = (
+            tuple(
+                ms.put_replicated(a)
+                for a in (
+                    doc_filter.pos_exclude,
+                    doc_filter.tag_exclude,
+                    doc_filter.token_exclude,
+                )
+            )
+            if with_filter
+            else None
+        )
 
-        m = n + 32
+        m = (4 * n + 32) if submatch_w != 0.0 else (n + 32)
         while True:
             pending = []
             complete = True
-            for si, (db, tok_d, len_d, _, _) in enumerate(tok_shards):
+            for si, (db, tok_d, len_d, pos_d, tag_d) in enumerate(tok_shards):
                 complete = complete and m >= tok_d.shape[0]
                 gap_vecs = None
                 if gap_costs is not None:
@@ -2664,6 +2729,9 @@ class BruteForceIndex(Index):
                     with_next=True, gap_vecs=gap_vecs,
                     general_gaps=gap_costs is not None,
                     boost=bst_d, with_boost=with_boost,
+                    pos_ids=pos_d if with_filter else None,
+                    tag_ids=tag_d if with_filter else None,
+                    flt_args=flt_args, with_filter=with_filter,
                 )
                 pending.append((db, out))
 
@@ -2684,23 +2752,29 @@ class BruteForceIndex(Index):
                     if full_scores is not None:
                         full_scores[q, sids] = s[q][valid]
 
+            per_q = {}
             retry = False
             if complete:
-                finalized = self._finalize_quantized_many(
-                    [
-                        (
-                            full_scores[q], plans[q], pq, norm_totals[q],
-                            None,
-                            boosts[q] if boosts is not None else None,
-                        )
-                        for q, pq in enumerate(prepared)
-                    ],
-                    gaps, token_sim.name, n, min_score, 0.0,
-                    gap_costs=gap_costs,
-                )
-                per_q = list(finalized)
+                f_items = [
+                    (
+                        full_scores[q], plans[q], pq, norm_totals[q],
+                        None,
+                        boosts[q] if boosts is not None else None,
+                    )
+                    for q, pq in enumerate(prepared)
+                ]
+                if submatch_w != 0.0:
+                    finalized = self._finalize_submatch_many(
+                        f_items, gaps, n, min_score, 0.0, submatch_w,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )
+                else:
+                    finalized = self._finalize_quantized_many(
+                        f_items, gaps, token_sim.name, n, min_score, 0.0,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )
+                per_q = dict(enumerate(finalized))
             else:
-                per_q = []
                 res_all = self._engine.rescore_many(
                     [
                         {
@@ -2713,23 +2787,46 @@ class BruteForceIndex(Index):
                         for q, pq in enumerate(prepared)
                     ],
                     gaps, self._locality, gap_costs=gap_costs,
+                    doc_filter=doc_filter,
                 )
                 for (q, pq), res in zip(enumerate(prepared), res_all):
                     eps = self._quant_eps(
                         0.0, pq, norm_totals[q], plan=plans[q]
                     )
-                    matches = self._cut_from_rescore(
-                        res, cands[q], float(rest_max[q]), pq,
-                        norm_totals[q], token_sim.name, n, min_score, eps,
-                        boost=boosts[q] if boosts is not None else None,
-                    )
+                    if submatch_w != 0.0:
+                        matches = self._submatch_cut_from_rescore(
+                            res, cands[q], float(rest_max[q]), pq,
+                            plans[q], None, norm_totals[q], n,
+                            min_score, eps, submatch_w,
+                        )
+                    else:
+                        matches = self._cut_from_rescore(
+                            res, cands[q], float(rest_max[q]), pq,
+                            norm_totals[q], token_sim.name, n, min_score,
+                            eps,
+                            boost=boosts[q] if boosts is not None else None,
+                        )
                     if matches is None:
                         retry = True
                         break
-                    per_q.append(matches)
+                    per_q[q] = matches
             if not retry:
+                if bidir_q0 is not None:
+                    per_q = {
+                        q: self._merge_bidirectional(
+                            per_q.get(q, []),
+                            per_q.get(q + bidir_q0, []),
+                            prepared[q],
+                            n,
+                        )
+                        for q in range(bidir_q0)
+                    }
+                    Q = bidir_q0
                 elapsed = time.time() - start_time
-                return [Result(self, ml, elapsed) for ml in per_q]
+                return [
+                    Result(self, per_q.get(q, []), elapsed)
+                    for q in range(Q)
+                ]
             # unsafe: one full-coverage round (see _find_batch_mesh)
             m = max(tok_d.shape[0] for _, tok_d, *_ in tok_shards)
 
@@ -2740,10 +2837,18 @@ class BruteForceIndex(Index):
         metric evaluation becomes a single GEMM against the Q stacked query
         matrices (the contextual analogue of the static table batching).
         With ``mesh`` the [N, L, d] bucket stores shard over the device
-        mesh and per-query top-k merges over one all-gather.  Boosters
-        ride the batch (multiply ranking scores and the exact rescore
-        alike); the remaining per-query options delegate."""
-        delegated = (BATCH_DELEGATED_OPTIONS - {"booster"}) & set(kwargs)
+        mesh and per-query top-k merges over one all-gather.  Boosters,
+        doc-side filters, ``submatch_weight`` and ``bidirectional`` all
+        ride the batch (same mechanisms as the static path: in-kernel
+        compaction, closed-form submatch overfetch, reversed-needle
+        subqueries); only ``BATCH_HARD_OPTIONS`` delegate."""
+        submatch_w = float(kwargs.get("submatch_weight") or 0.0)
+        bidirectional = bool(kwargs.get("bidirectional"))
+        delegated = BATCH_HARD_OPTIONS & set(kwargs)
+        if submatch_w != 0.0 and kwargs.get("booster") is not None:
+            # per-slice boosts are not modeled by the closed-form submatch
+            # bound — match find()'s per-query semantics (see find_batch)
+            delegated = delegated | {"submatch_weight"}
         if delegated:
             if mesh is not None:
                 raise NotImplementedError(
@@ -2809,12 +2914,35 @@ class BruteForceIndex(Index):
             if booster is not None
             else None
         )
+        doc_filter = None
+        if {"pos_filter", "tag_filter", "token_filter"} & set(kwargs):
+            doc_filter = self._doc_filter(prepared[0])
+
+        # bidirectional: reversed-needle subqueries ride the same stacked
+        # query matrix; per-query halves merge by exact score afterwards
+        # (same mechanism as the static batch, reference query.cpp:81-84)
+        Q0 = len(prepared)
+        if bidirectional:
+            plans = plans + [
+                _reverse_plan(qp, max(pq.n_tokens, 1))
+                for qp, pq in zip(plans, prepared)
+            ]
+            ctx_qs = ctx_qs + [
+                _reverse_ctx_query(d, max(pq.n_tokens, 1))
+                for d, pq in zip(ctx_qs, prepared)
+            ]
+            prepared = prepared + prepared
+            len_ts = len_ts + len_ts
+            norm_totals = norm_totals + norm_totals
+            if boosts is not None:
+                boosts = boosts + boosts
 
         if mesh is not None:
             ms_results = self._find_batch_ctx_mesh(
                 name, token_sim, prepared, plans, ctx_qs, len_ts,
                 norm_totals, gaps, gap_costs, n, min_score, mesh, start_time,
-                boosts=boosts,
+                boosts=boosts, doc_filter=doc_filter, submatch_w=submatch_w,
+                bidir_q0=Q0 if bidirectional else None,
             )
             for qi, r in enumerate(ms_results):
                 results[order[qi]] = r
@@ -2824,30 +2952,48 @@ class BruteForceIndex(Index):
 
         scores = self._engine.score_all_multi_ctx(
             name, token_sim.metric, ctx_qs, len_ts, gaps, self._locality,
-            norm_totals, gap_costs=gap_costs,
+            norm_totals, gap_costs=gap_costs, doc_filter=doc_filter,
         )  # [n_slices, Q]
 
         # finalizer-exact scores under the contextual membership floor
         # (the batched and per-slice einsums reduce in different orders,
         # so the ranking drift is larger than static ulp); all queries
         # finalize through ONE batched rescore per round
-        per_q = self._finalize_quantized_many(
-            [
-                (
-                    _boosted_col(
-                        scores[:, qi],
-                        boosts[qi] if boosts is not None else None,
-                    ),
-                    plans[qi], pq, norm_totals[qi], None,
+        items = [
+            (
+                _boosted_col(
+                    scores[:, qi],
                     boosts[qi] if boosts is not None else None,
+                ),
+                plans[qi], pq, norm_totals[qi], None,
+                boosts[qi] if boosts is not None else None,
+            )
+            for qi, pq in enumerate(prepared)
+        ]
+        if submatch_w != 0.0:
+            per_q = self._finalize_submatch_many(
+                items, gaps, n, min_score, 0.0, submatch_w,
+                gap_costs=gap_costs, doc_filter=doc_filter,
+            )
+        else:
+            per_q = self._finalize_quantized_many(
+                items, gaps, token_sim.name, n, min_score, 0.0,
+                gap_costs=gap_costs, doc_filter=doc_filter,
+            )
+        matches_by_qi = dict(enumerate(per_q))
+        if bidirectional:
+            matches_by_qi = {
+                qi: self._merge_bidirectional(
+                    matches_by_qi.get(qi, []),
+                    matches_by_qi.get(qi + Q0, []),
+                    prepared[qi],
+                    n,
                 )
-                for qi, pq in enumerate(prepared)
-            ],
-            gaps, token_sim.name, n, min_score, 0.0, gap_costs=gap_costs,
-        )
+                for qi in range(Q0)
+            }
         elapsed = time.time() - start_time
-        for qi, matches in enumerate(per_q):
-            results[order[qi]] = Result(self, matches, elapsed)
+        for qi in range(Q0):
+            results[order[qi]] = Result(self, matches_by_qi.get(qi, []), elapsed)
         return [r if r is not None else Result(self, [], 0.0) for r in results]
 
     def _ctx_mesh_shards(self, ms, name: str):
@@ -2871,7 +3017,7 @@ class BruteForceIndex(Index):
                 pad = (-arr.shape[0]) % ms.n_devices
                 arr = np.pad(arr, ((0, pad), (0, 0), (0, 0)))
                 ln = np.pad(
-                    np.asarray(db["lengths"], np.int32), (0, pad)
+                    db["lengths_np"], (0, pad)
                 )
                 shards.append(
                     (
@@ -2886,11 +3032,15 @@ class BruteForceIndex(Index):
     def _find_batch_ctx_mesh(
         self, name, token_sim, prepared, plans, ctx_qs, len_ts, norm_totals,
         gaps, gap_costs, n, min_score, mesh, start_time, boosts=None,
+        doc_filter=None, submatch_w=0.0, bidir_q0=None,
     ) -> List[Result]:
         """Mesh-sharded contextual serving batch: sharded [N, L, d] bucket
         stores, one replicated stacked-query GEMM per shard, per-query
         top-k merge, exact per-slice rescore under the provable cut
-        (BASELINE's mixed-contextual multi-chip configuration)."""
+        (BASELINE's mixed-contextual multi-chip configuration).  Doc-side
+        filters compact in-shard (token shards ride along), submatch
+        overfetches 4n under the closed-form bound, bidirectional halves
+        are already stacked by the caller and merge here."""
         import jax.numpy as jnp
 
         from vectorian_tpu.ops.search import stack_ctx_queries
@@ -2898,6 +3048,20 @@ class BruteForceIndex(Index):
 
         ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
         shards = self._ctx_mesh_shards(ms, name)
+        with_filter = doc_filter is not None
+        tok_shards = self._mesh_shards(ms) if with_filter else None
+        flt_args = (
+            tuple(
+                ms.put_replicated(a)
+                for a in (
+                    doc_filter.pos_exclude,
+                    doc_filter.tag_exclude,
+                    doc_filter.token_exclude,
+                )
+            )
+            if with_filter
+            else None
+        )
         Q = len(prepared)
         q_unmod, q_norm, q_mags, Tpad = stack_ctx_queries(ctx_qs, len_ts)
         q_unmod = ms.put_replicated(np.asarray(q_unmod))
@@ -2910,11 +3074,11 @@ class BruteForceIndex(Index):
             b is not None for b in boosts
         )
 
-        m = n + 32
+        m = (4 * n + 32) if submatch_w != 0.0 else (n + 32)
         while True:
             pending = []
             complete = True
-            for db, ctx_d, len_d in shards:
+            for si, (db, ctx_d, len_d) in enumerate(shards):
                 complete = complete and m >= ctx_d.shape[0]
                 gap_vecs = None
                 if gap_costs is not None:
@@ -2935,6 +3099,9 @@ class BruteForceIndex(Index):
                         if b is not None:
                             bmat[: db["n"], qi] = b[db["slice_index"]]
                     bst_d = jax.device_put(bmat, ms._sharded)
+                tok_d = pos_d = tag_d = None
+                if with_filter:
+                    _, tok_d, _, pos_d, tag_d = tok_shards[si]
                 out = ms.ctx_score_topk_multiquery(
                     ctx_d, len_d, q_norm, q_unmod, q_mags, lt_arr, gaps,
                     nt_arr, metric=token_sim.metric,
@@ -2942,6 +3109,8 @@ class BruteForceIndex(Index):
                     with_next=True, gap_vecs=gap_vecs,
                     general_gaps=gap_costs is not None,
                     boost=bst_d, with_boost=with_boost,
+                    token_ids=tok_d, pos_ids=pos_d, tag_ids=tag_d,
+                    flt_args=flt_args, with_filter=with_filter,
                 )
                 pending.append((db, out))
 
@@ -2962,25 +3131,31 @@ class BruteForceIndex(Index):
                     if full_scores is not None:
                         full_scores[q, sids] = s[q][valid]
 
+            per_q = {}
             retry = False
             if complete:
                 # full-coverage round: finalize with tie-bounded extras,
                 # one batched rescore per round across all queries
-                finalized = self._finalize_quantized_many(
-                    [
-                        (
-                            full_scores[q], plans[q], pq, norm_totals[q],
-                            None,
-                            boosts[q] if boosts is not None else None,
-                        )
-                        for q, pq in enumerate(prepared)
-                    ],
-                    gaps, token_sim.name, n, min_score, 0.0,
-                    gap_costs=gap_costs,
-                )
-                per_q = list(finalized)
+                f_items = [
+                    (
+                        full_scores[q], plans[q], pq, norm_totals[q],
+                        None,
+                        boosts[q] if boosts is not None else None,
+                    )
+                    for q, pq in enumerate(prepared)
+                ]
+                if submatch_w != 0.0:
+                    finalized = self._finalize_submatch_many(
+                        f_items, gaps, n, min_score, 0.0, submatch_w,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )
+                else:
+                    finalized = self._finalize_quantized_many(
+                        f_items, gaps, token_sim.name, n, min_score, 0.0,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )
+                per_q = dict(enumerate(finalized))
             else:
-                per_q = []
                 res_all = self._engine.rescore_many(
                     [
                         {
@@ -2993,23 +3168,46 @@ class BruteForceIndex(Index):
                         for q, pq in enumerate(prepared)
                     ],
                     gaps, self._locality, gap_costs=gap_costs,
+                    doc_filter=doc_filter,
                 )
                 for (q, pq), res in zip(enumerate(prepared), res_all):
                     eps = self._quant_eps(
                         0.0, pq, norm_totals[q], plan=plans[q]
                     )
-                    matches = self._cut_from_rescore(
-                        res, cands[q], float(rest_max[q]), pq,
-                        norm_totals[q], token_sim.name, n, min_score, eps,
-                        boost=boosts[q] if boosts is not None else None,
-                    )
+                    if submatch_w != 0.0:
+                        matches = self._submatch_cut_from_rescore(
+                            res, cands[q], float(rest_max[q]), pq,
+                            plans[q], None, norm_totals[q], n,
+                            min_score, eps, submatch_w,
+                        )
+                    else:
+                        matches = self._cut_from_rescore(
+                            res, cands[q], float(rest_max[q]), pq,
+                            norm_totals[q], token_sim.name, n, min_score,
+                            eps,
+                            boost=boosts[q] if boosts is not None else None,
+                        )
                     if matches is None:
                         retry = True
                         break
-                    per_q.append(matches)
+                    per_q[q] = matches
             if not retry:
+                if bidir_q0 is not None:
+                    per_q = {
+                        q: self._merge_bidirectional(
+                            per_q.get(q, []),
+                            per_q.get(q + bidir_q0, []),
+                            prepared[q],
+                            n,
+                        )
+                        for q in range(bidir_q0)
+                    }
+                    Q = bidir_q0
                 elapsed = time.time() - start_time
-                return [Result(self, ml, elapsed) for ml in per_q]
+                return [
+                    Result(self, per_q.get(q, []), elapsed)
+                    for q in range(Q)
+                ]
             # unsafe: one full-coverage round (see _find_batch_mesh)
             m = max(ctx_d.shape[0] for _, ctx_d, _ in shards)
 

@@ -373,7 +373,10 @@ class BucketTopKSource:
         refs = []
         metas = []
         pay_budget = self.PAYLOAD_MAX_BYTES  # WHOLE-FETCH budget
-        for db, scores in pending:
+        for db, entry in pending:
+            lazy = isinstance(entry, _LazyScores)
+            scores = entry.get() if lazy else entry
+            bucket_ref_start = len(refs)
             kk = min(k, db["n"])
             if exact_ctx is not None:
                 ec = exact_ctx
@@ -433,6 +436,15 @@ class BucketTopKSource:
             else:
                 metas.append({"db": db, "kk": kk, "full": True})
                 refs.append(scores[: db["n"]].T)
+            if lazy:
+                # paged mode: fetch this bucket's refs NOW (the host read
+                # is the completion barrier) and evict before the next
+                # bucket pages in — HBM stays bounded at ~one bucket
+                refs[bucket_ref_start:] = jax.device_get(
+                    refs[bucket_ref_start:]
+                )
+                entry.release()
+        # np arrays from the paged per-bucket fetches pass through device_get
         fetched = jax.device_get(refs) if refs else []
         self._buckets = []
         pos = 0
@@ -624,8 +636,16 @@ class BucketTopKSource:
     def _column(self, bi: int, qi: int):
         key = (bi, qi)
         if key not in self._col_cache:
-            db, scores = self._pending[bi]
-            self._col_cache[key] = np.asarray(scores[: db["n"], qi])
+            db, entry = self._pending[bi]
+            if isinstance(entry, _LazyScores):
+                # paged fallback: re-page the bucket and recompute its
+                # scores for this column, then evict again — correct and
+                # memory-bounded, at the price of a bucket re-pass
+                scores = entry.get()
+                self._col_cache[key] = np.asarray(scores[: db["n"], qi])
+                entry.release()
+            else:
+                self._col_cache[key] = np.asarray(entry[: db["n"], qi])
         return self._col_cache[key]
 
     def above_many(self, reqs):
@@ -664,10 +684,25 @@ class BucketTopKSource:
         sel = {}
         raws = {}
         if need:
+            paged = any(
+                isinstance(e, _LazyScores) for _, e in self._pending
+            )
+            if paged:
+                # group by bucket so each re-pages (and recomputes) once
+                need = sorted(need, key=lambda t: t[0])
             refs = []
             per = 2 if mode == "ids" else 3
+            live = None  # (bi, entry, ref_start) of the paged-in bucket
             for bi, qi, thresh in need:
-                db, scores = self._pending[bi]
+                db, entry = self._pending[bi]
+                lazy = isinstance(entry, _LazyScores)
+                if lazy and live is not None and live[0] != bi:
+                    refs[live[2]:] = jax.device_get(refs[live[2]:])
+                    live[1].release()
+                    live = None
+                if lazy and live is None:
+                    live = (bi, entry, len(refs))
+                scores = entry.get() if lazy else entry
                 size = min(self.ABOVE_CAP, db["n"])
                 if mode == "exact":
                     ec = self.exact_ctx
@@ -695,6 +730,9 @@ class BucketTopKSource:
                         db["n"], size,
                     )
                     refs.extend((idx, cnt))
+            if live is not None:
+                refs[live[2]:] = jax.device_get(refs[live[2]:])
+                live[1].release()
             fetched = jax.device_get(refs)
             full_need = []
             for j, (bi, qi, thresh) in enumerate(need):
@@ -710,14 +748,21 @@ class BucketTopKSource:
                             fetched[per * j + 2]
                         )[kept]
             if full_need:
-                cols = jax.device_get(
-                    [
-                        self._pending[bi][1][: self._pending[bi][0]["n"], qi]
-                        for bi, qi in full_need
-                    ]
-                )
-                for (bi, qi), col in zip(full_need, cols):
-                    self._col_cache[(bi, qi)] = np.asarray(col)
+                if paged:
+                    # per-column re-pass through _column's lazy handling
+                    for bi, qi in full_need:
+                        self._column(bi, qi)
+                else:
+                    cols = jax.device_get(
+                        [
+                            self._pending[bi][1][
+                                : self._pending[bi][0]["n"], qi
+                            ]
+                            for bi, qi in full_need
+                        ]
+                    )
+                    for (bi, qi), col in zip(full_need, cols):
+                        self._col_cache[(bi, qi)] = np.asarray(col)
         out = []
         for view, thresh, excl in reqs:
             qi = view.qi
@@ -1133,7 +1178,7 @@ def stack_tree_plans(plans, len_ts):
     jax.jit,
     static_argnames=(
         "plan", "locality", "chunk", "n_queries", "use_pallas",
-        "general_gaps",
+        "general_gaps", "with_filter",
     ),
 )
 def _bucket_scores_multiquery_tree(
@@ -1152,11 +1197,17 @@ def _bucket_scores_multiquery_tree(
     norm_total: jnp.ndarray,  # [Q] f32
     gap_vec_s: jnp.ndarray,  # [L+1] (general-gap path only)
     gap_vec_t: jnp.ndarray,  # [T+1]
+    pos_ids: jnp.ndarray,  # [N, L] i8 (doc filters only; [1, 1] unused)
+    tag_ids: jnp.ndarray,  # [N, L] i16
+    flt_pos: jnp.ndarray,  # [n_pos] bool exclusion masks (filters only)
+    flt_tag: jnp.ndarray,
+    flt_tok: jnp.ndarray,
     locality: str,
     chunk: int,
     n_queries: int,
     use_pallas: bool = False,
     general_gaps: bool = False,
+    with_filter: bool = False,
 ):
     """[N, Q] scores for Q MIXED static+contextual modifier-tree queries
     in one corpus pass: each leaf evaluates against the stacked query axis
@@ -1172,14 +1223,25 @@ def _bucket_scores_multiquery_tree(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        tok, ts, inv, ln, ctx = args
+        if with_filter:
+            tok, ts, inv, ln, pos, tag, ctx = args
+        else:
+            tok, ts, inv, ln, ctx = args
         c = tok.shape[0]
         S = eval_plan_chunk(
             plan, tok, static_sims, static_mags, ctx, ctx_queries,
             mixed_weights, sorted_gather=(ts, inv),
         )["similarity"]  # [c, L, T*Q]
         T = S.shape[-1] // Q
-        S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L,c,T,Q]
+        S = S.reshape(c, L, T, Q)
+        if with_filter:
+            # compact AFTER the leaf gathers/GEMMs (a row permutation of
+            # S) so the static gather keeps its pack-time sorted stream
+            perm, ln, _ = _compact_slices(
+                tok, pos, tag, ln, flt_pos, flt_tag, flt_tok
+            )
+            S = jnp.take_along_axis(S, perm[:, :, None, None], axis=1)
+        S = jnp.transpose(S, (1, 0, 2, 3))  # [L,c,T,Q]
         if use_pallas and Q >= PALLAS_MIN_BATCH and not general_gaps:
             from vectorian_tpu.ops.pallas_dp import (
                 pallas_align_scores_multi_nt,
@@ -1208,6 +1270,13 @@ def _bucket_scores_multiquery_tree(
         tok_sorted,
         sort_inv,
         lengths.reshape(n_chunks, chunk),
+    )
+    if with_filter:
+        xs = xs + (
+            pos_ids.reshape(n_chunks, chunk, L),
+            tag_ids.reshape(n_chunks, chunk, L),
+        )
+    xs = xs + (
         tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
     )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
@@ -1217,7 +1286,7 @@ def _bucket_scores_multiquery_tree(
     jax.jit,
     static_argnames=(
         "metric", "locality", "chunk", "n_queries", "use_pallas",
-        "general_gaps",
+        "general_gaps", "with_filter",
     ),
 )
 def _bucket_scores_multiquery_ctx(
@@ -1231,17 +1300,26 @@ def _bucket_scores_multiquery_ctx(
     norm_total: jnp.ndarray,  # [Q] f32
     gap_vec_s: jnp.ndarray,  # [L+1] (general-gap path only)
     gap_vec_t: jnp.ndarray,  # [T+1]
+    token_ids: jnp.ndarray,  # [N, L] i32 (doc filters only; [1, 1] unused)
+    pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
+    flt_pos: jnp.ndarray,  # [n_pos] bool exclusion masks (filters only)
+    flt_tag: jnp.ndarray,
+    flt_tok: jnp.ndarray,
     metric,
     locality: str,
     chunk: int,
     n_queries: int,
     use_pallas: bool = False,
     general_gaps: bool = False,
+    with_filter: bool = False,
 ):
     """[N, Q] scores for Q contextual queries in one corpus pass: the
     per-chunk metric evaluation is ONE GEMM against the [T*Q, d] stacked
     query matrix, and its [c, L, T, Q] output is already the DP kernel's
-    native tiling."""
+    native tiling.  Doc-side filters compact the similarity rows
+    post-GEMM (the same permutation trick as _bucket_scores — reference
+    Slices filtering, query.cpp:180-214)."""
     from vectorian_tpu.ops.simmatrix import _ChunkVectors
 
     N, L, d = ctx_store.shape
@@ -1250,7 +1328,10 @@ def _bucket_scores_multiquery_ctx(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        ctx, ln = args  # [c, L, d], [c]
+        if with_filter:
+            ctx, ln, tok, pos, tag = args
+        else:
+            ctx, ln = args  # [c, L, d], [c]
         c = ctx.shape[0]
         flat = ctx.astype(jnp.float32).reshape(c * L, d)
         mags = jnp.linalg.norm(flat, axis=-1)
@@ -1259,7 +1340,13 @@ def _bucket_scores_multiquery_ctx(
         b = _ChunkVectors(q_unmod, q_norm, q_mags)
         S = metric.compute(a, b)  # [c*L, T*Q]
         S = jnp.clip(S, 0.0, 1.0)
-        S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L, c, T, Q]
+        S = S.reshape(c, L, T, Q)
+        if with_filter:
+            perm, ln, _ = _compact_slices(
+                tok, pos, tag, ln, flt_pos, flt_tag, flt_tok
+            )
+            S = jnp.take_along_axis(S, perm[:, :, None, None], axis=1)
+        S = jnp.transpose(S, (1, 0, 2, 3))  # [L, c, T, Q]
         if use_pallas and Q >= PALLAS_MIN_BATCH and not general_gaps:
             from vectorian_tpu.ops.pallas_dp import pallas_align_scores_multi_nt
 
@@ -1285,6 +1372,12 @@ def _bucket_scores_multiquery_ctx(
         ctx_store.reshape(n_chunks, chunk, L, d),
         lengths.reshape(n_chunks, chunk),
     )
+    if with_filter:
+        xs = xs + (
+            token_ids.reshape(n_chunks, chunk, L),
+            pos_ids.reshape(n_chunks, chunk, L),
+            tag_ids.reshape(n_chunks, chunk, L),
+        )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
 
 
@@ -1689,12 +1782,12 @@ class BruteForceEngine:
                 "pos_np": pos.astype(np.int8),
                 "tag_np": tag.astype(np.int16),
             }
+            entry["lengths_np"] = ln
             if self._paged:
                 # host-only: device keys page in on first touch and evict
                 # after each pass (the sorted streams need host copies too)
                 entry["tok_sorted_np"] = tok_sorted
                 entry["sort_inv_np"] = inv
-                entry["lengths_np"] = ln
                 self._device_buckets.append(_PagedBucket(entry))
             else:
                 entry.update(
@@ -2147,14 +2240,18 @@ class BruteForceEngine:
         locality: str,
         norm_totals: List[float],
         gap_costs=None,  # (GapCost_s, GapCost_t) -> general-gap WSB DP
+        doc_filter: Optional[DocFilterSpec] = None,
     ) -> np.ndarray:
         """[n_slices, Q] scores for a batch of single-contextual-embedding
         queries in one corpus pass (per-chunk metric evaluation = one GEMM
-        against the stacked query matrix)."""
+        against the stacked query matrix).  Doc-side filters compact the
+        post-GEMM similarity rows in-kernel."""
         Q = len(ctx_queries)
         q_unmod, q_norm, q_mags, Tpad = stack_ctx_queries(ctx_queries, len_ts)
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
+        flt = self._filter_args(doc_filter)
+        placeholder = jnp.zeros((1, 1), jnp.int32)
 
         out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
@@ -2182,12 +2279,17 @@ class BruteForceEngine:
                     nt_arr,
                     gv_s,
                     gv_t,
+                    db["tokens"] if doc_filter is not None else placeholder,
+                    db["pos"] if doc_filter is not None else placeholder,
+                    db["tag"] if doc_filter is not None else placeholder,
+                    *flt,
                     metric=metric,
                     locality=locality,
                     chunk=db["chunk"],
                     n_queries=Q,
                     use_pallas=use_pallas_default(),
                     general_gaps=gap_costs is not None,
+                    with_filter=doc_filter is not None,
                 )
 
             pending.append(
@@ -2204,16 +2306,20 @@ class BruteForceEngine:
         locality: str,
         norm_totals: List[float],
         gap_costs=None,
+        doc_filter: Optional[DocFilterSpec] = None,
     ) -> np.ndarray:
         """[n_slices, Q] scores for a batch of MIXED static+contextual
         modifier-tree queries in one corpus pass (stacked per-leaf query
         axes, see stack_tree_plans).  Contextual stores must already be
-        ensured by the caller."""
+        ensured by the caller; doc-side filters compact the post-eval
+        similarity rows in-kernel."""
         Q = len(plans)
         statics, ctx_qs, weights, Tpad = stack_tree_plans(plans, len_ts)
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
         ctx_names = plans[0].ctx_names
+        flt = self._filter_args(doc_filter)
+        placeholder = jnp.zeros((1, 1), jnp.int32)
 
         out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
@@ -2247,11 +2353,15 @@ class BruteForceEngine:
                     nt_arr,
                     gv_s,
                     gv_t,
+                    db["pos"] if doc_filter is not None else placeholder,
+                    db["tag"] if doc_filter is not None else placeholder,
+                    *flt,
                     locality=locality,
                     chunk=db["chunk"],
                     n_queries=Q,
                     use_pallas=use_pallas_default(),
                     general_gaps=gap_costs is not None,
+                    with_filter=doc_filter is not None,
                 )
 
             pending.append(
@@ -2289,39 +2399,46 @@ class BruteForceEngine:
         for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
                 continue
-            bvec, tw, gv_s, gv_t = self._bucket_dispatch_args(
-                db, T, boost, tag_weights, gap_costs
+
+            def dispatch(db=db, bi=bi):
+                bvec, tw, gv_s, gv_t = self._bucket_dispatch_args(
+                    db, T, boost, tag_weights, gap_costs
+                )
+                static_sims, static_mags, ctx, ctx_q, weights = (
+                    self._plan_args(qp, bi)
+                )
+                return _bucket_scores(
+                    qp.plan,
+                    db["tokens"],
+                    db["tok_sorted"],
+                    db["sort_inv"],
+                    db["pos"],
+                    db["tag"],
+                    db["lengths"],
+                    static_sims,
+                    static_mags,
+                    ctx,
+                    ctx_q,
+                    weights,
+                    jnp.asarray(len_t, jnp.int32),
+                    gaps,
+                    bvec,
+                    jnp.asarray(norm_total, jnp.float32),
+                    *tw,
+                    *flt,
+                    gv_s,
+                    gv_t,
+                    locality=locality,
+                    chunk=db["chunk"],
+                    with_tags=tag_weights is not None,
+                    with_filter=doc_filter is not None,
+                    general_gaps=gap_costs is not None,
+                    use_pallas=use_pallas_default(),
+                )
+
+            pending.append(
+                (db, _LazyScores(db, dispatch) if self._paged else dispatch())
             )
-            static_sims, static_mags, ctx, ctx_q, weights = self._plan_args(qp, bi)
-            scores = _bucket_scores(
-                qp.plan,
-                db["tokens"],
-                db["tok_sorted"],
-                db["sort_inv"],
-                db["pos"],
-                db["tag"],
-                db["lengths"],
-                static_sims,
-                static_mags,
-                ctx,
-                ctx_q,
-                weights,
-                jnp.asarray(len_t, jnp.int32),
-                gaps,
-                bvec,
-                jnp.asarray(norm_total, jnp.float32),
-                *tw,
-                *flt,
-                gv_s,
-                gv_t,
-                locality=locality,
-                chunk=db["chunk"],
-                with_tags=tag_weights is not None,
-                with_filter=doc_filter is not None,
-                general_gaps=gap_costs is not None,
-                use_pallas=use_pallas_default(),
-            )
-            pending.append((db, scores))
         if not pending or k <= 0:
             return ([], {}, float("-inf")) if with_next else ([], {})
 
@@ -2336,18 +2453,27 @@ class BruteForceEngine:
         fetched = [None] * len(pending)  # (vals np, ids np, bucket_next)
         for round_ in range(2):
             # dispatch every fetch first, read after — host reads are
-            # tunnel round trips; interleaving them would serialize
+            # tunnel round trips; interleaving them would serialize.
+            # (Paged mode reads bucket-by-bucket instead: the host read is
+            # the completion barrier that bounds HBM to one bucket; an
+            # unsafe round-2 bucket re-pages and recomputes.)
             dispatched = []
-            for bi, (db, scores) in enumerate(pending):
+            for bi, (db, entry) in enumerate(pending):
                 if fetched[bi] is not None:
                     continue
+                lazy = isinstance(entry, _LazyScores)
+                scores = entry.get() if lazy else entry
                 kk = min(k, db["n"])
                 if round_ == 0 and kk < db["n"]:
                     kf = kk + 1  # +1 probes the boundary
                     vals, idx = jax.lax.top_k(scores[: db["n"]], kf)
-                    dispatched.append((bi, kk, vals, idx))
                 else:  # full read (small bucket or tie-unsafe fallback)
-                    dispatched.append((bi, db["n"], scores[: db["n"]], None))
+                    kk, vals, idx = db["n"], scores[: db["n"]], None
+                if lazy:
+                    vals = np.asarray(vals)
+                    idx = None if idx is None else np.asarray(idx)
+                    entry.release()
+                dispatched.append((bi, kk, vals, idx))
             for bi, kk, vals, idx in dispatched:
                 db = pending[bi][0]
                 vals = np.asarray(vals)
@@ -2511,14 +2637,31 @@ class BruteForceEngine:
                     sel_pad[k2, : len(s)] = s
             else:
                 sel_pad = np.zeros((1, L), np.int32)  # placeholder
-            static_sims, static_mags, ctx_all, ctx_q, weights = self._plan_args(
-                qp, bi
-            )
+            if self._paged:
+                # upload just the requested rows (the whole-bucket device
+                # view would page GBs in for a handful of rescores)
+                static_sims = tuple(qp.static_sims)
+                static_mags = tuple(qp.static_mags)
+                ctx_q = tuple(qp.ctx_queries)
+                weights = tuple(qp.mixed_weights)
+                tok_in = jnp.asarray(db["tokens_np"][rows])
+                pos_in = jnp.asarray(db["pos_np"][rows])
+                ctx_all = tuple(
+                    jnp.asarray(self._ctx_stores[nm][bi][rows])
+                    for nm in qp.ctx_names
+                )
+                rows_d = jnp.arange(gp, dtype=jnp.int32)
+            else:
+                static_sims, static_mags, ctx_all, ctx_q, weights = (
+                    self._plan_args(qp, bi)
+                )
+                tok_in, pos_in = db["tokens"], db["pos"]
+                rows_d = jnp.asarray(rows)
             Sw, Su = _slices_similarity_batch(
                 qp.plan,
-                db["tokens"],
-                db["pos"],
-                jnp.asarray(rows),
+                tok_in,
+                pos_in,
+                rows_d,
                 jnp.asarray(sel_pad),
                 static_sims,
                 static_mags,
@@ -2566,6 +2709,11 @@ class BruteForceEngine:
             # RTT); the big contextual rows gather on DEVICE instead
             tok = jnp.asarray(db["tokens_np"][r][pad])[None]
             pos = jnp.asarray(db["pos_np"][r][pad])[None]
+        elif self._paged:
+            # paged engine: never touch the bucket's device view for one
+            # row — upload the host row directly
+            tok = jnp.asarray(db["tokens_np"][r])[None]
+            pos = jnp.asarray(db["pos_np"][r])[None]
         else:
             tok = db["tokens"][r][None]
             pos = db["pos"][r][None]
@@ -2574,14 +2722,27 @@ class BruteForceEngine:
             tw = tag_weights.device_args()
         else:
             tw = TagWeightingSpec.identity_args(T)
-        static_sims, static_mags, ctx_all, ctx_q, weights = self._plan_args(qp, bi)
+        static_sims = tuple(qp.static_sims)
+        static_mags = tuple(qp.static_mags)
+        ctx_q = tuple(qp.ctx_queries)
+        weights = tuple(qp.mixed_weights)
+        if self._paged:
+            # one-row upload from the host bf16 store
+            ctx_rows = tuple(
+                jnp.asarray(self._ctx_stores[nm][bi][r])
+                for nm in qp.ctx_names
+            )
+        else:
+            ctx_rows = tuple(
+                self._ctx_stores[nm][bi][r] for nm in qp.ctx_names
+            )
         if sel is not None:
             pad_d = jnp.asarray(pad)
             ctx = tuple(
-                c[r].astype(jnp.float32)[pad_d][None] for c in ctx_all
+                c.astype(jnp.float32)[pad_d][None] for c in ctx_rows
             )
         else:
-            ctx = tuple(c[r][None] for c in ctx_all)
+            ctx = tuple(c[None] for c in ctx_rows)
         Sw, Su = _slice_similarity(
             qp.plan, tok, static_sims, static_mags, ctx, ctx_q, weights,
             pos, *tw, with_tags=tag_weights is not None,
@@ -3030,10 +3191,17 @@ class BruteForceEngine:
                         sel_pad[k2, : len(s)] = s
                 else:
                     sel_pad = np.zeros((1, L), np.int32)
+                if self._paged:
+                    tok_in = jnp.asarray(db["tokens_np"][rows])
+                    pos_in = jnp.asarray(db["pos_np"][rows])
+                    rows_d = jnp.arange(gp, dtype=jnp.int32)
+                else:
+                    tok_in, pos_in = db["tokens"], db["pos"]
+                    rows_d = jnp.asarray(rows)
                 out = _stacked_rescore(
-                    db["tokens"],
-                    db["pos"],
-                    jnp.asarray(rows),
+                    tok_in,
+                    pos_in,
+                    rows_d,
                     jnp.asarray(qix),
                     jnp.asarray(sel_pad),
                     table,

@@ -1063,6 +1063,8 @@ class WMDEngine:
                 with_filter=with_filter, with_boost=with_boost,
             )
 
+        from vectorian_tpu.ops.search import _LazyScores
+
         pending = []
         for db in engine._device_buckets:
             if db["n"] == 0:
@@ -1072,37 +1074,42 @@ class WMDEngine:
             chunk = db["chunk"]
             while chunk > 64 and chunk * Q > 4096:
                 chunk //= 2
-            bmat = (
-                jnp.asarray(
-                    self._bucket_boost_mat(
-                        db, boosts, Q, int(db["n_pad"])
+
+            def dispatch(db=db, chunk=chunk):
+                bmat = (
+                    jnp.asarray(
+                        self._bucket_boost_mat(
+                            db, boosts, Q, int(db["n_pad"])
+                        )
                     )
+                    if with_boost
+                    else jnp.ones((1, Q), jnp.float32)
                 )
-                if with_boost
-                else jnp.ones((1, Q), jnp.float32)
+                return _bucket_rwmd_scores_multi(
+                    db["tokens"],
+                    db["lengths"],
+                    db["pos"],
+                    db["tag"],
+                    sim_multi,
+                    jnp.asarray(mass_t),
+                    len_ts,
+                    jnp.asarray(max_score_t),
+                    bmat,
+                    *tw_args,
+                    *df_args,
+                    injective=bool(a["injective"]),
+                    symmetric=bool(a["symmetric"]),
+                    normalize_bow=bool(a["normalize_bow"]),
+                    chunk=chunk,
+                    n_queries=Q,
+                    with_tags=with_tags,
+                    with_filter=with_filter,
+                    with_boost=with_boost,
+                )
+
+            pending.append(
+                (db, _LazyScores(db, dispatch) if engine._paged else dispatch())
             )
-            scores = _bucket_rwmd_scores_multi(
-                db["tokens"],
-                db["lengths"],
-                db["pos"],
-                db["tag"],
-                sim_multi,
-                jnp.asarray(mass_t),
-                len_ts,
-                jnp.asarray(max_score_t),
-                bmat,
-                *tw_args,
-                *df_args,
-                injective=bool(a["injective"]),
-                symmetric=bool(a["symmetric"]),
-                normalize_bow=bool(a["normalize_bow"]),
-                chunk=chunk,
-                n_queries=Q,
-                with_tags=with_tags,
-                with_filter=with_filter,
-                with_boost=with_boost,
-            )
-            pending.append((db, scores))
         # device-side per-bucket top-k instead of the full [n_slices, Q]
         # host read (128 MB at 1M x 32); top_k_exactly replicates
         # engine.top_k's tie-complete pool over the resident matrices
@@ -1177,6 +1184,8 @@ class WMDEngine:
         if mass_dev is None:
             mass_dev = mass_t
 
+        from vectorian_tpu.ops.search import _LazyScores
+
         pending = []
         for db in engine._device_buckets:
             if db["n"] == 0:
@@ -1186,35 +1195,40 @@ class WMDEngine:
             chunk = db["chunk"]
             while chunk > 64 and chunk * Q > 4096:
                 chunk //= 2
-            bmat = (
-                jnp.asarray(
-                    self._bucket_boost_mat(
-                        db, boosts, Q, int(db["n_pad"])
+
+            def dispatch(db=db, chunk=chunk):
+                bmat = (
+                    jnp.asarray(
+                        self._bucket_boost_mat(
+                            db, boosts, Q, int(db["n_pad"])
+                        )
                     )
+                    if with_boost
+                    else jnp.ones((1, Q), jnp.float32)
                 )
-                if with_boost
-                else jnp.ones((1, Q), jnp.float32)
+                return _bucket_emd_scores_multi(
+                    db["tokens"],
+                    db["lengths"],
+                    db["pos"],
+                    db["tag"],
+                    sim_multi,
+                    jnp.asarray(mags_vocab),
+                    jnp.asarray(mass_dev),
+                    bmat,
+                    *(tw_args or self._tagw_args_multi([None] * Q, Tmax, Q)),
+                    *(df_args or self._df_args(None)),
+                    use_magnitudes=is_wrd,
+                    normalize_mass=normalize,
+                    chunk=chunk,
+                    n_queries=Q,
+                    with_tags=with_tags,
+                    with_filter=with_filter,
+                    with_boost=with_boost,
+                )
+
+            pending.append(
+                (db, _LazyScores(db, dispatch) if engine._paged else dispatch())
             )
-            scores = _bucket_emd_scores_multi(
-                db["tokens"],
-                db["lengths"],
-                db["pos"],
-                db["tag"],
-                sim_multi,
-                jnp.asarray(mags_vocab),
-                jnp.asarray(mass_dev),
-                bmat,
-                *(tw_args or self._tagw_args_multi([None] * Q, Tmax, Q)),
-                *(df_args or self._df_args(None)),
-                use_magnitudes=is_wrd,
-                normalize_mass=normalize,
-                chunk=chunk,
-                n_queries=Q,
-                with_tags=with_tags,
-                with_filter=with_filter,
-                with_boost=with_boost,
-            )
-            pending.append((db, scores))
         from vectorian_tpu.ops.search import BucketTopKSource
 
         src = BucketTopKSource(engine, pending, Q, n + 32)
@@ -1355,7 +1369,7 @@ class WMDEngine:
             mult = n_dev * chunk
             npad = (-db["tokens_np"].shape[0]) % mult
             tok = np.pad(db["tokens_np"], ((0, npad), (0, 0)))
-            ln = np.pad(np.asarray(db["lengths"], np.int32), (0, npad))
+            ln = np.pad(db["lengths_np"], (0, npad))
             tok_d = jax.device_put(tok, ms._sharded)
             len_d = jax.device_put(ln, ms._sharded)
             pos_d = tag_d = bst_d = None

@@ -505,7 +505,7 @@ class MeshSearch:
         jax.jit,
         static_argnames=(
             "self", "plan", "locality", "k", "with_next", "general_gaps",
-            "with_boost",
+            "with_boost", "with_filter",
         ),
     )
     def tree_score_topk_multiquery(
@@ -528,19 +528,25 @@ class MeshSearch:
         general_gaps: bool = False,
         boost=None,  # [N, Q] f32 sharded per-slice boosts
         with_boost: bool = False,
+        pos_ids=None,  # [N, L] i8 sharded (doc filters only)
+        tag_ids=None,  # [N, L] i16 sharded
+        flt_args=None,  # (pos_ex, tag_ex, tok_ex) bool masks, replicated
+        with_filter: bool = False,
     ):
         """Mixed static+contextual modifier-tree serving batch over the
         mesh: each shard evaluates the SAME stacked-leaf tree as the
         single-chip kernel (ops/search._bucket_scores_multiquery_tree —
         static gathers of the [V, T*Q] tables + GEMMs against the [T*Q, d]
         contextual matrices, modifier ops elementwise), runs the multi DP,
-        and merges per-query top-k over one all-gather."""
+        and merges per-query top-k over one all-gather.  Doc filters
+        compact the post-eval similarity rows in-shard."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
         from vectorian_tpu.ops.alignment import align_scores_general
+        from vectorian_tpu.ops.search import _compact_slices
         from vectorian_tpu.ops.simmatrix import eval_plan_chunk
 
         axis = self._mesh.axis_names[0]
@@ -554,17 +560,23 @@ class MeshSearch:
 
         if boost is None:
             boost = jnp.ones((token_ids.shape[0], Q), jnp.float32)
+        if not with_filter:
+            pos_ids = jnp.zeros((token_ids.shape[0], 1), jnp.int8)
+            tag_ids = jnp.zeros((token_ids.shape[0], 1), jnp.int16)
+            flt_args = (jnp.zeros((1,), bool),) * 3
 
-        def shard_fn(tok, ln, bst, *ctx):
+        def shard_fn(tok, ln, bst, pos, tag, *ctx):
             c = tok.shape[0]
             S = eval_plan_chunk(
                 plan, tok, static_sims, static_mags, ctx, ctx_queries,
                 mixed_weights,
             )["similarity"]  # [c, L, T*Q]
             T = S.shape[-1] // Q
-            S2 = jnp.transpose(
-                S.reshape(c, L, T, Q), (0, 3, 1, 2)
-            ).reshape(c * Q, L, T)
+            S = S.reshape(c, L, T, Q)
+            if with_filter:
+                perm, ln, _ = _compact_slices(tok, pos, tag, ln, *flt_args)
+                S = jnp.take_along_axis(S, perm[:, :, None, None], axis=1)
+            S2 = jnp.transpose(S, (0, 3, 1, 2)).reshape(c * Q, L, T)
             ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
             lt_rep = jnp.tile(len_t, c)
             if general_gaps:
@@ -588,17 +600,17 @@ class MeshSearch:
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
-            in_specs=(P(axis), P(axis), P(axis)) + (P(axis),) * n_ctx,
+            in_specs=(P(axis),) * 5 + (P(axis),) * n_ctx,
             out_specs=out_specs,
             check_vma=False,
         )
-        return fn(token_ids, lengths, boost, *ctx_stores)
+        return fn(token_ids, lengths, boost, pos_ids, tag_ids, *ctx_stores)
 
     @functools.partial(
         jax.jit,
         static_argnames=(
             "self", "metric", "locality", "k", "with_next", "general_gaps",
-            "with_boost",
+            "with_boost", "with_filter",
         ),
     )
     def ctx_score_topk_multiquery(
@@ -619,6 +631,11 @@ class MeshSearch:
         general_gaps: bool = False,
         boost=None,  # [N, Q] f32 sharded per-slice boosts
         with_boost: bool = False,
+        token_ids=None,  # [N, L] i32 sharded (doc filters only)
+        pos_ids=None,  # [N, L] i8 sharded
+        tag_ids=None,  # [N, L] i16 sharded
+        flt_args=None,  # (pos_ex, tag_ex, tok_ex) bool masks, replicated
+        with_filter: bool = False,
     ):
         """Contextual serving batch over the mesh: each shard computes its
         slices' similarity blocks with ONE GEMM against the stacked query
@@ -633,6 +650,7 @@ class MeshSearch:
             from jax.experimental.shard_map import shard_map
 
         from vectorian_tpu.ops.alignment import align_scores_general
+        from vectorian_tpu.ops.search import _compact_slices
         from vectorian_tpu.ops.simmatrix import _ChunkVectors
 
         axis = self._mesh.axis_names[0]
@@ -647,8 +665,13 @@ class MeshSearch:
 
         if boost is None:
             boost = jnp.ones((ctx_store.shape[0], Q), jnp.float32)
+        if not with_filter:
+            token_ids = jnp.zeros((ctx_store.shape[0], 1), jnp.int32)
+            pos_ids = jnp.zeros((ctx_store.shape[0], 1), jnp.int8)
+            tag_ids = jnp.zeros((ctx_store.shape[0], 1), jnp.int16)
+            flt_args = (jnp.zeros((1,), bool),) * 3
 
-        def shard_fn(ctx, ln, bst):
+        def shard_fn(ctx, ln, bst, tok, pos, tag):
             c = ctx.shape[0]
             flat = ctx.astype(jnp.float32).reshape(c * L, d)
             mags = jnp.linalg.norm(flat, axis=-1)
@@ -656,9 +679,13 @@ class MeshSearch:
             a = _ChunkVectors(flat, normed, mags)
             b = _ChunkVectors(q_unmod, q_norm, q_mags)
             S = jnp.clip(metric.compute(a, b), 0.0, 1.0)  # [c*L, T*Q]
-            S2 = jnp.transpose(
-                S.reshape(c, L, T, Q), (0, 3, 1, 2)
-            ).reshape(c * Q, L, T)
+            S = S.reshape(c, L, T, Q)
+            if with_filter:
+                # doc filters compact the post-GEMM similarity rows (the
+                # sharded replica of _bucket_scores_multiquery_ctx)
+                perm, ln, _ = _compact_slices(tok, pos, tag, ln, *flt_args)
+                S = jnp.take_along_axis(S, perm[:, :, None, None], axis=1)
+            S2 = jnp.transpose(S, (0, 3, 1, 2)).reshape(c * Q, L, T)
             ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
             lt_rep = jnp.tile(len_t, c)
             if general_gaps:
@@ -681,11 +708,11 @@ class MeshSearch:
         fn = shard_map(
             shard_fn,
             mesh=self._mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
+            in_specs=(P(axis),) * 6,
             out_specs=out_specs,
             check_vma=False,
         )
-        return fn(ctx_store, lengths, boost)
+        return fn(ctx_store, lengths, boost, token_ids, pos_ids, tag_ids)
 
     @functools.partial(jax.jit, static_argnames=("self", "locality", "k"))
     def score_topk(
