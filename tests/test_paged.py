@@ -192,3 +192,19 @@ def test_paged_contextual_matches_resident():
         for store in eng_p._ctx_stores.values():
             assert all(isinstance(a, np.ndarray) for a in store)
         _assert_evicted(eng_p)
+
+
+def test_session_paged_kwarg():
+    """Session(paged=True) builds paged engines for every partition."""
+    imp = StringImporter()
+    docs = [imp("the cat sleeps. a dog runs.", title="d0")]
+    emb = make_embedding(["the", "cat", "sleeps", "a", "dog", "runs"])
+    session = Session(docs, embeddings=[emb], paged=True)
+    p = session.partition("sentence")
+    ix = p.index(EmbeddingTokenSim(emb))
+    assert all(
+        isinstance(db, _PagedBucket) for db in ix._engine._device_buckets
+    )
+    r = ix.find("the cat sleeps", n=2, min_score=0.1)
+    assert len(r) >= 1
+    _assert_evicted(ix._engine)

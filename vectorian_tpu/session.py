@@ -328,9 +328,15 @@ class Session:
         embeddings=(),
         normalization=None,
         nlp=None,
+        paged: "bool | None" = None,
     ):
+        """``paged``: stream length buckets host->HBM->evict during corpus
+        passes instead of keeping them resident — the >HBM-envelope mode
+        (docs/performance.md).  Defaults to the VECTORIAN_PAGE_BUCKETS
+        env; results are byte-identical either way."""
         if normalization is None:
             normalization = VanillaNormalization()
+        self._paged = paged
         self._normalization = normalization
         self._nlp = nlp if nlp is not None else SimpleNLP()
         self._vocab = Vocabulary()
@@ -602,7 +608,9 @@ class Session:
     def engine(self, spec: PartitionSpec) -> BruteForceEngine:
         eng = self._engine_cache.get(spec)
         if eng is None:
-            eng = BruteForceEngine(self.packed_corpus(spec))
+            eng = BruteForceEngine(
+                self.packed_corpus(spec), paged=self._paged
+            )
             self._engine_cache[spec] = eng
         return eng
 
