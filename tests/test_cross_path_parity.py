@@ -148,13 +148,12 @@ def test_cross_path_parity_options(setup, trial):
         for rr in ix.find_batch(qs, n=4, min_score=msc, **kwargs)
     ]
     assert got == want
-    if kwargs:
-        return  # mesh rejects per-query options by design
+    # mesh serves doc filters too (round 3: in-shard compaction)
     ms = vt.MeshSearch(vt.make_mesh())
     try:
         mgot = [
             [(m.slice_id, m.score) for m in rr]
-            for rr in ix.find_batch(qs, n=4, min_score=msc, mesh=ms)
+            for rr in ix.find_batch(qs, n=4, min_score=msc, mesh=ms, **kwargs)
         ]
     except NotImplementedError:
         return
