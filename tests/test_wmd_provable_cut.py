@@ -107,10 +107,10 @@ def _spy_rescore(monkeypatch):
     calls = {"n": 0, "smaps": []}
     orig = WMDEngine._host_rescore
 
-    def spy(self, index, query, qp, state, top, min_score, debug):
+    def spy(self, index, query, qp, state, top, min_score, debug, **kw):
         calls["n"] += len(top)
         calls["smaps"].append(state["scores"])
-        return orig(self, index, query, qp, state, top, min_score, debug)
+        return orig(self, index, query, qp, state, top, min_score, debug, **kw)
 
     monkeypatch.setattr(WMDEngine, "_host_rescore", spy)
     return calls

@@ -290,6 +290,37 @@ def _bucket_rwmd_scores(
     return jax.lax.map(one_chunk, xs).reshape(N)
 
 
+@functools.partial(jax.jit, static_argnames=("V", "with_tags"))
+def _pairs_sims_static(tok, pos, qidx, sim_multi, tw_w, tw_p, tw_pen, tw_thr,
+                       V: int, with_tags: bool):
+    """(S_weighted [p, L, Tmax], S_unmodified) for (slice, query) candidate
+    PAIRS against the stacked [V, Tmax, Q] static table — the whole serving
+    batch's host-rescore similarities in ONE dispatch + ONE fetch.  A
+    per-query batch_slice_similarity fetch costs a tunnel round trip per
+    query and per fetched array (a Q=64 batch measured ~2.6 s in host
+    reads alone).  Bit-equal to the per-query path: the stacked table is a
+    pure pad/copy of each query's plan matrix, the pair gather selects
+    exact elements, and the tag weighting applies search._apply_tag_weights'
+    elementwise formula with the pair's own query column.
+    tok/pos: [p, L] host-gathered rows (works identically in paged mode —
+    device bucket keys are never touched); qidx: [p] i32; tw_w/tw_p:
+    [Tmax, Q]; tw_pen/tw_thr: [Q]."""
+    Tmax, Q = sim_multi.shape[1], sim_multi.shape[2]
+    # [Q*V, Tmax] view so each pair is one row-gather with a fused offset
+    simQ = jnp.moveaxis(sim_multi, 2, 0).reshape(Q * V, Tmax)
+    S = simQ[qidx[:, None] * V + tok]  # [p, L, Tmax]
+    Su = S
+    if with_tags:
+        w = tw_w.T[qidx][:, None, :] * jnp.where(
+            pos[:, :, None] == tw_p.T[qidx][:, None, :],
+            1.0,
+            1.0 - tw_pen[qidx][:, None, None],
+        )
+        Sw = S * w
+        S = jnp.where(Sw > tw_thr[qidx][:, None, None], Sw, 0.0)
+    return S, Su
+
+
 def _tag_weights_multi(S, posT, tw_w, tw_p, tw_pen, tw_thr):
     """Per-query tag weighting for the stacked [L, c, T, Q] similarity
     layout — the transport analogue of search._apply_tag_weights, same
@@ -832,13 +863,14 @@ class WMDEngine:
 
     def _consume_ordered(
         self, index, query, qp, state, smap, cand, matches, n, min_score,
-        eps, debug=None,
+        eps, debug=None, sims_map=None,
     ) -> None:
         """Exact-EMD rescore of bound-ordered candidates into ``matches``,
-        in batches (each batch = one batched similarity fetch), stopping
-        once every remaining candidate's bound is provably below the n-th
-        exact score: bound >= exact, so bound < nth - eps cannot displace
-        or tie any reported match."""
+        in batches (each batch = one batched similarity fetch, or a lookup
+        into a ``_sims_many`` prefetch shared across the serving batch),
+        stopping once every remaining candidate's bound is provably below
+        the n-th exact score: bound >= exact, so bound < nth - eps cannot
+        displace or tie any reported match."""
         i = 0
         step = max(2 * n, 32)
         while i < len(cand):
@@ -850,7 +882,7 @@ class WMDEngine:
             matches.extend(
                 self._host_rescore(
                     index, query, qp, state, cand[i : i + step], min_score,
-                    debug,
+                    debug, sims_map=sims_map,
                 )
             )
             i += step
@@ -906,6 +938,68 @@ class WMDEngine:
             )
         )
         return matches[:n]
+
+    def _sims_many_static(self, items, sim_multi, tw_args, tagged):
+        """Fused candidate-similarity fetch for a whole serving batch:
+        ``items`` = [(qi, sids)] resolve to (slice, query) pairs, grouped
+        by bucket row length; each group is ONE ``_pairs_sims_static``
+        dispatch against the already-stacked [V, Tmax, Q] table, and all
+        groups fetch in one ``jax.device_get`` — a blocking per-query
+        fetch costs a tunnel round trip per query AND per fetched array
+        (a Q=64 batch measured ~2.6 s in host reads alone).  Returns one
+        {sid: (Sw, Su)} per item; slices/pairs are host-gathered rows, so
+        paged mode works identically (device bucket keys never touched)."""
+        from vectorian_tpu.ops.search import _next_pow2
+
+        engine = self._engine
+        V = int(sim_multi.shape[0])
+        out_all = [dict() for _ in items]
+        groups = {}
+        for ii, (qi, sids) in enumerate(items):
+            for sid in sids:
+                bi, r = engine._slice_loc[sid]
+                db = engine._device_buckets[bi]
+                g = groups.setdefault(
+                    int(db["capacity"]),
+                    {"tok": [], "pos": [], "qi": [], "own": []},
+                )
+                g["tok"].append(db["tokens_np"][r])
+                g["pos"].append(db["pos_np"][r])
+                g["qi"].append(qi)
+                g["own"].append((ii, int(sid)))
+        refs, metas = [], []
+        for L, g in groups.items():
+            p = len(g["tok"])
+            pp = _next_pow2(p)
+            tok = np.zeros((pp, L), np.int32)
+            tok[:p] = np.asarray(g["tok"], np.int32)
+            pos = np.zeros((pp, L), np.int8)
+            pos[:p] = np.asarray(g["pos"], np.int8)
+            qidx = np.zeros((pp,), np.int32)
+            qidx[:p] = g["qi"]
+            Sw, Su = _pairs_sims_static(
+                jnp.asarray(tok), jnp.asarray(pos), jnp.asarray(qidx),
+                sim_multi, *tw_args, V=V, with_tags=tagged,
+            )
+            refs.append(Sw)
+            if tagged:
+                refs.append(Su)
+            metas.append(g["own"])
+        fetched = jax.device_get(refs) if refs else []
+        pos_i = 0
+        slice_len = engine.packed.slice_len
+        for own in metas:
+            Sw = np.asarray(fetched[pos_i])
+            pos_i += 1
+            if tagged:
+                Su = np.asarray(fetched[pos_i])
+                pos_i += 1
+            else:
+                Su = Sw
+            for k2, (ii, sid) in enumerate(own):
+                ln = int(slice_len[sid])
+                out_all[ii][sid] = (Sw[k2, :ln], Su[k2, :ln])
+        return out_all
 
     @staticmethod
     def _tagw_args_multi(tagws, Tmax: int, Q: int):
@@ -1120,12 +1214,19 @@ class WMDEngine:
         results = []
         packed = engine.packed
         tops = src.top_k_exactly_many(range(Q), n, min_score)
+        # one fused similarity fetch serves every query's flow rescore
+        # (a blocking per-query fetch costs a tunnel round trip each)
+        sims_all = self._sims_many_static(
+            [(qi, tops[qi][0]) for qi in range(Q)],
+            sim_multi, tw_args, with_tags,
+        )
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             top, smap = tops[qi]
             states[qi]["scores"] = smap
             matches = (
                 self._host_rescore(
-                    index, query, qp, states[qi], top, min_score, None
+                    index, query, qp, states[qi], top, min_score, None,
+                    sims_map=sims_all[qi],
                 )
                 if top
                 else []
@@ -1233,11 +1334,15 @@ class WMDEngine:
 
         src = BucketTopKSource(engine, pending, Q, n + 32)
         return self._rescore_with_cut_many(
-            index, queries, qps, states, src, n, min_score
+            index, queries, qps, states, src, n, min_score,
+            sim_multi=sim_multi,
+            tw_args=tw_args or self._tagw_args_multi([None] * Q, Tmax, Q),
+            tagged=with_tags,
         )
 
     def _rescore_with_cut_many(
         self, index, queries, qps, states, src, n: int, min_score: float,
+        sim_multi=None, tw_args=None, tagged=False,
     ) -> List:
         """Batched provable-cut driver over a BucketTopKSource: phase 1
         consumes each query's fetched bound candidates; queries whose
@@ -1255,22 +1360,31 @@ class WMDEngine:
             eps_q.append(
                 CUT_EPS * (max(1.0, float(np.max(b))) if b is not None else 1.0)
             )
-        smaps, rests, per_q = [], [], []
+        smaps, rests, per_q, cand_lists = [], [], [], []
         for qi in range(Q):
             rank_min = min_score - eps_q[qi]
             smap, rest = src.score_map(qi, rank_min)
             states[qi]["scores"] = smap
             smaps.append(smap)
             rests.append(rest)
+            cand_lists.append(
+                self._ordered_by_bound(
+                    {s: v for s, v in smap.items() if v >= rank_min}
+                )
+            )
+        # prefetch the first consume step of EVERY query in one fused
+        # similarity fetch; the rare queries that consume past it fetch
+        # their later steps per-query as usual
+        step = max(2 * n, 32)
+        sims_all = self._sims_many_static(
+            [(qi, cand_lists[qi][:step]) for qi in range(Q)],
+            sim_multi, tw_args, tagged,
+        )
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             matches: List = []
-            rank_min = min_score - eps_q[qi]
-            cand0 = self._ordered_by_bound(
-                {s: v for s, v in smaps[qi].items() if v >= rank_min}
-            )
             self._consume_ordered(
-                index, query, qp, states[qi], smaps[qi], cand0, matches,
-                n, min_score, eps_q[qi],
+                index, query, qp, states[qi], smaps[qi], cand_lists[qi],
+                matches, n, min_score, eps_q[qi], sims_map=sims_all[qi],
             )
             per_q.append(matches)
         unsafe, cuts = [], {}
@@ -1286,6 +1400,7 @@ class WMDEngine:
             found = src.above_vals_many(
                 [(src.qview(qi), cuts[qi], set(smaps[qi])) for qi in unsafe]
             )
+            new_lists = []
             for qi, (_ids, vmap) in zip(unsafe, found):
                 new = {
                     int(s): float(v)
@@ -1295,10 +1410,20 @@ class WMDEngine:
                 smaps[qi].update(
                     {int(s): float(v) for s, v in vmap.items()}
                 )
+                new_lists.append(self._ordered_by_bound(new))
+            sims_extra = self._sims_many_static(
+                [
+                    (qi, new_cand[:step])
+                    for qi, new_cand in zip(unsafe, new_lists)
+                ],
+                sim_multi, tw_args, tagged,
+            )
+            for qi, new_cand, sm in zip(unsafe, new_lists, sims_extra):
+                sims_all[qi].update(sm)
                 self._consume_ordered(
                     index, queries[qi], qps[qi], states[qi], smaps[qi],
-                    self._ordered_by_bound(new), per_q[qi], n, min_score,
-                    eps_q[qi],
+                    new_cand, per_q[qi], n, min_score, eps_q[qi],
+                    sims_map=sims_all[qi],
                 )
         results = []
         for qi in range(Q):
@@ -1423,6 +1548,23 @@ class WMDEngine:
                     ):
                         score_maps[q][int(sid)] = float(sc)
 
+            cand_lists = [
+                self._ordered_by_bound(
+                    {
+                        s: v
+                        for s, v in score_maps[qi].items()
+                        if v >= min_score - eps_q[qi]
+                    }
+                )
+                for qi in range(Q)
+            ]
+            # fused first-step similarity prefetch (one device_get for the
+            # whole batch instead of a tunnel round trip per query)
+            step = max(2 * n, 32)
+            sims_all = self._sims_many_static(
+                [(qi, cand_lists[qi][:step]) for qi in range(Q)],
+                jnp.asarray(sim_multi), tw_args, with_tags,
+            )
             results = []
             retry = False
             for qi, (query, qp) in enumerate(zip(queries, qps)):
@@ -1430,16 +1572,12 @@ class WMDEngine:
                 state = dict(states[qi])
                 state["scores"] = smap
                 matches: List = []
-                rank_min = min_score - eps_q[qi]
-                cand0 = self._ordered_by_bound(
-                    {s: v for s, v in smap.items() if v >= rank_min}
-                )
                 self._consume_ordered(
-                    index, query, qp, state, smap, cand0, matches,
-                    n, min_score, eps_q[qi],
+                    index, query, qp, state, smap, cand_lists[qi], matches,
+                    n, min_score, eps_q[qi], sims_map=sims_all[qi],
                 )
                 cut = max(self._nth_cut(matches, n, min_score) - eps_q[qi],
-                          rank_min)
+                          min_score - eps_q[qi])
                 # provable cut: every unfetched slice's bound (hence its
                 # exact score) sits below anything that can reach the top-k
                 if not complete and rest[qi] >= cut:
@@ -1540,9 +1678,9 @@ class WMDEngine:
                     ):
                         score_maps[q][int(sid)] = float(sc)
 
-            results = []
+            tops = []
             retry = False
-            for qi, (query, qp) in enumerate(zip(queries, qps)):
+            for qi in range(Q):
                 smap = score_maps[qi]
                 cand = [sid for sid, sc in smap.items() if sc >= min_score]
                 if cand:
@@ -1552,37 +1690,50 @@ class WMDEngine:
                     top = [int(c) for c in cand_arr[order][: n]]
                 else:
                     top = []
-                state = dict(states[qi])
-                state["scores"] = smap
-                matches = (
-                    self._host_rescore(
-                        index, query, qp, state, top, min_score, None
-                    )
-                    if top
-                    else []
-                )
-                matches.sort(
-                    key=lambda mm: (
-                        -mm.score,
-                        int(packed.slice_doc[mm.slice_id]),
-                        int(packed.slice_idx[mm.slice_id]),
-                    )
-                )
-                matches = matches[:n]
-                s_n = (
-                    matches[n - 1].score if len(matches) >= n else min_score
-                )
+                # relaxed scores are REPORTED from the device vector, so
+                # the n-th score is known before any flow rescore (strict
+                # score > min_score, matching _host_rescore's filter)
+                kept = [c for c in top if smap[c] > min_score]
+                s_n = smap[kept[n - 1]] if len(kept) >= n else min_score
                 # exact scores: the cut is unsafe only when an excluded
                 # slice could TIE the n-th (then (doc, slice) order decides)
                 if not complete and rest[qi] >= s_n:
                     retry = True
                     break
-                results.append(matches)
+                tops.append(kept)
             if not retry:
-                return results
+                break
             # unsafe cut: full coverage in one more round (complete=True
             # next pass) — avoids a fresh remote compile per doubling
             m = max(tok_d.shape[0] for _, tok_d, *_ in shards)
+
+        # one fused similarity fetch serves every query's flow rescore
+        # (a blocking per-query fetch costs a tunnel round trip each)
+        sims_all = self._sims_many_static(
+            [(qi, tops[qi]) for qi in range(Q)],
+            jnp.asarray(sim_multi), tw_args, with_tags,
+        )
+        results = []
+        for qi, (query, qp) in enumerate(zip(queries, qps)):
+            state = dict(states[qi])
+            state["scores"] = score_maps[qi]
+            matches = (
+                self._host_rescore(
+                    index, query, qp, state, tops[qi], min_score, None,
+                    sims_map=sims_all[qi],
+                )
+                if tops[qi]
+                else []
+            )
+            matches.sort(
+                key=lambda mm: (
+                    -mm.score,
+                    int(packed.slice_doc[mm.slice_id]),
+                    int(packed.slice_idx[mm.slice_id]),
+                )
+            )
+            results.append(matches[:n])
+        return results
 
     def _score(self, index, query, qp, doc_filter=None, device=False) -> dict:
         """Device ranking pass; returns scores plus the mass/tag/filter
@@ -1658,11 +1809,14 @@ class WMDEngine:
         }
 
     def _host_rescore(
-        self, index, query, qp, state, top, min_score, debug
+        self, index, query, qp, state, top, min_score, debug,
+        sims_map=None,
     ) -> List:
         """Exact host rescore + flow extraction for the chosen slices
         (similarities batched: one device dispatch per bucket instead of a
-        tunnel RTT per slice)."""
+        tunnel RTT per slice).  ``sims_map``: prefetched {sid: (Sw, Su)}
+        from ``_sims_many`` — batched serving fuses the fetch across
+        queries; sids missing from the map fetch here as usual."""
         from vectorian_tpu.index import Match
 
         engine = self._engine
@@ -1678,7 +1832,21 @@ class WMDEngine:
         matches = []
         doc_filter = state.get("doc_filter")
         token_sim_name = index._args["metric"]["token_sim"].name
-        sims_list = engine.batch_slice_similarity(top, qp, tag_weights=tagw)
+        if sims_map is None:
+            sims_list = engine.batch_slice_similarity(
+                top, qp, tag_weights=tagw
+            )
+        else:
+            missing = [sid for sid in top if int(sid) not in sims_map]
+            if missing:
+                for sid, sims in zip(
+                    missing,
+                    engine.batch_slice_similarity(
+                        missing, qp, tag_weights=tagw
+                    ),
+                ):
+                    sims_map[int(sid)] = sims
+            sims_list = [sims_map[int(sid)] for sid in top]
         for sid, (Sw, Su) in zip(top, sims_list):
             tok, _ = engine._slice_tokens(sid)
             ln = int(engine.packed.slice_len[sid])
