@@ -44,6 +44,8 @@ void vn_traceback_general_batch(
     const int32_t* len_t, int64_t B, int64_t S1, int64_t T1, int64_t Ls,
     int64_t Lt, const float* w_s, const float* w_t, int locality,
     const int32_t* end_cells, int32_t* mapping);
+int vn_emd(const double* a, const double* b, const double* C, int64_t n1,
+           int64_t n2, double* flow, double* cost_out);
 }
 
 namespace {
@@ -224,6 +226,44 @@ void test_traceback() {
   }
 }
 
+void test_emd() {
+  std::mt19937 rng(11);
+  std::uniform_real_distribution<double> u(0.0, 1.0);
+  for (int trial = 0; trial < 200; trial++) {
+    const int n1 = 1 + static_cast<int>(rng() % 13);
+    const int n2 = 1 + static_cast<int>(rng() % 13);
+    std::vector<double> a(n1), b(n2), C(n1 * n2), flow(n1 * n2);
+    double sa = 0, sb = 0;
+    for (auto& x : a) sa += (x = u(rng));
+    for (auto& x : b) sb += (x = u(rng));
+    const bool balanced = trial % 3 != 0;
+    if (balanced) {
+      for (auto& x : b) x *= sa / sb;
+      sb = sa;
+    }
+    for (auto& x : C)
+      x = (trial % 4 == 0) ? std::floor(u(rng) * 10) / 10 : u(rng) * 2;
+    double cost = -1;
+    const int rc =
+        vn_emd(a.data(), b.data(), C.data(), n1, n2, flow.data(), &cost);
+    if (!balanced && std::fabs(sa - sb) > 1e-9 * (sa > sb ? sa : sb)) {
+      assert(rc != 0);  // unbalanced instances are rejected, not solved
+      continue;
+    }
+    assert(rc == 0);
+    assert(cost >= -1e-12);
+    // marginal feasibility + non-negativity of the returned flow
+    for (int i = 0; i < n1; i++) {
+      double r = 0;
+      for (int j = 0; j < n2; j++) {
+        assert(flow[i * n2 + j] >= -1e-12);
+        r += flow[i * n2 + j];
+      }
+      assert(std::fabs(r - a[i]) <= 1e-9);
+    }
+  }
+}
+
 }  // namespace
 
 
@@ -233,6 +273,7 @@ int main() {
   test_lexicon();
   test_pack_fill();
   test_traceback();
+  test_emd();
   std::printf("native sanitizer tests: OK\n");
   return 0;
 }

@@ -369,6 +369,152 @@ void vn_traceback_general_batch(
   }
 }
 
+// ------------------------------------------------------------- exact EMD
+//
+// Exact balanced transportation problem (min sum C[i][j]*x[i][j] s.t. row
+// sums = a, column sums = b, x >= 0) via successive shortest paths with
+// node potentials — the same exact-EMD family as the reference's vendored
+// pyemd emd_hat (vectorian/core/cpp/alignment/pyemd.h:11-17, a min-cost
+// flow), replacing a ~ms scipy HiGHS LP per candidate in the host rescore
+// with a ~µs solve.  The optimal COST is the unique LP optimum, so scores
+// (ops/emd_exact.emd_score) match the scipy path to fp tolerance; the flow
+// matrix is one deterministic optimal vertex (ties may pick a different
+// vertex than HiGHS — tests compare costs and marginals, not vertices).
+//
+// Requires C >= 0 (Dijkstra; WMD costs are max(MAX_SIM - S, 0) plus a
+// non-negative sink penalty).  Returns 0 on success, -1 on failure (caller
+// falls back to scipy).
+
+int vn_emd(const double* a, const double* b, const double* C,
+           int64_t n1_, int64_t n2_, double* flow, double* cost_out) {
+  const int n1 = static_cast<int>(n1_), n2 = static_cast<int>(n2_);
+  const int N = n1 + n2;
+  const double INF = std::numeric_limits<double>::infinity();
+  *cost_out = 0.0;
+  for (int64_t k = 0; k < n1_ * n2_; k++) {
+    flow[k] = 0.0;
+    if (!(C[k] >= 0.0)) return -1;  // negative or NaN cost
+  }
+  std::vector<double> rem_a(a, a + n1), rem_b(b, b + n2);
+  double tot_a = 0.0, tot_b = 0.0;
+  for (int i = 0; i < n1; i++) {
+    if (!(rem_a[i] >= 0.0)) return -1;
+    tot_a += rem_a[i];
+  }
+  for (int j = 0; j < n2; j++) {
+    if (!(rem_b[j] >= 0.0)) return -1;
+    tot_b += rem_b[j];
+  }
+  const double scale = tot_a > tot_b ? tot_a : tot_b;
+  if (scale <= 0.0) return -1;
+  if (std::fabs(tot_a - tot_b) > 1e-9 * scale) return -1;  // not balanced
+  const double eps = 1e-12 * scale;
+
+  std::vector<double> pot(N, 0.0), dist(N);
+  std::vector<int> prev(N);
+  std::vector<char> done(N);
+  // each augmentation zeroes a supply or demand (or empties a backward
+  // edge); the guard bounds pathological degeneracy -> scipy fallback
+  int guard = 16 * N * N + 256;
+
+  while (true) {
+    double rem_s = 0.0, rem_d = 0.0;
+    for (int i = 0; i < n1; i++) rem_s += rem_a[i];
+    for (int j = 0; j < n2; j++) rem_d += rem_b[j];
+    if (rem_s <= eps || rem_d <= eps) break;
+    if (--guard < 0) return -1;
+
+    // dense Dijkstra over reduced costs (N is tiny: slice+needle tokens)
+    for (int v = 0; v < N; v++) {
+      dist[v] = INF;
+      prev[v] = -1;
+      done[v] = 0;
+    }
+    for (int i = 0; i < n1; i++)
+      if (rem_a[i] > eps) dist[i] = 0.0;
+    for (int it = 0; it < N; it++) {
+      int u = -1;
+      double du = INF;
+      for (int v = 0; v < N; v++)
+        if (!done[v] && dist[v] < du) {
+          du = dist[v];
+          u = v;
+        }
+      if (u < 0) break;
+      done[u] = 1;
+      if (u < n1) {
+        // left node: forward edges u -> every right node (infinite cap)
+        const double* Cu = C + static_cast<int64_t>(u) * n2;
+        for (int j = 0; j < n2; j++) {
+          double rc = Cu[j] + pot[u] - pot[n1 + j];
+          if (rc < 0.0) rc = 0.0;  // fp noise; exact potentials keep rc >= 0
+          const double nd = du + rc;
+          if (nd < dist[n1 + j]) {
+            dist[n1 + j] = nd;
+            prev[n1 + j] = u;
+          }
+        }
+      } else {
+        // right node: backward edges u -> left i for carried flow
+        const int j = u - n1;
+        for (int i = 0; i < n1; i++) {
+          if (flow[static_cast<int64_t>(i) * n2 + j] > eps) {
+            double rc = -C[static_cast<int64_t>(i) * n2 + j] + pot[u] - pot[i];
+            if (rc < 0.0) rc = 0.0;
+            const double nd = du + rc;
+            if (nd < dist[i]) {
+              dist[i] = nd;
+              prev[i] = u;
+            }
+          }
+        }
+      }
+    }
+    // closest right node with remaining demand
+    int t = -1;
+    double dbest = INF;
+    for (int j = 0; j < n2; j++)
+      if (rem_b[j] > eps && dist[n1 + j] < dbest) {
+        dbest = dist[n1 + j];
+        t = n1 + j;
+      }
+    if (t < 0) return -1;  // unreachable demand (cannot happen: complete graph)
+    for (int v = 0; v < N; v++)
+      pot[v] += dist[v] < dbest ? dist[v] : dbest;
+
+    // bottleneck along the path (forward edges are uncapacitated)
+    double delta = rem_b[t - n1];
+    int v = t;
+    while (prev[v] != -1) {
+      const int u = prev[v];
+      if (u >= n1) {  // backward edge: reduces flow[v][u - n1]
+        const double f = flow[static_cast<int64_t>(v) * n2 + (u - n1)];
+        if (f < delta) delta = f;
+      }
+      v = u;
+    }
+    const int src = v;  // left node that seeded the path
+    if (rem_a[src] < delta) delta = rem_a[src];
+    if (delta <= 0.0) return -1;  // degenerate stall
+    v = t;
+    while (prev[v] != -1) {
+      const int u = prev[v];
+      if (u < n1)
+        flow[static_cast<int64_t>(u) * n2 + (v - n1)] += delta;
+      else
+        flow[static_cast<int64_t>(v) * n2 + (u - n1)] -= delta;
+      v = u;
+    }
+    rem_a[src] -= delta;
+    rem_b[t - n1] -= delta;
+  }
+
+  double cost = 0.0;
+  for (int64_t k = 0; k < n1_ * n2_; k++) cost += flow[k] * C[k];
+  *cost_out = cost;
+  return 0;
+}
+
 // Copy string i into buf (returns length; buf may be null to query size).
 int64_t vn_lexicon_get(void* h, int64_t i, char* buf, int64_t buf_len) {
   auto* lex = static_cast<Lexicon*>(h);

@@ -100,3 +100,50 @@ def test_fuzz_pack_fill():
         np.testing.assert_array_equal(tok, want_tok)
         np.testing.assert_array_equal(pos, want_pos)
         np.testing.assert_array_equal(tag, want_tag)
+
+
+def test_fuzz_native_emd():
+    """Native successive-shortest-path EMD vs the scipy HiGHS LP: the
+    optimal COST is the unique LP optimum so the two must agree to fp
+    tolerance on every instance (flows may be different optimal vertices
+    — check marginal feasibility and non-negativity instead).  Covers
+    unbalanced sinks (both sides), zero supplies, tie-heavy rounded
+    costs, and every extra_mass_penalty mode the serving path uses."""
+    from vectorian_tpu.ops import emd_exact
+
+    rng = np.random.default_rng(3)
+    orig_native_emd = native.emd
+    for trial in range(120):
+        n1 = int(rng.integers(1, 14))
+        n2 = int(rng.integers(1, 14))
+        w1 = rng.uniform(0, 1, n1)
+        w2 = rng.uniform(0, 1, n2)
+        if rng.random() < 0.3:
+            w1 = w1 / max(w1.sum(), 1e-9)
+            w2 = w2 / max(w2.sum(), 1e-9)
+        if rng.random() < 0.2:
+            w1[int(rng.integers(0, n1))] = 0.0
+        D = rng.uniform(0, 2, (n1, n2))
+        if rng.random() < 0.3:
+            D = np.round(D, 1)  # provoke cost ties / degenerate optima
+        pen = float(rng.choice([-1.0, 0.0, 0.5, 2.0]))
+
+        r_n = emd_exact.exact_emd(w1, w2, D, pen)
+        try:
+            native.emd = lambda *a, **k: None  # force the scipy path
+            r_s = emd_exact.exact_emd(w1, w2, D, pen)
+        finally:
+            native.emd = orig_native_emd
+        assert r_n.success == r_s.success, trial
+        if not r_n.success:
+            continue
+        assert r_n.cost == pytest.approx(
+            r_s.cost, abs=1e-8 * max(1.0, abs(r_s.cost))
+        ), trial
+        G = r_n.flow
+        assert G.min() >= -1e-12, trial
+        s1, s2 = w1.sum(), w2.sum()
+        if s1 <= s2 + 1e-12:  # every supply fully shipped
+            np.testing.assert_allclose(G.sum(1), w1, atol=1e-9)
+        if s2 <= s1 + 1e-12:  # every demand fully met
+            np.testing.assert_allclose(G.sum(0), w2, atol=1e-9)

@@ -159,6 +159,35 @@ def pack_fill(flat_tok, flat_pos, flat_tag, starts, lens, cap: int):
     return tok, pos, tag
 
 
+def emd(w1: np.ndarray, w2: np.ndarray, C: np.ndarray):
+    """Exact balanced transportation solve via the native successive-
+    shortest-path solver (native vn_emd); returns (flow [n1, n2] f64,
+    cost) or None when the lib is missing / the instance is rejected
+    (unbalanced, negative costs, degenerate stall) — callers fall back
+    to scipy HiGHS (ops/emd_exact.exact_emd)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vn_emd"):
+        return None
+    w1 = np.ascontiguousarray(w1, np.float64)
+    w2 = np.ascontiguousarray(w2, np.float64)
+    C = np.ascontiguousarray(C, np.float64)
+    n1, n2 = C.shape
+    flow = np.zeros((n1, n2), np.float64)
+    cost = ctypes.c_double(0.0)
+    rc = lib.vn_emd(
+        w1.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        w2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        C.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n1),
+        ctypes.c_int64(n2),
+        flow.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(cost),
+    )
+    if rc != 0:
+        return None
+    return flow, float(cost.value)
+
+
 _LOCALITY_CODE = {"local": 0, "global": 1, "semiglobal": 2}
 
 

@@ -32,9 +32,6 @@ def exact_emd(
     D: np.ndarray,  # [n1, n2] cost
     extra_mass_penalty: float = -1.0,
 ) -> EMDResult:
-    from scipy.optimize import linprog
-    from scipy.sparse import lil_matrix
-
     w1 = np.asarray(w1, np.float64)
     w2 = np.asarray(w2, np.float64)
     D = np.asarray(D, np.float64)
@@ -60,6 +57,19 @@ def exact_emd(
         Dp = np.hstack([D, np.full((n1, 1), penalty)])
     else:
         w1p, w2p, Dp = w1, w2, D
+
+    # native successive-shortest-path solver first (a scipy HiGHS LP costs
+    # ~ms per candidate in setup alone; the SSP solve is ~µs at these
+    # sizes) — same optimal cost, one deterministic optimal flow vertex
+    from vectorian_tpu import native
+
+    r = native.emd(w1p, w2p, Dp)
+    if r is not None:
+        G = r[0][:n1, :n2]
+        return EMDResult(float(np.sum(G * D)), G, True)
+
+    from scipy.optimize import linprog
+    from scipy.sparse import lil_matrix
 
     m1, m2 = Dp.shape
     c = Dp.reshape(-1)
