@@ -867,7 +867,7 @@ class WMDEngine:
     ) -> None:
         """Exact-EMD rescore of bound-ordered candidates into ``matches``,
         in batches (each batch = one batched similarity fetch, or a lookup
-        into a ``_sims_many`` prefetch shared across the serving batch),
+        into a ``_sims_many_static`` prefetch shared across the batch),
         stopping once every remaining candidate's bound is provably below
         the n-th exact score: bound >= exact, so bound < nth - eps cannot
         displace or tie any reported match."""
@@ -1815,7 +1815,7 @@ class WMDEngine:
         """Exact host rescore + flow extraction for the chosen slices
         (similarities batched: one device dispatch per bucket instead of a
         tunnel RTT per slice).  ``sims_map``: prefetched {sid: (Sw, Su)}
-        from ``_sims_many`` — batched serving fuses the fetch across
+        from ``_sims_many_static`` — batched serving fuses the fetch across
         queries; sids missing from the map fetch here as usual."""
         from vectorian_tpu.index import Match
 
