@@ -21,3 +21,21 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# The XLA:CPU backend segfaults inside backend_compile_and_load after a few
+# hundred tests' worth of accumulated live executables in one process
+# (reproducible at the same test index across runs; the same test passes in
+# any shorter invocation).  Dropping executable references periodically
+# keeps the client well below the crash point; the handful of re-compiles
+# this forces costs a few seconds over the whole suite.
+_TESTS_PER_CACHE_CLEAR = 75
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_clear_caches():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _TESTS_PER_CACHE_CLEAR == 0:
+        jax.clear_caches()

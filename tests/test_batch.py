@@ -48,6 +48,50 @@ def test_find_batch_matches_single(session_ix):
         assert got == want, q
 
 
+def test_preloaded_leaf_inputs_bitwise(session_ix):
+    """The batched needle upload (preload_leaf_inputs) must leave the
+    per-query leaf GEMM bits untouched: same executable, same operand
+    bytes, bit-identical [V, T] matrices (find/find_batch byte-equality
+    rests on this)."""
+    import jax.numpy as jnp
+
+    from vectorian_tpu.index import _pad_needle
+    from vectorian_tpu.ops.simmatrix import compile_plan, preload_leaf_inputs
+
+    session, index, locations = session_ix
+    token_sim = index._args["metric"]["token_sim"]
+    texts = [
+        "the old king rides the grey horse",
+        "a small bird sings in the tree",
+        "king horse unknownword",  # OOV id path
+    ]
+    padded = []
+    for t in texts:
+        pq = index.make_query(t, n=3, min_score=0.0).prepare(index._nlp)
+        padded.append(_pad_needle(pq, session, with_ctx=False))
+    pre = preload_leaf_inputs(
+        token_sim,
+        session.compiled_embeddings,
+        [(p[0], p[1]) for p in padded],
+    )
+    for (ids, strings, _, _), pl in zip(padded, pre):
+        for needs_mag in (False, True):
+            qp_a = compile_plan(
+                token_sim, session.compiled_embeddings, ids, strings, {},
+                needs_magnitudes=needs_mag,
+            )
+            qp_b = compile_plan(
+                token_sim, session.compiled_embeddings, ids, strings, {},
+                needs_magnitudes=needs_mag, preloaded=pl,
+            )
+            a = np.asarray(qp_a.static_sims[0])
+            b = np.asarray(qp_b.static_sims[0])
+            assert a.tobytes() == b.tobytes()
+            ma = np.asarray(qp_a.static_mags[0])
+            mb = np.asarray(qp_b.static_mags[0])
+            assert ma.tobytes() == mb.tobytes()
+
+
 def test_find_batch_different_lengths(session_ix):
     """Queries of different token counts share one pass (padding)."""
     session, index, locations = session_ix

@@ -34,6 +34,7 @@ from vectorian_tpu.ops.simmatrix import (
     compile_plan,
     compile_similarity,
     plan_sim_upper,
+    preload_leaf_inputs,
 )
 from vectorian_tpu.session import Result
 
@@ -1428,24 +1429,35 @@ class BruteForceIndex(Index):
         the ranking precision."""
         token_sim = self._args["metric"]["token_sim"]
         prepared, plans, len_ts, norm_totals, tagws = [], [], [], [], []
+        padded = []
         for text in texts:
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
             prepared.append(pq)
+            padded.append(_pad_needle(pq, self._session, with_ctx=False))
+        # batch the needle-side uploads: one transfer + one unstack dispatch
+        # instead of 4 device_puts per query (dominates prep time at Q>=64
+        # on tunneled runtimes)
+        pre = preload_leaf_inputs(
+            token_sim,
+            self._session.compiled_embeddings,
+            [(p[0], p[1]) for p in padded],
+        )
+        for pq, (tok_ids_p, strings_p, _, Tpad), pl in zip(
+            prepared, padded, pre
+        ):
             # compile the plan at the SAME padded needle width find() uses
             # (the leaf GEMM's tiling — and so its f32 rounding — depends
             # on the needle width) and through the SAME compile_plan fold
             # (static-only modifier trees collapse to one matrix inside
             # compile_plan), so find()/find_batch() gather identical bits
-            tok_ids_p, strings_p, _, Tpad = _pad_needle(
-                pq, self._session, with_ctx=False
-            )
             qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
                 tok_ids_p,
                 strings_p,
                 {},
+                preloaded=pl,
             )
             assert qp.plan == ("static", 0), "static batch requires fold"
             plans.append(qp)
@@ -2461,6 +2473,7 @@ class BruteForceIndex(Index):
         queries, qps, tagws, boosts, order = [], [], [], [], []
         results: List[Optional[Result]] = [None] * len(texts)
         doc_filter = None
+        live = []  # (ti, pq, tok_ids_p, strings_p, Tpad)
         for ti, text in enumerate(texts):
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
@@ -2470,6 +2483,14 @@ class BruteForceIndex(Index):
             tok_ids_p, strings_p, _, Tpad = _pad_needle(
                 pq, self._session, with_ctx=False
             )
+            live.append((ti, pq, tok_ids_p, strings_p, Tpad))
+        # batched needle uploads (see _prepare_static_batch)
+        pre = preload_leaf_inputs(
+            token_sim,
+            self._session.compiled_embeddings,
+            [(e[2], e[3]) for e in live],
+        )
+        for (ti, pq, tok_ids_p, strings_p, Tpad), pl in zip(live, pre):
             qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
@@ -2477,6 +2498,7 @@ class BruteForceIndex(Index):
                 strings_p,
                 {},
                 needs_magnitudes=needs_mag,
+                preloaded=pl,
             )
             queries.append(pq)
             qps.append(qp)
@@ -2541,6 +2563,7 @@ class BruteForceIndex(Index):
         start_time = time.time()
         prepared, plans, len_ts, norm_totals = [], [], [], []
         order, results = [], [None] * len(texts)
+        padded = []
         for ti, text in enumerate(texts):
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
@@ -2549,15 +2572,24 @@ class BruteForceIndex(Index):
                 continue
             order.append(ti)
             prepared.append(pq)
-            tok_ids_p, strings_p, ctx_p, _ = _pad_needle(
-                pq, self._session, ctx_names=ctx_names
-            )
+            padded.append(_pad_needle(pq, self._session, ctx_names=ctx_names))
+        # batched static-leaf uploads (see _prepare_static_batch); the ctx
+        # leaves keep their per-query vectors
+        pre = preload_leaf_inputs(
+            token_sim,
+            self._session.compiled_embeddings,
+            [(p[0], p[1]) for p in padded],
+        )
+        for pq, (tok_ids_p, strings_p, ctx_p, _), pl in zip(
+            prepared, padded, pre
+        ):
             qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
                 tok_ids_p,
                 strings_p,
                 ctx_p,
+                preloaded=pl,
             )
             plans.append(qp)
             len_ts.append(max(pq.n_tokens, 1))
