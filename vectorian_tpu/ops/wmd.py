@@ -887,6 +887,61 @@ class WMDEngine:
             )
             i += step
 
+    def _consume_rounds_many(
+        self, index, queries, qps, states, smaps, cand_lists, per_q, pos,
+        n, min_score, eps_q, sims_all, sim_multi, tw_args, tagged,
+        active=None,
+    ) -> None:
+        """Batched ``_consume_ordered``: every still-active query advances
+        one bound-ordered step per round, and all queries' missing candidate
+        similarities for the round fetch in ONE fused ``_sims_many_static``
+        dispatch.  Per-query fetching costs a blocking tunnel round trip per
+        (query, step); the stopping rule is identical — a query retires when
+        its next candidate's bound is provably below its n-th exact score."""
+        step = max(2 * n, 32)
+        if active is None:
+            active = range(len(queries))
+        active = [qi for qi in active if pos[qi] < len(cand_lists[qi])]
+        while active:
+            # retire queries whose next bound is below their cut BEFORE
+            # fetching, so the final round fetches no wasted windows
+            active = [
+                qi
+                for qi in active
+                if not (
+                    len(per_q[qi]) >= n
+                    and smaps[qi][cand_lists[qi][pos[qi]]]
+                    < self._nth_cut(per_q[qi], n, min_score) - eps_q[qi]
+                )
+            ]
+            items = []
+            for qi in active:
+                window = cand_lists[qi][pos[qi] : pos[qi] + step]
+                missing = [s for s in window if int(s) not in sims_all[qi]]
+                if missing:
+                    items.append((qi, missing))
+            if items:
+                fetched = self._sims_many_static(
+                    items, sim_multi, tw_args, tagged
+                )
+                for (qi, _), sm in zip(items, fetched):
+                    sims_all[qi].update(sm)
+            nxt = []
+            for qi in active:
+                cand = cand_lists[qi]
+                matches = per_q[qi]
+                matches.extend(
+                    self._host_rescore(
+                        index, queries[qi], qps[qi], states[qi],
+                        cand[pos[qi] : pos[qi] + step], min_score, None,
+                        sims_map=sims_all[qi],
+                    )
+                )
+                pos[qi] += step
+                if pos[qi] < len(cand):
+                    nxt.append(qi)
+            active = nxt
+
     def _rescore_with_cut(
         self, index, query, qp, state, smap, rest, n, min_score,
         fetch_all=None, debug=None,
@@ -1360,7 +1415,7 @@ class WMDEngine:
             eps_q.append(
                 CUT_EPS * (max(1.0, float(np.max(b))) if b is not None else 1.0)
             )
-        smaps, rests, per_q, cand_lists = [], [], [], []
+        smaps, rests, cand_lists = [], [], []
         for qi in range(Q):
             rank_min = min_score - eps_q[qi]
             smap, rest = src.score_map(qi, rank_min)
@@ -1372,21 +1427,19 @@ class WMDEngine:
                     {s: v for s, v in smap.items() if v >= rank_min}
                 )
             )
-        # prefetch the first consume step of EVERY query in one fused
-        # similarity fetch; the rare queries that consume past it fetch
-        # their later steps per-query as usual
+        # round-based consume: every query advances one step per round and
+        # ALL queries' missing candidate similarities fetch in one fused
+        # dispatch — letting each query fetch its own later steps costs a
+        # blocking tunnel round trip per (query, step) (measured 8.7 s of
+        # a 12 s WRD Q=64 serving pass in per-query device reads)
         step = max(2 * n, 32)
-        sims_all = self._sims_many_static(
-            [(qi, cand_lists[qi][:step]) for qi in range(Q)],
-            sim_multi, tw_args, tagged,
+        sims_all = [dict() for _ in range(Q)]
+        per_q = [[] for _ in range(Q)]
+        pos = [0] * Q
+        self._consume_rounds_many(
+            index, queries, qps, states, smaps, cand_lists, per_q, pos,
+            n, min_score, eps_q, sims_all, sim_multi, tw_args, tagged,
         )
-        for qi, (query, qp) in enumerate(zip(queries, qps)):
-            matches: List = []
-            self._consume_ordered(
-                index, query, qp, states[qi], smaps[qi], cand_lists[qi],
-                matches, n, min_score, eps_q[qi], sims_map=sims_all[qi],
-            )
-            per_q.append(matches)
         unsafe, cuts = [], {}
         for qi in range(Q):
             cut = max(
@@ -1400,7 +1453,6 @@ class WMDEngine:
             found = src.above_vals_many(
                 [(src.qview(qi), cuts[qi], set(smaps[qi])) for qi in unsafe]
             )
-            new_lists = []
             for qi, (_ids, vmap) in zip(unsafe, found):
                 new = {
                     int(s): float(v)
@@ -1410,21 +1462,16 @@ class WMDEngine:
                 smaps[qi].update(
                     {int(s): float(v) for s, v in vmap.items()}
                 )
-                new_lists.append(self._ordered_by_bound(new))
-            sims_extra = self._sims_many_static(
-                [
-                    (qi, new_cand[:step])
-                    for qi, new_cand in zip(unsafe, new_lists)
-                ],
-                sim_multi, tw_args, tagged,
+                # the consumed prefix's tail bounds stayed below a cut that
+                # only rises, so only the completion round's new candidates
+                # need consuming (same as the single-query path)
+                cand_lists[qi] = self._ordered_by_bound(new)
+                pos[qi] = 0
+            self._consume_rounds_many(
+                index, queries, qps, states, smaps, cand_lists, per_q, pos,
+                n, min_score, eps_q, sims_all, sim_multi, tw_args, tagged,
+                active=unsafe,
             )
-            for qi, new_cand, sm in zip(unsafe, new_lists, sims_extra):
-                sims_all[qi].update(sm)
-                self._consume_ordered(
-                    index, queries[qi], qps[qi], states[qi], smaps[qi],
-                    new_cand, per_q[qi], n, min_score, eps_q[qi],
-                    sims_map=sims_all[qi],
-                )
         results = []
         for qi in range(Q):
             matches = per_q[qi]
@@ -1558,24 +1605,26 @@ class WMDEngine:
                 )
                 for qi in range(Q)
             ]
-            # fused first-step similarity prefetch (one device_get for the
-            # whole batch instead of a tunnel round trip per query)
-            step = max(2 * n, 32)
-            sims_all = self._sims_many_static(
-                [(qi, cand_lists[qi][:step]) for qi in range(Q)],
+            # round-based consume with fused similarity fetches (one
+            # device_get per round for the whole batch instead of a tunnel
+            # round trip per (query, step) — see _consume_rounds_many)
+            sims_all = [dict() for _ in range(Q)]
+            per_q = [[] for _ in range(Q)]
+            pos = [0] * Q
+            states_q = []
+            for qi in range(Q):
+                st = dict(states[qi])
+                st["scores"] = score_maps[qi]
+                states_q.append(st)
+            self._consume_rounds_many(
+                index, queries, qps, states_q, score_maps, cand_lists,
+                per_q, pos, n, min_score, eps_q, sims_all,
                 jnp.asarray(sim_multi), tw_args, with_tags,
             )
             results = []
             retry = False
-            for qi, (query, qp) in enumerate(zip(queries, qps)):
-                smap = score_maps[qi]
-                state = dict(states[qi])
-                state["scores"] = smap
-                matches: List = []
-                self._consume_ordered(
-                    index, query, qp, state, smap, cand_lists[qi], matches,
-                    n, min_score, eps_q[qi], sims_map=sims_all[qi],
-                )
+            for qi in range(Q):
+                matches = per_q[qi]
                 cut = max(self._nth_cut(matches, n, min_score) - eps_q[qi],
                           min_score - eps_q[qi])
                 # provable cut: every unfetched slice's bound (hence its
