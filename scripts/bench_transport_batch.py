@@ -39,6 +39,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    from vectorian_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import vectorian_tpu as vt
     from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
     from vectorian_tpu.embedding.static import KeyedVectors

@@ -314,6 +314,19 @@ def test_find_batch_empty_query(session_ix):
     assert len(batch[1]) >= 1
 
 
+def test_find_all_oov_query(session_ix):
+    """A query of only OOV tokens has a non-empty needle but an empty
+    candidate pool (every score falls below min_score) — both find() and
+    find_batch() must return empty, not crash in the finalizer
+    (order_by_score used to choke on the empty float64 id array)."""
+    session, index, locations = session_ix
+    oov = "zzzunknown qqqwords xxnothere"
+    assert len(index.find(oov, n=3, min_score=0.2)) == 0
+    batch = index.find_batch([oov, "king rides"], n=3, min_score=0.2)
+    assert len(batch[0]) == 0
+    assert len(batch[1]) >= 1
+
+
 def test_find_batch_contextual_matches_single():
     """Contextual batch serving: one stacked-GEMM corpus pass must match
     the single-query contextual path exactly."""
@@ -343,7 +356,10 @@ def test_find_batch_contextual_matches_single():
 
 def test_find_batch_rwmd_matches_single(session_ix):
     """Batched relaxed WMD shares one corpus pass and must match the
-    single-query transport path exactly."""
+    single-query transport path BYTE-identically: both paths report
+    rwmd_score_host's shape-independent arithmetic (device kernels only
+    rank — their f32 reduction trees vary with the compiled batch shape,
+    which used to leak ~1-ulp drift into the reported scores)."""
     from vectorian_tpu.alignment import WordMoversDistance, WordRotatorsDistance
     from vectorian_tpu.sim.span import OptimizedSpanSim
     from vectorian_tpu.sim.token import EmbeddingTokenSim as ETS
@@ -353,7 +369,7 @@ def test_find_batch_rwmd_matches_single(session_ix):
     ix = session.partition("sentence").index(
         OptimizedSpanSim(ETS(emb), WordMoversDistance.rwmd("nbow"))
     )
-    queries = [
+    queries = [  # mixed plan widths: one padded ranking pass serves all
         "horse grey the rides king old the",
         "bird sings tree",
         "the old king",
@@ -362,19 +378,19 @@ def test_find_batch_rwmd_matches_single(session_ix):
     assert len(batch) == 3
     for q, br in zip(queries, batch):
         sr = ix.find(q, n=4, min_score=-5.0)
-        got = [(m.slice_id, round(m.score, 4)) for m in br]
-        want = [(m.slice_id, round(m.score, 4)) for m in sr]
+        got = [(m.slice_id, m.score) for m in br]
+        want = [(m.slice_id, m.score) for m in sr]
         assert got == want, q
 
-    # unsupported transport configs fall back to exact per-query results
+    # WRD batches exact-rescore under the provable cut, same guarantee
     ix2 = session.partition("sentence").index(
         OptimizedSpanSim(ETS(emb), WordRotatorsDistance())
     )
     b2 = ix2.find_batch(queries[:2], n=3, min_score=-5.0)
     for q, br in zip(queries[:2], b2):
         sr = ix2.find(q, n=3, min_score=-5.0)
-        assert [(m.slice_id, round(m.score, 4)) for m in br] == [
-            (m.slice_id, round(m.score, 4)) for m in sr
+        assert [(m.slice_id, m.score) for m in br] == [
+            (m.slice_id, m.score) for m in sr
         ], q
 
 

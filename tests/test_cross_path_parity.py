@@ -265,8 +265,9 @@ def test_distributed_rwmd_mixed_width_batch(setup):
     """Non-injective symmetric relaxed WMD ("nbow/distributed") with
     MIXED needle widths in one batch: the batch kernel's f32 sum
     reduction tree changes with the padded width (measured 1-ulp drift
-    vs the query's own compile width), so width groups must serve at
-    their own widths — find() and find_batch() stay byte-identical."""
+    vs the query's own compile width), so the padded kernel only RANKS
+    and every path reports rwmd_score_host's shape-independent
+    arithmetic — find() and find_batch() stay byte-identical."""
     session, emb, base = setup
     p = session.partition("sentence")
     r = np.random.default_rng(5014)

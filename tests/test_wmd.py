@@ -603,3 +603,46 @@ def test_transport_doc_token_filter():
             ids = sess_a.documents[d].token_ids
             for (t, s, f, dist) in (m._edge_list or []):
                 assert ids[s0 + s] != filler_id, optimizer
+
+
+def test_rwmd_batch_same_width_group_byte_parity():
+    """Regression: two queries sharing a plan width used to be served in
+    one width group whose Q=2 kernel's f32 reduction tree drifted ~1 ulp
+    from the single-query program — find() and find_batch() reported
+    different scores for the same (query, slice).  Reported scores now
+    come from rwmd_score_host (shape-independent), so parity is exact."""
+    import numpy as np
+
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.alignment import WordMoversDistance
+    from vectorian_tpu.embedding.static import KeyedVectors
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+    from vectorian_tpu.sim.token import EmbeddingTokenSim as ETS
+
+    rng = np.random.default_rng(0)
+    words = ["sun", "moon", "shines", "over", "the", "sea", "stars",
+             "night", "bright", "dark", "sky", "waves"]
+    emb = KeyedVectors(
+        "toy", words, rng.normal(size=(len(words), 16)).astype("float32")
+    )
+    docs = [
+        StringImporter()(
+            "The sun shines over the sea. Stars at night. The moon over "
+            "dark waves. Bright sky over the sea.",
+            title="d0",
+        ),
+        StringImporter()(
+            "The stars shine over the dark sea at night.", title="d1"
+        ),
+    ]
+    session = Session(docs, embeddings=[emb])
+    ix = session.partition("sentence").index(
+        OptimizedSpanSim(ETS(emb), WordMoversDistance.rwmd("nbow"))
+    )
+    # both pad to plan width 4 — the failing width group
+    queries = ["stars at night", "moon over dark waves"]
+    batch = ix.find_batch(queries, n=4, min_score=0.05)
+    for q, br in zip(queries, batch):
+        want = [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=0.05)]
+        got = [(m.slice_id, m.score) for m in br]
+        assert got == want, q

@@ -1225,9 +1225,11 @@ class BruteForceIndex(Index):
         slice sharding, per-query top-k merged over one all-gather) with
         the same exact-results guarantee.
 
-        Transport metrics: relaxed-WMD batches report the same exact
-        scores as ``find()`` (the greedy transport is exact, overfetch
-        guards tie-breaks only).  Full-WMD and WRD batches rank on the
+        Transport metrics: relaxed-WMD batches report byte-identical
+        scores to ``find()`` — device kernels rank, and every path
+        reports the shared shape-independent host greedy arithmetic
+        (ops/wmd.rwmd_score_host) over slack-padded tie-complete
+        candidate pools.  Full-WMD and WRD batches rank on the
         device with a PROVABLE upper bound on the exact EMD score (the
         relaxed transport from the lighter-marginal side,
         ops/wmd._emd_score_bound) and exactly rescore candidates in

@@ -215,7 +215,12 @@ def order_by_score(packed, ids, scores) -> np.ndarray:
     """Positions of ``ids`` in the reference's deterministic match order:
     score desc, then doc id asc, then slice idx asc (match_impl.h:8-42).
     The single home of this tie-break — every top-k/merge path uses it."""
-    ids = np.asarray(ids)
+    # an empty candidate set (e.g. an all-OOV query whose scores all fall
+    # below min_score) must order to empty — np.asarray([]) is float64 and
+    # would crash the integer indexing below
+    ids = np.asarray(ids, np.int64)
+    if ids.size == 0:
+        return np.empty((0,), np.int64)
     return np.lexsort(
         (
             packed.slice_idx[ids],
@@ -534,7 +539,8 @@ class BucketTopKSource:
     def top_k_exactly(self, qi: int, k: int, min_score: float):
         return self.top_k_exactly_many([qi], k, min_score)[0]
 
-    def top_k_exactly_many(self, qis, k: int, min_score: float):
+    def top_k_exactly_many(self, qis, k: int, min_score: float,
+                           slack: float = 0.0, pool: bool = False):
         """[(top ids, {sid: device score})] per query, replicating
         BruteForceEngine.top_k's tie-complete semantics over the
         still-resident device score matrices: the candidate pool is every
@@ -545,15 +551,24 @@ class BucketTopKSource:
         pay a tunnel round trip each on tie-heavy corpora.  Fetching
         everything >= the provisional cut can only raise the k-th value,
         so the completed pool still covers every slice >= the true
-        threshold."""
-        smaps, cuts, unsafe = {}, {}, []
+        threshold.
+
+        ``slack`` lowers the pool cut below the k-th value: consumers that
+        exactly RESCORE the candidates (host relaxed-WMD reporting) need
+        every slice whose rescored value could reach the rescored k-th,
+        and slack >= their device-vs-rescore drift bound makes the pool
+        provably complete.  ``pool=True`` returns (ordered pool, smap,
+        rest) triples instead: the FULL ordered candidate list >= the cut
+        plus an inclusive upper bound on every slice outside smap."""
+        smaps, cuts, bounds, unsafe = {}, {}, {}, []
         for qi in qis:
             smap, bound = self.score_map(qi, min_score)
             smaps[qi] = smap
+            bounds[qi] = bound
             if smap:
                 vals = np.fromiter(smap.values(), np.float32, len(smap))
                 thr = (
-                    float(-np.partition(-vals, k - 1)[k - 1])
+                    float(-np.partition(-vals, k - 1)[k - 1]) - slack
                     if len(vals) >= k
                     else min_score
                 )
@@ -562,6 +577,9 @@ class BucketTopKSource:
                 cuts[qi] = min_score
             if bound >= cuts[qi]:
                 unsafe.append(qi)
+        rests = {
+            qi: min(bounds[qi], cuts[qi]) for qi in qis
+        }  # unfetched <= rest (completion below fetches everything >= cut)
         if unsafe:
             found = self.above_vals_many(
                 [(self.qview(qi), cuts[qi], set(smaps[qi])) for qi in unsafe]
@@ -573,7 +591,8 @@ class BucketTopKSource:
                 )
                 if len(vals) >= k:
                     cuts[qi] = max(
-                        float(-np.partition(-vals, k - 1)[k - 1]), min_score
+                        float(-np.partition(-vals, k - 1)[k - 1]) - slack,
+                        min_score,
                     )
         out = []
         for qi in qis:
@@ -582,11 +601,15 @@ class BucketTopKSource:
                 [sid for sid, sc in smap.items() if sc >= cut], np.int64
             )
             if cand.size == 0:
-                out.append(([], smap))
+                out.append(([], smap, rests[qi]) if pool else ([], smap))
                 continue
             cvals = np.asarray([smap[int(c)] for c in cand], np.float32)
             order = order_by_score(self._engine.packed, cand, cvals)
-            out.append(([int(c) for c in cand[order][:k]], smap))
+            ids = [int(c) for c in cand[order]]
+            if pool:
+                out.append((ids, smap, rests[qi]))
+            else:
+                out.append((ids[:k], smap))
         return out
 
     def covers_all(self, m: int) -> bool:

@@ -44,6 +44,34 @@ MAX_SIMILARITY = 1.0
 # ~1e-6 relative; near-balanced direction masking adds ~1e-6·mass/flow):
 # the slack only ever ADDS candidates to the exact rescore, never drops one
 CUT_EPS = 5e-4
+# relaxed-WMD rank-vs-report drift guard: device kernels rank in f32 with
+# shape-dependent reduction trees (measured drift ~1e-7 on unit-scale
+# scores); the reported value is rwmd_score_host's f64 arithmetic.  Pools
+# and cut comparisons pad by multiples of this so candidate membership is
+# provably complete — the slack only ever widens the host rescore set
+RWMD_RANK_EPS = 1e-5
+
+
+def _pool_from_vector(packed, scores, n: int, min_score: float, eps: float):
+    """Tie-complete relaxed-WMD candidate pool over a COMPLETE host score
+    vector: every slice within 3*eps of the n-th ranking value (and above
+    min_score - eps), in deterministic (score desc, doc, slice) order —
+    the vector-path mirror of top_k_exactly_many(slack=3*eps, pool=True)."""
+    from vectorian_tpu.ops.search import order_by_score
+
+    cand = np.flatnonzero(scores >= min_score - eps)
+    if cand.size == 0:
+        return []
+    vals = scores[cand].astype(np.float32)
+    if cand.size >= n:
+        cut = max(
+            float(-np.partition(-vals, n - 1)[n - 1]) - 3 * eps,
+            min_score - eps,
+        )
+        keep = vals >= cut
+        cand, vals = cand[keep], vals[keep]
+    order = order_by_score(packed, cand, vals)
+    return [int(c) for c in cand[order]]
 
 
 def dedup_masses(ids, valid) -> np.ndarray:
@@ -682,6 +710,72 @@ def _bucket_emd_scores(
     return jax.lax.map(one_chunk, xs).reshape(N)
 
 
+def _greedy_cost_host(w1, D, cap) -> float:
+    """f64 host greedy fill cost for ONE slice (the vectorized mask form of
+    ``_greedy_fill_cost``'s n2<=128 path, same index tie-break): capacity
+    available before target j is the capacity of all targets strictly
+    closer; unplaceable mass costs MAX_SIMILARITY.  w1: [n1], D: [n1, n2],
+    cap: [n2], all float64."""
+    n2 = D.shape[1]
+    idx = np.arange(n2)
+    # closer[i, j, k]: target k fills before target j for source i
+    closer = (D[:, None, :] < D[:, :, None]) | (
+        (D[:, None, :] == D[:, :, None]) & (idx[None, None, :] < idx[None, :, None])
+    )
+    prefix = closer @ cap  # [n1, n2] capacity ahead of j
+    moved = np.clip(w1[:, None] - prefix, 0.0, cap[None, :])
+    leftover = np.maximum(w1 - moved.sum(axis=1), 0.0)
+    return float((moved * D).sum() + leftover.sum() * MAX_SIMILARITY)
+
+
+def _greedy_cost_host_injective(w1, D, cap) -> float:
+    """f64 host injective fill: every source moves wholly to its nearest
+    active target (cap > 0); no active target costs MAX_SIMILARITY."""
+    active = cap > 0
+    if not active.any():
+        return float(w1.sum() * MAX_SIMILARITY)
+    d_best = D[:, active].min(axis=1)
+    return float((w1 * d_best).sum())
+
+
+def rwmd_score_host(m_t, m_s, D_ts, injective: bool, symmetric: bool,
+                    normalize_bow: bool, max_score: float) -> np.float32:
+    """THE single home for REPORTED relaxed-WMD scores.
+
+    Device kernels (single-query, multi-query, mesh shard) RANK only:
+    their f32 reduction trees differ by compiled shape (measured ~1-ulp
+    drift between the Q=1 and Q>=2 programs even at a common needle
+    width), so reported scores must come from one shape-independent
+    arithmetic path — float64 greedy fill here, cast to f32 — exactly as
+    the alignment finalizer and the full-WMD/WRD exact EMD rescore do.
+    Mirrors the kernel formula (wmd.h:139-141 cost_to_score, :383-390
+    symmetric max): masses normalized by their sums in nbow mode, costs
+    divided by the source mass sum in bow mode, max_cost = 1 (nbow) or
+    max_sum_of_similarities (bow)."""
+    m_t = np.asarray(m_t, np.float64)
+    m_s = np.asarray(m_s, np.float64)
+    D = np.asarray(D_ts, np.float64)
+    w_t = max(float(m_t.sum()), 1e-9)
+    w_s = max(float(m_s.sum()), 1e-9)
+    if normalize_bow:
+        mt, ms = m_t / w_t, m_s / w_s
+    else:
+        mt, ms = m_t, m_s
+    fill = _greedy_cost_host_injective if injective else _greedy_cost_host
+    acc0 = fill(mt, D, ms)
+    if not normalize_bow:
+        acc0 /= w_t
+    if symmetric:
+        acc1 = fill(ms, np.ascontiguousarray(D.T), mt)
+        if not normalize_bow:
+            acc1 /= w_s
+        cost = max(acc0, acc1)
+    else:
+        cost = acc0
+    max_cost = 1.0 if normalize_bow else max(float(max_score), 1e-9)
+    return np.float32((max_cost - cost) / max_cost)
+
+
 def rwmd_flow_host(m_t, m_s, D_ts, injective: bool, normalize_bow: bool = True):
     """Replicate the greedy fill on host for one slice to extract flow edges
     [(t, s, flow, distance)] (wmd.h:393-409).  Direction t->s only (the
@@ -768,13 +862,23 @@ class WMDEngine:
         packed = self._engine.packed
 
         if relaxed:
-            # relaxed scores are the exact product scores; the overfetch
-            # only guards (doc, slice) tie-breaks at the k-th boundary
+            # device kernels RANK; rwmd_score_host REPORTS (f32 reduction
+            # trees vary with the compiled batch shape — see its
+            # docstring).  Pool slack 3*eps makes membership provably
+            # complete: any slice whose host score could reach the host
+            # n-th has device >= nth_V - 2*eps, strictly above the pool
+            # cut AND the unfetched bound, so one tie-complete pool fetch
+            # suffices (no second round).
+            eps = RWMD_RANK_EPS * (
+                max(1.0, float(boost.max())) if boost is not None else 1.0
+            )
             if use_device:
                 from vectorian_tpu.ops.search import BucketTopKSource
 
                 src = BucketTopKSource(self._engine, state["scores"], 1, n)
-                top, smap = src.top_k_exactly(0, n, min_score)
+                top, smap, _rest = src.top_k_exactly_many(
+                    [0], n, min_score - eps, slack=3 * eps, pool=True
+                )[0]
                 state["scores"] = smap
             else:
                 scores = state["scores"]
@@ -786,7 +890,9 @@ class WMDEngine:
                     state["scores"] = scores
                 if debug:
                     debug("scores", {"scores": scores})
-                top = self._engine.top_k(scores, n, min_score=min_score)
+                top = _pool_from_vector(
+                    packed, scores, n, min_score, eps
+                )
             if not top:
                 return []
             matches = self._host_rescore(
@@ -1092,9 +1198,11 @@ class WMDEngine:
     ) -> List:
         """Batched relaxed-WMD over static plans: one corpus pass serves
         Q queries (the gather amortizes like the alignment serving batch),
-        then the per-query host rescore/flows run as usual.  With ``mesh``
-        the corpus pass shards over the device mesh (exact scores; the
-        per-query next-best bound guards merge-boundary ties).
+        then the per-query host rescore/flows run as usual — every path
+        reports ``rwmd_score_host``'s shape-independent arithmetic, so
+        find/find_batch/mesh matches stay byte-identical.  With ``mesh``
+        the corpus pass shards over the device mesh (the per-query
+        next-best bound plus the rank-vs-report slack guard membership).
 
         ``tagws``: per-query TagWeightingSpec list (tag-weighted similarity
         + (id, tag) BOW identity, in-kernel); ``boosts``: per-query
@@ -1116,33 +1224,11 @@ class WMDEngine:
         relaxed_ = self._algorithm == "word-movers-distance" and a.get(
             "relaxed"
         )
-        if relaxed_ and len(set(widths)) > 1:
-            # relaxed scores are REPORTED from the device kernel, and f32
-            # sum reduction trees change with the padded needle width (pad
-            # zeros are exact, but they re-pair the real addends — a
-            # measured 1-ulp drift vs the query's own compile width that
-            # can flip (doc, slice) ties against find()).  Serve each
-            # width group at its own width; full-WMD/WRD scores are
-            # host-recomputed exactly, so they keep the single padded pass.
-            groups = {}
-            for qi, w in enumerate(widths):
-                groups.setdefault(w, []).append(qi)
-            out = [None] * Q
-            for w, qis in groups.items():
-                sub = self.find_batch(
-                    index, [queries[i] for i in qis],
-                    [qps[i] for i in qis], n, min_score, mesh=mesh,
-                    tagws=[tagws[i] for i in qis],
-                    boosts=(
-                        [boosts[i] for i in qis]
-                        if boosts is not None
-                        else None
-                    ),
-                    doc_filter=doc_filter,
-                )
-                for i, rr in zip(qis, sub):
-                    out[i] = rr
-            return out
+        # every transport variant serves mixed widths in ONE padded pass:
+        # device kernels only RANK (pad zeros shift f32 reduction trees by
+        # ~1 ulp, which the pool slack absorbs) and REPORTED scores come
+        # from shape-independent host arithmetic — rwmd_score_host for
+        # relaxed, the exact EMD solver for full WMD / WRD
         Tmax = max(widths)
         sim_multi = jnp.stack(
             [
@@ -1268,15 +1354,30 @@ class WMDEngine:
 
         results = []
         packed = engine.packed
-        tops = src.top_k_exactly_many(range(Q), n, min_score)
-        # one fused similarity fetch serves every query's flow rescore
+        # pooled fetch with rank-vs-report slack (see find()'s relaxed
+        # branch): candidates are tie-complete wrt the HOST-reported
+        # scores, so one round is provably enough
+        eps = RWMD_RANK_EPS * (
+            max(
+                1.0,
+                max(
+                    float(np.max(b)) for b in boosts if b is not None
+                ),
+            )
+            if with_boost
+            else 1.0
+        )
+        tops = src.top_k_exactly_many(
+            range(Q), n, min_score - eps, slack=3 * eps, pool=True
+        )
+        # one fused similarity fetch serves every query's host rescore
         # (a blocking per-query fetch costs a tunnel round trip each)
         sims_all = self._sims_many_static(
             [(qi, tops[qi][0]) for qi in range(Q)],
             sim_multi, tw_args, with_tags,
         )
         for qi, (query, qp) in enumerate(zip(queries, qps)):
-            top, smap = tops[qi]
+            top, smap, _rest = tops[qi]
             states[qi]["scores"] = smap
             matches = (
                 self._host_rescore(
@@ -1654,10 +1755,12 @@ class WMDEngine:
     ) -> List:
         """Mesh-sharded relaxed-WMD serving batch: per-bucket slice shards
         run the greedy transport fill, per-query top-k merges over one
-        all-gather.  Scores are exact, so the overfetch loop only guards
-        (doc, slice) tie-breaks at the merge boundary (next-best bound).
-        Tag weighting / doc filters / boosts ride the shard kernel like
-        the single-chip batch."""
+        all-gather.  Shard scores RANK only (reported scores come from
+        ``rwmd_score_host`` in the shared host rescore); the overfetch
+        loop retries at full coverage whenever the merge's next-best
+        bound reaches the slack-padded pool cut, so host-score membership
+        is provably complete.  Tag weighting / doc filters / boosts ride
+        the shard kernel like the single-chip batch."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1727,29 +1830,53 @@ class WMDEngine:
                     ):
                         score_maps[q][int(sid)] = float(sc)
 
+            # rank-vs-report slack (see find()'s relaxed branch): shard
+            # kernels RANK, rwmd_score_host REPORTS, so pools carry the
+            # 3*eps slack that makes host-score membership provably
+            # complete (any slice reaching the host n-th has device value
+            # strictly above the cut; below-cut and unfetched slices
+            # provably cannot)
+            eps = RWMD_RANK_EPS * (
+                max(
+                    1.0,
+                    max(
+                        float(np.max(b)) for b in boosts if b is not None
+                    ),
+                )
+                if with_boost
+                else 1.0
+            )
             tops = []
             retry = False
             for qi in range(Q):
                 smap = score_maps[qi]
-                cand = [sid for sid, sc in smap.items() if sc >= min_score]
-                if cand:
-                    cand_arr = np.asarray(cand, np.int64)
-                    vals = np.asarray([smap[c] for c in cand], np.float64)
-                    order = order_by_score(packed, cand_arr, vals)
-                    top = [int(c) for c in cand_arr[order][: n]]
-                else:
-                    top = []
-                # relaxed scores are REPORTED from the device vector, so
-                # the n-th score is known before any flow rescore (strict
-                # score > min_score, matching _host_rescore's filter)
-                kept = [c for c in top if smap[c] > min_score]
-                s_n = smap[kept[n - 1]] if len(kept) >= n else min_score
-                # exact scores: the cut is unsafe only when an excluded
-                # slice could TIE the n-th (then (doc, slice) order decides)
-                if not complete and rest[qi] >= s_n:
+                cand = [
+                    sid for sid, sc in smap.items()
+                    if sc >= min_score - eps
+                ]
+                vals = np.asarray(
+                    [smap[c] for c in cand], np.float64
+                )
+                nth_v = (
+                    float(-np.partition(-vals, n - 1)[n - 1])
+                    if len(cand) >= n
+                    else float("-inf")
+                )
+                cut_pool = max(nth_v - 3 * eps, min_score - eps)
+                # the merged shard top-k truncates at m per shard: unsafe
+                # whenever an unfetched slice could still enter the pool
+                if not complete and rest[qi] >= cut_pool:
                     retry = True
                     break
-                tops.append(kept)
+                if cand:
+                    keep = vals >= cut_pool
+                    cand_arr = np.asarray(cand, np.int64)[keep]
+                    order = order_by_score(
+                        packed, cand_arr, vals[keep]
+                    )
+                    tops.append([int(c) for c in cand_arr[order]])
+                else:
+                    tops.append([])
             if not retry:
                 break
             # unsafe cut: full coverage in one more round (complete=True
@@ -1925,8 +2052,24 @@ class WMDEngine:
                 )
             else:
                 m_s = dedup_masses(ids, keep)
-            score = float(scores[sid])
             if self._algorithm == "word-movers-distance" and a["relaxed"]:
+                # REPORTED relaxed score: the shared host arithmetic (the
+                # device vectors rank only — their f32 reduction trees vary
+                # with the compiled batch shape, see rwmd_score_host)
+                score = float(
+                    rwmd_score_host(
+                        mass_t[:T], m_s, D_ts, bool(a["injective"]),
+                        bool(a["symmetric"]), bool(a["normalize_bow"]),
+                        tagw.total if tagw is not None else float(T),
+                    )
+                )
+                if state.get("boost") is not None:
+                    # boost multiplies every reported score
+                    # (metric/alignment.h:598); same f32 multiply as the
+                    # ranking kernel applies to the device vector
+                    score = float(
+                        np.float32(score) * np.float32(state["boost"][sid])
+                    )
                 m_t = mass_t[:T].copy()
                 m_s_use = m_s.copy()
                 if a["normalize_bow"]:
