@@ -111,6 +111,7 @@ def main():
     )
     W.WMDEngine._sims_many_static = sims.wrap(W.WMDEngine._sims_many_static)
     W.WMDEngine._host_rescore = resc.wrap(W.WMDEngine._host_rescore)
+    W.WMDEngine._relaxed_finalize = resc.wrap(W.WMDEngine._relaxed_finalize)
 
     # record the real kernel invocations (args + kwargs) for the bare
     # chained replay below — dispatch is async so wrapping its wall time

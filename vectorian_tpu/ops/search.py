@@ -129,6 +129,21 @@ def _paged_default() -> bool:
     return os.environ.get("VECTORIAN_PAGE_BUCKETS", "") in ("1", "true")
 
 
+@functools.partial(jax.jit, static_argnames=("pads", "axis"))
+def _pad_stack(tables, pads, axis: int):
+    """Q zero-pads + one stack in ONE dispatch (each eager jnp op costs a
+    tunnel round trip of client/dispatch overhead, so the per-pass table
+    build used to pay O(Q) dispatches).  Pure data movement: output bits
+    equal the per-table eager jnp.pad + jnp.stack."""
+    return jnp.stack(
+        [
+            m if p == 0 else jnp.pad(m, ((0, 0), (0, p)))
+            for m, p in zip(tables, pads)
+        ],
+        axis=axis,
+    )
+
+
 def stack_query_tables(plans, len_ts, sim_dtype=None):
     """Stack Q static query plans into the serving table [V, Tpad, Q]
     ((T, Q)-minor so the vocab gather's output is already the DP kernel's
@@ -144,12 +159,13 @@ def stack_query_tables(plans, len_ts, sim_dtype=None):
     (sim_multi, sim_scale, max_abs_dev, Tpad)."""
     Tmax = max(len_ts)
     Tpad = -(-Tmax // 8) * 8  # sublane-aligned for the kernel layout
-    sims = []
     for qp in plans:
         assert qp.is_static_only and qp.plan == ("static", 0)
-        m = qp.static_sims[0]
-        sims.append(jnp.pad(m, ((0, 0), (0, Tpad - int(m.shape[1])))))
-    sim_multi = jnp.stack(sims, axis=2)  # [V, Tpad, Q]
+    sim_multi = _pad_stack(
+        tuple(qp.static_sims[0] for qp in plans),
+        tuple(Tpad - int(qp.static_sims[0].shape[1]) for qp in plans),
+        axis=2,
+    )  # [V, Tpad, Q]
     sim_scale = 1.0
     max_abs_dev = None
     if sim_dtype is not None:
@@ -3089,14 +3105,12 @@ class BruteForceEngine:
         Qp = _next_pow2(len(mats))
         if Qp * V * Tmax * 4 > self.STACKED_TABLE_MAX_BYTES:
             return None
-        mats = [
-            m
-            if int(m.shape[1]) == Tmax
-            else jnp.pad(m, ((0, 0), (0, Tmax - int(m.shape[1]))))
-            for m in mats
-        ]
         mats = mats + [mats[0]] * (Qp - len(mats))
-        table = jnp.stack(mats).reshape(Qp * V, Tmax)
+        table = _pad_stack(
+            tuple(mats),
+            tuple(Tmax - int(m.shape[1]) for m in mats),
+            axis=0,
+        ).reshape(Qp * V, Tmax)
         self._stack_memo = (
             {id(qp): i for i, qp in enumerate(qps)},
             list(qps),

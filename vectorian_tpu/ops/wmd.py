@@ -711,21 +711,17 @@ def _bucket_emd_scores(
 
 
 def _greedy_cost_host(w1, D, cap) -> float:
-    """f64 host greedy fill cost for ONE slice (the vectorized mask form of
-    ``_greedy_fill_cost``'s n2<=128 path, same index tie-break): capacity
-    available before target j is the capacity of all targets strictly
-    closer; unplaceable mass costs MAX_SIMILARITY.  w1: [n1], D: [n1, n2],
-    cap: [n2], all float64."""
-    n2 = D.shape[1]
-    idx = np.arange(n2)
-    # closer[i, j, k]: target k fills before target j for source i
-    closer = (D[:, None, :] < D[:, :, None]) | (
-        (D[:, None, :] == D[:, :, None]) & (idx[None, None, :] < idx[None, :, None])
-    )
-    prefix = closer @ cap  # [n1, n2] capacity ahead of j
-    moved = np.clip(w1[:, None] - prefix, 0.0, cap[None, :])
+    """f64 host greedy fill cost for ONE slice (mirrors
+    ``_greedy_fill_cost``, same stable index tie-break): each source moves
+    its mass into targets in ascending-distance order; unplaceable mass
+    costs MAX_SIMILARITY.  w1: [n1], D: [n1, n2], cap: [n2], float64."""
+    order = np.argsort(D, axis=1, kind="stable")
+    Ds = np.take_along_axis(D, order, axis=1)
+    caps = np.take_along_axis(np.broadcast_to(cap, D.shape), order, axis=1)
+    before = np.cumsum(caps, axis=1) - caps
+    moved = np.clip(w1[:, None] - before, 0.0, caps)
     leftover = np.maximum(w1 - moved.sum(axis=1), 0.0)
-    return float((moved * D).sum() + leftover.sum() * MAX_SIMILARITY)
+    return float((moved * Ds).sum() + leftover.sum() * MAX_SIMILARITY)
 
 
 def _greedy_cost_host_injective(w1, D, cap) -> float:
@@ -893,19 +889,9 @@ class WMDEngine:
                 top = _pool_from_vector(
                     packed, scores, n, min_score, eps
                 )
-            if not top:
-                return []
-            matches = self._host_rescore(
-                index, query, qp, state, top, min_score, debug
+            return self._relaxed_finalize(
+                index, query, qp, state, top, n, min_score, debug
             )
-            matches.sort(
-                key=lambda m: (
-                    -m.score,
-                    int(packed.slice_doc[m.slice_id]),
-                    int(packed.slice_idx[m.slice_id]),
-                )
-            )
-            return matches[:n]
 
         # full WMD / WRD: device scores are PROVABLE upper bounds on the
         # exact score (_emd_score_bound), so exact-rescoring candidates in
@@ -1230,13 +1216,13 @@ class WMDEngine:
         # from shape-independent host arithmetic — rwmd_score_host for
         # relaxed, the exact EMD solver for full WMD / WRD
         Tmax = max(widths)
-        sim_multi = jnp.stack(
-            [
-                jnp.pad(qp.static_sims[0], ((0, 0), (0, Tmax - w)))
-                for qp, w in zip(qps, widths)
-            ],
+        from vectorian_tpu.ops.search import _pad_stack
+
+        sim_multi = _pad_stack(
+            tuple(qp.static_sims[0] for qp in qps),
+            tuple(Tmax - w for w in widths),
             axis=2,
-        )  # [V, Tmax, Q]
+        )  # [V, Tmax, Q] — one dispatch for Q pads + the stack
         # (id, tag) BOW identity when tag-weighted (TaggedTokenFactory,
         # bow.h:150-202) — tag weights are index-level, so the identity is
         # uniform across the batch
@@ -1379,22 +1365,12 @@ class WMDEngine:
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             top, smap, _rest = tops[qi]
             states[qi]["scores"] = smap
-            matches = (
-                self._host_rescore(
-                    index, query, qp, states[qi], top, min_score, None,
+            results.append(
+                self._relaxed_finalize(
+                    index, query, qp, states[qi], top, n, min_score, None,
                     sims_map=sims_all[qi],
                 )
-                if top
-                else []
             )
-            matches.sort(
-                key=lambda m: (
-                    -m.score,
-                    int(packed.slice_doc[m.slice_id]),
-                    int(packed.slice_idx[m.slice_id]),
-                )
-            )
-            results.append(matches[:n])
         return results
 
     def _batch_emd_masses(self, index, queries, qps, states, Tmax):
@@ -1893,22 +1869,12 @@ class WMDEngine:
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             state = dict(states[qi])
             state["scores"] = score_maps[qi]
-            matches = (
-                self._host_rescore(
-                    index, query, qp, state, tops[qi], min_score, None,
+            results.append(
+                self._relaxed_finalize(
+                    index, query, qp, state, tops[qi], n, min_score, None,
                     sims_map=sims_all[qi],
                 )
-                if tops[qi]
-                else []
             )
-            matches.sort(
-                key=lambda mm: (
-                    -mm.score,
-                    int(packed.slice_doc[mm.slice_id]),
-                    int(packed.slice_idx[mm.slice_id]),
-                )
-            )
-            results.append(matches[:n])
         return results
 
     def _score(self, index, query, qp, doc_filter=None, device=False) -> dict:
@@ -1984,132 +1950,199 @@ class WMDEngine:
             "doc_filter": doc_filter,
         }
 
+    def _fetch_slice_sims(self, top, qp, tagw, sims_map):
+        """[(Sw, Su)] per sid (batched device fetch, or the prefetched
+        ``sims_map`` from ``_sims_many_static`` with a batched fetch for
+        any missing sids)."""
+        engine = self._engine
+        if sims_map is None:
+            return engine.batch_slice_similarity(top, qp, tag_weights=tagw)
+        missing = [sid for sid in top if int(sid) not in sims_map]
+        if missing:
+            for sid, sims in zip(
+                missing,
+                engine.batch_slice_similarity(
+                    missing, qp, tag_weights=tagw
+                ),
+            ):
+                sims_map[int(sid)] = sims
+        return [sims_map[int(sid)] for sid in top]
+
+    def _slice_bow(self, sid, ids, ln, state):
+        """(m_s, keep) for one slice: the doc-side BOW masses (dedup by id,
+        (id, tag) when tag-weighted, per-position when contextual-unique)
+        with the doc filter's FilteredSlice exclusion applied."""
+        engine = self._engine
+        doc_filter = state.get("doc_filter")
+        keep = np.ones(ln, bool)
+        if doc_filter is not None:
+            # FilteredSlice: excluded doc tokens carry no mass and get
+            # no flow edges (they render as gap regions)
+            bi, r = engine._slice_loc[sid]
+            db = engine._device_buckets[bi]
+            pos_h = db["pos_np"][r][:ln].astype(np.int64)
+            tag_h = db["tag_np"][r][:ln].astype(np.int64)
+            keep = ~(
+                doc_filter.pos_exclude[np.maximum(pos_h, 0)]
+                | doc_filter.tag_exclude[np.maximum(tag_h, 0)]
+                | doc_filter.token_exclude[np.maximum(ids, 0)]
+            )
+        if state["unique"]:
+            m_s = keep.astype(np.float32)
+        elif state["tagged"]:
+            bi, r = engine._slice_loc[sid]
+            tags = engine._device_buckets[bi]["tag_np"][r][:ln]
+            m_s = dedup_masses(
+                list(zip(ids.tolist(), tags.tolist())), keep
+            )
+        else:
+            m_s = dedup_masses(ids, keep)
+        return m_s, keep
+
+    def _relaxed_finalize(
+        self, index, query, qp, state, pool, n, min_score, debug,
+        sims_map=None,
+    ) -> List:
+        """Relaxed-WMD finalize: REPORTED scores for the whole candidate
+        pool via ``rwmd_score_host`` (the single shape-independent home —
+        device vectors rank only), deterministic (score desc, doc, slice)
+        order, then Match + flow extraction for the kept top-n ONLY (pools
+        carry boundary slack, so building flows for every member would pay
+        the python flow loops for candidates the order drops).  Returns
+        the final ordered, min_score-filtered, n-truncated match list."""
+        from vectorian_tpu.index import Match
+        from vectorian_tpu.ops.search import order_by_score
+
+        engine = self._engine
+        packed = engine.packed
+        a = self._args
+        if not pool:
+            return []
+        mass_t = state["mass_t"]
+        tagw = state["tagw"]
+        T = state["T"]
+        token_sim_name = index._args["metric"]["token_sim"].name
+        max_score = tagw.total if tagw is not None else float(T)
+        sims_list = self._fetch_slice_sims(pool, qp, tagw, sims_map)
+        boost = state.get("boost")
+        scores_arr = np.empty(len(pool), np.float64)
+        per = {}
+        for k, (sid, (Sw, Su)) in enumerate(zip(pool, sims_list)):
+            tok, _ = engine._slice_tokens(sid)
+            ln = int(packed.slice_len[sid])
+            ids = tok[:ln]
+            S = Sw[:, :T]  # [ln, T] (weighted == unmodified when no tags)
+            D_ts = np.maximum(MAX_SIMILARITY - S.T, 0.0)  # [T, ln]
+            m_s, _keep = self._slice_bow(sid, ids, ln, state)
+            score = float(
+                rwmd_score_host(
+                    mass_t[:T], m_s, D_ts, bool(a["injective"]),
+                    bool(a["symmetric"]), bool(a["normalize_bow"]),
+                    max_score,
+                )
+            )
+            if boost is not None:
+                # boost multiplies every reported score (alignment.h:598);
+                # same f32 multiply the ranking kernel applies on device
+                score = float(np.float32(score) * np.float32(boost[sid]))
+            scores_arr[k] = score
+            per[int(sid)] = (D_ts, m_s, score)
+        order = order_by_score(
+            packed, np.asarray(pool, np.int64), scores_arr
+        )
+        ordered = [int(pool[j]) for j in order]
+        kept = [sid for sid in ordered if per[sid][2] > min_score][:n]
+        matches = []
+        for sid in (ordered if debug else kept):
+            D_ts, m_s, score = per[sid]
+            m_t = mass_t[:T].copy()
+            m_s_use = m_s.copy()
+            if a["normalize_bow"]:
+                m_t = m_t / max(m_t.sum(), 1e-9)
+                m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
+            edges = rwmd_flow_host(
+                m_t, m_s_use, D_ts, bool(a["injective"]),
+                normalize_bow=bool(a["normalize_bow"]),
+            )
+            if debug:
+                debug(
+                    "alignment/" + self._algorithm + "/solver",
+                    {"slice": sid, "D": D_ts, "score": score,
+                     "edges": edges},
+                )
+                if sid not in kept:
+                    continue
+            matches.append(
+                Match(
+                    index,
+                    query,
+                    slice_id=sid,
+                    score=score,
+                    metric=token_sim_name,
+                    edge_list=edges,
+                )
+            )
+        return matches
+
     def _host_rescore(
         self, index, query, qp, state, top, min_score, debug,
         sims_map=None,
     ) -> List:
-        """Exact host rescore + flow extraction for the chosen slices
+        """Exact host EMD rescore + flow extraction for the chosen slices
         (similarities batched: one device dispatch per bucket instead of a
-        tunnel RTT per slice).  ``sims_map``: prefetched {sid: (Sw, Su)}
-        from ``_sims_many_static`` — batched serving fuses the fetch across
-        queries; sids missing from the map fetch here as usual."""
+        tunnel RTT per slice; relaxed WMD finalizes via
+        ``_relaxed_finalize`` instead).  ``sims_map``: prefetched
+        {sid: (Sw, Su)} from ``_sims_many_static`` — batched serving fuses
+        the fetch across queries; sids missing from the map fetch here as
+        usual."""
         from vectorian_tpu.index import Match
 
         engine = self._engine
         a = self._args
-        scores = state["scores"]
         mass_t = state["mass_t"]
         mass_t_mag = state["mass_t_mag"]
         tagw = state["tagw"]
-        tagged = state["tagged"]
-        unique = state["unique"]
         T = state["T"]
 
         matches = []
-        doc_filter = state.get("doc_filter")
         token_sim_name = index._args["metric"]["token_sim"].name
-        if sims_map is None:
-            sims_list = engine.batch_slice_similarity(
-                top, qp, tag_weights=tagw
-            )
-        else:
-            missing = [sid for sid in top if int(sid) not in sims_map]
-            if missing:
-                for sid, sims in zip(
-                    missing,
-                    engine.batch_slice_similarity(
-                        missing, qp, tag_weights=tagw
-                    ),
-                ):
-                    sims_map[int(sid)] = sims
-            sims_list = [sims_map[int(sid)] for sid in top]
+        sims_list = self._fetch_slice_sims(top, qp, tagw, sims_map)
         for sid, (Sw, Su) in zip(top, sims_list):
             tok, _ = engine._slice_tokens(sid)
             ln = int(engine.packed.slice_len[sid])
             ids = tok[:ln]
             S = Sw[:, :T]  # [ln, T] (weighted == unmodified when no tags)
             D_ts = np.maximum(MAX_SIMILARITY - S.T, 0.0)  # [T, ln]
-            keep = np.ones(ln, bool)
-            if doc_filter is not None:
-                # FilteredSlice: excluded doc tokens carry no mass and get
-                # no flow edges (they render as gap regions)
-                bi, r = engine._slice_loc[sid]
-                db = engine._device_buckets[bi]
-                pos_h = db["pos_np"][r][:ln].astype(np.int64)
-                tag_h = db["tag_np"][r][:ln].astype(np.int64)
-                keep = ~(
-                    doc_filter.pos_exclude[np.maximum(pos_h, 0)]
-                    | doc_filter.tag_exclude[np.maximum(tag_h, 0)]
-                    | doc_filter.token_exclude[np.maximum(ids, 0)]
-                )
-            if unique:
-                m_s = keep.astype(np.float32)
-            elif tagged:
-                bi, r = engine._slice_loc[sid]
-                tags = engine._device_buckets[bi]["tag_np"][r][:ln]
-                m_s = dedup_masses(
-                    list(zip(ids.tolist(), tags.tolist())), keep
-                )
+            m_s, keep = self._slice_bow(sid, ids, ln, state)
+            # exact EMD rescore (reference uses exact emd_hat)
+            if self._algorithm == "word-rotators-distance":
+                m_t = np.asarray(mass_t_mag[:T], np.float64)
+                m_s_use = self._slice_magnitudes(qp, sid, ln)
+                m_s_use = np.where(keep, m_s_use, 0.0)
+                if a.get("normalize_magnitudes", True):
+                    m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
+                    m_t = m_t / max(m_t.sum(), 1e-9)
             else:
-                m_s = dedup_masses(ids, keep)
-            if self._algorithm == "word-movers-distance" and a["relaxed"]:
-                # REPORTED relaxed score: the shared host arithmetic (the
-                # device vectors rank only — their f32 reduction trees vary
-                # with the compiled batch shape, see rwmd_score_host)
-                score = float(
-                    rwmd_score_host(
-                        mass_t[:T], m_s, D_ts, bool(a["injective"]),
-                        bool(a["symmetric"]), bool(a["normalize_bow"]),
-                        tagw.total if tagw is not None else float(T),
-                    )
-                )
-                if state.get("boost") is not None:
-                    # boost multiplies every reported score
-                    # (metric/alignment.h:598); same f32 multiply as the
-                    # ranking kernel applies to the device vector
-                    score = float(
-                        np.float32(score) * np.float32(state["boost"][sid])
-                    )
                 m_t = mass_t[:T].copy()
-                m_s_use = m_s.copy()
+                m_s_use = m_s
                 if a["normalize_bow"]:
                     m_t = m_t / max(m_t.sum(), 1e-9)
                     m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
-                edges = rwmd_flow_host(
-                    m_t, m_s_use, D_ts, bool(a["injective"]),
-                    normalize_bow=bool(a["normalize_bow"]),
-                )
-            else:
-                # exact EMD rescore (reference uses exact emd_hat)
-                if self._algorithm == "word-rotators-distance":
-                    m_t = np.asarray(mass_t_mag[:T], np.float64)
-                    m_s_use = self._slice_magnitudes(qp, sid, ln)
-                    m_s_use = np.where(keep, m_s_use, 0.0)
-                    if a.get("normalize_magnitudes", True):
-                        m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
-                        m_t = m_t / max(m_t.sum(), 1e-9)
-                else:
-                    m_t = mass_t[:T].copy()
-                    m_s_use = m_s
-                    if a["normalize_bow"]:
-                        m_t = m_t / max(m_t.sum(), 1e-9)
-                        m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
-                score, r = emd_score(
-                    m_t, m_s_use, D_ts, a.get("extra_mass_penalty", -1)
-                )
-                if state.get("boost") is not None:
-                    # relaxed scores above are read back from the (already
-                    # boosted) device vector; the exact EMD rescore happens
-                    # here, so the boost multiplies here (alignment.h:598)
-                    score *= float(state["boost"][sid])
-                edges = []
-                if r.success:
-                    for i in range(r.flow.shape[0]):
-                        max_flow = max(m_t[i], 1e-12)
-                        for jj in np.flatnonzero(r.flow[i] > 1e-9):
-                            edges.append(
-                                (i, int(jj), float(r.flow[i, jj] / max_flow), float(D_ts[i, jj]))
-                            )
+            score, r = emd_score(
+                m_t, m_s_use, D_ts, a.get("extra_mass_penalty", -1)
+            )
+            if state.get("boost") is not None:
+                # the exact EMD rescore recomputes the unboosted score, so
+                # the boost multiplies here (alignment.h:598)
+                score *= float(state["boost"][sid])
+            edges = []
+            if r.success:
+                for i in range(r.flow.shape[0]):
+                    max_flow = max(m_t[i], 1e-12)
+                    for jj in np.flatnonzero(r.flow[i] > 1e-9):
+                        edges.append(
+                            (i, int(jj), float(r.flow[i, jj] / max_flow), float(D_ts[i, jj]))
+                        )
             if debug:
                 debug(
                     "alignment/" + self._algorithm + "/solver",
