@@ -2435,10 +2435,11 @@ class BruteForceIndex(Index):
     def _find_batch_transport(
         self, texts, n: int = 100, min_score: float = 0.2, mesh=None, **kwargs
     ) -> List[Result]:
-        """Batched transport search.  Relaxed WMD over static plans shares
-        one corpus pass across Q queries (optionally sharded over a device
-        mesh); other transport configs fall back to exact per-query
-        passes."""
+        """Batched transport search: Q queries share one corpus pass
+        (optionally sharded over a device mesh) for relaxed/full WMD and
+        WRD over static plans, contextual plans and mixed modifier trees
+        alike (stacked per-leaf query axes, search.stack_tree_plans); only
+        per-query ``debug`` hooks fall back to exact per-query passes."""
         from vectorian_tpu.ops.wmd import WMDEngine
 
         a = self._args["alignment"]
@@ -2448,57 +2449,66 @@ class BruteForceIndex(Index):
         relaxed = a["algorithm"] == "word-movers-distance" and a.get("relaxed")
         # tag weighting, boosters and doc-side filters now ride the batched
         # transport kernels (tag-weighted sims + (id, tag) BOW identity /
-        # in-kernel mass exclusion / in-kernel score multiply); only
-        # ``debug`` (and the submatch/bidirectional no-ops, which transport
-        # metrics ignore like find()) stays per-query
-        plain = (
-            isinstance(token_sim, _ETS)
-            and all(getattr(e, "is_static", True) for e in token_sim.embeddings)
+        # in-kernel mass exclusion / in-kernel score multiply), and
+        # contextual / mixed static+contextual trees stack per leaf
+        # (search.stack_tree_plans) through the plan-stacked transport
+        # kernels; only ``debug`` (and the submatch/bidirectional no-ops,
+        # which transport metrics ignore like find()) stays per-query
+        from vectorian_tpu.sim.modifier import TokenSimilarityModifier
+
+        supported = (
+            isinstance(token_sim, (_ETS, TokenSimilarityModifier))
             and not (BATCH_HARD_OPTIONS & set(kwargs))
-        )
-        supported = plain and a["algorithm"] in (
-            "word-movers-distance", "word-rotators-distance"
+            and a["algorithm"] in (
+                "word-movers-distance", "word-rotators-distance"
+            )
         )
         if mesh is not None and not supported:
             raise NotImplementedError(
                 "mesh find_batch supports transport metrics (relaxed/full "
-                "WMD, WRD) over static plans without per-query debug hooks"
+                "WMD, WRD) without per-query debug hooks"
             )
         if not supported:
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
         needs_mag = a["algorithm"] == "word-rotators-distance"
+        ctx_names = _metric_ctx_names(token_sim)
+        for name in sorted(ctx_names):
+            self._engine.ensure_contextual(
+                name, self._session.documents, self._session._ctx_dims[name]
+            )
 
         start_time = time.time()
         booster = kwargs.get("booster")
         queries, qps, tagws, boosts, order = [], [], [], [], []
         results: List[Optional[Result]] = [None] * len(texts)
         doc_filter = None
-        live = []  # (ti, pq, tok_ids_p, strings_p, Tpad)
+        live = []  # (ti, pq, tok_ids_p, strings_p, ctx_p, Tpad)
         for ti, text in enumerate(texts):
             q = self.make_query(text, n=n, min_score=min_score, **kwargs)
             pq = q.prepare(self._nlp)
             if pq.n_tokens == 0:
                 results[ti] = Result(self, [], 0.0)
                 continue
-            tok_ids_p, strings_p, _, Tpad = _pad_needle(
-                pq, self._session, with_ctx=False
+            tok_ids_p, strings_p, ctx_p, Tpad = _pad_needle(
+                pq, self._session, with_ctx=bool(ctx_names),
+                ctx_names=ctx_names,
             )
-            live.append((ti, pq, tok_ids_p, strings_p, Tpad))
+            live.append((ti, pq, tok_ids_p, strings_p, ctx_p, Tpad))
         # batched needle uploads (see _prepare_static_batch)
         pre = preload_leaf_inputs(
             token_sim,
             self._session.compiled_embeddings,
             [(e[2], e[3]) for e in live],
         )
-        for (ti, pq, tok_ids_p, strings_p, Tpad), pl in zip(live, pre):
+        for (ti, pq, tok_ids_p, strings_p, ctx_p, Tpad), pl in zip(live, pre):
             qp = compile_plan(
                 token_sim,
                 self._session.compiled_embeddings,
                 tok_ids_p,
                 strings_p,
-                {},
+                ctx_p,
                 needs_magnitudes=needs_mag,
                 preloaded=pl,
             )

@@ -379,15 +379,25 @@ def _rwmd_chunk_scores_multi(
     tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
     injective: bool, symmetric: bool, normalize_bow: bool,
     with_tags: bool, with_filter: bool,
+    S=None, unique: bool = False,
 ):
     """[c, Q] relaxed-WMD scores for one [L, c] token chunk — shared by
     the single-chip batch kernel and the mesh shard kernel (the two paths
     must stay byte-equal).  Mirrors the single-query _bucket_rwmd_scores
     semantics: tag-weighted similarity + (id, tag) BOW identity, filtered
-    positions carry no mass and shrink the effective length."""
+    positions carry no mass and shrink the effective length.
+
+    ``S``: optional precomputed [L, c, T, Q] similarity (the stacked
+    plan-tree evaluation of the contextual/mixed batch) — ``sim_multi``
+    is then unused; ``unique``: position-unique BOW entries (a contextual
+    operand is present, reference UniqueTokensBOWBuilder,
+    alignment/bow.h:278-334)."""
     L, c = tokT.shape
-    T, Q = sim_multi.shape[1], sim_multi.shape[2]
-    S = sim_multi[tokT]  # [L, c, T, Q]
+    if S is None:
+        T, Q = sim_multi.shape[1], sim_multi.shape[2]
+        S = sim_multi[tokT]  # [L, c, T, Q]
+    else:
+        T, Q = S.shape[2], S.shape[3]
     if with_tags:
         S = _tag_weights_multi(S, posT, tw_w, tw_p, tw_pen, tw_thr)
     tok = tokT.T  # [c, L]
@@ -398,7 +408,9 @@ def _rwmd_chunk_scores_multi(
         keep = _multi_filter_keep(
             tok, posT, tagT, valid, df_pos_ex, df_tag_ex, df_tok_ex
         )
-    if with_tags:
+    if unique:
+        mass_s = (keep if keep is not None else valid).astype(jnp.float32)
+    elif with_tags:
         mass_s = _device_masses(tok, ln, tagT.T, keep=keep)  # (id, tag)
     else:
         mass_s = _device_masses(tok, ln, keep=keep)  # [c, L] counts
@@ -568,16 +580,27 @@ def _emd_chunk_scores_multi(
     tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
     use_magnitudes: bool, normalize_mass: bool,
     with_tags: bool = False, with_filter: bool = False,
+    S=None, unique: bool = False, mags_s=None,
 ):
     """[c, Q] exact-EMD score upper bounds for one [L, c] token chunk —
     shared by the single-chip chunk loop and the mesh shard kernel.  The
     masses replicate the host rescore's exactly (same normalization flag,
     same (id, tag) BOW identity, same filter exclusions), so
-    _emd_score_bound's guarantee carries to the reported scores."""
+    _emd_score_bound's guarantee carries to the reported scores.
+
+    ``S``: optional precomputed [L, c, T, Q] similarity (the stacked
+    plan-tree evaluation of the contextual/mixed batch); ``unique``:
+    position-unique BOW entries (contextual operand present); ``mags_s``:
+    [c, L] doc-side WRD masses when the plan is contextual (per-position
+    vector norms instead of vocab-row magnitudes)."""
     L = tokT.shape[0]
-    T, Q = sim_multi.shape[1], sim_multi.shape[2]
     c = ln.shape[0]
-    S = sim_multi[tokT].astype(jnp.float32)  # [L, c, T, Q]
+    if S is None:
+        T, Q = sim_multi.shape[1], sim_multi.shape[2]
+        S = sim_multi[tokT].astype(jnp.float32)  # [L, c, T, Q]
+    else:
+        T, Q = S.shape[2], S.shape[3]
+        S = S.astype(jnp.float32)
     if with_tags:
         S = _tag_weights_multi(S, posT, tw_w, tw_p, tw_pen, tw_thr)
     tok = tokT.T  # [c, L]
@@ -591,7 +614,13 @@ def _emd_chunk_scores_multi(
         valid = keep
     if use_magnitudes:
         # WRD: every position its own entry, mass = |v| (wrd.h:62-146)
-        m_s = jnp.where(valid, mags_vocab[tok], 0.0)  # [c, L]
+        m_s = jnp.where(
+            valid, mags_s if mags_s is not None else mags_vocab[tok], 0.0
+        )  # [c, L]
+    elif unique:
+        # contextual: every position its own BOW entry (reference
+        # UniqueTokensBOWBuilder, alignment/bow.h:278-334)
+        m_s = valid.astype(jnp.float32)
     elif with_tags:
         m_s = _device_masses(tok, ln, tagT.T, keep=keep)  # (id, tag)
     else:
@@ -609,6 +638,187 @@ def _emd_chunk_scores_multi(
     score = score.reshape(c, Q)
     ok = jnp.sum(valid, axis=1) > 0  # [c]
     return jnp.where(ok[:, None], score, NEG_SCORE)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "injective", "symmetric", "normalize_bow", "chunk",
+        "n_queries", "unique_masses", "with_tags", "with_filter",
+        "with_boost", "use_sorted",
+    ),
+)
+def _bucket_rwmd_scores_multi_plan(
+    plan: tuple,
+    token_ids: jnp.ndarray,  # [N, L] i32
+    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L] ([n_chunks, 1] unused)
+    sort_inv: jnp.ndarray,
+    pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
+    lengths: jnp.ndarray,  # [N]
+    static_sims: tuple,  # k -> [V, Tpad*Q] stacked (q-minor)
+    static_mags: tuple,
+    ctx_chunks: tuple,  # k -> [N, L, d] bucket stores
+    ctx_queries: tuple,  # k -> dicts of [Tpad*Q, ...] stacked query vectors
+    mixed_weights: tuple,
+    mass_t: jnp.ndarray,  # [Tpad, Q] per-query masses (0-padded)
+    len_t: jnp.ndarray,  # [Q] i32 real token counts
+    max_score_t: jnp.ndarray,  # [Q] f32 max_sum_of_similarities
+    boost: jnp.ndarray,  # [N, Q] (unused unless with_boost)
+    tw_w: jnp.ndarray,  # [Tpad, Q] f32 (unused unless with_tags)
+    tw_p: jnp.ndarray,  # [Tpad, Q] i8
+    tw_pen: jnp.ndarray,  # [Q] f32
+    tw_thr: jnp.ndarray,  # [Q] f32
+    df_pos_ex: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    df_tag_ex: jnp.ndarray,
+    df_tok_ex: jnp.ndarray,
+    injective: bool,
+    symmetric: bool,
+    normalize_bow: bool,
+    chunk: int,
+    n_queries: int,
+    unique_masses: bool = True,
+    with_tags: bool = False,
+    with_filter: bool = False,
+    with_boost: bool = False,
+    use_sorted: bool = True,
+):
+    """[N, Q] relaxed-WMD scores for Q CONTEXTUAL / mixed-tree queries in
+    one corpus pass: every leaf evaluates against the stacked query axis
+    (static [V, Tpad*Q] tables / [Tpad*Q, d] contextual query matrices,
+    search.stack_tree_plans), then the [L, c, T, Q] similarity feeds the
+    SAME transport tail as the static batch kernel — the reference serves
+    every metric uniformly through its document ThreadPool
+    (index.py:530-560).  ``use_sorted``: the pack-time sorted gather
+    stream only tiles when chunk == the bucket's pack chunk."""
+    from vectorian_tpu.ops.simmatrix import eval_plan_chunk
+
+    N, L = token_ids.shape
+    Q = n_queries
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tok, ts, inv, pos, tag, ln, ctx = args
+        c = tok.shape[0]
+        out = eval_plan_chunk(
+            plan, tok, static_sims, static_mags, ctx, ctx_queries,
+            mixed_weights,
+            sorted_gather=(ts, inv) if use_sorted else None,
+        )
+        S = out["similarity"]  # [c, L, Tpad*Q]
+        T = S.shape[-1] // Q
+        S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L,c,T,Q]
+        return _rwmd_chunk_scores_multi(
+            jnp.swapaxes(tok, 0, 1), ln, jnp.swapaxes(pos, 0, 1),
+            jnp.swapaxes(tag, 0, 1), None, mass_t, len_t, max_score_t,
+            tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
+            injective, symmetric, normalize_bow, with_tags, with_filter,
+            S=S, unique=unique_masses,
+        )
+
+    xs = (
+        token_ids.reshape(n_chunks, chunk, L),
+        tok_sorted,
+        sort_inv,
+        pos_ids.reshape(n_chunks, chunk, L),
+        tag_ids.reshape(n_chunks, chunk, L),
+        lengths.reshape(n_chunks, chunk),
+        tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
+    )
+    scores = jax.lax.map(one_chunk, xs).reshape(N, Q)
+    if with_boost:
+        scores = jnp.where(
+            scores > NEG_SCORE * 0.5, scores * boost, NEG_SCORE
+        )
+    return scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "use_magnitudes", "normalize_mass", "chunk", "n_queries",
+        "unique_masses", "with_tags", "with_filter", "with_boost",
+        "use_sorted",
+    ),
+)
+def _bucket_emd_scores_multi_plan(
+    plan: tuple,
+    token_ids: jnp.ndarray,  # [N, L] i32
+    tok_sorted: jnp.ndarray,  # [n_chunks, chunk*L] ([n_chunks, 1] unused)
+    sort_inv: jnp.ndarray,
+    pos_ids: jnp.ndarray,  # [N, L] i8
+    tag_ids: jnp.ndarray,  # [N, L] i16
+    lengths: jnp.ndarray,  # [N]
+    static_sims: tuple,  # k -> [V, Tpad*Q] stacked (q-minor)
+    static_mags: tuple,
+    ctx_chunks: tuple,  # k -> [N, L, d] bucket stores
+    ctx_queries: tuple,  # k -> dicts of [Tpad*Q, ...] stacked query vectors
+    mixed_weights: tuple,
+    mass_t: jnp.ndarray,  # [Tpad, Q] per-query masses (counts or magnitudes)
+    boost: jnp.ndarray,  # [N, Q] (unused unless with_boost)
+    tw_w: jnp.ndarray,  # [Tpad, Q] f32 (unused unless with_tags)
+    tw_p: jnp.ndarray,  # [Tpad, Q] i8
+    tw_pen: jnp.ndarray,  # [Q] f32
+    tw_thr: jnp.ndarray,  # [Q] f32
+    df_pos_ex: jnp.ndarray,  # [n_pos] bool (unused unless with_filter)
+    df_tag_ex: jnp.ndarray,
+    df_tok_ex: jnp.ndarray,
+    use_magnitudes: bool,
+    normalize_mass: bool,
+    chunk: int,
+    n_queries: int,
+    unique_masses: bool = True,
+    with_tags: bool = False,
+    with_filter: bool = False,
+    with_boost: bool = False,
+    use_sorted: bool = True,
+):
+    """[N, Q] full-WMD / WRD provable score BOUNDS for Q contextual /
+    mixed-tree queries sharing one corpus pass (stacked per-leaf query
+    axes); WRD doc-side masses come from eval_plan_chunk's per-position
+    magnitudes — exactly the single-query kernel's arithmetic, so batch
+    and find() rank identically."""
+    from vectorian_tpu.ops.simmatrix import eval_plan_chunk
+
+    N, L = token_ids.shape
+    Q = n_queries
+    n_chunks = N // chunk
+
+    def one_chunk(args):
+        tok, ts, inv, pos, tag, ln, ctx = args
+        c = tok.shape[0]
+        out = eval_plan_chunk(
+            plan, tok, static_sims, static_mags, ctx, ctx_queries,
+            mixed_weights, needs_magnitudes=use_magnitudes,
+            sorted_gather=(ts, inv) if use_sorted else None,
+        )
+        S = out["similarity"]  # [c, L, Tpad*Q]
+        T = S.shape[-1] // Q
+        S = jnp.transpose(S.reshape(c, L, T, Q), (1, 0, 2, 3))  # [L,c,T,Q]
+        return _emd_chunk_scores_multi(
+            jnp.swapaxes(tok, 0, 1), ln, jnp.swapaxes(pos, 0, 1),
+            jnp.swapaxes(tag, 0, 1), None, jnp.zeros((1,), jnp.float32),
+            mass_t,
+            tw_w, tw_p, tw_pen, tw_thr, df_pos_ex, df_tag_ex, df_tok_ex,
+            use_magnitudes, normalize_mass, with_tags, with_filter,
+            S=S, unique=unique_masses, mags_s=out.get("magnitudes_s"),
+        )
+
+    xs = (
+        token_ids.reshape(n_chunks, chunk, L),
+        tok_sorted,
+        sort_inv,
+        pos_ids.reshape(n_chunks, chunk, L),
+        tag_ids.reshape(n_chunks, chunk, L),
+        lengths.reshape(n_chunks, chunk),
+        tuple(c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx_chunks),
+    )
+    scores = jax.lax.map(one_chunk, xs).reshape(N, Q)
+    if with_boost:
+        scores = jnp.where(
+            scores > NEG_SCORE * 0.5, scores * boost, NEG_SCORE
+        )
+    return scores
 
 
 @functools.partial(
@@ -1013,9 +1223,15 @@ class WMDEngine:
                 if missing:
                     items.append((qi, missing))
             if items:
-                fetched = self._sims_many_static(
-                    items, sim_multi, tw_args, tagged
-                )
+                if sim_multi is None:
+                    # contextual / mixed-tree batch: the stacked pair-gather
+                    # table only exists for static plans — fetch through the
+                    # plan-generic batched similarity path per query
+                    fetched = self._sims_many_plan(items, qps, states)
+                else:
+                    fetched = self._sims_many_static(
+                        items, sim_multi, tw_args, tagged
+                    )
                 for (qi, _), sm in zip(items, fetched):
                     sims_all[qi].update(sm)
             nxt = []
@@ -1148,6 +1364,92 @@ class WMDEngine:
                 out_all[ii][sid] = (Sw[k2, :ln], Su[k2, :ln])
         return out_all
 
+    def _plan_mesh_shards(self, ms, plan_pack, Q, with_tags, with_filter,
+                          with_boost, boosts):
+        """Per-bucket mesh shards for the plan-stacked transport kernels:
+        token/length/pos/tag rows AND the contextual bucket stores pad to
+        a multiple of devices*chunk (padding rows have length 0 -> NEG
+        score, filtered) and shard over the mesh's slice axis."""
+        import jax
+
+        engine = self._engine
+        shards = []
+        for bi, db in enumerate(engine._device_buckets):
+            if db["n"] == 0:
+                continue
+            chunk = db["chunk"]
+            while chunk > 64 and chunk * Q > 4096:
+                chunk //= 2
+            mult = ms.n_devices * chunk
+            npad = (-db["tokens_np"].shape[0]) % mult
+            tok = np.pad(db["tokens_np"], ((0, npad), (0, 0)))
+            ln = np.pad(db["lengths_np"], (0, npad))
+            tok_d = jax.device_put(tok, ms._sharded)
+            len_d = jax.device_put(ln, ms._sharded)
+            pos_d = tag_d = bst_d = None
+            if with_tags or with_filter:
+                pos_d = jax.device_put(
+                    np.pad(db["pos_np"], ((0, npad), (0, 0))), ms._sharded
+                )
+                tag_d = jax.device_put(
+                    np.pad(db["tag_np"], ((0, npad), (0, 0))), ms._sharded
+                )
+            if with_boost:
+                bst_d = jax.device_put(
+                    self._bucket_boost_mat(db, boosts, Q, tok.shape[0]),
+                    ms._sharded,
+                )
+            ctx_d = tuple(
+                jax.device_put(
+                    np.pad(
+                        np.asarray(engine._ctx_stores[nm][bi]),
+                        ((0, npad), (0, 0), (0, 0)),
+                    ),
+                    ms._sharded,
+                )
+                for nm in plan_pack["ctx_names"]
+            )
+            shards.append((db, tok_d, len_d, pos_d, tag_d, bst_d, ctx_d, chunk))
+        return shards
+
+    @staticmethod
+    def _replicate_plan_pack(ms, plan_pack):
+        """Replicate the stacked leaf tables / ctx query dicts over the
+        mesh for the plan-stacked transport shard kernels."""
+        statics = tuple(
+            ms.put_replicated(np.asarray(s)) for s in plan_pack["statics"]
+        )
+        static_mags = tuple(
+            ms.put_replicated(np.asarray(m))
+            for m in plan_pack["static_mags"]
+        )
+        ctx_qs = tuple(
+            {k: ms.put_replicated(np.asarray(v)) for k, v in d.items()}
+            for d in plan_pack["ctx_qs"]
+        )
+        weights = tuple(
+            ms.put_replicated(np.asarray(w)) for w in plan_pack["weights"]
+        )
+        return statics, static_mags, ctx_qs, weights
+
+    def _sims_many_plan(self, items, qps, states):
+        """Candidate-similarity fetch for contextual / mixed-tree serving
+        batches: each (qi, sids) item resolves through the plan-generic
+        ``batch_slice_similarity`` (one batched device dispatch+fetch per
+        query — the [V, Tmax, Q] pair-gather table of ``_sims_many_static``
+        only exists for static plans).  Same {sid: (Sw, Su)} maps."""
+        engine = self._engine
+        out_all = []
+        for qi, sids in items:
+            sids = list(sids)
+            sims = engine.batch_slice_similarity(
+                sids, qps[qi], tag_weights=states[qi]["tagw"]
+            )
+            out_all.append(
+                {int(s): sm for s, sm in zip(sids, sims)}
+            )
+        return out_all
+
     @staticmethod
     def _tagw_args_multi(tagws, Tmax: int, Q: int):
         """[Tmax, Q] device tag-weighting columns (identity for untagged
@@ -1167,6 +1469,17 @@ class WMDEngine:
         return tuple(
             jnp.asarray(a) for a in (tw_w, tw_p, pen, thr)
         )
+
+    @staticmethod
+    def _sorted_gather_args(db, chunk: int):
+        """(tok_sorted, sort_inv) for a bucket dispatch: the pack-time
+        sorted gather stream only tiles at the bucket's own pack chunk —
+        shrunk chunks pass inert placeholders (use_sorted=False)."""
+        if chunk == db["chunk"]:
+            return db["tok_sorted"], db["sort_inv"]
+        n_chunks = int(db["tokens"].shape[0]) // chunk
+        z = jnp.zeros((n_chunks, 1), jnp.int32)
+        return z, z
 
     @staticmethod
     def _bucket_boost_mat(db, boosts, Q: int, n_rows: int) -> np.ndarray:
@@ -1198,11 +1511,6 @@ class WMDEngine:
         exclusion)."""
         engine = self._engine
         a = self._args
-        # only plain single-table plans stack into [V, T, Q] — modifier
-        # trees must be collapsed by the caller (index dispatch guards this)
-        assert all(qp.plan == ("static", 0) for qp in qps), (
-            "WMDEngine.find_batch requires collapsed static plans"
-        )
         Q = len(queries)
         if tagws is None:
             tagws = [None] * Q
@@ -1215,23 +1523,55 @@ class WMDEngine:
         # ~1 ulp, which the pool slack absorbs) and REPORTED scores come
         # from shape-independent host arithmetic — rwmd_score_host for
         # relaxed, the exact EMD solver for full WMD / WRD
-        Tmax = max(widths)
-        from vectorian_tpu.ops.search import _pad_stack
+        is_static = all(qp.plan == ("static", 0) for qp in qps)
+        # a contextual operand anywhere in the tree -> position-unique BOW
+        # entries (reference similarity_dependency()==POSITION,
+        # metric/alignment.h:551-576), exactly like the single-query path
+        unique = not qps[0].is_static_only
+        if is_static:
+            Tmax = max(widths)
+            from vectorian_tpu.ops.search import _pad_stack
 
-        sim_multi = _pad_stack(
-            tuple(qp.static_sims[0] for qp in qps),
-            tuple(Tmax - w for w in widths),
-            axis=2,
-        )  # [V, Tmax, Q] — one dispatch for Q pads + the stack
+            sim_multi = _pad_stack(
+                tuple(qp.static_sims[0] for qp in qps),
+                tuple(Tmax - w for w in widths),
+                axis=2,
+            )  # [V, Tmax, Q] — one dispatch for Q pads + the stack
+            plan_pack = None
+        else:
+            # contextual / mixed trees: stack per leaf (static [V, Tpad*Q]
+            # tables + [Tpad*Q, d] ctx query matrices) and evaluate via
+            # eval_plan_chunk's stacked query axis — same machinery as the
+            # alignment tree batch (search.stack_tree_plans)
+            from vectorian_tpu.ops.search import stack_tree_plans
+
+            statics, ctx_qs, weights, Tmax = stack_tree_plans(
+                qps, [max(q.n_tokens, 1) for q in queries]
+            )
+            sim_multi = None
+            plan_pack = {
+                "plan": qps[0].plan,
+                "statics": statics,
+                "static_mags": tuple(qps[0].static_mags),
+                "ctx_names": tuple(qps[0].ctx_names),
+                "ctx_qs": ctx_qs,
+                "weights": weights,
+                "unique": unique,
+            }
         # (id, tag) BOW identity when tag-weighted (TaggedTokenFactory,
         # bow.h:150-202) — tag weights are index-level, so the identity is
-        # uniform across the batch
-        tagged = any(tw is not None for tw in tagws)
+        # uniform across the batch; position-unique entries subsume it
+        # when a contextual operand is present
+        with_tags = any(tw is not None for tw in tagws)
+        tagged = with_tags and not unique
         mass_t = np.zeros((Tmax, Q), np.float32)
         max_score_t = np.zeros((Q,), np.float32)
         states = []
         for qi, (query, qp) in enumerate(zip(queries, qps)):
-            m = self._query_masses(query, tagged=tagged)
+            if unique:
+                m = np.ones((query.n_tokens,), np.float32)
+            else:
+                m = self._query_masses(query, tagged=tagged)
             mass_t[: len(m), qi] = m
             tw = tagws[qi]
             max_score_t[qi] = (
@@ -1239,11 +1579,11 @@ class WMDEngine:
             )
             states.append(
                 {
-                    "mass_t": np.pad(m, (0, widths[qi] - len(m))),
+                    "mass_t": np.pad(m, (0, max(widths[qi] - len(m), 0))),
                     "mass_t_mag": None,
                     "tagw": tw,
                     "tagged": tagged,
-                    "unique": False,
+                    "unique": unique,
                     "T": query.n_tokens,
                     "doc_filter": doc_filter,
                     "boost": (
@@ -1254,7 +1594,6 @@ class WMDEngine:
         len_ts = jnp.asarray([q.n_tokens for q in queries], jnp.int32)
         tw_args = self._tagw_args_multi(tagws, Tmax, Q)
         df_args = self._df_args(doc_filter)
-        with_tags = tagged
         with_filter = doc_filter is not None
         with_boost = boosts is not None and any(
             b is not None for b in boosts
@@ -1268,13 +1607,14 @@ class WMDEngine:
                     n, min_score, mesh, max_score_t=max_score_t,
                     tw_args=tw_args, df_args=df_args, boosts=boosts,
                     with_tags=with_tags, with_filter=with_filter,
-                    with_boost=with_boost,
+                    with_boost=with_boost, plan_pack=plan_pack,
                 )
             return self._find_batch_mesh_emd(
                 index, queries, qps, sim_multi, mass_t, states, Tmax,
                 n, min_score, mesh, tw_args=tw_args, df_args=df_args,
                 boosts=boosts, with_tags=with_tags,
                 with_filter=with_filter, with_boost=with_boost,
+                plan_pack=plan_pack,
             )
         if not relaxed:
             return self._find_batch_emd(
@@ -1282,12 +1622,13 @@ class WMDEngine:
                 n, min_score, tw_args=tw_args, df_args=df_args,
                 boosts=boosts, with_tags=with_tags,
                 with_filter=with_filter, with_boost=with_boost,
+                plan_pack=plan_pack,
             )
 
         from vectorian_tpu.ops.search import _LazyScores
 
         pending = []
-        for db in engine._device_buckets:
+        for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
             # the greedy-fill mask is O(L^2) per (slice, query): shrink the
@@ -1296,7 +1637,7 @@ class WMDEngine:
             while chunk > 64 and chunk * Q > 4096:
                 chunk //= 2
 
-            def dispatch(db=db, chunk=chunk):
+            def dispatch(db=db, bi=bi, chunk=chunk):
                 bmat = (
                     jnp.asarray(
                         self._bucket_boost_mat(
@@ -1306,6 +1647,39 @@ class WMDEngine:
                     if with_boost
                     else jnp.ones((1, Q), jnp.float32)
                 )
+                if plan_pack is not None:
+                    return _bucket_rwmd_scores_multi_plan(
+                        plan_pack["plan"],
+                        db["tokens"],
+                        *self._sorted_gather_args(db, chunk),
+                        db["pos"],
+                        db["tag"],
+                        db["lengths"],
+                        plan_pack["statics"],
+                        plan_pack["static_mags"],
+                        tuple(
+                            engine._ctx_dev(nm, bi)
+                            for nm in plan_pack["ctx_names"]
+                        ),
+                        plan_pack["ctx_qs"],
+                        plan_pack["weights"],
+                        jnp.asarray(mass_t),
+                        len_ts,
+                        jnp.asarray(max_score_t),
+                        bmat,
+                        *tw_args,
+                        *df_args,
+                        injective=bool(a["injective"]),
+                        symmetric=bool(a["symmetric"]),
+                        normalize_bow=bool(a["normalize_bow"]),
+                        chunk=chunk,
+                        n_queries=Q,
+                        unique_masses=plan_pack["unique"],
+                        with_tags=with_tags,
+                        with_filter=with_filter,
+                        with_boost=with_boost,
+                        use_sorted=chunk == db["chunk"],
+                    )
                 return _bucket_rwmd_scores_multi(
                     db["tokens"],
                     db["lengths"],
@@ -1358,10 +1732,15 @@ class WMDEngine:
         )
         # one fused similarity fetch serves every query's host rescore
         # (a blocking per-query fetch costs a tunnel round trip each)
-        sims_all = self._sims_many_static(
-            [(qi, tops[qi][0]) for qi in range(Q)],
-            sim_multi, tw_args, with_tags,
-        )
+        if plan_pack is not None:
+            sims_all = self._sims_many_plan(
+                [(qi, tops[qi][0]) for qi in range(Q)], qps, states
+            )
+        else:
+            sims_all = self._sims_many_static(
+                [(qi, tops[qi][0]) for qi in range(Q)],
+                sim_multi, tw_args, with_tags,
+            )
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             top, smap, _rest = tops[qi]
             states[qi]["scores"] = smap
@@ -1383,16 +1762,33 @@ class WMDEngine:
         if is_wrd:
             mass_dev = np.zeros((Tmax, Q), np.float32)
             for qi, (query, qp) in enumerate(zip(queries, qps)):
-                mm = self._static_needle_magnitudes(qp, query, index)
-                mass_dev[: len(mm), qi] = mm
+                if qp.ctx_queries and not qp.is_static_only:
+                    # contextual: needle mass = per-position vector norm
+                    # (single-query _score's mass_t_mag source)
+                    mm = np.asarray(
+                        qp.ctx_queries[0]["magnitudes"], np.float32
+                    )
+                else:
+                    mm = self._static_needle_magnitudes(qp, query, index)
+                k = min(len(mm), Tmax)
+                mass_dev[:k, qi] = mm[:k]
                 states[qi]["mass_t_mag"] = mm
             normalize = bool(a.get("normalize_magnitudes", True))
-            mags_vocab = np.asarray(qps[0].static_mags[0], np.float32)
+            mags_vocab = (
+                np.asarray(qps[0].static_mags[0], np.float32)
+                if qps[0].static_mags
+                else np.zeros((1,), np.float32)
+            )
         else:
             mass_dev = None  # caller already built the bow masses
             normalize = bool(a["normalize_bow"])
             mags_vocab = np.zeros(
-                (int(qps[0].static_sims[0].shape[0]),), np.float32
+                (
+                    int(qps[0].static_sims[0].shape[0])
+                    if qps[0].static_sims
+                    else 1,
+                ),
+                np.float32,
             )
         return mass_dev, normalize, mags_vocab, is_wrd
 
@@ -1400,6 +1796,7 @@ class WMDEngine:
         self, index, queries, qps, sim_multi, mass_t, states, Tmax,
         n: int, min_score: float, tw_args=None, df_args=None, boosts=None,
         with_tags=False, with_filter=False, with_boost=False,
+        plan_pack=None,
     ) -> List:
         """Batched full-WMD / WRD: Q queries share one bound-ranking corpus
         pass (the vocab gather amortizes like the relaxed batch), then each
@@ -1420,7 +1817,7 @@ class WMDEngine:
         from vectorian_tpu.ops.search import _LazyScores
 
         pending = []
-        for db in engine._device_buckets:
+        for bi, db in enumerate(engine._device_buckets):
             if db["n"] == 0:
                 continue
             # the greedy-fill mask is O(L^2) per (slice, query): bound
@@ -1429,7 +1826,7 @@ class WMDEngine:
             while chunk > 64 and chunk * Q > 4096:
                 chunk //= 2
 
-            def dispatch(db=db, chunk=chunk):
+            def dispatch(db=db, bi=bi, chunk=chunk):
                 bmat = (
                     jnp.asarray(
                         self._bucket_boost_mat(
@@ -1439,6 +1836,36 @@ class WMDEngine:
                     if with_boost
                     else jnp.ones((1, Q), jnp.float32)
                 )
+                if plan_pack is not None:
+                    return _bucket_emd_scores_multi_plan(
+                        plan_pack["plan"],
+                        db["tokens"],
+                        *self._sorted_gather_args(db, chunk),
+                        db["pos"],
+                        db["tag"],
+                        db["lengths"],
+                        plan_pack["statics"],
+                        plan_pack["static_mags"],
+                        tuple(
+                            engine._ctx_dev(nm, bi)
+                            for nm in plan_pack["ctx_names"]
+                        ),
+                        plan_pack["ctx_qs"],
+                        plan_pack["weights"],
+                        jnp.asarray(mass_dev),
+                        bmat,
+                        *(tw_args or self._tagw_args_multi([None] * Q, Tmax, Q)),
+                        *(df_args or self._df_args(None)),
+                        use_magnitudes=is_wrd,
+                        normalize_mass=normalize,
+                        chunk=chunk,
+                        n_queries=Q,
+                        unique_masses=plan_pack["unique"],
+                        with_tags=with_tags,
+                        with_filter=with_filter,
+                        with_boost=with_boost,
+                        use_sorted=chunk == db["chunk"],
+                    )
                 return _bucket_emd_scores_multi(
                     db["tokens"],
                     db["lengths"],
@@ -1566,6 +1993,7 @@ class WMDEngine:
         self, index, queries, qps, sim_multi, mass_t, states, Tmax,
         n: int, min_score: float, mesh, tw_args=None, df_args=None,
         boosts=None, with_tags=False, with_filter=False, with_boost=False,
+        plan_pack=None,
     ) -> List:
         """Mesh-sharded full-WMD / WRD serving batch: per-shard bound
         ranking (the same provable _emd_score_bound) + top-k all-gather
@@ -1586,8 +2014,18 @@ class WMDEngine:
         if mass_dev is None:
             mass_dev = mass_t
 
-        table = ms.put_replicated(np.asarray(sim_multi))
-        mags_d = ms.put_replicated(mags_vocab)
+        if plan_pack is not None:
+            table = mags_d = None
+            statics_r, smags_r, ctx_qs_r, weights_r = (
+                self._replicate_plan_pack(ms, plan_pack)
+            )
+            len_ts_d = ms.put_replicated(
+                np.asarray([q.n_tokens for q in queries], np.int32)
+            )
+            mst_dummy = ms.put_replicated(np.zeros((Q,), np.float32))
+        else:
+            table = ms.put_replicated(np.asarray(sim_multi))
+            mags_d = ms.put_replicated(mags_vocab)
         mass_d = ms.put_replicated(mass_dev)
         n_dev = ms.n_devices
         if tw_args is None:
@@ -1606,54 +2044,46 @@ class WMDEngine:
             )
         packed = engine.packed
 
-        shards = []
-        for db in engine._device_buckets:
-            if db["n"] == 0:
-                continue
-            chunk = db["chunk"]
-            while chunk > 64 and chunk * Q > 4096:
-                chunk //= 2
-            # pad rows to a multiple of devices*chunk so every shard chunks
-            # evenly (padding rows have length 0 -> NEG score, filtered)
-            mult = n_dev * chunk
-            npad = (-db["tokens_np"].shape[0]) % mult
-            tok = np.pad(db["tokens_np"], ((0, npad), (0, 0)))
-            ln = np.pad(db["lengths_np"], (0, npad))
-            tok_d = jax.device_put(tok, ms._sharded)
-            len_d = jax.device_put(ln, ms._sharded)
-            pos_d = tag_d = bst_d = None
-            if with_tags or with_filter:
-                pos_d = jax.device_put(
-                    np.pad(db["pos_np"], ((0, npad), (0, 0))), ms._sharded
-                )
-                tag_d = jax.device_put(
-                    np.pad(db["tag_np"], ((0, npad), (0, 0))), ms._sharded
-                )
-            if with_boost:
-                bst_d = jax.device_put(
-                    self._bucket_boost_mat(
-                        db, boosts, Q, tok.shape[0]
-                    ),
-                    ms._sharded,
-                )
-            shards.append((db, tok_d, len_d, pos_d, tag_d, bst_d, chunk))
+        # uniform 8-tuples: the static path carries no ctx stores
+        shards = self._plan_mesh_shards(
+            ms, plan_pack or {"ctx_names": ()}, Q, with_tags, with_filter,
+            with_boost, boosts,
+        )
 
         m = n + 32
         while True:
             pending = []
             complete = True
-            for db, tok_d, len_d, pos_d, tag_d, bst_d, chunk in shards:
+            for db, tok_d, len_d, pos_d, tag_d, bst_d, ctx_d, chunk in shards:
                 complete = complete and m >= tok_d.shape[0]
-                out = ms.emd_topk_multiquery(
-                    tok_d, len_d, table, mags_d, mass_d,
-                    use_magnitudes=is_wrd, normalize_mass=normalize,
-                    k=min(m, tok_d.shape[0]), chunk=chunk, with_next=True,
-                    pos_ids=pos_d, tag_ids=tag_d, boost=bst_d,
-                    tw_args=tw_d if with_tags else None,
-                    df_args=df_d if with_filter else None,
-                    with_tags=with_tags, with_filter=with_filter,
-                    with_boost=with_boost,
-                )
+                if plan_pack is not None:
+                    out = ms.plan_transport_topk_multiquery(
+                        plan_pack["plan"], tok_d, len_d, ctx_d,
+                        statics_r, smags_r, ctx_qs_r, weights_r,
+                        mass_d, len_ts_d, mst_dummy,
+                        relaxed=False,
+                        use_magnitudes=is_wrd, normalize_mass=normalize,
+                        k=min(m, tok_d.shape[0]), chunk=chunk,
+                        with_next=True,
+                        pos_ids=pos_d, tag_ids=tag_d, boost=bst_d,
+                        tw_args=tw_d if with_tags else None,
+                        df_args=df_d if with_filter else None,
+                        unique_masses=plan_pack["unique"],
+                        with_tags=with_tags, with_filter=with_filter,
+                        with_boost=with_boost,
+                    )
+                else:
+                    out = ms.emd_topk_multiquery(
+                        tok_d, len_d, table, mags_d, mass_d,
+                        use_magnitudes=is_wrd, normalize_mass=normalize,
+                        k=min(m, tok_d.shape[0]), chunk=chunk,
+                        with_next=True,
+                        pos_ids=pos_d, tag_ids=tag_d, boost=bst_d,
+                        tw_args=tw_d if with_tags else None,
+                        df_args=df_d if with_filter else None,
+                        with_tags=with_tags, with_filter=with_filter,
+                        with_boost=with_boost,
+                    )
                 pending.append((db, out))
 
             score_maps = [dict() for _ in range(Q)]
@@ -1696,7 +2126,8 @@ class WMDEngine:
             self._consume_rounds_many(
                 index, queries, qps, states_q, score_maps, cand_lists,
                 per_q, pos, n, min_score, eps_q, sims_all,
-                jnp.asarray(sim_multi), tw_args, with_tags,
+                jnp.asarray(sim_multi) if plan_pack is None else None,
+                tw_args, with_tags,
             )
             results = []
             retry = False
@@ -1728,6 +2159,7 @@ class WMDEngine:
         n: int, min_score: float, mesh, max_score_t=None,
         tw_args=None, df_args=None, boosts=None,
         with_tags=False, with_filter=False, with_boost=False,
+        plan_pack=None,
     ) -> List:
         """Mesh-sharded relaxed-WMD serving batch: per-bucket slice shards
         run the greedy transport fill, per-query top-k merges over one
@@ -1746,9 +2178,27 @@ class WMDEngine:
         a = self._args
         engine = self._engine
         ms = mesh if isinstance(mesh, MeshSearch) else MeshSearch(mesh)
-        shards = index._mesh_shards(ms)
         Q = len(queries)
-        table = jax.device_put(sim_multi, NamedSharding(ms.mesh, P()))
+        if plan_pack is not None:
+            table = None
+            statics_r, smags_r, ctx_qs_r, weights_r = (
+                self._replicate_plan_pack(ms, plan_pack)
+            )
+            # plan shards carry ctx stores and a per-bucket chunk (the
+            # stacked-leaf eval + fills run in chunk-sized pieces)
+            shards = [
+                s
+                for s in self._plan_mesh_shards(
+                    ms, plan_pack, Q, with_tags, with_filter, with_boost,
+                    boosts,
+                )
+            ]
+        else:
+            table = jax.device_put(sim_multi, NamedSharding(ms.mesh, P()))
+            shards = [
+                (db, tok_d, len_d, pos_d, tag_d, None, (), 0)
+                for db, tok_d, len_d, pos_d, tag_d in index._mesh_shards(ms)
+            ]
         mass_d = jnp.asarray(mass_t)
         if max_score_t is None:
             max_score_t = np.asarray(
@@ -1761,37 +2211,62 @@ class WMDEngine:
         mst_d = ms.put_replicated(np.asarray(max_score_t, np.float32))
         tw_d = tuple(ms.put_replicated(np.asarray(x)) for x in tw_args)
         df_d = tuple(ms.put_replicated(np.asarray(x)) for x in df_args)
-        boost_by_db = {}
-        if with_boost:
-            for db, tok_d, *_ in shards:
-                boost_by_db[id(db)] = jax.device_put(
-                    self._bucket_boost_mat(
-                        db, boosts, Q, int(tok_d.shape[0])
+        if with_boost and plan_pack is None:
+            shards = [
+                (
+                    db, tok_d, len_d, pos_d, tag_d,
+                    jax.device_put(
+                        self._bucket_boost_mat(
+                            db, boosts, Q, int(tok_d.shape[0])
+                        ),
+                        ms._sharded,
                     ),
-                    ms._sharded,
+                    ctx_d, chunk,
                 )
+                for db, tok_d, len_d, pos_d, tag_d, _b, ctx_d, chunk
+                in shards
+            ]
         packed = engine.packed
 
         m = n + 32
         while True:
             pending = []
             complete = True
-            for db, tok_d, len_d, pos_d, tag_d in shards:
+            for db, tok_d, len_d, pos_d, tag_d, bst_d, ctx_d, chunk in shards:
                 complete = complete and m >= tok_d.shape[0]
-                out = ms.rwmd_topk_multiquery(
-                    tok_d, len_d, table, mass_d, len_ts,
-                    injective=bool(a["injective"]),
-                    symmetric=bool(a["symmetric"]),
-                    normalize_bow=bool(a["normalize_bow"]),
-                    k=min(m, tok_d.shape[0]), with_next=True,
-                    max_score_t=mst_d,
-                    pos_ids=pos_d, tag_ids=tag_d,
-                    boost=boost_by_db.get(id(db)),
-                    tw_args=tw_d if with_tags else None,
-                    df_args=df_d if with_filter else None,
-                    with_tags=with_tags, with_filter=with_filter,
-                    with_boost=with_boost,
-                )
+                if plan_pack is not None:
+                    out = ms.plan_transport_topk_multiquery(
+                        plan_pack["plan"], tok_d, len_d, ctx_d,
+                        statics_r, smags_r, ctx_qs_r, weights_r,
+                        mass_d, len_ts, mst_d,
+                        relaxed=True,
+                        injective=bool(a["injective"]),
+                        symmetric=bool(a["symmetric"]),
+                        normalize_bow=bool(a["normalize_bow"]),
+                        k=min(m, tok_d.shape[0]), chunk=chunk,
+                        with_next=True,
+                        pos_ids=pos_d, tag_ids=tag_d, boost=bst_d,
+                        tw_args=tw_d if with_tags else None,
+                        df_args=df_d if with_filter else None,
+                        unique_masses=plan_pack["unique"],
+                        with_tags=with_tags, with_filter=with_filter,
+                        with_boost=with_boost,
+                    )
+                else:
+                    out = ms.rwmd_topk_multiquery(
+                        tok_d, len_d, table, mass_d, len_ts,
+                        injective=bool(a["injective"]),
+                        symmetric=bool(a["symmetric"]),
+                        normalize_bow=bool(a["normalize_bow"]),
+                        k=min(m, tok_d.shape[0]), with_next=True,
+                        max_score_t=mst_d,
+                        pos_ids=pos_d, tag_ids=tag_d,
+                        boost=bst_d,
+                        tw_args=tw_d if with_tags else None,
+                        df_args=df_d if with_filter else None,
+                        with_tags=with_tags, with_filter=with_filter,
+                        with_boost=with_boost,
+                    )
                 pending.append((db, out))
 
             score_maps = [dict() for _ in range(Q)]
@@ -1861,10 +2336,15 @@ class WMDEngine:
 
         # one fused similarity fetch serves every query's flow rescore
         # (a blocking per-query fetch costs a tunnel round trip each)
-        sims_all = self._sims_many_static(
-            [(qi, tops[qi]) for qi in range(Q)],
-            jnp.asarray(sim_multi), tw_args, with_tags,
-        )
+        if plan_pack is not None:
+            sims_all = self._sims_many_plan(
+                [(qi, tops[qi]) for qi in range(Q)], qps, states
+            )
+        else:
+            sims_all = self._sims_many_static(
+                [(qi, tops[qi]) for qi in range(Q)],
+                jnp.asarray(sim_multi), tw_args, with_tags,
+            )
         results = []
         for qi, (query, qp) in enumerate(zip(queries, qps)):
             state = dict(states[qi])

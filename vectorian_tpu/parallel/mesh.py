@@ -504,6 +504,154 @@ class MeshSearch:
     @functools.partial(
         jax.jit,
         static_argnames=(
+            "self", "plan", "relaxed", "injective", "symmetric",
+            "normalize_bow", "use_magnitudes", "normalize_mass", "k",
+            "chunk", "with_next", "unique_masses", "with_tags",
+            "with_filter", "with_boost",
+        ),
+    )
+    def plan_transport_topk_multiquery(
+        self,
+        plan: tuple,
+        token_ids: jnp.ndarray,  # [N, L] sharded over 'data'
+        lengths: jnp.ndarray,  # [N] sharded
+        ctx_stores: tuple,  # k -> [N, L, d] sharded bucket stores
+        static_sims: tuple,  # k -> [V, T*Q] replicated stacked tables
+        static_mags: tuple,
+        ctx_queries: tuple,  # k -> dict of [T*Q, ...] replicated
+        mixed_weights: tuple,
+        mass_t: jnp.ndarray,  # [T, Q] per-query masses (replicated)
+        len_t: jnp.ndarray,  # [Q] i32 real token counts
+        max_score_t: jnp.ndarray,  # [Q] f32 (relaxed bow mode only)
+        relaxed: bool,
+        injective: bool = False,
+        symmetric: bool = False,
+        normalize_bow: bool = True,
+        use_magnitudes: bool = False,
+        normalize_mass: bool = True,
+        k: int = 10,
+        chunk: int = 64,  # transport fills hold [chunk*Q, ., .]; divides N/d
+        with_next: bool = False,
+        pos_ids=None,  # [N, L] i8 sharded (tags/filter)
+        tag_ids=None,  # [N, L] i16 sharded
+        boost=None,  # [N, Q] f32 sharded per-slice boosts
+        tw_args=None,  # ([T, Q] w, [T, Q] pos, [Q] pen, [Q] thr) replicated
+        df_args=None,  # (pos_ex, tag_ex, tok_ex) replicated
+        unique_masses: bool = True,
+        with_tags: bool = False,
+        with_filter: bool = False,
+        with_boost: bool = False,
+    ):
+        """Contextual / mixed-tree TRANSPORT serving batch over the mesh:
+        each shard evaluates the stacked-leaf plan (the SAME
+        eval_plan_chunk the single-chip plan-stacked transport kernels
+        run), feeds the [L, c, T, Q] similarity into the shared transport
+        chunk tails (_rwmd_chunk_scores_multi / _emd_chunk_scores_multi
+        with position-unique BOW masses), and merges per-query top-k over
+        one all-gather.  ``relaxed`` selects the greedy-fill ranking;
+        otherwise the provable exact-EMD score bound ranks (WRD doc-side
+        masses come from eval_plan_chunk's per-position magnitudes —
+        byte-equal ranking to the single-chip batch)."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from vectorian_tpu.ops.simmatrix import eval_plan_chunk
+        from vectorian_tpu.ops.wmd import (
+            NEG_SCORE,
+            _emd_chunk_scores_multi,
+            _rwmd_chunk_scores_multi,
+        )
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self.n_devices
+        shard_n = token_ids.shape[0] // n_dev
+        assert shard_n % chunk == 0, (shard_n, chunk)
+        L = token_ids.shape[1]
+        Q = int(len_t.shape[0])
+        if pos_ids is None:
+            pos_ids = jnp.zeros(token_ids.shape, jnp.int8)
+        if tag_ids is None:
+            tag_ids = jnp.zeros(token_ids.shape, jnp.int16)
+        if boost is None:
+            boost = jnp.ones((token_ids.shape[0], Q), jnp.float32)
+        if tw_args is None:
+            T = mass_t.shape[0]
+            tw_args = (
+                jnp.ones((T, Q), jnp.float32),
+                jnp.full((T, Q), -1, jnp.int8),
+                jnp.zeros((Q,), jnp.float32),
+                jnp.full((Q,), -1.0, jnp.float32),
+            )
+        if df_args is None:
+            z = jnp.zeros((1,), bool)
+            df_args = (z, z, z)
+
+        def shard_fn(tok, ln, pos, tag, bst, *ctx):
+            sn = tok.shape[0]
+            n_chunks = sn // chunk
+
+            def one_chunk(args):
+                tok_c, ln_c, pos_c, tag_c, ctx_c = args
+                out = eval_plan_chunk(
+                    plan, tok_c, static_sims, static_mags, ctx_c,
+                    ctx_queries, mixed_weights,
+                    needs_magnitudes=use_magnitudes,
+                )
+                S = out["similarity"]  # [chunk, L, T*Q]
+                T = S.shape[-1] // Q
+                S = jnp.transpose(
+                    S.reshape(chunk, L, T, Q), (1, 0, 2, 3)
+                )  # [L, chunk, T, Q]
+                if relaxed:
+                    return _rwmd_chunk_scores_multi(
+                        tok_c.T, ln_c, pos_c.T, tag_c.T, None, mass_t,
+                        len_t, max_score_t, *tw_args, *df_args,
+                        injective, symmetric, normalize_bow, with_tags,
+                        with_filter, S=S, unique=unique_masses,
+                    )
+                return _emd_chunk_scores_multi(
+                    tok_c.T, ln_c, pos_c.T, tag_c.T, None,
+                    jnp.zeros((1,), jnp.float32), mass_t,
+                    *tw_args, *df_args,
+                    use_magnitudes, normalize_mass, with_tags, with_filter,
+                    S=S, unique=unique_masses,
+                    mags_s=out.get("magnitudes_s"),
+                )
+
+            xs = (
+                tok.reshape(n_chunks, chunk, L),
+                ln.reshape(n_chunks, chunk),
+                pos.reshape(n_chunks, chunk, -1),
+                tag.reshape(n_chunks, chunk, -1),
+                tuple(
+                    c.reshape(n_chunks, chunk, L, c.shape[-1]) for c in ctx
+                ),
+            )
+            scores = jax.lax.map(one_chunk, xs).reshape(sn, Q)
+            if with_boost:
+                scores = jnp.where(
+                    scores > NEG_SCORE * 0.5, scores * bst, NEG_SCORE
+                )
+            return _merge_local_topk(
+                scores, axis, shard_n, n_dev, k, with_next
+            )
+
+        n_ctx = len(ctx_stores)
+        out_specs = (P(), P(), P()) if with_next else (P(), P())
+        fn = shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P(axis),) * 5 + (P(axis),) * n_ctx,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return fn(token_ids, lengths, pos_ids, tag_ids, boost, *ctx_stores)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
             "self", "plan", "locality", "k", "with_next", "general_gaps",
             "with_boost", "with_filter",
         ),
