@@ -49,9 +49,19 @@ def _log(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
+def bench_e2e(n_sents: int = 1_000_000, Q: int = 32, Q_tp: int = 512):
     """Full Session -> find_batch product measurement on a synthetic Zipf
-    corpus; returns (e2e_alignments_per_sec, p50_query_ms, n_slices)."""
+    corpus; returns a dict of e2e fields.
+
+    Protocol (mirrors the headline's): every measured figure is a MEDIAN
+    over repeated warm passes — the tunneled runtime's throughput varies
+    ±30% between runs, so single samples fabricate/hide real changes.
+    find_batch is chained by construction (it blocks on host-materialized
+    Match objects), so wall-clocking each pass is honest.  p50 latency is
+    the median of >= 15 warm single-query find() calls.  The throughput
+    mode additionally runs the SAME public path at the Q_tp=512/int8
+    serving configuration, where the shared vocab gather amortizes across
+    the batch (docs/performance.md)."""
     import vectorian_tpu as vt
     from vectorian_tpu.embedding.static import KeyedVectors
     from vectorian_tpu.metrics import EmbeddingTokenSim
@@ -97,24 +107,53 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
     index.find(zipf_query(), n=10, min_score=0.2)
     _log("e2e: find warm")
 
-    # amortized serving throughput: one warm batch, wall-clocked to the
-    # finished Match objects (scores are host-materialized by then)
-    t0 = time.perf_counter()
-    res = index.find_batch(queries, n=10, min_score=0.2)
-    dt_batch = time.perf_counter() - t0
-    assert len(res) == Q
+    # amortized serving throughput: median over 4 warm batch passes, each
+    # wall-clocked to the finished Match objects (scores are
+    # host-materialized by then, so passes serialize naturally)
+    pass_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        res = index.find_batch(queries, n=10, min_score=0.2)
+        pass_times.append(time.perf_counter() - t0)
+        assert len(res) == Q
+    dt_batch = float(np.median(pass_times))
     e2e_rate = n_slices * Q / dt_batch
-    _log(f"e2e: batch pass {dt_batch:.2f}s")
+    _log(
+        f"e2e: batch pass median {dt_batch:.2f}s over {len(pass_times)} "
+        f"(min {min(pass_times):.2f} max {max(pass_times):.2f})"
+    )
 
-    # interactive single-query latency (median of 5 warm queries)
+    # interactive single-query latency (median of 15 warm queries)
     lats = []
-    for _ in range(5):
+    for _ in range(15):
         q = zipf_query()
         t0 = time.perf_counter()
         index.find(q, n=10, min_score=0.2)
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(np.asarray(lats) * 1e3, 50))
-    _log(f"e2e: p50 {p50_ms:.0f} ms")
+    _log(f"e2e: p50 {p50_ms:.0f} ms over {len(lats)} queries")
+
+    # throughput-mode serving: the same public find_batch path at the
+    # Q=512/int8 configuration (the product's throughput envelope); its
+    # own try so a compile timeout cannot lose the fields above
+    tp_rate = None
+    try:
+        tp_queries = [zipf_query() for _ in range(Q_tp)]
+        index.find_batch(tp_queries, n=10, min_score=0.2)  # warm/compile
+        _log("e2e: throughput-mode warm")
+        tp_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res_tp = index.find_batch(tp_queries, n=10, min_score=0.2)
+            tp_times.append(time.perf_counter() - t0)
+            assert len(res_tp) == Q_tp
+        tp_rate = n_slices * Q_tp / float(np.median(tp_times))
+        _log(
+            f"e2e: throughput mode median {float(np.median(tp_times)):.2f}s"
+            f"/pass = {tp_rate/1e6:.1f}M alignments/s"
+        )
+    except Exception as e:  # noqa: BLE001
+        _log(f"e2e: throughput-mode stage failed: {e}")
 
     # recall@10 parity, co-measured in the SAME run (BASELINE's "p50 at
     # recall@10 parity" clause): the measured pass ranks with the default
@@ -143,7 +182,16 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32):
         # compile) — report parity as unknown instead
         _log(f"e2e: recall@10 parity stage failed: {e}")
         parity = None
-    return e2e_rate, p50_ms, n_slices, parity
+    out = {
+        "e2e_alignments_per_sec": round(e2e_rate, 1),
+        "p50_query_ms": round(p50_ms, 1),
+        "e2e_slices": int(n_slices),
+    }
+    if tp_rate is not None:
+        out["e2e_throughput_mode"] = round(tp_rate, 1)
+    if parity is not None:
+        out["recall10_parity"] = bool(parity)
+    return out
 
 
 def probe_backend(timeout_s: float = 150.0):
@@ -359,12 +407,7 @@ def main():
         except (ValueError, OSError, AttributeError):
             pass  # non-main thread / platform without SIGALRM
         try:
-            e2e_rate, p50_ms, n_slices, parity = bench_e2e(n_e2e)
-            out["e2e_alignments_per_sec"] = round(e2e_rate, 1)
-            out["p50_query_ms"] = round(p50_ms, 1)
-            out["e2e_slices"] = int(n_slices)
-            if parity is not None:
-                out["recall10_parity"] = bool(parity)
+            out.update(bench_e2e(n_e2e))
         except Exception as e:  # the headline must still report
             out["e2e_error"] = f"{type(e).__name__}: {e}"
         finally:

@@ -89,17 +89,108 @@ def test_encoder_batch(tmp_path):
     np.testing.assert_allclose(vecs.unmodified[1], m.word_vector("unseen"), rtol=1e-6)
 
 
-def test_quantized_rejected(tmp_path):
-    path = tmp_path / "q.bin"
-    with open(path, "wb") as f:
-        f.write(struct.pack("<ii", FASTTEXT_MAGIC, 12))
-        f.write(struct.pack("<12i", 4, 5, 5, 1, 5, 1, 1, 1, 8, 2, 3, 100))
-        f.write(struct.pack("<d", 1e-4))
-        f.write(struct.pack("<3i", 0, 0, 0))
-        f.write(struct.pack("<2q", 0, 0))
-        f.write(struct.pack("<b", 1))  # quantized!
-    with pytest.raises(NotImplementedError):
-        FastTextModel.load(path)
+def test_ftz_round_trip(tmp_path):
+    """.bin -> quantize -> .ftz -> load -> vectors within PQ error.
+
+    Rows are drawn from 16 prototypes, so the 256-centroid k-means per
+    sub-block separates every distinct point exactly and the "PQ error"
+    bound is tight (~float eps) — any layout/serialization bug shows as a
+    gross mismatch, not a tolerance judgment call."""
+    from vectorian_tpu.embedding.fasttext import (
+        FacebookQuantizedModel,
+        quantize_facebook,
+    )
+
+    rng = np.random.default_rng(3)
+    words = [EOS, "king", "queen", "horse", "rides"]
+    dim, bucket = 8, 32
+    protos = rng.normal(size=(16, dim)).astype(np.float32)
+    rows = protos[rng.integers(0, 16, size=len(words) + bucket)]
+    dense = FastTextModel(words, len(words), dim, bucket, 2, 3, rows.copy())
+
+    bin_path = tmp_path / "m.bin"
+    dense.save(bin_path)
+    loaded = FastTextModel.load(bin_path)
+    assert isinstance(loaded, FastTextModel)
+    assert loaded.words == words
+    np.testing.assert_array_equal(loaded.input_matrix, rows)
+
+    for qnorm in (True, False):
+        q = quantize_facebook(loaded, dsub=2, qnorm=qnorm)
+        ftz = tmp_path / f"m_{qnorm}.ftz"
+        q.save(ftz)
+        qq = FastTextModel.load(ftz)
+        assert isinstance(qq, FacebookQuantizedModel)
+        assert qq.words == words and qq.bucket == bucket
+        ids = np.arange(len(words) + bucket)
+        # serialized file reproduces the in-memory quantizer exactly
+        np.testing.assert_allclose(
+            qq.decode_rows(ids), q.decode_rows(ids), atol=1e-6
+        )
+        # ...and the quantizer reproduces the dense rows (prototype data)
+        np.testing.assert_allclose(qq.decode_rows(ids), rows, atol=1e-4)
+        for w in ["king", "kingdom", "queen", EOS]:
+            np.testing.assert_allclose(
+                qq.word_vector(w), dense.word_vector(w), atol=1e-4
+            )
+
+
+def test_ftz_pruned_dictionary(tmp_path):
+    """-cutoff models: pruneidx remaps surviving ngram hashes to compacted
+    input rows; pruned-away ngrams drop out of the subword set entirely
+    (fastText Dictionary::pushHash semantics)."""
+    from vectorian_tpu.embedding.fasttext import quantize_facebook
+
+    rng = np.random.default_rng(5)
+    words = [EOS, "ab"]
+    dim, bucket, minn, maxn = 4, 64, 2, 3
+    hashes = sorted(
+        {fnv1a_hash(ng.encode()) % bucket for ng in word_ngrams("ab", minn, maxn)}
+    )
+    keep = hashes[:2]
+    pruneidx = {h: i for i, h in enumerate(keep)}
+    rows = rng.normal(size=(len(words) + len(keep), dim)).astype(np.float32)
+    dense = FastTextModel(words, len(words), dim, bucket, minn, maxn, rows)
+    q = quantize_facebook(dense, dsub=2)
+    q.pruneidx = pruneidx
+
+    ids = q.subword_ids("ab")
+    assert ids[0] == 1  # the word row
+    assert set(ids[1:]) == {len(words) + pruneidx[h] for h in keep}
+
+    p = tmp_path / "p.ftz"
+    q.save(p)
+    q2 = FastTextModel.load(p)
+    assert q2.pruneidx == pruneidx
+    assert q2.subword_ids("ab") == ids
+    np.testing.assert_allclose(
+        q2.word_vector("ab"), q.word_vector("ab"), atol=1e-6
+    )
+
+
+def test_session_with_ftz(tmp_path):
+    """A facebook-quantized .ftz serves end-to-end through Session/find
+    (the last embedding-format gap, VERDICT r3 item 7)."""
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.embedding.fasttext import (
+        PretrainedFastText,
+        quantize_facebook,
+    )
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    words = [EOS, "king", "queen", "horse", "rides", "the"]
+    bin_path = tmp_path / "cc.xx.300.bin"
+    write_fake_bin(bin_path, words, dim=16)
+    ftz_path = tmp_path / "cc.xx.300.ftz"
+    quantize_facebook(FastTextModel.load(bin_path), dsub=2).save(ftz_path)
+    ft = PretrainedFastText("xx", path=ftz_path)
+
+    docs = [StringImporter()("the king rides the horse. the queen sleeps.")]
+    session = Session(docs, embeddings=[ft])
+    index = session.partition("sentence").index(EmbeddingTokenSim(ft))
+    r = index.find("the king rides the horse", n=2)
+    assert len(r) >= 1
+    assert r[0].score == pytest.approx(1.0, abs=1e-3)
 
 
 def test_session_with_fasttext(tmp_path):

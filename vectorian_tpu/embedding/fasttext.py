@@ -55,6 +55,138 @@ def word_ngrams(word: str, minn: int, maxn: int) -> List[str]:
     return out
 
 
+def _write_args(f, dim: int, bucket: int, minn: int, maxn: int) -> None:
+    """fastText Args::save layout (12 int32 + one double)."""
+    f.write(
+        struct.pack(
+            "<12i", dim, 5, 5, 5, 5, 1, 1, 1, bucket, minn, maxn, 100
+        )
+    )
+    f.write(struct.pack("<d", 1e-4))
+
+
+def _write_dictionary(f, words: Sequence[str], pruneidx=None) -> None:
+    """fastText Dictionary::save layout: size/nwords/nlabels int32,
+    ntokens/pruneidx_size int64, per-entry utf8+NUL + count(i64) +
+    type(i8), then pruneidx (int32, int32) pairs.  pruneidx_size is -1
+    when the dictionary is unpruned (fastText's sentinel; 0 means 'every
+    ngram pruned away')."""
+    f.write(struct.pack("<3i", len(words), len(words), 0))
+    f.write(
+        struct.pack(
+            "<2q", len(words), -1 if pruneidx is None else len(pruneidx)
+        )
+    )
+    for w in words:
+        f.write(w.encode("utf-8") + b"\x00")
+        f.write(struct.pack("<qb", 1, 0))
+    if pruneidx:
+        for a in sorted(pruneidx):
+            f.write(struct.pack("<2i", a, pruneidx[a]))
+
+
+class FacebookProductQuantizer:
+    """fastText's ProductQuantizer (src/productquantizer.{h,cc}) data
+    layout: header int32s dim/nsubq/dsub/lastdsub + a flat [dim * 256]
+    f32 centroid vector; subquantizer ``m``'s centroid ``i`` lives at
+    (m * 256 + i) * dsub, except the last subquantizer which packs its
+    (possibly shorter) lastdsub-wide centroids at
+    m * 256 * dsub + i * lastdsub."""
+
+    KSUB = 256
+
+    def __init__(self, dim, dsub, nsubq, lastdsub, centroids):
+        self.dim = int(dim)
+        self.dsub = int(dsub)
+        self.nsubq = int(nsubq)
+        self.lastdsub = int(lastdsub)
+        self.centroids = np.asarray(centroids, np.float32).reshape(-1)
+        assert self.centroids.size == self.dim * self.KSUB
+
+    @staticmethod
+    def read(f) -> "FacebookProductQuantizer":
+        dim, nsubq, dsub, lastdsub = struct.unpack("<4i", f.read(16))
+        cents = np.frombuffer(
+            f.read(dim * FacebookProductQuantizer.KSUB * 4), np.float32
+        ).copy()
+        return FacebookProductQuantizer(dim, dsub, nsubq, lastdsub, cents)
+
+    def write(self, f) -> None:
+        f.write(
+            struct.pack("<4i", self.dim, self.nsubq, self.dsub, self.lastdsub)
+        )
+        f.write(np.ascontiguousarray(self.centroids, np.float32).tobytes())
+
+    def codebook(self, m: int) -> np.ndarray:
+        """[256, d_m] centroid table of subquantizer ``m``."""
+        off = m * self.KSUB * self.dsub
+        d = self.lastdsub if m == self.nsubq - 1 else self.dsub
+        return self.centroids[off : off + self.KSUB * d].reshape(self.KSUB, d)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes [rows, nsubq] u8 -> [rows, dim] f32."""
+        return np.concatenate(
+            [self.codebook(m)[codes[:, m]] for m in range(self.nsubq)], axis=1
+        )
+
+    def encode(self, data: np.ndarray) -> np.ndarray:
+        """Nearest-centroid codes [rows, nsubq] for [rows, dim] data."""
+        out = np.zeros((len(data), self.nsubq), np.uint8)
+        lo = 0
+        for m in range(self.nsubq):
+            C = self.codebook(m)
+            X = data[:, lo : lo + C.shape[1]]
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+            out[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+            lo += C.shape[1]
+        return out
+
+    @staticmethod
+    def train(
+        data: np.ndarray, dsub: int = 2, n_iters: int = 12, seed: int = 0
+    ) -> "FacebookProductQuantizer":
+        dim = data.shape[1]
+        nsubq, lastdsub = divmod(dim, dsub)
+        if lastdsub == 0:
+            lastdsub = dsub
+        else:
+            nsubq += 1
+        pq = FacebookProductQuantizer(
+            dim, dsub, nsubq, lastdsub, np.zeros((dim * 256,), np.float32)
+        )
+        rng = np.random.default_rng(seed)
+        lo = 0
+        for m in range(nsubq):
+            d = lastdsub if m == nsubq - 1 else dsub
+            C = _kmeans(
+                np.ascontiguousarray(data[:, lo : lo + d]), pq.KSUB,
+                n_iters, rng,
+            )
+            off = m * pq.KSUB * dsub
+            pq.centroids[off : off + pq.KSUB * d] = C.reshape(-1)
+            lo += d
+        return pq
+
+
+def _kmeans(X: np.ndarray, k: int, n_iters: int, rng) -> np.ndarray:
+    """Plain k-means, returns [k, d] centroids (short inputs pad with
+    duplicates so every code decodes to something sane)."""
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].astype(
+        np.float32
+    )
+    if len(C) < k:
+        C = np.concatenate([C, C[rng.integers(0, len(C), k - len(C))]])
+    C = C.copy()
+    for _ in range(n_iters):
+        d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
 class FastTextModel:
     """A parsed fastText .bin model (non-quantized input matrix)."""
 
@@ -69,7 +201,12 @@ class FastTextModel:
         self.input_matrix = input_matrix  # [nwords + bucket, dim]
 
     @staticmethod
-    def load(path) -> "FastTextModel":
+    def load(path):
+        """Parse a fastText model file.  Returns a ``FastTextModel`` for
+        dense .bin files or a ``FacebookQuantizedModel`` for
+        facebook-quantized .ftz files (same duck-typed surface) — the
+        reference consumes both through the fasttext package
+        (vectorian/embedding/token/fasttext.py:63-74)."""
         with open(path, "rb") as f:
             magic, version = struct.unpack("<ii", f.read(8))
             if magic != FASTTEXT_MAGIC:
@@ -92,14 +229,30 @@ class FastTextModel:
                 words.append(chars.decode("utf-8", errors="replace"))
                 _count = struct.unpack("<q", f.read(8))[0]
                 _type = struct.unpack("<b", f.read(1))[0]
+            # pruneidx: original ngram hash id -> compacted input-matrix
+            # row (Dictionary::save pairs); -1 size = unpruned sentinel
+            pruneidx = None if pruneidx_size < 0 else {}
             for _ in range(max(pruneidx_size, 0)):
-                f.read(8)  # pruneidx pairs (int32, int32)
+                a, b = struct.unpack("<2i", f.read(8))
+                pruneidx[a] = b
             # input matrix
             (quant,) = struct.unpack("<b", f.read(1))
             if quant:
-                raise NotImplementedError(
-                    "quantized fastText models are not supported; use the "
-                    "non-quantized .bin or a CompressedFastTextVectors file"
+                # facebook-quantized (.ftz): QuantMatrix::load layout
+                (qnorm,) = struct.unpack("<b", f.read(1))
+                m, n = struct.unpack("<2q", f.read(16))
+                (codesize,) = struct.unpack("<i", f.read(4))
+                codes = np.frombuffer(f.read(codesize), np.uint8).copy()
+                pq = FacebookProductQuantizer.read(f)
+                norm_pq = norm_codes = None
+                if qnorm:
+                    norm_codes = np.frombuffer(f.read(m), np.uint8).copy()
+                    norm_pq = FacebookProductQuantizer.read(f)
+                return FacebookQuantizedModel(
+                    words[:nwords], dim, bucket, minn, maxn,
+                    pq, codes.reshape(m, pq.nsubq),
+                    norm_pq=norm_pq, norm_codes=norm_codes,
+                    pruneidx=pruneidx,
                 )
             m, n = struct.unpack("<2q", f.read(16))
             data = np.frombuffer(f.read(m * n * 4), dtype=np.float32).reshape(m, n)
@@ -125,8 +278,136 @@ class FastTextModel:
             return np.zeros((self.dim,), np.float32)
         return self.input_matrix[ids].mean(axis=0)
 
-    def save(self, path, words=None):  # for tests / cache round-trips
-        raise NotImplementedError()
+    def save(self, path) -> None:
+        """Write a standard dense fastText .bin (FastText::saveModel
+        layout; the output matrix is a zero block — this package and
+        upstream inference never read it)."""
+        with open(path, "wb") as f:
+            f.write(struct.pack("<2i", FASTTEXT_MAGIC, 12))
+            _write_args(f, self.dim, self.bucket, self.minn, self.maxn)
+            _write_dictionary(f, self.words)
+            f.write(struct.pack("<b", 0))  # input not quantized
+            m, n = self.input_matrix.shape
+            f.write(struct.pack("<2q", m, n))
+            f.write(
+                np.ascontiguousarray(self.input_matrix, np.float32).tobytes()
+            )
+            f.write(struct.pack("<b", 0))  # output not quantized
+            f.write(struct.pack("<2q", self.nwords, self.dim))
+            f.write(np.zeros((self.nwords, self.dim), np.float32).tobytes())
+
+
+class FacebookQuantizedModel:
+    """A facebook-quantized fastText model (.ftz / quantized .bin): the
+    input matrix lives as PQ codes + codebooks, optionally with separately
+    quantized row norms (``-qnorm``) and a pruned ngram dictionary
+    (``-cutoff``).  Same duck-typed surface as ``FastTextModel``; rows
+    decode on demand (a 2M-bucket cc model would be GBs dense).  The
+    reference loads these via fasttext's own loader
+    (vectorian/embedding/token/fasttext.py:15-46, 63-74)."""
+
+    def __init__(self, words, dim, bucket, minn, maxn, pq, codes,
+                 norm_pq=None, norm_codes=None, pruneidx=None):
+        self.words = list(words)
+        self.word_index = {w: i for i, w in enumerate(self.words)}
+        self.nwords = len(self.words)
+        self.dim = dim
+        self.bucket = bucket
+        self.minn = minn
+        self.maxn = maxn
+        self.pq = pq
+        self.codes = codes  # [rows, nsubq] u8
+        self.norm_pq = norm_pq
+        self.norm_codes = norm_codes
+        self.pruneidx = pruneidx  # {orig ngram id -> compact row} or None
+
+    def subword_ids(self, word: str) -> List[int]:
+        """Like FastTextModel.subword_ids, plus the pruned-dictionary
+        remap: ngram rows surviving the quantization cutoff are compacted
+        and addressed through pruneidx; pruned-away ngrams drop out
+        (fastText Dictionary::pushHash)."""
+        ids = []
+        wi = self.word_index.get(word)
+        if wi is not None:
+            ids.append(wi)
+        if word != EOS and self.maxn > 0:
+            for ng in word_ngrams(word, self.minn, self.maxn):
+                h = fnv1a_hash(ng.encode("utf-8")) % self.bucket
+                if self.pruneidx is not None:
+                    h = self.pruneidx.get(h, -1)
+                    if h < 0:
+                        continue
+                ids.append(self.nwords + h)
+        return ids
+
+    def decode_rows(self, ids) -> np.ndarray:
+        rows = self.pq.decode(self.codes[np.asarray(ids, np.int64)])
+        if self.norm_pq is not None:
+            norms = self.norm_pq.codebook(0)[
+                self.norm_codes[np.asarray(ids, np.int64)], 0
+            ]
+            rows = rows * norms[:, None]
+        return rows.astype(np.float32)
+
+    def word_vector(self, word: str) -> np.ndarray:
+        ids = self.subword_ids(word)
+        if not ids:
+            return np.zeros((self.dim,), np.float32)
+        return self.decode_rows(ids).mean(axis=0)
+
+    def save(self, path) -> None:
+        """Write a .ftz (FastText::saveModel with quant_=true)."""
+        with open(path, "wb") as f:
+            f.write(struct.pack("<2i", FASTTEXT_MAGIC, 12))
+            _write_args(f, self.dim, self.bucket, self.minn, self.maxn)
+            _write_dictionary(f, self.words, pruneidx=self.pruneidx)
+            f.write(struct.pack("<2b", 1, 1 if self.norm_pq is not None else 0))
+            m, nsubq = self.codes.shape
+            f.write(struct.pack("<2q", m, self.dim))
+            f.write(struct.pack("<i", m * nsubq))
+            f.write(np.ascontiguousarray(self.codes, np.uint8).tobytes())
+            self.pq.write(f)
+            if self.norm_pq is not None:
+                f.write(
+                    np.ascontiguousarray(self.norm_codes, np.uint8).tobytes()
+                )
+                self.norm_pq.write(f)
+            f.write(struct.pack("<b", 0))  # output not quantized
+            f.write(struct.pack("<2q", self.nwords, self.dim))
+            f.write(np.zeros((self.nwords, self.dim), np.float32).tobytes())
+
+
+def quantize_facebook(
+    model: FastTextModel,
+    dsub: int = 2,
+    qnorm: bool = True,
+    n_iters: int = 12,
+    seed: int = 0,
+) -> FacebookQuantizedModel:
+    """PQ-quantize a dense model with fastText's own scheme (``quantize``
+    in src/fasttext.cc): optionally split each row into its L2 norm (a
+    separate 1-d 256-centroid quantizer) and PQ-code the normalized row
+    with dsub-wide subquantizers.  The result round-trips through
+    ``FacebookQuantizedModel.save`` as a standard .ftz."""
+    data = np.asarray(model.input_matrix, np.float32).copy()
+    norm_pq = norm_codes = None
+    if qnorm:
+        norms = np.linalg.norm(data, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        data = data / safe[:, None]
+        norm_pq = FacebookProductQuantizer.train(
+            norms[:, None].astype(np.float32), dsub=1, n_iters=n_iters,
+            seed=seed,
+        )
+        norm_codes = norm_pq.encode(norms[:, None].astype(np.float32))[:, 0]
+    pq = FacebookProductQuantizer.train(
+        data, dsub=dsub, n_iters=n_iters, seed=seed
+    )
+    codes = pq.encode(data)
+    return FacebookQuantizedModel(
+        model.words, model.dim, model.bucket, model.minn, model.maxn,
+        pq, codes, norm_pq=norm_pq, norm_codes=norm_codes,
+    )
 
 
 class FastTextEncoder:
@@ -175,7 +456,9 @@ class FastTextEncoder:
 class PretrainedFastText(StaticEmbedding):
     """cc.LANG.300.bin fastText model (reference fasttext.py:48-74); the
     file must be present locally (zero-egress) at ``path`` or in the cache
-    dir as fasttext/cc.<lang>.300.bin."""
+    dir as fasttext/cc.<lang>.300.bin.  Facebook product-quantized .ftz
+    files load through the same path (FastTextModel.load dispatches on the
+    in-file quant flag)."""
 
     def __init__(self, lang: str, path: Optional[str] = None):
         self._lang = lang
@@ -184,14 +467,14 @@ class PretrainedFastText(StaticEmbedding):
             if path
             else cache_home() / "fasttext" / f"cc.{lang}.300.bin"
         )
-        self._model: Optional[FastTextModel] = None
+        self._model = None
 
     @property
     def name(self):
         return f"fasttext-{self._lang}"
 
     @property
-    def model(self) -> FastTextModel:
+    def model(self):
         if self._model is None:
             if not self._path.exists():
                 raise FileNotFoundError(
