@@ -518,3 +518,83 @@ def test_find_batch_full_wmd_and_wrd(session_ix):
             got = [(m.slice_id, round(m.score, 4)) for m in br]
             want = [(m.slice_id, round(m.score, 4)) for m in sr]
             assert got == want, (opt, q)
+
+
+def test_submatch_booster_provable_batch_and_mesh(session_ix):
+    """submatch_weight + booster rides every batched path under the
+    boost-factored closed-form bound (_submatch_bound_boosted) instead of
+    the old per-query 4n heuristic: find(), find_batch (f32 + int8) and
+    mesh are byte-equal, and the top-n equals the rescore-everything
+    oracle (a large n forces full coverage — no cut, no bound)."""
+    from vectorian_tpu.parallel.mesh import MeshSearch, make_mesh
+    from vectorian_tpu.saliency import KeywordSignal, Saliency
+
+    session, index, locations = session_ix
+    sal = Saliency(strength=0.7).add_signal(KeywordSignal("horse"), 1.0)
+    qs = ["the old king rides the grey horse", "a small bird sings"]
+    n_slices = index.packed.n_slices
+    assert 4 * 4 < n_slices  # n=4 leaves unfetched slices -> bound engaged
+    oracle = [
+        [
+            (m.slice_id, m.score)
+            for m in index.find(
+                q, n=n_slices + 8, min_score=-5.0, submatch_weight=0.5,
+                booster=sal,
+            )
+        ][:4]
+        for q in qs
+    ]
+    want = [
+        [
+            (m.slice_id, m.score)
+            for m in index.find(
+                q, n=4, min_score=-5.0, submatch_weight=0.5, booster=sal
+            )
+        ]
+        for q in qs
+    ]
+    assert want == oracle
+    for prec in ("float32", "int8"):
+        got = [
+            [(m.slice_id, m.score) for m in r]
+            for r in index.find_batch(
+                qs, n=4, min_score=-5.0, submatch_weight=0.5, booster=sal,
+                sim_precision=prec,
+            )
+        ]
+        assert got == want, prec
+    ms = MeshSearch(make_mesh())
+    got_mesh = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(
+            qs, n=4, min_score=-5.0, submatch_weight=0.5, booster=sal,
+            mesh=ms,
+        )
+    ]
+    assert got_mesh == want
+
+
+def test_debug_hook_serves_on_mesh_batch(session_ix):
+    """Per-query debug hooks no longer raise with mesh= — find_batch
+    serves them single-chip per query (host-side diagnostics; documented
+    in BATCH_HARD_OPTIONS), byte-equal to the plain batch."""
+    from vectorian_tpu.parallel.mesh import MeshSearch, make_mesh
+
+    session, index, locations = session_ix
+    qs = ["the old king rides the grey horse"]
+    payloads = []
+
+    def dbg(name, data):
+        payloads.append(name)
+
+    ms = MeshSearch(make_mesh())
+    got = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(qs, n=3, min_score=0.01, debug=dbg, mesh=ms)
+    ]
+    want = [
+        [(m.slice_id, m.score) for m in index.find(q, n=3, min_score=0.01)]
+        for q in qs
+    ]
+    assert got == want
+    assert "static_similarity_matrix" in payloads

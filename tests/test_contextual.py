@@ -344,3 +344,49 @@ def test_ctx_find_batch_options_match_single(ctx_session):
                 )
             ]
             assert got_mesh == want, (type(token_sim).__name__, kwargs)
+
+
+def test_mixed_tree_tag_weighted_batch_and_mesh(ctx_session):
+    """Tag weights on mixed-modifier contextual trees ride the batch AND
+    mesh kernels (the round-3 NotImplementedError holes) — per-query tag
+    weighting applies to the combined tree similarity in
+    score_all_multi_tree / tree_score_topk_multiquery, byte-equal to
+    find()."""
+    import vectorian_tpu as vt
+    from vectorian_tpu.sim.span import OptimizedSpanSim
+
+    session, static_emb, ctx_emb = ctx_session
+    tree = MixedTokenSimilarity(
+        [EmbeddingTokenSim(static_emb), EmbeddingTokenSim(ctx_emb)],
+        [0.6, 0.4],
+    )
+    tw = {"NN": 1.0, "VB": 0.8, "DT": 0.3}
+    ix = session.partition("sentence").index(
+        OptimizedSpanSim(
+            tree, tag_weights=tw, pos_mismatch_penalty=0.25,
+            similarity_threshold=0.05,
+        )
+    )
+    qs = ["the old king rides", "a bird sings loud"]
+    single = [
+        [(m.slice_id, m.score) for m in ix.find(q, n=4, min_score=-1.0)]
+        for q in qs
+    ]
+    batch = [
+        [(m.slice_id, m.score) for m in r]
+        for r in ix.find_batch(qs, n=4, min_score=-1.0)
+    ]
+    assert batch == single
+    ms = vt.MeshSearch(vt.make_mesh())
+    mesh = [
+        [(m.slice_id, m.score) for m in r]
+        for r in ix.find_batch(qs, n=4, min_score=-1.0, mesh=ms)
+    ]
+    assert mesh == single
+    # the weighting must actually bite (scores differ from unweighted)
+    plain = session.partition("sentence").index(tree)
+    unweighted = [
+        [(m.slice_id, m.score) for m in plain.find(q, n=4, min_score=-1.0)]
+        for q in qs
+    ]
+    assert single != unweighted

@@ -230,18 +230,28 @@ def session_ix_mesh():
     return session, index
 
 
-def test_find_batch_mesh_rejects_unsupported(session_ix_mesh):
-    """A requested mesh must never be silently ignored: options the mesh
-    kernels genuinely cannot take raise instead of falling back to a
-    single-chip path."""
+def test_find_batch_mesh_debug_and_transport_tags(session_ix_mesh):
+    """Every (metric x option) cell serves with a mesh argument: per-query
+    debug hooks are documented single-chip diagnostics (find_batch serves
+    them per query, byte-equal, payloads delivered), and transport + tag
+    weights ride the mesh transport kernels."""
     from vectorian_tpu.alignment import WordRotatorsDistance
     from vectorian_tpu.sim.span import OptimizedSpanSim
     from vectorian_tpu.sim.token import EmbeddingTokenSim
 
     session, index = session_ix_mesh
     ms = MeshSearch(make_mesh())
-    with pytest.raises(NotImplementedError):
-        index.find_batch(["king"], n=2, mesh=ms, debug=lambda *a: None)
+    seen = []
+    got_dbg = [
+        [(m.slice_id, m.score) for m in r]
+        for r in index.find_batch(
+            ["king"], n=2, mesh=ms, debug=lambda name, p: seen.append(name)
+        )
+    ]
+    want_dbg = [
+        [(m.slice_id, m.score) for m in index.find("king", n=2)]
+    ]
+    assert got_dbg == want_dbg and seen
     emb = session.embeddings[0]
     # transport + tag weights ride the mesh transport kernels now
     # (tag-weighted sims + (id, tag) BOW identity in-shard) — byte-equal

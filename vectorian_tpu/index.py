@@ -147,6 +147,72 @@ def _submatch_fetch_thresh(
     return lo
 
 
+def _submatch_bound_boosted(
+    d, boost, norm_total: float, w: float, sim_max: float, eps_q: float = 0.0
+) -> float:
+    """Upper bound on the BOOSTED submatch-rescored score of any slice
+    whose boosted device score is <= ``d``:
+
+        exact_b = b_s * exact_u <= b_s * ub(d_b / b_s + eps_q)
+                <= max over boost values b of b * ub(d / b + eps_q)
+
+    with ub = ``_submatch_upper_bound`` (monotone in the device score;
+    ``eps_q`` covers device-vs-exact drift in unboosted units) — the
+    boost factors out of both the exact score and the in-kernel device
+    multiply, so the unboosted bound applies at d/b.  Evaluated over the
+    UNIQUE boost values present, so the proof needs no concavity
+    assumption on ub.  Non-positive boosts contribute <= 0; negative
+    boosts (no saliency mixture produces them) make the bound vacuous
+    (+inf -> the caller reads everything — still exact, never wrong)."""
+    b = np.unique(np.asarray(boost, np.float64))
+    if b.size and b[0] < 0:
+        return np.inf
+    b = b[b > 0]
+    if not b.size:
+        return 0.0
+    vals = b * _submatch_upper_bound(
+        np.asarray(d, np.float64) / b + eps_q, norm_total, w, sim_max
+    )
+    return float(np.max(vals))
+
+
+def _submatch_fetch_thresh_boosted(
+    t: float, boost, norm_total: float, w: float, sim_max: float,
+    eps_q: float,
+) -> float:
+    """Boosted variant of ``_submatch_fetch_thresh``: boosted device
+    scores strictly below the return value provably cannot reach boosted
+    rescored score ``t``.  Bisected inverse of ``_submatch_bound_boosted``
+    (monotone in d, and >= d since ub(x) >= x)."""
+    b = np.unique(np.asarray(boost, np.float64))
+    if b.size and b[0] < 0:
+        return -np.inf
+    b = b[b > 0]
+    if not b.size:
+        # all-zero boosts: every boosted score is 0
+        return np.inf if t > 0 else -np.inf
+
+    def f(d: float) -> float:
+        return float(
+            np.max(
+                b
+                * _submatch_upper_bound(d / b + eps_q, norm_total, w, sim_max)
+            )
+        )
+
+    lo = min(-1.0, float(t) - 1.0)
+    hi = max(float(t), lo + 1.0)
+    if f(lo) >= t:
+        return -np.inf
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if f(mid) >= t:
+            hi = mid
+        else:
+            lo = mid
+    return lo
+
+
 def _boosted_col(col: np.ndarray, boost) -> np.ndarray:
     """Host-side boosted ranking column: multiply valid scores, keep the
     NEG_SCORE sentinels intact (same f32 arithmetic as the in-kernel boost
@@ -193,15 +259,16 @@ def _pad_needle(query: "PreparedQuery", session, with_ctx: bool = True,
 
 
 # per-query options the batched kernels do not take: find_batch delegates
-# (or, with a mesh, raises) instead of silently ignoring them.  EVERY
+# to the exact per-query path instead of silently ignoring them.  EVERY
 # serving batch — static, contextual, and mixed-tree, single-chip and
 # mesh — takes boosters, doc-side filters (in-kernel row compaction),
-# ``submatch_weight`` (closed-form-bounded overfetch,
-# ``_finalize_submatch_many``) and ``bidirectional`` (both orientations
-# ride the stacked queries; exact-score merge).  Only ``debug`` remains
-# truly delegated, plus the submatch+booster combination (per-slice
-# boosts are not modeled by the closed-form bound; find() serves it per
-# query) and tag weights on mixed-modifier trees.
+# ``submatch_weight`` (closed-form-bounded overfetch, boosted or not —
+# ``_finalize_submatch_many`` / ``_submatch_bound_boosted``),
+# ``bidirectional`` (both orientations ride the stacked queries;
+# exact-score merge) and tag weights (incl. mixed-modifier trees).  Only
+# ``debug`` remains delegated: its payloads are host-side per-query
+# diagnostics, served single-chip on every path (a mesh argument is
+# ignored for them; results stay byte-equal).
 BATCH_HARD_OPTIONS = frozenset({"debug"})
 
 Region = namedtuple("Region", ["s", "match", "gap_penalty"])
@@ -831,7 +898,6 @@ class BruteForceIndex(Index):
             debug is None
             and opts.get("bidirectional")
             and qp.is_static_only
-            and not (submatch_weight != 0.0 and boost is not None)
         ):
             # fused bidirectional: both orientations ride ONE stacked-table
             # corpus pass through the same finalizer find_batch uses, then
@@ -942,12 +1008,13 @@ class BruteForceIndex(Index):
             else:
                 # submatch_weight rescoring can lift a slice past
                 # device-ranked candidates: overfetch with the closed-form
-                # upper bound as the cut proof (boosted queries keep the 4n
-                # heuristic — per-slice boosts are not modeled by the
-                # bound).  sim_max: the bound assumes sims <= token
-                # weights; unary-kernel metrics can exceed 1, so the bound
-                # is scaled by the plan's actual similarity ceiling (inf
-                # for unknowable ctx plans — those take the full-read path)
+                # upper bound as the cut proof (boosted queries prove it
+                # through the boost-factored bound, maximized over the
+                # boost values present).  sim_max: the bound assumes sims
+                # <= token weights; unary-kernel metrics can exceed 1, so
+                # the bound is scaled by the plan's actual similarity
+                # ceiling (inf for unknowable ctx plans — those take the
+                # full-read path)
                 sim_max = plan_sim_upper(qp)
                 n_slices = self._engine.packed.n_slices
                 top, _, rest = self._engine.score_topk(
@@ -969,16 +1036,24 @@ class BruteForceIndex(Index):
                     exact.__getitem__, submatch_weight, tagw,
                     norm_total, min_score, n, debug,
                 )
-                if 4 * n >= n_slices or boost is not None:
+                if 4 * n >= n_slices:
                     return matches
                 s_n = (
                     matches[n - 1].score if len(matches) >= n else min_score
                 )
-                ub = float(
-                    _submatch_upper_bound(
-                        rest, norm_total, submatch_weight, sim_max
+                if not np.isfinite(sim_max):
+                    ub = np.inf
+                elif boost is not None:
+                    ub = _submatch_bound_boosted(
+                        rest, boost, norm_total, submatch_weight, sim_max,
+                        eps_q=1e-6,
                     )
-                ) if np.isfinite(sim_max) else np.inf
+                else:
+                    ub = float(
+                        _submatch_upper_bound(
+                            rest, norm_total, submatch_weight, sim_max
+                        )
+                    )
                 if ub < s_n - 1e-6:
                     return matches
                 # unsafe: fall through to the full-read path (tie-bounded
@@ -1114,21 +1189,41 @@ class BruteForceIndex(Index):
                 ]
                 if extra:
                     matches = merge_cut(matches, run(extra))
-        elif boost is None:
+        else:
             # completeness proof for the rescored ranking: every slice whose
             # closed-form upper bound could reach the exact n-th score must
-            # have been rescored (boosted queries keep the 4n heuristic);
-            # only the EXTRA candidates are rescored, then merged
+            # have been rescored (boosted queries factor the per-slice
+            # boost out of the device score first — exact_b = b * exact_u
+            # <= b * ub(device_b / b)); only the EXTRA candidates are
+            # rescored, then merged
             s_n = matches[n - 1].score if len(matches) >= n else min_score
             sim_max = plan_sim_upper(qp)
-            if np.isfinite(sim_max):
-                ub_vec = _submatch_upper_bound(
-                    scores, norm_total, submatch_weight, sim_max
-                )
-            else:
+            if not np.isfinite(sim_max):
                 # unknowable similarity ceiling (contextual plan with unary
                 # kernels): rescore everything — still a provable cut
                 ub_vec = np.full_like(scores, np.inf)
+            elif boost is not None:
+                b = np.asarray(boost, np.float64)
+                if np.any(b < 0):
+                    ub_vec = np.full_like(scores, np.inf)
+                else:
+                    safe = np.where(b > 0, b, 1.0)
+                    d_u = scores / safe
+                    # 1-ulp slack for the in-kernel boost multiply / the
+                    # host divide not round-tripping exactly
+                    d_u = d_u + 1e-6 * np.maximum(1.0, np.abs(d_u))
+                    ub_vec = np.where(
+                        b > 0,
+                        b
+                        * _submatch_upper_bound(
+                            d_u, norm_total, submatch_weight, sim_max
+                        ),
+                        0.0,
+                    )
+            else:
+                ub_vec = _submatch_upper_bound(
+                    scores, norm_total, submatch_weight, sim_max
+                )
             seen = set(first_top)
             extra = [
                 int(c)
@@ -1251,20 +1346,10 @@ class BruteForceIndex(Index):
                 return self._find_batch_ctx(
                     texts, n=n, min_score=min_score, mesh=mesh, **kwargs
                 )
-            delegated_tree = BATCH_HARD_OPTIONS & set(kwargs)
-            if (
-                float(kwargs.get("submatch_weight") or 0.0) != 0.0
-                and kwargs.get("booster") is not None
-            ):
-                delegated_tree = delegated_tree | {"submatch_weight"}
-            if delegated_tree or self._args.get("tag_weights"):
-                # debug hooks / tag weights on cross-modality trees:
-                # serve through the exact per-query path
-                if mesh is not None:
-                    raise NotImplementedError(
-                        "mesh find_batch does not take debug hooks "
-                        "or tag weights on mixed-modifier contextual trees"
-                    )
+            if BATCH_HARD_OPTIONS & set(kwargs):
+                # debug hooks: served per query single-chip on every path
+                # (the payloads are host-side diagnostics; a mesh argument
+                # is ignored for them) — results stay byte-equal
                 return [
                     self.find(t, n=n, min_score=min_score, **kwargs)
                     for t in texts
@@ -1278,18 +1363,9 @@ class BruteForceIndex(Index):
         # the exact single-query path rather than silently ignoring them
         submatch_w = float(kwargs.get("submatch_weight") or 0.0)
         bidirectional = bool(kwargs.get("bidirectional"))
-        delegated = BATCH_HARD_OPTIONS & set(kwargs)
-        if submatch_w != 0.0 and kwargs.get("booster") is not None:
-            # per-slice boosts are not modeled by the closed-form submatch
-            # bound — find() serves this combination through its per-query
-            # 4n heuristic; the batch must match those semantics exactly
-            delegated = delegated | {"submatch_weight"}
-        if delegated:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh find_batch does not take per-query options "
-                    f"({sorted(delegated)}); use the single-chip path"
-                )
+        if BATCH_HARD_OPTIONS & set(kwargs):
+            # debug hooks: single-chip per-query on every path (host-side
+            # diagnostics; a mesh argument is ignored for them)
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -1899,17 +1975,22 @@ class BruteForceIndex(Index):
 
     def _submatch_matches(
         self, pq, cand, res, tagw, norm_total, submatch_w, min_score, n,
+        boost=None,
     ) -> List["Match"]:
         """Submatch-rescored matches from one ``rescore_many`` result —
         the batched analogue of find()'s rescore_with_flows +
         ``_exact_scores`` + ``_build_matches`` chain, running the identical
-        f32 arithmetic so find()/find_batch() stay byte-equal."""
+        f32 arithmetic (boost multiply included) so find()/find_batch()
+        stay byte-equal."""
         token_sim = self._args["metric"]["token_sim"]
         mappings, edge_sims, raw = res
         nt = np.float32(max(norm_total, 1e-9))
         exact = {}
         for j, sid in enumerate(cand):
-            exact[sid] = float(np.float32(raw[j]) / nt)
+            s = np.float32(raw[j]) / nt
+            if boost is not None:
+                s = s * np.float32(boost[sid])
+            exact[sid] = float(s)
         return self._build_matches(
             pq, token_sim, cand, mappings, edge_sims, exact.__getitem__,
             submatch_w, tagw, norm_total, min_score, n, None,
@@ -1918,23 +1999,31 @@ class BruteForceIndex(Index):
     def _submatch_cut_from_rescore(
         self, res, cand, rest_max, pq, plan, tagw, norm_total,
         n: int, min_score: float, eps_q: float, submatch_w: float,
+        boost=None,
     ) -> Optional[List["Match"]]:
         """Submatch variant of ``_cut_from_rescore``: the cut is proved on
         the RESCORED scale — the closed-form bound lifts the best device
         score outside the candidate set (`rest_max`, drift-padded by
-        ``eps_q``) to an upper bound on any unfetched slice's rescored
-        score.  Returns None when unsafe."""
+        ``eps_q``; boosted through ``_submatch_bound_boosted`` when boosts
+        ride the ranking) to an upper bound on any unfetched slice's
+        rescored score.  Returns None when unsafe."""
         matches = self._submatch_matches(
-            pq, cand, res, tagw, norm_total, submatch_w, min_score, n
+            pq, cand, res, tagw, norm_total, submatch_w, min_score, n,
+            boost=boost,
         )
         s_n = matches[n - 1].score if len(matches) >= n else min_score
         sim_max = plan_sim_upper(plan)
         if np.isfinite(sim_max):
-            ub = float(
-                _submatch_upper_bound(
-                    rest_max + eps_q, norm_total, submatch_w, sim_max
+            if boost is None:
+                ub = float(
+                    _submatch_upper_bound(
+                        rest_max + eps_q, norm_total, submatch_w, sim_max
+                    )
                 )
-            )
+            else:
+                ub = _submatch_bound_boosted(
+                    rest_max, boost, norm_total, submatch_w, sim_max, eps_q
+                )
             if ub < s_n - 1e-6:
                 return matches
         return None
@@ -1953,15 +2042,16 @@ class BruteForceIndex(Index):
         inverse threshold — provably complete, like the w=0 finalizer.
 
         ``items`` = (src_or_scores, plan, pq, norm_total, tagw, boost);
-        boosted items are rejected (callers delegate boosted submatch to
-        the per-query path — per-slice boosts are not modeled by the
-        bound, matching find())."""
+        boosted items prove their cut through the boost-factored bound
+        (``_submatch_bound_boosted`` — the boost multiplies the exact
+        score and the device ranking alike, so the closed-form bound
+        applies at device_score / boost, maximized over the boost values
+        present)."""
         engine = self._engine
         packed = engine.packed
         k0 = 4 * n + 32
         meta, reqs = [], []
         for (src_or_scores, plan, pq, norm_total, tagw, boost) in items:
-            assert boost is None, "boosted submatch delegates per query"
             src = (
                 HostVecSource(engine, src_or_scores)
                 if isinstance(src_or_scores, np.ndarray)
@@ -1985,10 +2075,10 @@ class BruteForceIndex(Index):
 
         above_calls = []
         for qi, (item, m, res) in enumerate(zip(items, meta, res1)):
-            (_s, plan, pq, norm_total, tagw, _b) = item
+            (_s, plan, pq, norm_total, tagw, boost) = item
             matches = self._submatch_matches(
                 pq, m["cand"], res, tagw, norm_total, submatch_w,
-                min_score, n,
+                min_score, n, boost=boost,
             )
             m["matches"] = matches
             if m["src"].covers_all(k0):
@@ -1997,17 +2087,29 @@ class BruteForceIndex(Index):
             eps_q = self._quant_eps(entry_err, pq, norm_total, plan=plan)
             sim_max = plan_sim_upper(plan)
             if np.isfinite(sim_max):
-                ub = float(
-                    _submatch_upper_bound(
-                        m["rest_max"] + eps_q, norm_total, submatch_w,
-                        sim_max,
+                if boost is None:
+                    ub = float(
+                        _submatch_upper_bound(
+                            m["rest_max"] + eps_q, norm_total, submatch_w,
+                            sim_max,
+                        )
                     )
-                )
+                else:
+                    ub = _submatch_bound_boosted(
+                        m["rest_max"], boost, norm_total, submatch_w,
+                        sim_max, eps_q,
+                    )
                 if ub < s_n - 1e-6:
                     continue
-                thr = _submatch_fetch_thresh(
-                    s_n - 1e-6, norm_total, submatch_w, sim_max, eps_q
-                )
+                if boost is None:
+                    thr = _submatch_fetch_thresh(
+                        s_n - 1e-6, norm_total, submatch_w, sim_max, eps_q
+                    )
+                else:
+                    thr = _submatch_fetch_thresh_boosted(
+                        s_n - 1e-6, boost, norm_total, submatch_w, sim_max,
+                        eps_q,
+                    )
             else:
                 # unknowable similarity ceiling: rescore everything —
                 # still a provable cut (mirrors find()'s full-read branch)
@@ -2052,10 +2154,10 @@ class BruteForceIndex(Index):
             else []
         )
         for qi, res in zip(extra_qis, res2):
-            (_s, plan, pq, norm_total, tagw, _b) = items[qi]
+            (_s, plan, pq, norm_total, tagw, boost) = items[qi]
             more = self._submatch_matches(
                 pq, meta[qi]["extra"], res, tagw, norm_total, submatch_w,
-                min_score, n,
+                min_score, n, boost=boost,
             )
             merged = sorted(
                 meta[qi]["matches"] + more,
@@ -2397,6 +2499,7 @@ class BruteForceIndex(Index):
                             res, cands[q], float(rest_max[q]), prepared[q],
                             plans[q], tagws[q], norm_totals[q], n,
                             min_score, eps, submatch_w,
+                            boost=boosts[q] if boosts is not None else None,
                         )
                     else:
                         matches = self._cut_from_rescore(
@@ -2463,12 +2566,10 @@ class BruteForceIndex(Index):
                 "word-movers-distance", "word-rotators-distance"
             )
         )
-        if mesh is not None and not supported:
-            raise NotImplementedError(
-                "mesh find_batch supports transport metrics (relaxed/full "
-                "WMD, WRD) without per-query debug hooks"
-            )
         if not supported:
+            # per-query debug hooks (and exotic custom token-sim objects)
+            # serve single-chip per query — host-side diagnostics; a mesh
+            # argument is ignored for them (results stay byte-equal)
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -2573,7 +2674,7 @@ class BruteForceIndex(Index):
             gap_costs = None
 
         start_time = time.time()
-        prepared, plans, len_ts, norm_totals = [], [], [], []
+        prepared, plans, len_ts, norm_totals, tagws = [], [], [], [], []
         order, results = [], [None] * len(texts)
         padded = []
         for ti, text in enumerate(texts):
@@ -2592,7 +2693,7 @@ class BruteForceIndex(Index):
             self._session.compiled_embeddings,
             [(p[0], p[1]) for p in padded],
         )
-        for pq, (tok_ids_p, strings_p, ctx_p, _), pl in zip(
+        for pq, (tok_ids_p, strings_p, ctx_p, Tpad), pl in zip(
             prepared, padded, pre
         ):
             qp = compile_plan(
@@ -2605,7 +2706,11 @@ class BruteForceIndex(Index):
             )
             plans.append(qp)
             len_ts.append(max(pq.n_tokens, 1))
-            norm_totals.append(float(max(pq.n_tokens, 1)))
+            tagw = self._tag_weighting(pq, width=Tpad)
+            tagws.append(tagw)
+            norm_totals.append(
+                tagw.total if tagw is not None else float(max(pq.n_tokens, 1))
+            )
         if not prepared:
             return [
                 r if r is not None else Result(self, [], 0.0) for r in results
@@ -2634,6 +2739,10 @@ class BruteForceIndex(Index):
                 _reverse_plan(qp, max(pq.n_tokens, 1))
                 for qp, pq in zip(plans, prepared)
             ]
+            tagws = tagws + [
+                _reverse_tagw(tw, max(pq.n_tokens, 1)) if tw else None
+                for tw, pq in zip(tagws, prepared)
+            ]
             prepared = prepared + prepared
             len_ts = len_ts + len_ts
             norm_totals = norm_totals + norm_totals
@@ -2645,7 +2754,7 @@ class BruteForceIndex(Index):
                 token_sim, prepared, plans, len_ts, norm_totals, gaps,
                 gap_costs, n, min_score, mesh, start_time, boosts=boosts,
                 doc_filter=doc_filter, submatch_w=submatch_w,
-                bidir_q0=Q0 if bidirectional else None,
+                bidir_q0=Q0 if bidirectional else None, tagws=tagws,
             )
             for qi, r in enumerate(ms_results):
                 results[order[qi]] = r
@@ -2653,9 +2762,11 @@ class BruteForceIndex(Index):
                 r if r is not None else Result(self, [], 0.0) for r in results
             ]
 
+        any_tags = any(t is not None for t in tagws)
         scores = self._engine.score_all_multi_tree(
             plans, len_ts, gaps, self._locality, norm_totals,
             gap_costs=gap_costs, doc_filter=doc_filter,
+            tag_weights=tagws if any_tags else None,
         )  # [n_slices, Q]
         items = [
             (
@@ -2663,7 +2774,7 @@ class BruteForceIndex(Index):
                     scores[:, qi],
                     boosts[qi] if boosts is not None else None,
                 ),
-                plans[qi], pq, norm_totals[qi], None,
+                plans[qi], pq, norm_totals[qi], tagws[qi],
                 boosts[qi] if boosts is not None else None,
             )
             for qi, pq in enumerate(prepared)
@@ -2699,13 +2810,14 @@ class BruteForceIndex(Index):
     def _find_batch_tree_mesh(
         self, token_sim, prepared, plans, len_ts, norm_totals, gaps,
         gap_costs, n, min_score, mesh, start_time, boosts=None,
-        doc_filter=None, submatch_w=0.0, bidir_q0=None,
+        doc_filter=None, submatch_w=0.0, bidir_q0=None, tagws=None,
     ) -> List[Result]:
         """Mesh-sharded mixed-tree serving batch: token buckets AND every
         contextual bucket store shard over the slice axis, the stacked
         leaf tables replicate, and each shard runs the same tree
         evaluation + multi DP as the single-chip kernel before the
-        per-query top-k all-gather merge."""
+        per-query top-k all-gather merge.  Per-query tag weighting rides
+        the shard kernels (same packing as the static mesh batch)."""
         import jax.numpy as jnp
 
         from vectorian_tpu.ops.search import gap_vec, stack_tree_plans
@@ -2740,6 +2852,26 @@ class BruteForceIndex(Index):
             if with_filter
             else None
         )
+        if tagws is None:
+            tagws = [None] * Q
+        with_tags = any(t is not None for t in tagws)
+        tw_args = None
+        if with_tags:
+            tw_w = np.ones((Tpad, Q), np.float32)
+            tw_p = np.full((Tpad, Q), -1, np.int8)
+            pen = np.zeros((Q,), np.float32)
+            thr = np.full((Q,), -1.0, np.float32)
+            for qi, tw in enumerate(tagws):
+                if tw is None:
+                    continue
+                t = min(len(tw.t_pos_weights), Tpad)
+                tw_w[:t, qi] = tw.t_pos_weights[:t]
+                tw_p[:t, qi] = tw.pos_t[:t]
+                pen[qi] = tw.pos_mismatch_penalty
+                thr[qi] = tw.similarity_threshold
+            tw_args = tuple(
+                ms.put_replicated(a) for a in (tw_w, tw_p, pen, thr)
+            )
 
         m = (4 * n + 32) if submatch_w != 0.0 else (n + 32)
         while True:
@@ -2773,9 +2905,10 @@ class BruteForceIndex(Index):
                     with_next=True, gap_vecs=gap_vecs,
                     general_gaps=gap_costs is not None,
                     boost=bst_d, with_boost=with_boost,
-                    pos_ids=pos_d if with_filter else None,
-                    tag_ids=tag_d if with_filter else None,
+                    pos_ids=pos_d if (with_filter or with_tags) else None,
+                    tag_ids=tag_d if (with_filter or with_tags) else None,
                     flt_args=flt_args, with_filter=with_filter,
+                    tw_args=tw_args, with_tags=with_tags,
                 )
                 pending.append((db, out))
 
@@ -2802,7 +2935,7 @@ class BruteForceIndex(Index):
                 f_items = [
                     (
                         full_scores[q], plans[q], pq, norm_totals[q],
-                        None,
+                        tagws[q],
                         boosts[q] if boosts is not None else None,
                     )
                     for q, pq in enumerate(prepared)
@@ -2825,7 +2958,7 @@ class BruteForceIndex(Index):
                             "slice_ids": cands[q],
                             "qp": plans[q],
                             "len_t": pq.n_tokens,
-                            "tag_weights": None,
+                            "tag_weights": tagws[q],
                             "want_flows": True,
                         }
                         for q, pq in enumerate(prepared)
@@ -2840,8 +2973,9 @@ class BruteForceIndex(Index):
                     if submatch_w != 0.0:
                         matches = self._submatch_cut_from_rescore(
                             res, cands[q], float(rest_max[q]), pq,
-                            plans[q], None, norm_totals[q], n,
+                            plans[q], tagws[q], norm_totals[q], n,
                             min_score, eps, submatch_w,
+                            boost=boosts[q] if boosts is not None else None,
                         )
                     else:
                         matches = self._cut_from_rescore(
@@ -2888,17 +3022,9 @@ class BruteForceIndex(Index):
         subqueries); only ``BATCH_HARD_OPTIONS`` delegate."""
         submatch_w = float(kwargs.get("submatch_weight") or 0.0)
         bidirectional = bool(kwargs.get("bidirectional"))
-        delegated = BATCH_HARD_OPTIONS & set(kwargs)
-        if submatch_w != 0.0 and kwargs.get("booster") is not None:
-            # per-slice boosts are not modeled by the closed-form submatch
-            # bound — match find()'s per-query semantics (see find_batch)
-            delegated = delegated | {"submatch_weight"}
-        if delegated:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh find_batch does not take per-query options "
-                    f"({sorted(delegated)})"
-                )
+        if BATCH_HARD_OPTIONS & set(kwargs):
+            # debug hooks: single-chip per-query on every path (host-side
+            # diagnostics; a mesh argument is ignored for them)
             return [
                 self.find(t, n=n, min_score=min_score, **kwargs) for t in texts
             ]
@@ -3223,6 +3349,7 @@ class BruteForceIndex(Index):
                             res, cands[q], float(rest_max[q]), pq,
                             plans[q], None, norm_totals[q], n,
                             min_score, eps, submatch_w,
+                            boost=boosts[q] if boosts is not None else None,
                         )
                     else:
                         matches = self._cut_from_rescore(

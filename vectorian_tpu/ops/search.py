@@ -394,7 +394,7 @@ class BucketTopKSource:
         refs = []
         metas = []
         pay_budget = self.PAYLOAD_MAX_BYTES  # WHOLE-FETCH budget
-        for db, entry in pending:
+        for pi, (db, entry) in enumerate(pending):
             lazy = isinstance(entry, _LazyScores)
             scores = entry.get() if lazy else entry
             bucket_ref_start = len(refs)
@@ -458,9 +458,16 @@ class BucketTopKSource:
                 metas.append({"db": db, "kk": kk, "full": True})
                 refs.append(scores[: db["n"]].T)
             if lazy:
-                # paged mode: fetch this bucket's refs NOW (the host read
-                # is the completion barrier) and evict before the next
-                # bucket pages in — HBM stays bounded at ~one bucket
+                # paged mode, double-buffered: issue the NEXT bucket's
+                # upload + scoring dispatch (async) before this bucket's
+                # blocking fetch, so the transfer overlaps the compute;
+                # then fetch this bucket's refs (the host read is the
+                # completion barrier) and evict — HBM stays bounded at
+                # ~two buckets
+                if pi + 1 < len(pending) and isinstance(
+                    pending[pi + 1][1], _LazyScores
+                ):
+                    pending[pi + 1][1].get()
                 refs[bucket_ref_start:] = jax.device_get(
                     refs[bucket_ref_start:]
                 )
@@ -1217,7 +1224,7 @@ def stack_tree_plans(plans, len_ts):
     jax.jit,
     static_argnames=(
         "plan", "locality", "chunk", "n_queries", "use_pallas",
-        "general_gaps", "with_filter",
+        "general_gaps", "with_filter", "with_tags",
     ),
 )
 def _bucket_scores_multiquery_tree(
@@ -1236,8 +1243,12 @@ def _bucket_scores_multiquery_tree(
     norm_total: jnp.ndarray,  # [Q] f32
     gap_vec_s: jnp.ndarray,  # [L+1] (general-gap path only)
     gap_vec_t: jnp.ndarray,  # [T+1]
-    pos_ids: jnp.ndarray,  # [N, L] i8 (doc filters only; [1, 1] unused)
+    pos_ids: jnp.ndarray,  # [N, L] i8 (tags/filters only; [1, 1] unused)
     tag_ids: jnp.ndarray,  # [N, L] i16
+    tw_weights: jnp.ndarray,  # [T, Q] f32 per-query tag weights (tags only)
+    tw_pos_t: jnp.ndarray,  # [T, Q] i8 per-query needle pos ids
+    tw_penalty: jnp.ndarray,  # [Q] f32
+    tw_threshold: jnp.ndarray,  # [Q] f32
     flt_pos: jnp.ndarray,  # [n_pos] bool exclusion masks (filters only)
     flt_tag: jnp.ndarray,
     flt_tok: jnp.ndarray,
@@ -1247,6 +1258,7 @@ def _bucket_scores_multiquery_tree(
     use_pallas: bool = False,
     general_gaps: bool = False,
     with_filter: bool = False,
+    with_tags: bool = False,
 ):
     """[N, Q] scores for Q MIXED static+contextual modifier-tree queries
     in one corpus pass: each leaf evaluates against the stacked query axis
@@ -1254,7 +1266,9 @@ def _bucket_scores_multiquery_tree(
     contextual matrix), the modifier tree combines elementwise, and the
     [c, L, T, Q] similarity feeds the same multi DP tail as the contextual
     batch (reference modifier factory, metric/modifier.cpp:18-74, served
-    per document there)."""
+    per document there).  Per-query tag weighting applies to the combined
+    tree similarity exactly like the static batch kernel
+    (TagWeightedSlice semantics, slice/static.h:186-288)."""
     from vectorian_tpu.ops.simmatrix import eval_plan_chunk
 
     N, L = token_ids.shape
@@ -1262,7 +1276,7 @@ def _bucket_scores_multiquery_tree(
     n_chunks = N // chunk
 
     def one_chunk(args):
-        if with_filter:
+        if with_filter or with_tags:
             tok, ts, inv, ln, pos, tag, ctx = args
         else:
             tok, ts, inv, ln, ctx = args
@@ -1280,6 +1294,18 @@ def _bucket_scores_multiquery_tree(
                 tok, pos, tag, ln, flt_pos, flt_tag, flt_tok
             )
             S = jnp.take_along_axis(S, perm[:, :, None, None], axis=1)
+            pos = jnp.take_along_axis(pos, perm, axis=1)
+        if with_tags:
+            # per-query tag weighting on the combined similarity (same
+            # arithmetic as _bucket_scores_multiquery; untagged queries in
+            # a mixed batch stay identity: w=1, penalty 0, threshold -1)
+            w = tw_weights[None, None, :, :] * jnp.where(
+                pos[:, :, None, None] == tw_pos_t[None, None, :, :],
+                1.0,
+                1.0 - tw_penalty[None, None, None, :],
+            )
+            Sw = S * w
+            S = jnp.where(Sw > tw_threshold[None, None, None, :], Sw, 0.0)
         S = jnp.transpose(S, (1, 0, 2, 3))  # [L,c,T,Q]
         if use_pallas and Q >= PALLAS_MIN_BATCH and not general_gaps:
             from vectorian_tpu.ops.pallas_dp import (
@@ -1310,7 +1336,7 @@ def _bucket_scores_multiquery_tree(
         sort_inv,
         lengths.reshape(n_chunks, chunk),
     )
-    if with_filter:
+    if with_filter or with_tags:
         xs = xs + (
             pos_ids.reshape(n_chunks, chunk, L),
             tag_ids.reshape(n_chunks, chunk, L),
@@ -2052,11 +2078,20 @@ class BruteForceEngine:
     def _collect_pending(self, pending, out: np.ndarray):
         """Drain a corpus pass's per-bucket scores into ``out`` (indexed by
         slice id).  Lazy (paged) entries dispatch here one bucket at a
-        time: the np.asarray host read is the completion barrier that lets
-        the previous bucket's HBM free before the next uploads."""
-        for db, s in pending:
+        time, DOUBLE-BUFFERED: bucket i+1's upload + kernel dispatch is
+        issued (async) before bucket i's blocking host read, so the next
+        transfer rides under the current compute (the reference's
+        2-thread corpus pipeline, corpus/corpus.py:308, as a device
+        upload/compute overlap).  Peak HBM = two buckets; the host read
+        remains the completion barrier that lets bucket i's HBM free."""
+        for i, (db, s) in enumerate(pending):
             if isinstance(s, _LazyScores):
-                out[db["slice_index"]] = np.asarray(s.get()[: db["n"]])
+                cur = s.get()[: db["n"]]
+                if i + 1 < len(pending) and isinstance(
+                    pending[i + 1][1], _LazyScores
+                ):
+                    pending[i + 1][1].get()  # prefetch next bucket
+                out[db["slice_index"]] = np.asarray(cur)
                 s.release()
             else:
                 out[db["slice_index"]] = np.asarray(s[: db["n"]])
@@ -2346,12 +2381,15 @@ class BruteForceEngine:
         norm_totals: List[float],
         gap_costs=None,
         doc_filter: Optional[DocFilterSpec] = None,
+        tag_weights=None,
     ) -> np.ndarray:
         """[n_slices, Q] scores for a batch of MIXED static+contextual
         modifier-tree queries in one corpus pass (stacked per-leaf query
         axes, see stack_tree_plans).  Contextual stores must already be
         ensured by the caller; doc-side filters compact the post-eval
-        similarity rows in-kernel."""
+        similarity rows in-kernel; per-query tag weighting applies to the
+        combined tree similarity (``tag_weights``: list of
+        TagWeightingSpec or None per query)."""
         Q = len(plans)
         statics, ctx_qs, weights, Tpad = stack_tree_plans(plans, len_ts)
         lt_arr = jnp.asarray(len_ts, jnp.int32)
@@ -2359,6 +2397,25 @@ class BruteForceEngine:
         ctx_names = plans[0].ctx_names
         flt = self._filter_args(doc_filter)
         placeholder = jnp.zeros((1, 1), jnp.int32)
+        with_tags = tag_weights is not None and any(
+            t is not None for t in tag_weights
+        )
+        tw_w = np.ones((Tpad, Q), np.float32)
+        tw_p = np.full((Tpad, Q), -1, np.int8)
+        tw_pen = np.zeros((Q,), np.float32)
+        tw_thr = np.full((Q,), -1.0, np.float32)
+        if with_tags:
+            for qi, tw in enumerate(tag_weights):
+                if tw is None:
+                    continue
+                t = min(len(tw.t_pos_weights), Tpad)
+                tw_w[:t, qi] = tw.t_pos_weights[:t]
+                tw_p[:t, qi] = tw.pos_t[:t]
+                tw_pen[qi] = tw.pos_mismatch_penalty
+                tw_thr[qi] = tw.similarity_threshold
+        tw_args = tuple(
+            jnp.asarray(a) for a in (tw_w, tw_p, tw_pen, tw_thr)
+        )
 
         out = np.full((self._packed.n_slices, Q), NEG_SCORE, np.float32)
         pending = []
@@ -2392,8 +2449,13 @@ class BruteForceEngine:
                     nt_arr,
                     gv_s,
                     gv_t,
-                    db["pos"] if doc_filter is not None else placeholder,
-                    db["tag"] if doc_filter is not None else placeholder,
+                    db["pos"]
+                    if (doc_filter is not None or with_tags)
+                    else placeholder,
+                    db["tag"]
+                    if (doc_filter is not None or with_tags)
+                    else placeholder,
+                    *tw_args,
                     *flt,
                     locality=locality,
                     chunk=db["chunk"],
@@ -2401,6 +2463,7 @@ class BruteForceEngine:
                     use_pallas=use_pallas_default(),
                     general_gaps=gap_costs is not None,
                     with_filter=doc_filter is not None,
+                    with_tags=with_tags,
                 )
 
             pending.append(
@@ -2509,6 +2572,14 @@ class BruteForceEngine:
                 else:  # full read (small bucket or tie-unsafe fallback)
                     kk, vals, idx = db["n"], scores[: db["n"]], None
                 if lazy:
+                    # double-buffer: issue the next unread bucket's
+                    # upload + dispatch before this bucket's blocking read
+                    for bj in range(bi + 1, len(pending)):
+                        if fetched[bj] is None and isinstance(
+                            pending[bj][1], _LazyScores
+                        ):
+                            pending[bj][1].get()
+                            break
                     vals = np.asarray(vals)
                     idx = None if idx is None else np.asarray(idx)
                     entry.release()

@@ -653,7 +653,7 @@ class MeshSearch:
         jax.jit,
         static_argnames=(
             "self", "plan", "locality", "k", "with_next", "general_gaps",
-            "with_boost", "with_filter",
+            "with_boost", "with_filter", "with_tags",
         ),
     )
     def tree_score_topk_multiquery(
@@ -676,10 +676,12 @@ class MeshSearch:
         general_gaps: bool = False,
         boost=None,  # [N, Q] f32 sharded per-slice boosts
         with_boost: bool = False,
-        pos_ids=None,  # [N, L] i8 sharded (doc filters only)
+        pos_ids=None,  # [N, L] i8 sharded (tags/doc filters only)
         tag_ids=None,  # [N, L] i16 sharded
         flt_args=None,  # (pos_ex, tag_ex, tok_ex) bool masks, replicated
         with_filter: bool = False,
+        tw_args=None,  # ([T, Q] w, [T, Q] pos, [Q] pen, [Q] thr) replicated
+        with_tags: bool = False,
     ):
         """Mixed static+contextual modifier-tree serving batch over the
         mesh: each shard evaluates the SAME stacked-leaf tree as the
@@ -687,7 +689,8 @@ class MeshSearch:
         static gathers of the [V, T*Q] tables + GEMMs against the [T*Q, d]
         contextual matrices, modifier ops elementwise), runs the multi DP,
         and merges per-query top-k over one all-gather.  Doc filters
-        compact the post-eval similarity rows in-shard."""
+        compact the post-eval similarity rows in-shard; per-query tag
+        weighting applies to the combined tree similarity in-shard too."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -708,10 +711,19 @@ class MeshSearch:
 
         if boost is None:
             boost = jnp.ones((token_ids.shape[0], Q), jnp.float32)
-        if not with_filter:
+        if not (with_filter or with_tags):
             pos_ids = jnp.zeros((token_ids.shape[0], 1), jnp.int8)
             tag_ids = jnp.zeros((token_ids.shape[0], 1), jnp.int16)
+        if not with_filter:
             flt_args = (jnp.zeros((1,), bool),) * 3
+        if tw_args is None:
+            tw_args = (
+                jnp.ones((1, Q), jnp.float32),
+                jnp.full((1, Q), -1, jnp.int8),
+                jnp.zeros((Q,), jnp.float32),
+                jnp.full((Q,), -1.0, jnp.float32),
+            )
+        tw_w, tw_p, tw_pen, tw_thr = tw_args
 
         def shard_fn(tok, ln, bst, pos, tag, *ctx):
             c = tok.shape[0]
@@ -724,6 +736,16 @@ class MeshSearch:
             if with_filter:
                 perm, ln, _ = _compact_slices(tok, pos, tag, ln, *flt_args)
                 S = jnp.take_along_axis(S, perm[:, :, None, None], axis=1)
+                pos = jnp.take_along_axis(pos, perm, axis=1)
+            if with_tags:
+                # same arithmetic as _bucket_scores_multiquery_tree
+                w = tw_w[None, None, :, :] * jnp.where(
+                    pos[:, :, None, None] == tw_p[None, None, :, :],
+                    1.0,
+                    1.0 - tw_pen[None, None, None, :],
+                )
+                Sw = S * w
+                S = jnp.where(Sw > tw_thr[None, None, None, :], Sw, 0.0)
             S2 = jnp.transpose(S, (0, 3, 1, 2)).reshape(c * Q, L, T)
             ln_rep = jnp.repeat(jnp.maximum(ln, 1), Q)
             lt_rep = jnp.tile(len_t, c)
