@@ -447,6 +447,7 @@ def test_top_k_with_next(session_ix):
     assert sorted(ids) == [0, 2] and nxt == float("-inf")
 
 
+@pytest.mark.slow
 def test_fuzz_quantized_batch_parity(session_ix):
     """Randomized configs: quantized (int8/bf16) find_batch must be
     bit-identical to the f32 path — ids, scores, order — for random gap

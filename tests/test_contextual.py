@@ -300,6 +300,7 @@ def test_ctx_find_batch_booster_matches_single(ctx_session):
         assert got_mesh == want
 
 
+@pytest.mark.slow
 def test_ctx_find_batch_options_match_single(ctx_session):
     """submatch_weight, bidirectional and doc-side token filters ride the
     contextual AND mixed-tree serving batches (closed round-2 exclusion) —

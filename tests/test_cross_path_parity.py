@@ -27,6 +27,16 @@ from vectorian_tpu.sim.span import OptimizedSpanSim
 from vectorian_tpu.sim.token import EmbeddingTokenSim
 
 
+
+
+def _campaign(n: int, keep: int = 2):
+    """First ``keep`` trials run by default; the rest are slow-marked
+    (the full campaign runs in CI via --override-ini=addopts=)."""
+    return [
+        pytest.param(i, marks=[] if i < keep else [pytest.mark.slow])
+        for i in range(n)
+    ]
+
 @pytest.fixture(scope="module")
 def setup():
     rng = np.random.default_rng(99)
@@ -67,7 +77,7 @@ TRANSPORTS = [
 ]
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize("trial", _campaign(12))
 def test_cross_path_parity(setup, trial):
     session, emb, base = setup
     p = session.partition("sentence")
@@ -108,7 +118,7 @@ def test_cross_path_parity(setup, trial):
     assert mgot == got
 
 
-@pytest.mark.parametrize("trial", range(4))
+@pytest.mark.parametrize("trial", _campaign(4))
 def test_cross_path_parity_options(setup, trial):
     """Campaign extension for the fused serving paths: tag-weighted
     alignment, document-side token filters and general gaps mixed with
@@ -160,7 +170,7 @@ def test_cross_path_parity_options(setup, trial):
     assert mgot == got
 
 
-@pytest.mark.parametrize("trial", range(6))
+@pytest.mark.parametrize("trial", _campaign(6))
 def test_cross_path_parity_submatch_bidirectional(setup, trial):
     """Campaign extension for the last batch-served options
     (BATCH_HARD_OPTIONS shrank to {'debug'}): ``submatch_weight`` (the
@@ -208,7 +218,7 @@ def test_cross_path_parity_submatch_bidirectional(setup, trial):
     assert mgot == got
 
 
-@pytest.mark.parametrize("trial", range(6))
+@pytest.mark.parametrize("trial", _campaign(6))
 def test_cross_path_parity_transport_options(setup, trial):
     """Transport batches with boosters / doc-side token filters / tag
     weights (VERDICT-r2 gap: these used to fall back to Q per-query

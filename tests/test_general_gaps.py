@@ -131,7 +131,10 @@ def _gap_session():
     return Session(docs, embeddings=[emb]), emb
 
 
-@pytest.mark.parametrize("gap_kind", ["exp", "custom"])
+@pytest.mark.parametrize(
+    "gap_kind",
+    ["custom", pytest.param("exp", marks=pytest.mark.slow)],
+)
 def test_general_gap_find_batch_parity(gap_kind):
     """find_batch must serve non-affine gap models (WSB DP) and return
     byte-identical matches to find() at every sim_precision and over a

@@ -190,6 +190,7 @@ def test_window_partition(corpus_session):
     assert packed.slice_len.mean() > single.slice_len.mean()
 
 
+@pytest.mark.slow
 def test_fuzz_random_configs_vs_oracle(corpus_session):
     """Randomized end-to-end parity sweep: random affine gaps, localities,
     tag weighting and doc-side token filters, every trial checked against

@@ -722,9 +722,7 @@ class BruteForceIndex(Index):
         self._args = args
         alignment = args["alignment"]
         if alignment["algorithm"] != "alignment":
-            # transport algorithms route to the transport engine
-            from vectorian_tpu.ops import transport  # noqa: F401
-
+            # transport algorithms route to the transport engine (ops/wmd)
             self._algorithm = alignment["algorithm"]
         else:
             self._algorithm = "alignment"
@@ -3383,7 +3381,7 @@ class BruteForceIndex(Index):
             m = max(ctx_d.shape[0] for _, ctx_d, _ in shards)
 
     def _find_transport(self, query: PreparedQuery) -> List[Match]:
-        from vectorian_tpu.ops.transport import TransportEngine
+        from vectorian_tpu.ops.wmd import WMDEngine
 
         token_sim = self._args["metric"]["token_sim"]
         needs_mag = self._args["alignment"]["algorithm"] == "word-rotators-distance"
@@ -3404,7 +3402,7 @@ class BruteForceIndex(Index):
             self._engine.ensure_contextual(
                 name, self._session.documents, self._session._ctx_dims[name]
             )
-        engine = TransportEngine(self._engine, self._args["alignment"])
+        engine = WMDEngine(self._engine, self._args["alignment"])
         return engine.find(self, query, qp)
 
 

@@ -364,14 +364,19 @@ class QueryWidget:
             ]
         return ", ".join(names)
 
-    def _on_search(self, _event=None):  # pragma: no cover
+    def search_html(self) -> str:
+        """Run the configured query and return the rendered result HTML —
+        the testable core of the Search button (reference result pane,
+        interact.py:985-1113)."""
+        result = self._iquery.run(self._text.value, n=self._n.value)
+        return result.format(self.render_spec())._repr_html_()
+
+    def _on_search(self, _event=None):
         from IPython.display import HTML, display
 
         self._output.clear_output()
         with self._output:
-            result = self._iquery.run(self._text.value, n=self._n.value)
-            result = result.format(self.render_spec())
-            display(HTML(result._repr_html_()))
+            display(HTML(self.search_html()))
 
 
 class InteractiveQuery:
