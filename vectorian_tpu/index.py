@@ -37,6 +37,7 @@ from vectorian_tpu.ops.simmatrix import (
     preload_leaf_inputs,
 )
 from vectorian_tpu.session import Result
+from vectorian_tpu.utils import trace
 
 def _reverse_plan(qp, n_tokens: int):
     """Plan with the needle axis reversed (bidirectional matching).  Only
@@ -698,8 +699,11 @@ class Index:
     ) -> Result:
         """reference index.py:479-501."""
         start_time = time.time()
-        query = self.make_query(text, n=n, min_score=min_score, debug=debug, **kwargs)
-        prepared = query.prepare(self._nlp)
+        with trace.span("find.prep"):
+            query = self.make_query(
+                text, n=n, min_score=min_score, debug=debug, **kwargs
+            )
+            prepared = query.prepare(self._nlp)
         matches = self._find(prepared)
         return Result(self, matches, time.time() - start_time)
 
@@ -840,16 +844,17 @@ class BruteForceIndex(Index):
 
         token_sim = self._args["metric"]["token_sim"]
         T = query.n_tokens
-        tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(
-            query, self._session, ctx_names=_metric_ctx_names(token_sim)
-        )
-        qp = compile_plan(
-            token_sim,
-            self._session.compiled_embeddings,
-            tok_ids_p,
-            strings_p,
-            ctx_q,
-        )
+        with trace.span("find.plan"):
+            tok_ids_p, strings_p, ctx_q, Tpad = _pad_needle(
+                query, self._session, ctx_names=_metric_ctx_names(token_sim)
+            )
+            qp = compile_plan(
+                token_sim,
+                self._session.compiled_embeddings,
+                tok_ids_p,
+                strings_p,
+                ctx_q,
+            )
         for name in qp.ctx_names:
             self._engine.ensure_contextual(
                 name, self._session.documents, self._session._ctx_dims[name]
@@ -946,18 +951,21 @@ class BruteForceIndex(Index):
                 # construction — both run _finalize_quantized_many.
                 # compile_plan folds static-only modifier trees to one
                 # matrix, so the plan is always ("static", 0) here
-                src = self._engine.score_topk_multi(
-                    [qp], [T], gaps, self._locality, [norm_total], n + 32,
-                    tag_weights=[tagw] if tagw is not None else None,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
-                )
+                with trace.span("find.topk"):
+                    src = self._engine.score_topk_multi(
+                        [qp], [T], gaps, self._locality, [norm_total],
+                        n + 32,
+                        tag_weights=[tagw] if tagw is not None else None,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )
                 if query.query.aborted:
                     return []
-                return self._finalize_quantized_many(
-                    [(src.qview(0), qp, query, norm_total, tagw, None)],
-                    gaps, token_sim.name, n, min_score, 0.0,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
-                )[0]
+                with trace.span("find.finalize"):
+                    return self._finalize_quantized_many(
+                        [(src.qview(0), qp, query, norm_total, tagw, None)],
+                        gaps, token_sim.name, n, min_score, 0.0,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )[0]
             if submatch_weight == 0.0:
                 # boosted or contextual-plan queries: device top-k with the
                 # ulp-scaled membership slack (candidate MEMBERSHIP is
@@ -1650,6 +1658,7 @@ class BruteForceIndex(Index):
         # flows-rescore of the n+32 overfetch.
         meta = []
         reqs, req_qis = [], []
+        _t_fin = time.perf_counter()
         for qi, (q_scores, plan, pq, norm_total, tagw, boost) in enumerate(
             items
         ):
@@ -1702,6 +1711,8 @@ class BruteForceIndex(Index):
                 else [],
             )
         )
+        trace.add("fin.r1", time.perf_counter() - _t_fin)
+        _t_fin = time.perf_counter()
 
         # round 2: cut-safety per query; unsafe cuts are tie-BOUNDED —
         # the source covers every slice reaching the exact n-th minus the
@@ -1798,6 +1809,8 @@ class BruteForceIndex(Index):
             if extra_reqs
             else []
         )
+        trace.add("fin.r2", time.perf_counter() - _t_fin)
+        _t_fin = time.perf_counter()
 
         # round 3: merge extras by exact score; extract flows for ONLY the
         # entries that enter a final top-n (deferred-flow items fetch
@@ -1908,6 +1921,8 @@ class BruteForceIndex(Index):
             if surv_reqs
             else []
         )
+        trace.add("fin.r3", time.perf_counter() - _t_fin)
+        _t_fin = time.perf_counter()
         flow_maps = dict(payload_flows)
         for (qi, req), (mappings, edge_sims, _) in zip(
             zip(surv_qis, surv_reqs), res3
@@ -1923,7 +1938,7 @@ class BruteForceIndex(Index):
         for qi, m in enumerate(meta):
             if "entries" not in m:
                 out.append(m["first"])
-                continue
+                continue  # noqa: trace below counts build time
             _, plan, pq, _, _, _ = items[qi]
             s_map = flow_maps.get(qi, {})
             merged = []
@@ -1941,9 +1956,11 @@ class BruteForceIndex(Index):
                         )
                     )
             out.append(merged)
+        trace.add("fin.build", time.perf_counter() - _t_fin)
         # the stacked-table memo only serves reuse WITHIN this batch's
         # rounds; drop it so it never pins device memory across batches
-        engine.release_stack_memo()
+        with trace.span("fin.release"):
+            engine.release_stack_memo()
         return out
 
     def _flows_from_payload(

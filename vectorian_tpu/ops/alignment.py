@@ -73,7 +73,19 @@ class AffineGapParams(NamedTuple):
 
     @staticmethod
     def of(open_s, extend_s, open_t, extend_t) -> "AffineGapParams":
-        f = lambda x: jnp.asarray(x, jnp.float32)
+        def f(x):
+            # concrete params stay HOST scalars: the serving flow loop
+            # reads them per survivor (float(gaps.open_s) in the native
+            # traceback), and a jnp scalar costs a blocking device read
+            # each — 4 reads x ~10 top-k survivors measured ~100 ms of a
+            # 206 ms warm 1M-slice find() through the tunnel
+            # (LATENCY_r04.json fin.r3).  jit treats np.float32 operands
+            # identically to jnp scalars (traced 0-d arrays, value
+            # changes never recompile).
+            if isinstance(x, (int, float, np.floating)):
+                return np.float32(x)
+            return jnp.asarray(x, jnp.float32)
+
         return AffineGapParams(f(open_s), f(extend_s), f(open_t), f(extend_t))
 
 

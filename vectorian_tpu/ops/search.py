@@ -24,6 +24,7 @@ pass over an overfetched candidate set.
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -31,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vectorian_tpu.utils import trace
 from vectorian_tpu.ops.alignment import (
     AffineGapParams,
     align_matrices,
@@ -83,6 +85,7 @@ class _PagedBucket(dict):
 
     _DEVICE_KEYS = (
         "tokens", "tok_sorted", "sort_inv", "pos", "tag", "lengths",
+        "uniq", "uniq_inv",
     )
 
     def __missing__(self, key):
@@ -127,6 +130,26 @@ def _paged_default() -> bool:
     import os
 
     return os.environ.get("VECTORIAN_PAGE_BUCKETS", "") in ("1", "true")
+
+
+def uniq_gather_default(Q: int) -> bool:
+    """Two-stage unique-gather policy for the serving corpus pass:
+    ``VECTORIAN_UNIQ_GATHER=1/0`` forces it on/off; the default uses it
+    for small batches only.  Interleaved A/B on the real chip (Zipf 1M
+    corpus, LATENCY_r04.json): Q=1 find() p50 211 ms vs 227 ms direct —
+    a modest ~7% win; the frequency-ordered vocab already concentrates
+    the direct gather in a hot region, so dedup only trims the remaining
+    per-index cost.  At larger Q the [U_max, T, Q] intermediate outgrows
+    the hot-block locality and the direct gather is expected to win
+    (untested beyond Q=8 — the default stays conservative)."""
+    import os
+
+    env = os.environ.get("VECTORIAN_UNIQ_GATHER", "")
+    if env in ("0", "false"):
+        return False
+    if env in ("1", "true"):
+        return True
+    return Q <= 8
 
 
 @functools.partial(jax.jit, static_argnames=("pads", "axis"))
@@ -394,11 +417,21 @@ class BucketTopKSource:
         refs = []
         metas = []
         pay_budget = self.PAYLOAD_MAX_BYTES  # WHOLE-FETCH budget
+        t_loop0 = time.perf_counter()
         for pi, (db, entry) in enumerate(pending):
             lazy = isinstance(entry, _LazyScores)
             scores = entry.get() if lazy else entry
             bucket_ref_start = len(refs)
             kk = min(k, db["n"])
+            # deep (score, id, raw) fetch past the payload depth: resolves
+            # Zipf boundary-tie groups host-side instead of paying a
+            # second blocking select round (LATENCY_r04); KBs per bucket,
+            # so only worth capping at large Q
+            kd = (
+                max(kk, min(self.DEEP_K, db["n"] - 1))
+                if (exact_ctx is not None and Q <= 32)
+                else kk
+            )
             if exact_ctx is not None:
                 ec = exact_ctx
                 # flow payloads (H/Sw/Su of the fetched rows) ride the same
@@ -417,19 +450,22 @@ class BucketTopKSource:
                 if with_pay:
                     pay_budget -= pay_bytes
                 gv_s = self._bucket_gv_s(db, ec)
-                if kk < db["n"]:
+                if kd < db["n"]:
                     vals, idx, raw, H, Sw, Su = _topk_exact_rescore(
                         scores, db["tokens"], db["pos"], db["tag"],
                         db["lengths"].astype(jnp.int32), ec["table"],
                         *ec["tw_args"], *ec["flt"], ec["lt_q"], ec["gaps"],
                         gv_s, ec["gv_t"],
-                        n=db["n"], kk=kk, V=ec["V"],
+                        n=db["n"], kk=kk, kd=kd, V=ec["V"],
                         locality=ec["locality"], any_tags=ec["any_tags"],
                         general=ec["gap_costs"] is not None,
                         with_filter=ec["with_filter"],
                     )
                     metas.append(
-                        {"db": db, "kk": kk, "full": False, "pay": with_pay}
+                        {
+                            "db": db, "kk": kd, "kk_pay": kk,
+                            "full": False, "pay": with_pay,
+                        }
                     )
                     refs.extend((vals, idx, raw))
                 else:
@@ -472,8 +508,10 @@ class BucketTopKSource:
                     refs[bucket_ref_start:]
                 )
                 entry.release()
+        trace.add("topk.rescore_dispatch", time.perf_counter() - t_loop0)
         # np arrays from the paged per-bucket fetches pass through device_get
-        fetched = jax.device_get(refs) if refs else []
+        with trace.span("topk.fetch"):
+            fetched = jax.device_get(refs) if refs else []
         self._buckets = []
         pos = 0
         for m in metas:
@@ -514,6 +552,9 @@ class BucketTopKSource:
     # flow payloads (H/Sw/Su) ride the initial fetch only up to this size;
     # bigger batches defer flows to the final-round rescore instead
     PAYLOAD_MAX_BYTES = 8 << 20
+    # deep (score, id, raw) fetch depth at small Q: covers Zipf boundary
+    # tie groups so the cut proves safe without a second select round
+    DEEP_K = 512
 
     @staticmethod
     def _bucket_gv_s(db, ec):
@@ -539,6 +580,11 @@ class BucketTopKSource:
             hit = np.flatnonzero(m["sids"][qi] == sid)
             if hit.size:
                 p = int(hit[0])
+                if p >= m["H"].shape[1]:
+                    # deep-fetched tail candidate: (score, id, raw) came
+                    # on the transfer but its flow payload did not —
+                    # caller rescores flows for it (round 3)
+                    return None
                 ln = int(self._engine._packed.slice_len[sid])
                 return m["H"][qi, p], m["Sw"][qi, p], m["Su"][qi, p], ln
         return None
@@ -713,6 +759,10 @@ class BucketTopKSource:
         return self._above_impl(reqs, "vals")
 
     def _above_impl(self, reqs, mode: str):
+        with trace.span(f"above.{mode}"):
+            return self._above_impl_inner(reqs, mode)
+
+    def _above_impl_inner(self, reqs, mode: str):
         # phase 1: device-side thresholded select (optionally fused with
         # the exact rescore) for every needed (bucket, query) column,
         # batched into one transfer; only tie groups overflowing the cap
@@ -1041,7 +1091,7 @@ def _bucket_scores(
     jax.jit,
     static_argnames=(
         "locality", "chunk", "n_queries", "use_pallas", "with_tags",
-        "general_gaps", "with_filter", "with_boost",
+        "general_gaps", "with_filter", "with_boost", "uniq_gather",
     ),
 )
 def _bucket_scores_multiquery(
@@ -1072,6 +1122,9 @@ def _bucket_scores_multiquery(
     with_filter: bool = False,
     with_boost: bool = False,
     sim_scale=1.0,  # traced f32: sim table is in units of sim_scale (int8)
+    uniq=None,  # [n_chunks, U_max] per-chunk sorted unique token ids
+    uniq_inv=None,  # [n_chunks, chunk*L] position -> unique index
+    uniq_gather: bool = False,
 ):
     """[N, Q] normalized scores — Q queries in one corpus pass.
 
@@ -1107,15 +1160,33 @@ def _bucket_scores_multiquery(
     nt = n_queries >= PALLAS_MIN_BATCH and not general_gaps
 
     def one_chunk(args):
-        tokT, posT, tagT, ln, bst = args  # [L, c] x3, [c], [c, 1|Q]
+        if uniq_gather:
+            tokT, posT, tagT, ln, bst, uq, uinvT = args
+        else:
+            tokT, posT, tagT, ln, bst = args  # [L, c] x3, [c], [c, 1|Q]
         c = tokT.shape[1]
         # ONE gather serves Q queries, in kernel-native layout.  A bf16
         # table halves the gather's HBM traffic (the pass is near the HBM
         # roofline); the Pallas kernel consumes the bf16 block directly and
         # accumulates in f32, the jnp path upcasts right after the gather.
-        S = sim_multi[tokT]  # [L, c, T, Q]
+        if uniq_gather:
+            # two-stage gather: the per-index cost is paid only on the
+            # chunk's deduped (and sorted -> coherent) unique ids; the
+            # re-expansion reads a small hot [U_max, T, Q] block.  The
+            # barrier forces stage 1 to MATERIALIZE — XLA otherwise fuses
+            # gathers into consumers and iterates in output order,
+            # silently discarding the dedup (CLAUDE.md).
+            rows = sim_multi[uq]  # [U_max, T, Q]
+            rows = jax.lax.optimization_barrier(rows)
+            S = rows[uinvT]  # [L, c, T, Q]
+        else:
+            S = sim_multi[tokT]  # [L, c, T, Q]
         if not (use_pallas and nt):
             S = S.astype(jnp.float32)
+        elif S.dtype == jnp.int4:
+            # int4 tables halve the gathered HBM bytes again; Mosaic
+            # consumes >=8-bit blocks, so widen right after the gather
+            S = S.astype(jnp.int8)
         if with_filter:
             # compact AFTER the gather (an L-axis permutation of S per
             # column) so the gather layout stays contiguous — the batch
@@ -1184,6 +1255,11 @@ def _bucket_scores_multiquery(
         lengths.reshape(n_chunks, chunk),
         boost.reshape(n_chunks, chunk, -1),
     )
+    if uniq_gather:
+        xs = xs + (
+            uniq,
+            jnp.swapaxes(uniq_inv.reshape(n_chunks, chunk, L), 1, 2),
+        )
     return jax.lax.map(one_chunk, xs).reshape(N, Q)
 
 
@@ -1648,7 +1724,8 @@ def _mq_scores(S, ln, lt, gaps, gv_s, gv_t, locality, general):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n", "kk", "V", "locality", "any_tags", "general", "with_filter",
+        "n", "kk", "kd", "V", "locality", "any_tags", "general",
+        "with_filter",
     ),
 )
 def _topk_exact_rescore(
@@ -1671,6 +1748,7 @@ def _topk_exact_rescore(
     any_tags: bool,
     general: bool,
     with_filter: bool,
+    kd: Optional[int] = None,
 ):
     """Per-bucket device top-k FUSED with the exact f32 rescore AND the
     traceback DP matrices of the selected rows: the finalizer's rescore
@@ -1679,11 +1757,20 @@ def _topk_exact_rescore(
     hundred KB at serving shapes), so a tie-safe query completes in ONE
     device fetch.  Bit-exact vs the stacked rescore: same table gather,
     same tag arithmetic, same DP recurrence (per-lane bits are
-    independent of the batch shape)."""
-    vals, idx = jax.lax.top_k(scores[:n].T, kk + 1)  # [Q, kk+1]
-    rows = idx[:, :kk].reshape(-1)
+    independent of the batch shape).
+
+    ``kd`` >= kk deepens the (vals, ids, exact-raw) fetch past the
+    payload depth: Zipf corpora tie dozens of slices at the n-th score,
+    which makes the kk-deep cut unsafe and costs a second blocking
+    select round (measured ~100 ms of a 208 ms warm 1M-slice find(),
+    LATENCY_r04.json) — a few hundred extra (score, id, raw) triples are
+    ~KBs on the same transfer and resolve the tie group host-side."""
+    if kd is None:
+        kd = kk
+    vals, idx = jax.lax.top_k(scores[:n].T, kd + 1)  # [Q, kd+1]
+    rows = idx[:, :kd].reshape(-1)
     Q = idx.shape[0]
-    qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), kk)
+    qidx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), kd)
     tok, pos, ln = tokens[rows], pos_all[rows], ln_all[rows]
     if with_filter:
         tok, pos, ln = _mq_compact(
@@ -1696,7 +1783,19 @@ def _topk_exact_rescore(
     H, raw = _mq_matrices_scores(
         S, ln, lt_q[qidx], gaps, gv_s, gv_t, locality, general
     )
-    return vals, idx, raw.reshape(Q, kk), H, S, Su
+    if kd > kk:
+        # flow payloads ship only to the kk payload depth; the deep tail
+        # carries (score, id, raw) triples only
+        H = H.reshape(Q, kd, *H.shape[1:])[:, :kk].reshape(
+            Q * kk, *H.shape[1:]
+        )
+        S = S.reshape(Q, kd, *S.shape[1:])[:, :kk].reshape(
+            Q * kk, *S.shape[1:]
+        )
+        Su = Su.reshape(Q, kd, *Su.shape[1:])[:, :kk].reshape(
+            Q * kk, *Su.shape[1:]
+        )
+    return vals, idx, raw.reshape(Q, kd), H, S, Su
 
 
 @functools.partial(
@@ -1835,6 +1934,27 @@ class BruteForceEngine:
                 ),
                 axis=1,
             )
+            # per-chunk unique-token tables for the two-stage serving
+            # gather (VECTORIAN_UNIQ_GATHER): the corpus gather is
+            # per-index bound and Zipf chunks repeat few distinct ids —
+            # stage 1 gathers each chunk's sorted, deduped unique rows
+            # from the big [V, T, Q] table, stage 2 re-expands from that
+            # small hot block.  Derived from the sorted stream: run starts
+            # mark uniques, the run id at each sorted position is its
+            # unique index, composed with the inverse permutation to get
+            # original order.
+            run_new = np.ones_like(tok_sorted, dtype=bool)
+            run_new[:, 1:] = tok_sorted[:, 1:] != tok_sorted[:, :-1]
+            run_id = np.cumsum(run_new, axis=1).astype(np.int32) - 1
+            u_counts = run_id[:, -1] + 1
+            U_max = max(int(u_counts.max()), 1)
+            uniq = np.zeros((tok_sorted.shape[0], U_max), np.int32)
+            for ci in range(tok_sorted.shape[0]):
+                vals = tok_sorted[ci][run_new[ci]]
+                uniq[ci, : len(vals)] = vals
+                if len(vals):
+                    uniq[ci, len(vals):] = vals[-1]
+            uniq_inv = np.take_along_axis(run_id, inv, axis=1)
             entry = {
                 "capacity": b.capacity,
                 "chunk": chunk,
@@ -1846,6 +1966,10 @@ class BruteForceEngine:
                 "tokens_np": tok,
                 "pos_np": pos.astype(np.int8),
                 "tag_np": tag.astype(np.int16),
+                # host copies of the unique tables; device uploads are
+                # lazy (engine._uniq_args) so the default path pays no HBM
+                "uniq_np": uniq,
+                "uniq_inv_np": uniq_inv,
             }
             entry["lengths_np"] = ln
             if self._paged:
@@ -1864,6 +1988,18 @@ class BruteForceEngine:
                     lengths=jnp.asarray(ln),
                 )
                 self._device_buckets.append(entry)
+
+    @staticmethod
+    def _uniq_args(db):
+        """Lazy device upload of a bucket's unique-gather tables (plain
+        buckets cache them on first use so the default path pays no HBM;
+        paged buckets page them like any other device key)."""
+        if isinstance(db, _PagedBucket):
+            return db["uniq"], db["uniq_inv"]
+        if "uniq" not in db:
+            db["uniq"] = jnp.asarray(db["uniq_np"])
+            db["uniq_inv"] = jnp.asarray(db["uniq_inv_np"])
+        return db["uniq"], db["uniq_inv"]
 
     @property
     def packed(self):
@@ -2218,9 +2354,10 @@ class BruteForceEngine:
         ):
             raise ValueError("quantized ranking requires tag_weights=None")
         Q = len(plans)
-        sim_multi, sim_scale, max_abs_dev, Tpad = stack_query_tables(
-            plans, len_ts, sim_dtype
-        )
+        with trace.span("topk.tables"):
+            sim_multi, sim_scale, max_abs_dev, Tpad = stack_query_tables(
+                plans, len_ts, sim_dtype
+            )
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
 
@@ -2252,6 +2389,8 @@ class BruteForceEngine:
 
         pending = []
         flt = self._filter_args(doc_filter)
+        uniq_on = uniq_gather_default(Q)
+        t_disp0 = time.perf_counter()
         for db in self._device_buckets:
             if db["n"] == 0:
                 continue
@@ -2273,6 +2412,10 @@ class BruteForceEngine:
                     bvec = jnp.asarray(bmat)
                 else:
                     bvec = jnp.ones((n_pad, 1), jnp.float32)
+                uq = {}
+                if uniq_on:
+                    u, ui = self._uniq_args(db)
+                    uq = {"uniq": u, "uniq_inv": ui, "uniq_gather": True}
                 return _bucket_scores_multiquery(
                     db["tokens"],
                     db["pos"],
@@ -2296,11 +2439,13 @@ class BruteForceEngine:
                     with_filter=doc_filter is not None,
                     with_boost=boosts is not None,
                     sim_scale=sim_scale,
+                    **uq,
                 )
 
             pending.append(
                 (db, _LazyScores(db, dispatch) if self._paged else dispatch())
             )
+        trace.add("topk.dispatch", time.perf_counter() - t_disp0)
         entry_err = quantization_entry_err(sim_dtype, max_abs_dev)
         return pending, entry_err
 
@@ -2939,6 +3084,21 @@ class BruteForceEngine:
         return mappings, edge_sims
 
     def rescore_many(
+        self,
+        requests: List[dict],
+        gaps: AffineGapParams,
+        locality: str,
+        gap_costs=None,
+        doc_filter: Optional[DocFilterSpec] = None,
+        chunk: int = 8192,
+    ):
+        with trace.span("rescore_many"):
+            return self._rescore_many(
+                requests, gaps, locality, gap_costs=gap_costs,
+                doc_filter=doc_filter, chunk=chunk,
+            )
+
+    def _rescore_many(
         self,
         requests: List[dict],
         gaps: AffineGapParams,
