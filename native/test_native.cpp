@@ -46,6 +46,11 @@ void vn_traceback_general_batch(
     const int32_t* end_cells, int32_t* mapping);
 int vn_emd(const double* a, const double* b, const double* C, int64_t n1,
            int64_t n2, double* flow, double* cost_out);
+void vn_emd_batch(const double* a, const double* b, const double* C,
+                  const int64_t* n1s, const int64_t* n2s,
+                  const int64_t* a_off, const int64_t* b_off,
+                  const int64_t* c_off, int64_t B, int64_t n_threads,
+                  double* flow, double* costs, int32_t* rcs);
 }
 
 namespace {
@@ -267,6 +272,47 @@ void test_emd() {
 }  // namespace
 
 
+// Threaded batch == sequential per-problem solves, bit-for-bit.
+void test_emd_batch() {
+  std::mt19937 rng(77);
+  std::uniform_real_distribution<double> u(0.05, 1.0);
+  const int B = 64;
+  std::vector<int64_t> n1s(B), n2s(B), a_off(B), b_off(B), c_off(B);
+  int64_t ta = 0, tb = 0, tc = 0;
+  for (int k = 0; k < B; k++) {
+    n1s[k] = 2 + (rng() % 10);
+    n2s[k] = 2 + (rng() % 10);
+    a_off[k] = ta; b_off[k] = tb; c_off[k] = tc;
+    ta += n1s[k]; tb += n2s[k]; tc += n1s[k] * n2s[k];
+  }
+  std::vector<double> a(ta), b(tb), C(tc), flow(tc), costs(B);
+  std::vector<int32_t> rcs(B);
+  for (int k = 0; k < B; k++) {
+    double sa = 0, sb = 0;
+    for (int64_t i = 0; i < n1s[k]; i++) sa += (a[a_off[k] + i] = u(rng));
+    for (int64_t j = 0; j < n2s[k]; j++) sb += (b[b_off[k] + j] = u(rng));
+    for (int64_t j = 0; j < n2s[k]; j++) b[b_off[k] + j] *= sa / sb;
+    for (int64_t m = 0; m < n1s[k] * n2s[k]; m++) C[c_off[k] + m] = u(rng);
+  }
+  for (int64_t nt : {int64_t(1), int64_t(4), int64_t(0)}) {
+    vn_emd_batch(a.data(), b.data(), C.data(), n1s.data(), n2s.data(),
+                 a_off.data(), b_off.data(), c_off.data(), B, nt,
+                 flow.data(), costs.data(), rcs.data());
+    for (int k = 0; k < B; k++) {
+      assert(rcs[k] == 0);
+      std::vector<double> f1(n1s[k] * n2s[k]);
+      double c1 = -1;
+      const int rc = vn_emd(a.data() + a_off[k], b.data() + b_off[k],
+                            C.data() + c_off[k], n1s[k], n2s[k], f1.data(),
+                            &c1);
+      assert(rc == 0);
+      assert(std::fabs(costs[k] - c1) <= 1e-12);
+      for (int64_t m = 0; m < n1s[k] * n2s[k]; m++)
+        assert(flow[c_off[k] + m] == f1[m]);
+    }
+  }
+}
+
 int main() {
   test_hash();
   test_encode_batch();
@@ -274,6 +320,7 @@ int main() {
   test_pack_fill();
   test_traceback();
   test_emd();
+  test_emd_batch();
   std::printf("native sanitizer tests: OK\n");
   return 0;
 }

@@ -14,6 +14,7 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -513,6 +514,41 @@ int vn_emd(const double* a, const double* b, const double* C,
   for (int64_t k = 0; k < n1_ * n2_; k++) cost += flow[k] * C[k];
   *cost_out = cost;
   return 0;
+}
+
+// Threaded batch of independent EMD solves — the transport serving
+// batch's exact rescore runs hundreds to thousands of small
+// (query x candidate-slice) problems per round, and the per-problem SSP
+// solves share nothing, so threads partition them round-robin.  Problems
+// are variable-sized, flattened with per-problem offsets (a at a_off[k],
+// b at b_off[k], C and flow at c_off[k]); rcs[k] = vn_emd's return for
+// problem k (callers fall back per problem on -1).
+void vn_emd_batch(const double* a, const double* b, const double* C,
+                  const int64_t* n1s, const int64_t* n2s,
+                  const int64_t* a_off, const int64_t* b_off,
+                  const int64_t* c_off, int64_t B, int64_t n_threads,
+                  double* flow, double* costs, int32_t* rcs) {
+  if (B <= 0) return;
+  int64_t nt = n_threads;
+  if (nt <= 0) {
+    nt = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (nt <= 0) nt = 1;
+  }
+  if (nt > B) nt = B;
+  auto work = [&](int64_t t0) {
+    for (int64_t k = t0; k < B; k += nt) {
+      rcs[k] = vn_emd(a + a_off[k], b + b_off[k], C + c_off[k], n1s[k],
+                      n2s[k], flow + c_off[k], costs + k);
+    }
+  };
+  if (nt == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int64_t t = 0; t < nt; t++) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
 }
 
 // Copy string i into buf (returns length; buf may be null to query size).

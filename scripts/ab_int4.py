@@ -43,9 +43,11 @@ def main():
     scale8 = mx / 127.0
     sim_i8 = jnp.asarray(np.round(sim_f32 / scale8).astype(np.int8))
     scale4 = mx / 7.0
+    # host->device transfer of s4 hits a jax recursion bug; upload int8
+    # and narrow on device instead
     sim_i4 = jnp.asarray(
-        np.clip(np.round(sim_f32 / scale4), -8, 7), dtype=jnp.int4
-    )
+        np.clip(np.round(sim_f32 / scale4), -8, 7).astype(np.int8)
+    ).astype(jnp.int4)
     len_t = jnp.full((Q,), T, jnp.int32)
     norm_total = jnp.full((Q,), float(T), jnp.float32)
     gaps = AffineGapParams.of(0.0, 0.0, 0.0, 0.0)

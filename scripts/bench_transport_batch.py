@@ -81,15 +81,19 @@ def main():
         ("full WMD (bound ranking)", WordMoversDistance.wmd("nbow")),
         ("WRD (bound ranking)", WordRotatorsDistance()),
     ]
+    from vectorian_tpu.utils import trace
+
     for name, opt in variants:
         index = partition.index(OptimizedSpanSim(token_sim, opt))
         n_slices = index.packed.n_slices
         index.find_batch(queries, n=10, min_score=0.2)  # warm/compile
-        times = []
+        times, events = [], []
         for _ in range(4):
+            trace.start()
             t0 = time.perf_counter()
             res = index.find_batch(queries, n=10, min_score=0.2)
             times.append(time.perf_counter() - t0)
+            events.append(trace.stop())
             assert len(res) == Q
         dt = float(np.median(times))
         print(
@@ -98,6 +102,15 @@ def main():
             f"({n_slices} slices, Q={Q})",
             flush=True,
         )
+        names = sorted({n2 for ev in events for n2, _ in ev})
+        for n2 in names:
+            per = [sum(d for m, d in ev if m == n2) * 1e3 for ev in events]
+            cnt = [sum(1 for m, _ in ev if m == n2) for ev in events]
+            print(
+                f"    {n2:24s} {float(np.median(per)):8.1f} ms "
+                f"x{float(np.median(cnt)):.0f}",
+                flush=True,
+            )
     os._exit(0)
 
 

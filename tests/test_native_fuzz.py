@@ -147,3 +147,30 @@ def test_fuzz_native_emd():
             np.testing.assert_allclose(G.sum(1), w1, atol=1e-9)
         if s2 <= s1 + 1e-12:  # every demand fully met
             np.testing.assert_allclose(G.sum(0), w2, atol=1e-9)
+
+
+def test_emd_batch_matches_sequential():
+    """Threaded native batch EMD == per-call exact_emd bit-for-bit
+    (same SSP routine; the batch only partitions problems over threads),
+    including sink-padded unbalanced problems."""
+    import numpy as np
+
+    from vectorian_tpu.ops.emd_exact import exact_emd, exact_emd_batch
+
+    rng = np.random.default_rng(3)
+    specs = []
+    for t in range(40):
+        n1, n2 = rng.integers(2, 10, size=2)
+        w1 = rng.uniform(0.05, 1, n1)
+        w2 = rng.uniform(0.05, 1, n2)
+        if t % 3:
+            w2 = w2 * w1.sum() / w2.sum()  # balanced
+        D = rng.uniform(0, 1, (n1, n2))
+        specs.append((w1, w2, D, -1.0 if t % 2 else 0.5))
+    batch = exact_emd_batch(specs)
+    for r, (w1, w2, D, emp) in zip(batch, specs):
+        s = exact_emd(w1, w2, D, emp)
+        assert r.success == s.success
+        if r.success:
+            assert abs(r.cost - s.cost) < 1e-9
+            np.testing.assert_allclose(r.flow, s.flow, atol=1e-12)

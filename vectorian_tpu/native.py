@@ -47,6 +47,8 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.vn_lexicon_size.argtypes = [ctypes.c_void_p]
             lib.vn_lexicon_get.restype = ctypes.c_int64
             lib.vn_pack_fill.restype = None
+            if hasattr(lib, "vn_emd_batch"):
+                lib.vn_emd_batch.restype = None
             _LIB = lib
             return _LIB
         except (OSError, AttributeError):
@@ -81,6 +83,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vn_lexicon_size.argtypes = [ctypes.c_void_p]
         lib.vn_lexicon_get.restype = ctypes.c_int64
         lib.vn_pack_fill.restype = None
+        if hasattr(lib, "vn_emd_batch"):
+            lib.vn_emd_batch.restype = None
     except AttributeError:
         # stale library missing newer entry points — fall back to python
         return None
@@ -186,6 +190,77 @@ def emd(w1: np.ndarray, w2: np.ndarray, C: np.ndarray):
     if rc != 0:
         return None
     return flow, float(cost.value)
+
+
+def emd_batch(problems, n_threads: int = 0):
+    """Threaded batch of exact EMD solves (native vn_emd_batch): the
+    transport serving batch rescores hundreds of small independent
+    (query x candidate) problems per consume round, and the SSP solves
+    share nothing — threads partition them.  ``problems``: list of
+    (w1 [n1], w2 [n2], C [n1, n2]) float64 triples (variable sizes).
+    Returns a list of (flow [n1, n2], cost) | None per problem, or None
+    when the lib is unavailable (caller falls back per problem)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vn_emd_batch"):
+        return None
+    B = len(problems)
+    if B == 0:
+        return []
+    n1s = np.empty((B,), np.int64)
+    n2s = np.empty((B,), np.int64)
+    a_off = np.empty((B,), np.int64)
+    b_off = np.empty((B,), np.int64)
+    c_off = np.empty((B,), np.int64)
+    ta = tb = tc = 0
+    for k, (w1, w2, C) in enumerate(problems):
+        n1, n2 = C.shape
+        n1s[k], n2s[k] = n1, n2
+        a_off[k], b_off[k], c_off[k] = ta, tb, tc
+        ta += n1
+        tb += n2
+        tc += n1 * n2
+    a = np.empty((ta,), np.float64)
+    b = np.empty((tb,), np.float64)
+    c = np.empty((tc,), np.float64)
+    for k, (w1, w2, C) in enumerate(problems):
+        a[a_off[k] : a_off[k] + n1s[k]] = w1
+        b[b_off[k] : b_off[k] + n2s[k]] = w2
+        c[c_off[k] : c_off[k] + n1s[k] * n2s[k]] = np.asarray(
+            C, np.float64
+        ).reshape(-1)
+    flow = np.zeros((tc,), np.float64)
+    costs = np.zeros((B,), np.float64)
+    rcs = np.zeros((B,), np.int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    lib.vn_emd_batch(
+        a.ctypes.data_as(dp),
+        b.ctypes.data_as(dp),
+        c.ctypes.data_as(dp),
+        n1s.ctypes.data_as(ip),
+        n2s.ctypes.data_as(ip),
+        a_off.ctypes.data_as(ip),
+        b_off.ctypes.data_as(ip),
+        c_off.ctypes.data_as(ip),
+        ctypes.c_int64(B),
+        ctypes.c_int64(n_threads),
+        flow.ctypes.data_as(dp),
+        costs.ctypes.data_as(dp),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    out = []
+    for k in range(B):
+        if rcs[k] != 0:
+            out.append(None)
+            continue
+        n1, n2 = int(n1s[k]), int(n2s[k])
+        out.append(
+            (
+                flow[c_off[k] : c_off[k] + n1 * n2].reshape(n1, n2),
+                float(costs[k]),
+            )
+        )
+    return out
 
 
 _LOCALITY_CODE = {"local": 0, "global": 1, "semiglobal": 2}

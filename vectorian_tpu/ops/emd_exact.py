@@ -93,7 +93,71 @@ def emd_score(w1, w2, D, extra_mass_penalty=-1.0) -> tuple:
     """Reference FullSolver scoring: score = sum((1-D)*G) / sum(G)
     (vectorian/core/cpp/alignment/wmd.h:252)."""
     r = exact_emd(w1, w2, D, extra_mass_penalty)
+    return _score_of(r, D), r
+
+
+def _score_of(r: EMDResult, D) -> float:
     if not r.success or r.flow.sum() <= 0:
-        return 0.0, r
-    score = float(np.sum((1.0 - np.asarray(D)) * r.flow) / r.flow.sum())
-    return score, r
+        return 0.0
+    return float(np.sum((1.0 - np.asarray(D)) * r.flow) / r.flow.sum())
+
+
+def exact_emd_batch(specs) -> list:
+    """Batched ``exact_emd``: ONE threaded native vn_emd_batch call over
+    all problems (the transport serving batch rescores hundreds of small
+    independent candidates per consume round — a python-loop of per-call
+    solves ran single-threaded), with the identical per-problem sink
+    padding and the scipy fallback per rejected problem.  Same SSP
+    routine as exact_emd, so flows and costs are bit-identical to the
+    sequential path.  ``specs``: [(w1, w2, D, extra_mass_penalty)]."""
+    from vectorian_tpu import native
+
+    n = len(specs)
+    results = [None] * n
+    padded, idxs, metas = [], [], []
+    for i, (w1, w2, D, emp) in enumerate(specs):
+        w1 = np.asarray(w1, np.float64)
+        w2 = np.asarray(w2, np.float64)
+        D = np.asarray(D, np.float64)
+        n1, n2 = D.shape
+        s1, s2 = w1.sum(), w2.sum()
+        if s1 <= 0 or s2 <= 0:
+            results[i] = EMDResult(0.0, np.zeros((n1, n2)), False)
+            continue
+        penalty = float(emp)
+        if penalty < 0:
+            penalty = float(D.max())
+        if s1 < s2 - 1e-12:
+            w1p = np.concatenate([w1, [abs(s1 - s2)]])
+            w2p = w2
+            Dp = np.vstack([D, np.full((1, n2), penalty)])
+        elif s2 < s1 - 1e-12:
+            w1p = w1
+            w2p = np.concatenate([w2, [abs(s1 - s2)]])
+            Dp = np.hstack([D, np.full((n1, 1), penalty)])
+        else:
+            w1p, w2p, Dp = w1, w2, D
+        padded.append((w1p, w2p, Dp))
+        idxs.append(i)
+        metas.append((n1, n2, D))
+    if padded:
+        res = native.emd_batch(padded)
+        if res is None:
+            res = [None] * len(padded)
+        for i, (n1, n2, D), r in zip(idxs, metas, res):
+            if r is None:
+                w1, w2, _, emp = specs[i]
+                results[i] = exact_emd(w1, w2, D, emp)
+            else:
+                G = r[0][:n1, :n2]
+                results[i] = EMDResult(float(np.sum(G * D)), G, True)
+    return results
+
+
+def emd_score_batch(specs) -> list:
+    """Batched ``emd_score``: [(score, EMDResult)] per
+    (w1, w2, D, extra_mass_penalty) spec."""
+    return [
+        (_score_of(r, spec[2]), r)
+        for r, spec in zip(exact_emd_batch(specs), specs)
+    ]

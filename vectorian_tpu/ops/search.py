@@ -132,6 +132,15 @@ def _paged_default() -> bool:
     return os.environ.get("VECTORIAN_PAGE_BUCKETS", "") in ("1", "true")
 
 
+def _page_prefetch_default() -> bool:
+    """Double-buffered paged mode (bucket i+1 uploads under bucket i's
+    read); VECTORIAN_PAGE_PREFETCH=0 forces the serialized r3 behavior
+    (one bucket resident) — also the A/B toggle for scale_check."""
+    import os
+
+    return os.environ.get("VECTORIAN_PAGE_PREFETCH", "") not in ("0", "false")
+
+
 def uniq_gather_default(Q: int) -> bool:
     """Two-stage unique-gather policy for the serving corpus pass:
     ``VECTORIAN_UNIQ_GATHER=1/0`` forces it on/off; the default uses it
@@ -500,8 +509,10 @@ class BucketTopKSource:
                 # then fetch this bucket's refs (the host read is the
                 # completion barrier) and evict — HBM stays bounded at
                 # ~two buckets
-                if pi + 1 < len(pending) and isinstance(
-                    pending[pi + 1][1], _LazyScores
+                if (
+                    _page_prefetch_default()
+                    and pi + 1 < len(pending)
+                    and isinstance(pending[pi + 1][1], _LazyScores)
                 ):
                     pending[pi + 1][1].get()
                 refs[bucket_ref_start:] = jax.device_get(
@@ -2223,8 +2234,10 @@ class BruteForceEngine:
         for i, (db, s) in enumerate(pending):
             if isinstance(s, _LazyScores):
                 cur = s.get()[: db["n"]]
-                if i + 1 < len(pending) and isinstance(
-                    pending[i + 1][1], _LazyScores
+                if (
+                    _page_prefetch_default()
+                    and i + 1 < len(pending)
+                    and isinstance(pending[i + 1][1], _LazyScores)
                 ):
                     pending[i + 1][1].get()  # prefetch next bucket
                 out[db["slice_index"]] = np.asarray(cur)
@@ -2719,12 +2732,13 @@ class BruteForceEngine:
                 if lazy:
                     # double-buffer: issue the next unread bucket's
                     # upload + dispatch before this bucket's blocking read
-                    for bj in range(bi + 1, len(pending)):
-                        if fetched[bj] is None and isinstance(
-                            pending[bj][1], _LazyScores
-                        ):
-                            pending[bj][1].get()
-                            break
+                    if _page_prefetch_default():
+                        for bj in range(bi + 1, len(pending)):
+                            if fetched[bj] is None and isinstance(
+                                pending[bj][1], _LazyScores
+                            ):
+                                pending[bj][1].get()
+                                break
                     vals = np.asarray(vals)
                     idx = None if idx is None else np.asarray(idx)
                     entry.release()

@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vectorian_tpu.ops.emd_exact import emd_score
+from vectorian_tpu.utils import trace
+
+from vectorian_tpu.ops.emd_exact import emd_score_batch
 from vectorian_tpu.ops.search import NEG_SCORE
 
 MAX_SIMILARITY = 1.0
@@ -1201,6 +1203,13 @@ class WMDEngine:
         (query, step); the stopping rule is identical — a query retires when
         its next candidate's bound is provably below its n-th exact score."""
         step = max(2 * n, 32)
+        # geometric window growth: each fused sims fetch costs a blocking
+        # tunnel round trip, and loose-bound metrics (WRD) consumed ~20
+        # fixed-step rounds per pass — doubling the window caps the rounds
+        # at ~6 while the per-query stopping rule still retires early
+        # (overshoot only costs extra host solves, which the threaded
+        # batch EMD absorbs)
+        step_cap = max(8 * step, 256)
         if active is None:
             active = range(len(queries))
         active = [qi for qi in active if pos[qi] < len(cand_lists[qi])]
@@ -1223,31 +1232,35 @@ class WMDEngine:
                 if missing:
                     items.append((qi, missing))
             if items:
-                if sim_multi is None:
-                    # contextual / mixed-tree batch: the stacked pair-gather
-                    # table only exists for static plans — fetch through the
-                    # plan-generic batched similarity path per query
-                    fetched = self._sims_many_plan(items, qps, states)
-                else:
-                    fetched = self._sims_many_static(
-                        items, sim_multi, tw_args, tagged
-                    )
+                with trace.span("wmd.sims_fetch"):
+                    if sim_multi is None:
+                        # contextual / mixed-tree batch: the stacked
+                        # pair-gather table only exists for static plans —
+                        # fetch through the plan-generic batched
+                        # similarity path per query
+                        fetched = self._sims_many_plan(items, qps, states)
+                    else:
+                        fetched = self._sims_many_static(
+                            items, sim_multi, tw_args, tagged
+                        )
                 for (qi, _), sm in zip(items, fetched):
                     sims_all[qi].update(sm)
             nxt = []
-            for qi in active:
-                cand = cand_lists[qi]
-                matches = per_q[qi]
-                matches.extend(
-                    self._host_rescore(
-                        index, queries[qi], qps[qi], states[qi],
-                        cand[pos[qi] : pos[qi] + step], min_score, None,
-                        sims_map=sims_all[qi],
+            with trace.span("wmd.host_rescore"):
+                for qi in active:
+                    cand = cand_lists[qi]
+                    matches = per_q[qi]
+                    matches.extend(
+                        self._host_rescore(
+                            index, queries[qi], qps[qi], states[qi],
+                            cand[pos[qi] : pos[qi] + step], min_score, None,
+                            sims_map=sims_all[qi],
+                        )
                     )
-                )
-                pos[qi] += step
-                if pos[qi] < len(cand):
-                    nxt.append(qi)
+                    pos[qi] += step
+                    if pos[qi] < len(cand):
+                        nxt.append(qi)
+            step = min(2 * step, step_cap)
             active = nxt
 
     def _rescore_with_cut(
@@ -2587,6 +2600,8 @@ class WMDEngine:
         matches = []
         token_sim_name = index._args["metric"]["token_sim"].name
         sims_list = self._fetch_slice_sims(top, qp, tagw, sims_map)
+        # phase 1: per-candidate problem prep (masses + cost matrices)
+        specs, d_list = [], []
         for sid, (Sw, Su) in zip(top, sims_list):
             tok, _ = engine._slice_tokens(sid)
             ln = int(engine.packed.slice_len[sid])
@@ -2608,9 +2623,18 @@ class WMDEngine:
                 if a["normalize_bow"]:
                     m_t = m_t / max(m_t.sum(), 1e-9)
                     m_s_use = m_s_use / max(m_s_use.sum(), 1e-9)
-            score, r = emd_score(
-                m_t, m_s_use, D_ts, a.get("extra_mass_penalty", -1)
+            specs.append(
+                (m_t, m_s_use, D_ts, a.get("extra_mass_penalty", -1))
             )
+            d_list.append(D_ts)
+        # phase 2: ONE threaded native solve for all candidates (the
+        # python per-call loop ran the SSP solves single-threaded —
+        # measured as the dominant term of full-WMD/WRD serving batches)
+        solved = emd_score_batch(specs)
+        # phase 3: flows -> Matches (unchanged arithmetic/order)
+        for (sid, (Sw, Su)), (m_t, _m_s, D_ts, _e), (score, r) in zip(
+            zip(top, sims_list), specs, solved
+        ):
             if state.get("boost") is not None:
                 # the exact EMD rescore recomputes the unboosted score, so
                 # the boost multiplies here (alignment.h:598)
