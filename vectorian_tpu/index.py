@@ -387,6 +387,64 @@ class PreparedQuery:
         return len(self.token_strings)
 
 
+class _FlowResolver:
+    """Deferred flow extraction for one query's top-n matches.
+
+    Serving batches report exact scores from the fused fetch; the flow
+    MAPPINGS of matches whose payload did not ride the transfer are only
+    needed when a consumer actually reads regions/edges (at Q=512 the
+    eager flows rescore cost ~1.2 s/pass for 5120 mappings).  The first
+    access to any member's mapping runs ONE batched rescore for the whole
+    group and injects every member's flows — same rescore_many
+    arithmetic, so resolved mappings are byte-identical to eager ones
+    (the reference's finalizer computes flows for the top-k eagerly,
+    matcher_impl.h:172-174; deferring to first access is this engine's
+    latency trade)."""
+
+    def __init__(
+        self, index, plan, len_t, tagw, gaps, locality, gap_costs,
+        doc_filter,
+    ):
+        self._index = index
+        self._plan = plan
+        self._len_t = len_t
+        self._tagw = tagw
+        self._gaps = gaps
+        self._locality = locality
+        self._gap_costs = gap_costs
+        self._doc_filter = doc_filter
+        self._members = []  # (match, sid)
+        self._done = False
+
+    def add(self, match, sid: int) -> None:
+        self._members.append((match, sid))
+
+    def resolve(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        if not self._members:
+            return
+        (res,) = self._index._engine.rescore_many(
+            [
+                {
+                    "slice_ids": [sid for _, sid in self._members],
+                    "qp": self._plan,
+                    "len_t": self._len_t,
+                    "tag_weights": self._tagw,
+                    "want_flows": True,
+                }
+            ],
+            self._gaps,
+            self._locality,
+            gap_costs=self._gap_costs,
+            doc_filter=self._doc_filter,
+        )
+        mappings, edge_sims, _raw = res
+        for (m, _sid), mp, es in zip(self._members, mappings, edge_sims):
+            m._set_flows(mp, es)
+
+
 class Match:
     """A single search hit; JSON shape mirrors reference index.py:249-292."""
 
@@ -401,16 +459,35 @@ class Match:
         similarities: Optional[np.ndarray] = None,
         edge_list: Optional[list] = None,  # [(t, s, flow, distance)]
         level: str = "word",
+        flow_resolver: Optional[_FlowResolver] = None,
     ):
         self._index = index
         self._query = query
         self._slice_id = int(slice_id)
         self._score = float(score)
         self._metric = metric
-        self._mapping = mapping
-        self._similarities = similarities
+        self._mapping_v = mapping
+        self._similarities_v = similarities
         self._edge_list = edge_list
         self._level = level
+        self._flow_resolver = flow_resolver
+
+    @property
+    def _mapping(self):
+        if self._mapping_v is None and self._flow_resolver is not None:
+            self._flow_resolver.resolve()
+        return self._mapping_v
+
+    @property
+    def _similarities(self):
+        if self._similarities_v is None and self._flow_resolver is not None:
+            self._flow_resolver.resolve()
+        return self._similarities_v
+
+    def _set_flows(self, mapping, similarities) -> None:
+        self._mapping_v = np.asarray(mapping, np.int32)
+        self._similarities_v = similarities
+        self._flow_resolver = None
 
     @property
     def index(self):
@@ -1377,10 +1454,13 @@ class BruteForceIndex(Index):
             ]
 
         start_time = time.time()
-        (
-            prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
-            sim_precision, quantize,
-        ) = self._prepare_static_batch(texts, n, min_score, sim_precision, kwargs)
+        with trace.span("batch.prepare"):
+            (
+                prepared, plans, len_ts, norm_totals, tagws, gaps, gap_costs,
+                sim_precision, quantize,
+            ) = self._prepare_static_batch(
+                texts, n, min_score, sim_precision, kwargs
+            )
         any_tags = any(t is not None for t in tagws)
 
         # boosters and doc-side filters ride the batch kernels: the filter
@@ -1862,7 +1942,7 @@ class BruteForceIndex(Index):
                     (key_of(sid, s), None, (sid, s))
                     for sid, s in m["first_entries"]
                 ]
-        surv_reqs, surv_qis = [], []
+        # (deferred flows: no eager round-3 rescore requests)
         payload_flows = {}  # qi -> {sid: (mapping, edge_sims)}
         for qi, (m, (q_scores, plan, pq, norm_total, tagw, boost)) in (
             enumerate(zip(meta, items))
@@ -1903,36 +1983,17 @@ class BruteForceIndex(Index):
                     payload_flows[qi] = got
                 survivors = rest
             if survivors:
-                surv_reqs.append(
-                    {
-                        "slice_ids": survivors,
-                        "qp": plan,
-                        "len_t": pq.n_tokens,
-                        "tag_weights": tagw,
-                        "want_flows": True,
-                    }
+                # flows for payload-missing survivors are DEFERRED: one
+                # shared resolver per query runs a single batched rescore
+                # on first mapping access (eager extraction at Q=512 cost
+                # ~1.2 s/pass; scores are already exact and final)
+                meta[qi]["resolver"] = _FlowResolver(
+                    self, plan, pq.n_tokens, tagw, gaps, self._locality,
+                    gap_costs, doc_filter,
                 )
-                surv_qis.append(qi)
-        res3 = (
-            engine.rescore_many(
-                surv_reqs, gaps, self._locality, gap_costs=gap_costs,
-                doc_filter=doc_filter,
-            )
-            if surv_reqs
-            else []
-        )
         trace.add("fin.r3", time.perf_counter() - _t_fin)
         _t_fin = time.perf_counter()
         flow_maps = dict(payload_flows)
-        for (qi, req), (mappings, edge_sims, _) in zip(
-            zip(surv_qis, surv_reqs), res3
-        ):
-            flow_maps.setdefault(qi, {}).update(
-                {
-                    sid: (mappings[j], edge_sims[j])
-                    for j, sid in enumerate(req["slice_ids"])
-                }
-            )
 
         out = []
         for qi, m in enumerate(meta):
@@ -1941,20 +2002,29 @@ class BruteForceIndex(Index):
                 continue  # noqa: trace below counts build time
             _, plan, pq, _, _, _ = items[qi]
             s_map = flow_maps.get(qi, {})
+            resolver = m.get("resolver")
             merged = []
             for _, mt, ex in m["entries"]:
                 if mt is not None:
                     merged.append(mt)
-                else:
-                    sid, score = ex
-                    mp, es = s_map[sid]
+                    continue
+                sid, score = ex
+                pair = s_map.get(sid)
+                if pair is not None:
                     merged.append(
                         Match(
                             self, pq, slice_id=sid, score=score,
-                            metric=metric_name, mapping=mp,
-                            similarities=es,
+                            metric=metric_name, mapping=pair[0],
+                            similarities=pair[1],
                         )
                     )
+                else:
+                    mt2 = Match(
+                        self, pq, slice_id=sid, score=score,
+                        metric=metric_name, flow_resolver=resolver,
+                    )
+                    resolver.add(mt2, sid)
+                    merged.append(mt2)
             out.append(merged)
         trace.add("fin.build", time.perf_counter() - _t_fin)
         # the stacked-table memo only serves reuse WITHIN this batch's

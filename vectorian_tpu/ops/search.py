@@ -434,13 +434,18 @@ class BucketTopKSource:
             kk = min(k, db["n"])
             # deep (score, id, raw) fetch past the payload depth: resolves
             # Zipf boundary-tie groups host-side instead of paying a
-            # second blocking select round (LATENCY_r04); KBs per bucket,
-            # so only worth capping at large Q
-            kd = (
-                max(kk, min(self.DEEP_K, db["n"] - 1))
-                if (exact_ctx is not None and Q <= 32)
-                else kk
-            )
+            # second blocking select round (LATENCY_r04).  The tail is
+            # KBs per bucket at small Q; at large serving batches the
+            # depth shrinks (transfer and fused-DP cost scale with Q) but
+            # stays >0 — an unsafe cut at Q=512 pays a full-column select
+            # PER QUERY (GBs of device reads)
+            if exact_ctx is None:
+                deep = 0
+            elif Q <= 32:
+                deep = self.DEEP_K
+            else:
+                deep = self.DEEP_K_LARGE_Q
+            kd = max(kk, min(deep, db["n"] - 1)) if deep else kk
             if exact_ctx is not None:
                 ec = exact_ctx
                 # flow payloads (H/Sw/Su of the fetched rows) ride the same
@@ -566,6 +571,9 @@ class BucketTopKSource:
     # deep (score, id, raw) fetch depth at small Q: covers Zipf boundary
     # tie groups so the cut proves safe without a second select round
     DEEP_K = 512
+    # reduced depth for large serving batches (transfer/fused-DP cost
+    # scales with Q; still large enough to absorb most tie groups)
+    DEEP_K_LARGE_Q = 128
 
     @staticmethod
     def _bucket_gv_s(db, ec):
@@ -3146,6 +3154,7 @@ class BruteForceEngine:
         dispatch per touched bucket (``_rescore_many_stacked``): per-query
         combined plan matrices stack into one table and each row gathers
         its own query's columns — byte-identical (see _stacked_rescore)."""
+        _t_rm0 = time.perf_counter()
         live_reqs = [r for r in requests if len(r["slice_ids"])]
         if len(live_reqs) > 1 and all(
             r["qp"].is_static_only for r in live_reqs
@@ -3252,8 +3261,11 @@ class BruteForceEngine:
                     grp.pop("Su")
                     st["groups"].append(grp)
 
-        fetched = jax.device_get(refs) if refs else []
+        trace.add("rescore.dispatch", time.perf_counter() - _t_rm0)
+        with trace.span("rescore.fetch"):
+            fetched = jax.device_get(refs) if refs else []
 
+        _t_rm1 = time.perf_counter()
         results = []
         for st in states:
             mappings, edge_sims = st["mappings"], st["edge_sims"]
@@ -3299,6 +3311,7 @@ class BruteForceEngine:
                     mappings[j] = mapping.astype(np.int32)
                     edge_sims[j] = sims
             results.append((mappings, edge_sims, raw_scores))
+        trace.add("rescore.unpack", time.perf_counter() - _t_rm1)
         return results
 
     # cap on the stacked-table footprint ([Qp * V, Tmax] f32); beyond it

@@ -922,6 +922,60 @@ def _bucket_emd_scores(
     return jax.lax.map(one_chunk, xs).reshape(N)
 
 
+def _sinkhorn_dual_score_ub(specs, iters: int = 30, reg: float = 0.02):
+    """Provable per-candidate upper bound on the exact EMD score for
+    BALANCED problems — a cheap vectorized pre-filter for the consume
+    phase's exact solves.
+
+    Any LP-dual-feasible (u, v) (u_i + v_j <= D_ij) lower-bounds the
+    optimal transport cost; u comes from a few log-domain Sinkhorn
+    iterations (quality only affects tightness, never validity) and v is
+    projected to exact feasibility (v_j = min_i D_ij - u_i).  With
+    balanced masses the FullSolver score is 1 - cost/flow (wmd.h:252),
+    so cost_lb gives score_ub.  Returns [float | None] per spec (None =
+    unbalanced/degenerate — no bound, caller solves exactly)."""
+    out = [None] * len(specs)
+    idx = []
+    for i, (a, b, _D, _e) in enumerate(specs):
+        sa, sb = float(np.sum(a)), float(np.sum(b))
+        if sa > 0 and abs(sa - sb) <= 1e-9 * max(sa, sb):
+            idx.append(i)
+    if not idx:
+        return out
+    T = max(len(specs[i][0]) for i in idx)
+    L = max(len(specs[i][1]) for i in idx)
+    B = len(idx)
+    A = np.zeros((B, T))
+    Bm = np.zeros((B, L))
+    D = np.full((B, T, L), 1e3)
+    for k, i in enumerate(idx):
+        a, b, Dts, _ = specs[i]
+        A[k, : len(a)] = a
+        Bm[k, : len(b)] = b
+        D[k, : len(a), : len(b)] = Dts
+    logA = np.log(np.maximum(A, 1e-300))
+    logB = np.log(np.maximum(Bm, 1e-300))
+
+    def lse(M, axis):
+        mx = np.max(M, axis=axis, keepdims=True)
+        return (
+            mx + np.log(np.sum(np.exp(M - mx), axis=axis, keepdims=True))
+        ).squeeze(axis)
+
+    f = np.zeros((B, T))
+    g = np.zeros((B, L))
+    for _ in range(iters):
+        f = reg * (logA - lse((g[:, None, :] - D) / reg, axis=2))
+        g = reg * (logB - lse((f[:, :, None] - D) / reg, axis=1))
+    v = np.min(D - f[:, :, None], axis=1)  # exact dual feasibility
+    cost_lb = np.sum(A * f, axis=1) + np.sum(Bm * v, axis=1)
+    flow = np.sum(A, axis=1)
+    ub = 1.0 - cost_lb / np.maximum(flow, 1e-12)
+    for k, i in enumerate(idx):
+        out[i] = float(ub[k])
+    return out
+
+
 def _greedy_cost_host(w1, D, cap) -> float:
     """f64 host greedy fill cost for ONE slice (mirrors
     ``_greedy_fill_cost``, same stable index tie-break): each source moves
@@ -1183,10 +1237,15 @@ class WMDEngine:
                 and smap[cand[i]] < self._nth_cut(matches, n, min_score) - eps
             ):
                 return
+            cut = (
+                self._nth_cut(matches, n, min_score) - eps
+                if len(matches) >= n
+                else min_score
+            )
             matches.extend(
                 self._host_rescore(
                     index, query, qp, state, cand[i : i + step], min_score,
-                    debug, sims_map=sims_map,
+                    debug, sims_map=sims_map, cut=cut,
                 )
             )
             i += step
@@ -1250,11 +1309,16 @@ class WMDEngine:
                 for qi in active:
                     cand = cand_lists[qi]
                     matches = per_q[qi]
+                    cut_q = (
+                        self._nth_cut(matches, n, min_score) - eps_q[qi]
+                        if len(matches) >= n
+                        else min_score
+                    )
                     matches.extend(
                         self._host_rescore(
                             index, queries[qi], qps[qi], states[qi],
                             cand[pos[qi] : pos[qi] + step], min_score, None,
-                            sims_map=sims_all[qi],
+                            sims_map=sims_all[qi], cut=cut_q,
                         )
                     )
                     pos[qi] += step
@@ -2579,7 +2643,7 @@ class WMDEngine:
 
     def _host_rescore(
         self, index, query, qp, state, top, min_score, debug,
-        sims_map=None,
+        sims_map=None, cut=None,
     ) -> List:
         """Exact host EMD rescore + flow extraction for the chosen slices
         (similarities batched: one device dispatch per bucket instead of a
@@ -2627,6 +2691,31 @@ class WMDEngine:
                 (m_t, m_s_use, D_ts, a.get("extra_mass_penalty", -1))
             )
             d_list.append(D_ts)
+        # phase 1.5: Sinkhorn-dual score upper bounds (balanced problems)
+        # provably discard candidates that cannot reach ``cut`` — the
+        # caller's current n-th exact score minus its drift slack, which
+        # only rises, so a discarded candidate can never enter a top-n
+        # (exact <= ub <= cut; boosts scale both sides).  WRD's loose
+        # ranking bound consumes deep and most of the tail dies here
+        # instead of in the exact solver.  Debug queries keep every solve
+        # (the solver payload hook reports per slice).
+        if cut is not None and debug is None and specs:
+            ubs = _sinkhorn_dual_score_ub(specs)
+            boost_v = state.get("boost")
+            keep = []
+            for j, (sid, ub) in enumerate(zip(top, ubs)):
+                if ub is not None:
+                    b = (
+                        float(boost_v[sid]) if boost_v is not None else 1.0
+                    )
+                    if b >= 0.0 and ub * b + 1e-9 <= cut:
+                        continue
+                keep.append(j)
+            if len(keep) < len(top):
+                top = [top[j] for j in keep]
+                sims_list = [sims_list[j] for j in keep]
+                specs = [specs[j] for j in keep]
+                d_list = [d_list[j] for j in keep]
         # phase 2: ONE threaded native solve for all candidates (the
         # python per-call loop ran the SSP solves single-threaded —
         # measured as the dominant term of full-WMD/WRD serving batches)
