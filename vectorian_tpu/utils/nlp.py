@@ -4,10 +4,30 @@ The reference requires spaCy>=3 for importing documents
 (vectorian/importers.py:158-252).  spaCy is not available in every
 deployment, so we provide a small tokenizer/sentencizer producing the same
 token attributes the engine consumes (text offsets, universal POS, fine tag,
-sentence boundaries).  Any object with a spaCy-like ``__call__``/``pipe``
-returning docs with ``to_json()`` of the same shape (tokens with
-start/end/pos/tag, sents with start/end) can be used instead — including a
-real spaCy pipeline.
+sentence boundaries).
+
+NLP PROTOCOL CONTRACT — any object satisfying this duck type serves as
+the ``nlp`` argument throughout the package (Importers, Session, Index),
+including a real spaCy>=3 pipeline:
+
+- ``nlp(text) -> doc``: parse one string.
+- ``nlp.pipe(texts, **kwargs) -> iterable[doc]``: parse many (extra
+  kwargs like spaCy's ``disable=[...]`` must be tolerated; the importers
+  pass ``disable=["ner", "lemmatizer"]`` when supported and fall back to
+  plain ``pipe(texts)`` on TypeError).
+- ``doc.to_json() -> dict`` with at least:
+  - ``"tokens"``: list of ``{"start": int, "end": int, "pos": str,
+    "tag": str}`` — character offsets into the ORIGINAL text (token text
+    is recovered as ``text[start:end]``), ``pos`` a Universal POS tag
+    (spaCy ``token.pos_``), ``tag`` a fine-grained tag (``token.tag_``;
+    may equal ``pos``).
+  - ``"sents"``: list of ``{"start": int, "end": int}`` character spans
+    covering the sentences in order.
+
+This is exactly the subset of spaCy's ``Doc.to_json()`` the reference
+consumes (importers.py:188-202), so ``spacy.load("en_core_web_sm")`` is
+a drop-in; ``tests/test_nlp_protocol.py`` pins the contract (and runs an
+opt-in end-to-end check whenever spaCy + a model are installed).
 """
 
 from __future__ import annotations
