@@ -183,3 +183,111 @@ class TestTopKExactly:
                 assert got == want, (trial, qi)
                 for sid in got:
                     assert smap[sid] == float(scores[qi][sid])
+
+
+def test_lazy_flow_resolution_matches_eager(monkeypatch):
+    """Matches whose flow payload misses the fused transfer defer mapping
+    extraction to first access (_FlowResolver); resolved mappings and
+    edge similarities must equal the eager payload path byte-for-byte
+    (the resolver runs the same rescore_many arithmetic)."""
+    import numpy as np
+
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.ops.search import BucketTopKSource
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    from .helpers import make_embedding
+
+    rng = np.random.default_rng(7)
+    planted = "the sun shines over the sea"
+    fillers = ["stars at night", "the moon shines bright",
+               "waves crash over rocks"]
+    sents = [planted] * 12 + [f for f in fillers for _ in range(10)]
+    rng.shuffle(sents)
+    docs = [
+        StringImporter()(". ".join(sents[i::3]) + ".", title=f"d{i}")
+        for i in range(3)
+    ]
+    words = sorted({w for s in sents for w in s.split()})
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    qs = [planted, "stars night", "moon shines"]
+
+    eager = [
+        [
+            (m.slice_id, m.score, tuple(m._mapping),
+             tuple(np.asarray(m._similarities)))
+            for m in r
+        ]
+        for r in index.find_batch(qs, n=5, min_score=0.05)
+    ]
+    monkeypatch.setattr(BucketTopKSource, "PAYLOAD_MAX_BYTES", 0)
+    lazy = index.find_batch(qs, n=5, min_score=0.05)
+    assert any(
+        m._mapping_v is None and m._flow_resolver is not None
+        for r in lazy
+        for m in r
+    ), "payload budget 0 should defer at least one flow"
+    got = [
+        [
+            (m.slice_id, m.score, tuple(m._mapping),
+             tuple(np.asarray(m._similarities)))
+            for m in r
+        ]
+        for r in lazy
+    ]
+    assert got == eager
+    # to_json exercises regions through the resolved flows
+    j = lazy[0][0].to_json()
+    assert j["regions"] and j["score"] > 0.9
+
+
+def test_uniq_gather_and_deep_fetch_parity(monkeypatch):
+    """The two-stage unique gather and the deep tie fetch are pure
+    execution strategies: forcing them on/off (and shrinking DEEP_K so
+    the extras round must fire) never changes any reported match."""
+    import numpy as np
+
+    from vectorian_tpu import Session, StringImporter
+    from vectorian_tpu.ops.search import BucketTopKSource
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    from .helpers import make_embedding
+
+    rng = np.random.default_rng(9)
+    planted = "the king rides the horse"
+    sents = [planted] * 25 + [
+        "a bird sings softly here", "grey clouds drift over town",
+        "a cat sleeps on the mat",
+    ] * 12
+    rng.shuffle(sents)
+    docs = [
+        StringImporter()(". ".join(sents[i::2]) + ".", title=f"d{i}")
+        for i in range(2)
+    ]
+    words = sorted({w for s in sents for w in s.split()})
+    emb = make_embedding(words)
+    session = Session(docs, embeddings=[emb])
+    index = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    qs = [planted, "a bird sings"]
+
+    def run():
+        return [
+            [(m.slice_id, m.score) for m in r]
+            for r in index.find_batch(qs, n=6, min_score=0.05)
+        ] + [
+            [(m.slice_id, m.score) for m in index.find(q, n=6, min_score=0.05)]
+            for q in qs
+        ]
+
+    want = run()
+    for flag in ("1", "0"):
+        monkeypatch.setenv("VECTORIAN_UNIQ_GATHER", flag)
+        assert run() == want, f"uniq={flag}"
+    monkeypatch.delenv("VECTORIAN_UNIQ_GATHER", raising=False)
+    # tiny deep fetch: the tie group (25 planted duplicates) overflows it,
+    # so the fused extras round must recover every tie — results unchanged
+    monkeypatch.setattr(BucketTopKSource, "DEEP_K", 2)
+    monkeypatch.setattr(BucketTopKSource, "DEEP_K_LARGE_Q", 2)
+    assert run() == want
