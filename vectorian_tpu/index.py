@@ -1524,18 +1524,21 @@ class BruteForceIndex(Index):
         # submatch rescoring can lift slices past device-ranked candidates:
         # fetch the 4n closed-form-bounded overfetch (find()'s k)
         k_fetch = (4 * n + 32) if submatch_w != 0.0 else (n + 32)
-        if quantize:
-            src, entry_err = self._engine.score_topk_multi(
-                plans, len_ts, gaps, self._locality, norm_totals,
-                k_fetch, sim_dtype=sim_precision, with_err=True,
-                gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
-            )
-        else:
-            src = self._engine.score_topk_multi(
-                plans, len_ts, gaps, self._locality, norm_totals,
-                k_fetch, tag_weights=tagws if any_tags else None,
-                gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
-            )
+        with trace.span("batch.topk"):
+            if quantize:
+                src, entry_err = self._engine.score_topk_multi(
+                    plans, len_ts, gaps, self._locality, norm_totals,
+                    k_fetch, sim_dtype=sim_precision, with_err=True,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                    boosts=boosts,
+                )
+            else:
+                src = self._engine.score_topk_multi(
+                    plans, len_ts, gaps, self._locality, norm_totals,
+                    k_fetch, tag_weights=tagws if any_tags else None,
+                    gap_costs=gap_costs, doc_filter=doc_filter,
+                    boosts=boosts,
+                )
 
         # every batch (quantized, f32, tag-weighted) reports the
         # FINALIZER's exact f32 scores under the provable cut (entry_err

@@ -441,7 +441,7 @@ class BucketTopKSource:
             # PER QUERY (GBs of device reads)
             if exact_ctx is None:
                 deep = 0
-            elif Q <= 32:
+            elif Q <= 8:
                 deep = self.DEEP_K
             else:
                 deep = self.DEEP_K_LARGE_Q
@@ -528,6 +528,7 @@ class BucketTopKSource:
         # np arrays from the paged per-bucket fetches pass through device_get
         with trace.span("topk.fetch"):
             fetched = jax.device_get(refs) if refs else []
+        _t_unpack = time.perf_counter()
         self._buckets = []
         pos = 0
         for m in metas:
@@ -564,15 +565,18 @@ class BucketTopKSource:
                     pos += 3
             self._buckets.append(m)
         self._col_cache = {}
+        trace.add("topk.unpack", time.perf_counter() - _t_unpack)
 
     # flow payloads (H/Sw/Su) ride the initial fetch only up to this size;
     # bigger batches defer flows to the final-round rescore instead
     PAYLOAD_MAX_BYTES = 8 << 20
-    # deep (score, id, raw) fetch depth at small Q: covers Zipf boundary
-    # tie groups so the cut proves safe without a second select round
+    # deep (score, id, raw) fetch depth at latency-serving Q (<=8): covers
+    # Zipf boundary tie groups so the cut proves safe without a second
+    # select round
     DEEP_K = 512
-    # reduced depth for large serving batches (transfer/fused-DP cost
-    # scales with Q; still large enough to absorb most tie groups)
+    # reduced depth for serving batches (the tail's fused-DP rescore and
+    # transfer scale with Q x depth; 128 still absorbs most tie groups,
+    # and an overflow falls back to the fused select round)
     DEEP_K_LARGE_Q = 128
 
     @staticmethod
@@ -2280,7 +2284,7 @@ class BruteForceEngine:
         returns the max per-entry absolute rounding bound (0.0 exact);
         quantization requires ``tag_weights=None`` (the tag threshold is a
         discontinuity no rounding bound survives)."""
-        pending, entry_err = self._dispatch_multi(
+        pending, err_ref = self._dispatch_multi(
             plans, len_ts, gaps, locality, norm_totals,
             tag_weights=tag_weights, sim_dtype=sim_dtype,
             gap_costs=gap_costs, doc_filter=doc_filter,
@@ -2290,7 +2294,7 @@ class BruteForceEngine:
         )
         self._collect_pending(pending, out)
         if with_err:
-            return out, entry_err
+            return out, quantization_entry_err(*err_ref)
         return out
 
     def score_topk_multi(
@@ -2318,7 +2322,7 @@ class BruteForceEngine:
         at 1M slices) from the still-resident device score matrices.
         ``boosts``: per-query [n_slices] multipliers folded into the
         ranking in-kernel."""
-        pending, entry_err = self._dispatch_multi(
+        pending, err_ref = self._dispatch_multi(
             plans, len_ts, gaps, locality, norm_totals,
             tag_weights=tag_weights, sim_dtype=sim_dtype,
             gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
@@ -2328,6 +2332,7 @@ class BruteForceEngine:
         # or shared general gap model; doc filters compact in-kernel — the
         # device replica of filtered_positions)
         exact_ctx = None
+        t_ec0 = time.perf_counter()
         if all(qp.is_static_only for qp in plans):
             stacked = self._stacked_plan_tables(plans, require_identity=True)
             if stacked is not None:
@@ -2354,9 +2359,12 @@ class BruteForceEngine:
                     "flt": self._filter_args(doc_filter),
                     "with_filter": doc_filter is not None,
                 }
+        trace.add("topk.exact_ctx", time.perf_counter() - t_ec0)
         src = BucketTopKSource(self, pending, len(plans), k, exact_ctx)
         if with_err:
-            return src, entry_err
+            # the fetch above drained the queue, so this read is instant
+            with trace.span("topk.entry_err"):
+                return src, quantization_entry_err(*err_ref)
         return src
 
     def _dispatch_multi(
@@ -2467,8 +2475,11 @@ class BruteForceEngine:
                 (db, _LazyScores(db, dispatch) if self._paged else dispatch())
             )
         trace.add("topk.dispatch", time.perf_counter() - t_disp0)
-        entry_err = quantization_entry_err(sim_dtype, max_abs_dev)
-        return pending, entry_err
+        # the entry-error bound reads a device scalar — deferred to the
+        # CALLER (after its own dispatches): reading here fenced the host
+        # behind the whole enqueued corpus pass (measured 2.1 s of a
+        # Q=512 pass spent stalled before the top-k stage even dispatched)
+        return pending, (sim_dtype, max_abs_dev)
 
     def score_all_multi_ctx(
         self,
