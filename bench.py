@@ -279,7 +279,9 @@ def main():
     V, T, L = 50_000, 8, 32
     N = 1 << 17  # 131072 slices
     Q = 512  # batched queries per pass (throughput serving batch)
-    CHUNK = 1024
+    # interleaved chunk A/B (r4): 256-512 plateau at ~187M/s vs 175M at
+    # 1024 — smaller map bodies keep the gather+DP pipeline fuller
+    CHUNK = 512
 
     rng = np.random.default_rng(0)
     # uniform-random token draw: the locality worst case (real corpora are
@@ -391,7 +393,7 @@ def main():
     if n_e2e:
         # smaller chunks compile ~3x faster on the tunneled remote-compile
         # runtime; per-pass dispatch overhead is amortized by Q anyway
-        os.environ.setdefault("VECTORIAN_CHUNK", "1024")
+        os.environ.setdefault("VECTORIAN_CHUNK", "512")
         # hard internal wall for the e2e stage: cold remote compiles can
         # exceed the driver's timeout, and a killed process loses the
         # HEADLINE json too — the alarm aborts e2e (raising between python
