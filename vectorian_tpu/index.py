@@ -22,6 +22,7 @@ import numpy as np
 
 from vectorian_tpu.alignment import resolve_affine_gaps
 from vectorian_tpu.ops.alignment import AffineGapParams
+from vectorian_tpu.ops.prefilter import gaps_nonneg as prefilter_gaps_nonneg
 from vectorian_tpu.ops.search import (
     NEG_SCORE,
     BruteForceEngine,
@@ -1027,22 +1028,71 @@ class BruteForceIndex(Index):
                 # Results stay byte-identical to find_batch by
                 # construction — both run _finalize_quantized_many.
                 # compile_plan folds static-only modifier trees to one
-                # matrix, so the plan is always ("static", 0) here
-                with trace.span("find.topk"):
-                    src = self._engine.score_topk_multi(
-                        [qp], [T], gaps, self._locality, [norm_total],
-                        n + 32,
-                        tag_weights=[tagw] if tagw is not None else None,
-                        gap_costs=gap_costs, doc_filter=doc_filter,
+                # matrix, so the plan is always ("static", 0) here.
+                # Plain queries (no tag weights / filter, nonnegative gap
+                # model) first try the provable MXU prefilter — the TPU
+                # worst_score early-reject (result_set.h:32-38): only the
+                # top-M slices by a GEMV upper bound pay the gather + DP.
+                # Accepted ONLY when every pruned slice provably falls
+                # below the exact n-th score; otherwise rerun unpruned —
+                # results stay byte-identical either way.
+                pf_ok = (
+                    tagw is None
+                    and doc_filter is None
+                    and prefilter_gaps_nonneg(
+                        gaps, gap_costs, self._engine.packed.max_len, Tpad
                     )
+                )
+
+                def _fused_src(force_full: bool):
+                    if pf_ok and not force_full:
+                        with trace.span("find.topk"):
+                            return self._engine.score_topk_prefiltered(
+                                [qp], [T], gaps, self._locality,
+                                [norm_total], n + 32, gap_costs=gap_costs,
+                            )
+                    with trace.span("find.topk"):
+                        return (
+                            self._engine.score_topk_multi(
+                                [qp], [T], gaps, self._locality,
+                                [norm_total], n + 32,
+                                tag_weights=(
+                                    [tagw] if tagw is not None else None
+                                ),
+                                gap_costs=gap_costs, doc_filter=doc_filter,
+                            ),
+                            False,
+                        )
+
+                def _fused_finalize(src):
+                    with trace.span("find.finalize"):
+                        return self._finalize_quantized_many(
+                            [(src.qview(0), qp, query, norm_total, tagw,
+                              None)],
+                            gaps, token_sim.name, n, min_score, 0.0,
+                            gap_costs=gap_costs, doc_filter=doc_filter,
+                        )[0]
+
+                src, pf_used = _fused_src(False)
                 if query.query.aborted:
                     return []
-                with trace.span("find.finalize"):
-                    return self._finalize_quantized_many(
-                        [(src.qview(0), qp, query, norm_total, tagw, None)],
-                        gaps, token_sim.name, n, min_score, 0.0,
-                        gap_costs=gap_costs, doc_filter=doc_filter,
-                    )[0]
+                matches = _fused_finalize(src)
+                if pf_used:
+                    s_n = (
+                        matches[n - 1].score
+                        if len(matches) >= n
+                        else min_score
+                    )
+                    rest = src.prefilter_rest_raw / max(norm_total, 1e-9)
+                    # 1e-3 relative slack covers the bound's bf16 weight
+                    # round-up compensation + f32 GEMV accumulation error
+                    if rest >= s_n - 1e-3 * max(1.0, abs(rest), abs(s_n)):
+                        trace.add("find.pf_fallback", 1.0)
+                        src, _ = _fused_src(True)
+                        if query.query.aborted:
+                            return []
+                        matches = _fused_finalize(src)
+                return matches
             if submatch_weight == 0.0:
                 # boosted or contextual-plan queries: device top-k with the
                 # ulp-scaled membership slack (candidate MEMBERSHIP is

@@ -431,6 +431,10 @@ class BucketTopKSource:
             lazy = isinstance(entry, _LazyScores)
             scores = entry.get() if lazy else entry
             bucket_ref_start = len(refs)
+            if "sid_dev" in db:
+                # prefiltered pseudo-bucket: its global slice-id map and
+                # pruned-region bound ride the same batched fetch
+                refs.extend((db["sid_dev"], db["ub_dev"]))
             kk = min(k, db["n"])
             # deep (score, id, raw) fetch past the payload depth: resolves
             # Zipf boundary-tie groups host-side instead of paying a
@@ -533,6 +537,10 @@ class BucketTopKSource:
         pos = 0
         for m in metas:
             db = m["db"]
+            if "sid_dev" in db:
+                db["slice_index"] = np.asarray(fetched[pos])
+                m["ub_rest_raw"] = float(fetched[pos + 1])
+                pos += 2
             if m["full"]:
                 vals = np.asarray(fetched[pos])
                 pos += 1
@@ -611,6 +619,16 @@ class BucketTopKSource:
                 ln = int(self._engine._packed.slice_len[sid])
                 return m["H"][qi, p], m["Sw"][qi, p], m["Su"][qi, p], ln
         return None
+
+    @property
+    def prefilter_rest_raw(self) -> float:
+        """Max RAW-score upper bound over every slice PRUNED by the MXU
+        prefilter (-inf when nothing was pruned).  Slices below it are
+        absent from this source entirely — the serving path must prove
+        rest/norm_total < s_n - eps or rerun unpruned (score_topk_
+        prefiltered's soundness contract)."""
+        vals = [m["ub_rest_raw"] for m in self._buckets if "ub_rest_raw" in m]
+        return max(vals) if vals else float("-inf")
 
     def qview(self, qi: int) -> "TopKView":
         return TopKView(self, qi)
@@ -2327,12 +2345,28 @@ class BruteForceEngine:
             tag_weights=tag_weights, sim_dtype=sim_dtype,
             gap_costs=gap_costs, doc_filter=doc_filter, boosts=boosts,
         )
-        # fused exact rescore: the top-k dispatch also computes each
-        # selected row's exact f32 raw DP score (static-only plans, affine
-        # or shared general gap model; doc filters compact in-kernel — the
-        # device replica of filtered_positions)
-        exact_ctx = None
+        exact_ctx = self._exact_ctx_of(
+            plans, len_ts, gaps, locality, tag_weights, gap_costs,
+            doc_filter,
+        )
+        src = BucketTopKSource(self, pending, len(plans), k, exact_ctx)
+        if with_err:
+            # the fetch above drained the queue, so this read is instant
+            with trace.span("topk.entry_err"):
+                return src, quantization_entry_err(*err_ref)
+        return src
+
+    def _exact_ctx_of(
+        self, plans, len_ts, gaps, locality, tag_weights=None,
+        gap_costs=None, doc_filter=None,
+    ):
+        """Fused exact-rescore context: the top-k dispatch also computes
+        each selected row's exact f32 raw DP score (static-only plans,
+        affine or shared general gap model; doc filters compact in-kernel
+        — the device replica of filtered_positions).  None when the plan
+        set can't ride the fused kernel."""
         t_ec0 = time.perf_counter()
+        exact_ctx = None
         if all(qp.is_static_only for qp in plans):
             stacked = self._stacked_plan_tables(plans, require_identity=True)
             if stacked is not None:
@@ -2360,17 +2394,146 @@ class BruteForceEngine:
                     "with_filter": doc_filter is not None,
                 }
         trace.add("topk.exact_ctx", time.perf_counter() - t_ec0)
-        src = BucketTopKSource(self, pending, len(plans), k, exact_ctx)
-        if with_err:
-            # the fetch above drained the queue, so this read is instant
-            with trace.span("topk.entry_err"):
-                return src, quantization_entry_err(*err_ref)
-        return src
+        return exact_ctx
+
+    def score_topk_prefiltered(
+        self,
+        plans: List[QueryPlan],
+        len_ts: List[int],
+        gaps: AffineGapParams,
+        locality: str,
+        norm_totals: List[float],
+        k: int,
+        gap_costs=None,
+    ):
+        """Latency-serving corpus pass with the provable MXU prefilter
+        (ops/prefilter.py — the TPU form of the reference's worst_score
+        early-reject, core/cpp/result_set.h:32-38): big buckets compute a
+        per-slice GEMV upper bound, keep only the top-M slices, and run
+        the gather + DP on those; small buckets take the normal full
+        pass.  Returns (BucketTopKSource, prefiltered: bool).
+
+        SOUNDNESS CONTRACT: when ``prefiltered`` is True the caller MUST
+        verify ``src.prefilter_rest_raw / norm_total < s_n - eps`` after
+        the exact finalize and rerun the full pass otherwise — pruned
+        slices are not represented in the source at all, so without the
+        check a tie at the cut could silently drop matches.  Callers
+        guarantee: static-only f32 plans, no tag weights / doc filter /
+        boost, nonnegative gap model (prefilter.gaps_nonneg)."""
+        from vectorian_tpu.ops import prefilter as pf
+
+        if self._paged or not pf.enabled():
+            return (
+                self.score_topk_multi(
+                    plans, len_ts, gaps, locality, norm_totals, k,
+                    gap_costs=gap_costs,
+                ),
+                False,
+            )
+        H, M, min_n = pf.config()
+        M = max(M, k)
+        pf_ids, full_ids = [], []
+        for bi, db in enumerate(self._device_buckets):
+            if db["n"] == 0:
+                continue
+            # capacity cap keeps every count exact in int8; small buckets
+            # are cheaper to score outright than to prune
+            if db["n"] >= max(min_n, 2 * M) and db["capacity"] <= 127:
+                pf_ids.append(bi)
+            else:
+                full_ids.append(bi)
+        if not pf_ids:
+            return (
+                self.score_topk_multi(
+                    plans, len_ts, gaps, locality, norm_totals, k,
+                    gap_costs=gap_costs,
+                ),
+                False,
+            )
+
+        with trace.span("pf.tables"):
+            sim_multi, _, _, Tpad = stack_query_tables(plans, len_ts, None)
+        V = int(sim_multi.shape[0])
+        groups = pf.cold_groups(H, V)
+        lt_arr = jnp.asarray(len_ts, jnp.int32)
+        nt_arr = jnp.asarray(norm_totals, jnp.float32)
+        gv_t = jnp.asarray(
+            gap_vec(gap_costs[1] if gap_costs is not None else None, Tpad + 1)
+        )
+        pending = []
+        t_pf0 = time.perf_counter()
+        for bi in pf_ids:
+            db = self._device_buckets[bi]
+            cnt = self._prefilter_counts(db, H, groups)
+            if "_sidx_dev" not in db:
+                db["_sidx_dev"] = jnp.asarray(
+                    np.pad(
+                        db["slice_index"],
+                        (0, db["n_pad"] - db["n"]),
+                    )
+                )
+            gv_s = jnp.asarray(
+                gap_vec(
+                    gap_costs[0] if gap_costs is not None else None,
+                    db["capacity"] + 1,
+                )
+            )
+            scores_c, tok_c, pos_c, tag_c, ln_c, sid_c, ub_rest = (
+                pf.prefilter_select_score(
+                    cnt, db["tokens"], db["pos"], db["tag"],
+                    db["lengths"].astype(jnp.int32), db["_sidx_dev"],
+                    sim_multi, lt_arr, nt_arr, gaps, gv_s, gv_t,
+                    M=M, H=H, n=db["n"], locality=locality,
+                    general=gap_costs is not None, groups=groups,
+                )
+            )
+            db_pref = {
+                "capacity": db["capacity"],
+                "chunk": min(db["chunk"], M),
+                "n": M,
+                "n_pad": M,
+                "tokens": tok_c,
+                "pos": pos_c,
+                "tag": tag_c,
+                "lengths": ln_c,
+                "slice_index": None,  # set from sid_dev on the batched fetch
+                "sid_dev": sid_c,
+                "ub_dev": ub_rest,
+            }
+            pending.append((db_pref, scores_c))
+        trace.add("pf.dispatch", time.perf_counter() - t_pf0)
+        if full_ids:
+            pending_full, _ = self._dispatch_multi(
+                plans, len_ts, gaps, locality, norm_totals,
+                gap_costs=gap_costs, only_buckets=set(full_ids),
+            )
+            pending.extend(pending_full)
+        exact_ctx = self._exact_ctx_of(
+            plans, len_ts, gaps, locality, None, gap_costs, None
+        )
+        return BucketTopKSource(self, pending, len(plans), k, exact_ctx), True
+
+    def _prefilter_counts(self, db, H: int, groups):
+        """Per-bucket [n_pad, 2H+2G] int8 count matrix, built on device
+        once and cached (invalidated if H/groups change)."""
+        from vectorian_tpu.ops import prefilter as pf
+
+        key = (H, groups)
+        cached = db.get("_pf_cnt")
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        with trace.span("pf.build_counts"):
+            cnt = pf.build_counts(
+                db["tokens"], db["lengths"], H=H, groups=groups,
+                chunk=db["chunk"],
+            )
+        db["_pf_cnt"] = (key, cnt)
+        return cnt
 
     def _dispatch_multi(
         self, plans, len_ts, gaps, locality, norm_totals,
         tag_weights=None, sim_dtype=None, gap_costs=None, doc_filter=None,
-        boosts=None,
+        boosts=None, only_buckets=None,
     ):
         """Dispatch half of the multi-query corpus pass: returns
         ([(db, scores_dev [n_pad, Q])] with scores left on device, and the
@@ -2420,8 +2583,10 @@ class BruteForceEngine:
         flt = self._filter_args(doc_filter)
         uniq_on = uniq_gather_default(Q)
         t_disp0 = time.perf_counter()
-        for db in self._device_buckets:
+        for bi, db in enumerate(self._device_buckets):
             if db["n"] == 0:
+                continue
+            if only_buckets is not None and bi not in only_buckets:
                 continue
 
             def dispatch(db=db):
