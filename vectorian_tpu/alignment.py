@@ -235,9 +235,9 @@ class WordMoversDistance(OptimalTransport):
         kwargs["builtin"] = f"rwmd/{variant}"
         if variant == "nbow":
             return WordMoversDistance(True, True, True, True, **kwargs)
-        elif variant == "nbow/distributed":  # jablonsky
+        elif variant == "nbow/distributed":
             return WordMoversDistance(True, False, True, True, **kwargs)
-        elif variant == "bow/fast":  # non-symmetric, injective
+        elif variant == "bow/fast":
             return WordMoversDistance(True, True, False, False, **kwargs)
         raise ValueError(variant)
 
