@@ -775,7 +775,22 @@ class Index:
         run_task=None,
         **kwargs,
     ) -> Result:
-        """reference index.py:479-501."""
+        """reference index.py:479-501.
+
+        ``mesh=`` (a ``jax.sharding.Mesh`` / ``MeshSearch``) serves this
+        ONE query with every chip: the corpus pass shards over the mesh
+        exactly like ``find_batch(mesh=...)`` at Q=1 and merges local
+        top-ks with the next-best bound — the reference parallelizes a
+        single query across all cores the same way (index.py:530-560,
+        ThreadPool imap_unordered + ResultSet merge).  Results are
+        byte-identical to the single-chip path (the cross-path parity
+        invariant).  ``debug`` queries stay single-chip (host-side
+        diagnostics)."""
+        mesh = kwargs.pop("mesh", None)
+        if mesh is not None and debug is None and hasattr(self, "find_batch"):
+            return self.find_batch(
+                [text], n=n, min_score=min_score, mesh=mesh, **kwargs
+            )[0]
         start_time = time.time()
         with trace.span("find.prep"):
             query = self.make_query(
