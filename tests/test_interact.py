@@ -166,3 +166,39 @@ def test_query_widget_search_button_event(session, monkeypatch):
 
     strip = lambda h: re.sub(r"vtpu-[0-9a-f]+", "vtpu-X", h)
     assert strip(qw.search_html()) == strip(html)
+
+
+def test_span_strategy_widget_embedding_search(session):
+    """The Strategy dropdown reaches the span-encoder search families
+    from the GUI (VERDICT r4 item 9; reference PartitionEmbeddingWidget,
+    interact.py:855-905): a driven search through EmbeddedSpanSim and
+    the IVF ApproximateSpanIndex."""
+    from vectorian_tpu.index import ApproximateSpanIndex, SpanEncoderIndex
+    from vectorian_tpu.sim.span import EmbeddedSpanSim
+
+    iq = InteractiveQuery(session)
+    iq._strategy._strategy.value = "partition embedding"
+    iq._strategy._emb.value = "emb-a"
+    span_sim = iq.make_span_sim()
+    assert isinstance(span_sim, EmbeddedSpanSim)
+    ix = iq.make_index()
+    assert isinstance(ix, SpanEncoderIndex)
+    r = iq.run("the old king rides the horse", n=2)
+    assert len(r) >= 1 and r[0].score > 0.9
+    assert "partition embeddings" in iq.describe()
+
+    # approximate IVF shortlist behind the checkbox
+    iq._strategy._approx.value = True
+    iq._strategy._nlist.value = 4
+    iq._strategy._nprobe.value = 4
+    ix2 = iq.make_index()
+    assert isinstance(ix2, ApproximateSpanIndex)
+    r2 = iq.run("the old king rides the horse", n=2)
+    assert len(r2) >= 1
+    assert "IVF shortlist" in iq.describe()
+
+    # flipping back restores the alignment pipeline
+    iq._strategy._strategy.value = "alignment"
+    from vectorian_tpu.sim.span import OptimizedSpanSim as _OSS
+
+    assert isinstance(iq.make_span_sim(), _OSS)

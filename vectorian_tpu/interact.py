@@ -326,6 +326,84 @@ class PartitionWidget:
         )
 
 
+class SpanStrategyWidget:
+    """Span-similarity strategy: token-level Alignment (the default
+    pipeline below) or whole-span Partition Embedding search (reference
+    PartitionMetricWidget strategy dropdown, interact.py:878-891, and
+    PartitionEmbeddingWidget :855-876 — there the encoder registry feeds
+    EmbeddedSpanSim; here the pooled-token span encoder plus an optional
+    IVF shortlist replace the Faiss factory)."""
+
+    def __init__(self, session):
+        w = _widgets()
+        self._session = session
+        self._strategy = w.Dropdown(
+            options=["alignment", "partition embedding"],
+            value="alignment",
+            description="Strategy:",
+        )
+        names = [
+            e.name for e in session.embeddings
+            if getattr(e, "is_static", True)
+        ]
+        self._emb = w.Dropdown(
+            options=names or ["(none)"],
+            value=(names or ["(none)"])[0],
+            description="Model:",
+        )
+        self._agg = w.Dropdown(
+            options=["mean", "min", "max"], value="mean",
+            description="Pooling:",
+        )
+        self._approx = w.Checkbox(
+            value=False, description="Approximate (IVF shortlist)"
+        )
+        self._nlist = w.IntSlider(
+            value=64, min=4, max=1024, description="IVF lists:"
+        )
+        self._nprobe = w.IntSlider(
+            value=8, min=1, max=64, description="IVF probes:"
+        )
+        self.widget = w.VBox(
+            [self._strategy, self._emb, self._agg, self._approx,
+             self._nlist, self._nprobe]
+        )
+
+    @property
+    def is_embedding(self) -> bool:
+        return self._strategy.value == "partition embedding"
+
+    def make(self):
+        from vectorian_tpu.embedding.span import AggregatedTokenEmbedding
+        from vectorian_tpu.sim.span import EmbeddedSpanSim
+
+        by_name = {e.name: e for e in self._session.embeddings}
+        emb = by_name[self._emb.value]
+        return EmbeddedSpanSim(AggregatedTokenEmbedding(emb, self._agg.value))
+
+    def index_kwargs(self) -> dict:
+        if self._approx.value:
+            return {
+                "approximate": {
+                    "nlist": self._nlist.value,
+                    "nprobe": self._nprobe.value,
+                }
+            }
+        return {}
+
+    def describe(self) -> str:
+        s = (
+            f"partition embeddings using **{self._emb.value}** "
+            f"({self._agg.value}-pooled)"
+        )
+        if self._approx.value:
+            s += (
+                f", approximate IVF shortlist ({self._nlist.value} lists, "
+                f"{self._nprobe.value} probes)"
+            )
+        return s
+
+
 class QueryWidget:
     """Query box + result pane (reference interact.py:985-1112)."""
 
@@ -387,6 +465,7 @@ class InteractiveQuery:
         self._nlp = nlp
         self._metric = VectorMetricWidget()
         self._mixer = EmbeddingMixerWidget(session, self._metric)
+        self._strategy = SpanStrategyWidget(session)
         self._alignment = AlignmentWidget()
         self._tags = TagWeightsWidget()
         self._partition = PartitionWidget(session)
@@ -396,13 +475,22 @@ class InteractiveQuery:
     def session(self):
         return self._session
 
-    def make_span_sim(self) -> OptimizedSpanSim:
+    def make_span_sim(self):
+        if self._strategy.is_embedding:
+            return self._strategy.make()
         return OptimizedSpanSim(
             self._mixer.make(), self._alignment.make(), **self._tags.make()
         )
 
     def make_index(self):
-        return self._partition.make().index(self.make_span_sim(), nlp=self._nlp)
+        kwargs = (
+            self._strategy.index_kwargs()
+            if self._strategy.is_embedding
+            else {}
+        )
+        return self._partition.make().index(
+            self.make_span_sim(), nlp=self._nlp, **kwargs
+        )
 
     def run(self, text: str, n: int = 10):
         return self.make_index().find(text, n=n)
@@ -410,6 +498,14 @@ class InteractiveQuery:
     def describe(self) -> str:
         """Prose summary of the configured query (reference interact.py
         describe() chains)."""
+        if self._strategy.is_embedding:
+            parts = ["Matching with", self._strategy.describe()]
+            parts.append(
+                f"on the {self._partition._level.value} partition "
+                f"(window {self._partition._size.value}, "
+                f"step {self._partition._step.value})."
+            )
+            return " ".join(parts)
         parts = [
             "Matching with", self._alignment.describe(),
             "over", self._mixer.describe(),
@@ -437,6 +533,8 @@ class InteractiveQuery:
                 w.HTML("<b>Metric</b>"),
                 self._metric.widget,
                 self._mixer.widget,
+                w.HTML("<b>Strategy</b>"),
+                self._strategy.widget,
                 w.HTML("<b>Alignment</b>"),
                 self._alignment.widget,
                 self._tags.widget,
