@@ -107,39 +107,68 @@ def main(n_sents=1_000_000, n_q=8):
         # host-side bounds from the static table
         table = np.asarray(qp.static_sims[0])[:, :T]  # [V, T]
         rel = np.maximum(table, 0.0)
-        srt = np.sort(rel, axis=1)
-        t1 = srt[:, -1]
-        t2 = srt[:, -2] if T >= 2 else np.zeros_like(t1)
+        srt = np.sort(rel, axis=1)[:, ::-1]  # desc: [V, T] t1, t2, ...
+        t1 = srt[:, 0]
+        t2 = srt[:, 1] if T >= 2 else np.zeros_like(t1)
+        # cumulative sums of the c-th largest values: csum[v, c] =
+        # t1+..+tc; the depth-inf capped bound contribution of tf copies
+        # of v is csum[v, min(tf, T)]
+        csum = np.concatenate(
+            [np.zeros((srt.shape[0], 1), np.float32), np.cumsum(srt, axis=1)],
+            axis=1,
+        )
+
+        dup_hist = np.bincount(
+            np.asarray(pq.token_ids)[np.asarray(pq.token_ids) >= 0]
+        )
+        max_ndup = int(dup_hist.max()) if dup_hist.size else 1
 
         ub1 = np.full(n_slices, -np.inf, np.float32)
         ub2 = np.full(n_slices, -np.inf, np.float32)
+        ub3 = np.full(n_slices, -np.inf, np.float32)
         for db in engine._device_buckets:
             tok = db["tokens_np"][: db["n"]]
             ln = db["lengths_np"][: db["n"]]
             L = tok.shape[1]
             valid = np.arange(L)[None, :] < ln[:, None]
-            # v2 refined: first-occurrence -> t1, duplicates -> t2,
-            # top-len_t cap
             ts = np.sort(np.where(valid, tok, -1), axis=1)
             first = np.ones_like(ts, bool)
             first[:, 1:] = ts[:, 1:] != ts[:, :-1]
-            vals = np.where(ts >= 0, np.where(first, t1[np.maximum(ts, 0)],
-                                              t2[np.maximum(ts, 0)]), 0.0)
-            vs = -np.sort(-vals, axis=1)
+            # occurrence index of each sorted token within its run (0-based)
+            occ = np.zeros_like(ts)
+            for c in range(1, L):
+                occ[:, c] = np.where(first[:, c], 0, occ[:, c - 1] + 1)
+            tsc = np.maximum(ts, 0)
+            vals12 = np.where(
+                ts >= 0, np.where(first, t1[tsc], t2[tsc]), 0.0
+            )
+            # v3: c-th occurrence of v credits the c-th largest needle
+            # value of v (depth-inf form of the indicator-column scheme)
+            vals_inf = np.where(
+                ts >= 0,
+                np.take_along_axis(
+                    srt[tsc], np.minimum(occ, T - 1)[..., None], axis=2
+                )[..., 0],
+                0.0,
+            )
+            b1 = vals12.sum(axis=1)
+            vs = -np.sort(-vals12, axis=1)
             b2 = vs[:, : min(T, L)].sum(axis=1)
-            # v1 count bound = same but NO top-len_t cap
-            b1 = vals.sum(axis=1)
+            vs3 = -np.sort(-vals_inf, axis=1)
+            b3 = vs3[:, : min(T, L)].sum(axis=1)
             ub1[db["slice_index"]] = b1
             ub2[db["slice_index"]] = b2
+            ub3[db["slice_index"]] = b3
 
         m1 = int((ub1 >= raw_n).sum())
         m2 = int((ub2 >= raw_n).sum())
+        m3 = int((ub3 >= raw_n).sum())
         # how deep could the exact scores themselves prune (oracle M)?
         m_oracle = int((scores * norm_total >= raw_n).sum())
         log(
-            f"q{t}: T={T} s10={s10:.3f} rawn={raw_n:.2f} "
-            f"minM_v1={m1} minM_v2={m2} oracle={m_oracle} "
-            f"ub1_max={ub1.max():.2f} ub2_max={ub2.max():.2f}"
+            f"q{t}: T={T} ndup={max_ndup} s10={s10:.3f} rawn={raw_n:.2f} "
+            f"minM_v1={m1} minM_v2={m2} minM_v3={m3} oracle={m_oracle} "
+            f"ub3_max={ub3.max():.2f}"
         )
     os._exit(0)
 

@@ -249,18 +249,24 @@ def main_paged(n_slices=8_000_000, Q=64, n_buckets=16):
     print(f"  warm pass (compiles): {time.perf_counter()-t0:.1f}s", flush=True)
     assert all(len(t) > 0 for t in tops)
     n_cand = sum(len(t) for t in tops)
-    modes = ("prefetch", "serial")
+    # interleaved 3-way: narrow uint16 uploads (default) vs full-width,
+    # plus the serialized-paging control
+    modes = ("narrow", "wide", "serial")
     times = {m: [] for m in modes}
     for _rep in range(2):
         for m in modes:
             os.environ["VECTORIAN_PAGE_PREFETCH"] = (
-                "1" if m == "prefetch" else "0"
+                "0" if m == "serial" else "1"
+            )
+            os.environ["VECTORIAN_PAGE_NARROW"] = (
+                "0" if m == "wide" else "1"
             )
             t0 = time.perf_counter()
             one_pass()
             times[m].append(time.perf_counter() - t0)
             print(f"  {m} pass: {times[m][-1]:.1f}s", flush=True)
     os.environ.pop("VECTORIAN_PAGE_PREFETCH", None)
+    os.environ.pop("VECTORIAN_PAGE_NARROW", None)
     peak = mem_peak()
     med = {m: float(np.median(times[m])) for m in modes}
     for m in modes:
@@ -279,24 +285,27 @@ def main_paged(n_slices=8_000_000, Q=64, n_buckets=16):
     out = {
         "what": (
             "host-side bucket paging (BruteForceEngine(paged=True)) on one "
-            "real TPU chip; interleaved A/B of double-buffered uploads vs "
-            "serialized paging (scripts/scale_check.py paged)"
+            "real TPU chip; interleaved A/B of narrow (uint16/uint8) vs "
+            "full-width uploads, plus the serialized-paging control "
+            "(scripts/scale_check.py paged)"
         ),
         "n_slices": int(n_total),
         "n_queries": int(Q),
         "n_buckets": int(n_buckets),
         "resident_bucket_bytes_gb": round(resident_bytes / 1e9, 2),
         "paged_peak_hbm_gb": round(peak / 1e9, 2) if peak else None,
-        "pass_seconds_prefetch": round(med["prefetch"], 1),
+        "pass_seconds_narrow": round(med["narrow"], 1),
+        "pass_seconds_wide": round(med["wide"], 1),
         "pass_seconds_serial": round(med["serial"], 1),
-        "alignments_per_sec_prefetch": round(n_total * Q / med["prefetch"]),
+        "alignments_per_sec_narrow": round(n_total * Q / med["narrow"]),
         "candidates_fetched": int(n_cand),
         "date": time.strftime("%Y-%m-%d"),
     }
-    with open("PAGED_SCALE_r04.json", "w") as f:
+    rev = os.environ.get("PAGED_SCALE_TAG", "r05")
+    with open(f"PAGED_SCALE_{rev}.json", "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
-    print("paged scale check OK (wrote PAGED_SCALE_r04.json)", flush=True)
+    print(f"paged scale check OK (wrote PAGED_SCALE_{rev}.json)", flush=True)
 
 
 if __name__ == "__main__":

@@ -91,7 +91,19 @@ class _PagedBucket(dict):
     def __missing__(self, key):
         if key not in self._DEVICE_KEYS:
             raise KeyError(key)
-        val = jnp.asarray(dict.__getitem__(self, key + "_np"))
+        # narrow upload planes: paged mode is transfer-bound on the
+        # tunnel, so token/index planes whose values fit uint16 (and tag
+        # planes fitting uint8) ship at half/quarter width and widen on
+        # device (engine.__init__ stores the *_u16_np/_u8_np copies;
+        # VECTORIAN_PAGE_NARROW=0 forces full-width for A/Bs)
+        narrow = dict.get(self, "_narrow_np", {}).get(key)
+        if narrow is not None and _page_narrow_default():
+            val = jnp.asarray(narrow)
+            val = val.astype(
+                jnp.int16 if key == "tag" else jnp.int32
+            )
+        else:
+            val = jnp.asarray(dict.__getitem__(self, key + "_np"))
         dict.__setitem__(self, key, val)
         return val
 
@@ -130,6 +142,15 @@ def _paged_default() -> bool:
     import os
 
     return os.environ.get("VECTORIAN_PAGE_BUCKETS", "") in ("1", "true")
+
+
+def _page_narrow_default() -> bool:
+    """Half-width (uint16 token/index, uint8 tag) paged uploads; the
+    device widens after transfer.  VECTORIAN_PAGE_NARROW=0 restores
+    full-width uploads (the A/B toggle for scale_check)."""
+    import os
+
+    return os.environ.get("VECTORIAN_PAGE_NARROW", "") not in ("0", "false")
 
 
 def _page_prefetch_default() -> bool:
@@ -2018,6 +2039,27 @@ class BruteForceEngine:
                 # after each pass (the sorted streams need host copies too)
                 entry["tok_sorted_np"] = tok_sorted
                 entry["sort_inv_np"] = inv
+                # narrow upload copies (uint16 ids/indices, uint8 tags)
+                # where values fit: paged serving is transfer-bound on
+                # the tunnel, so plane width is throughput (VERDICT r4
+                # item 5; reference analogue: the 2-thread streaming
+                # corpus pipeline, corpus/corpus.py:308)
+                narrow = {}
+                for k, arr in (
+                    ("tokens", tok),
+                    ("tok_sorted", tok_sorted),
+                    ("sort_inv", inv),
+                    ("uniq", uniq),
+                    ("uniq_inv", uniq_inv),
+                ):
+                    if arr.size and arr.max() < 65536 and arr.min() >= 0:
+                        narrow[k] = arr.astype(np.uint16)
+                tag16 = entry["tag_np"]
+                if tag16.size == 0 or (
+                    tag16.max() < 256 and tag16.min() >= 0
+                ):
+                    narrow["tag"] = tag16.astype(np.uint8)
+                entry["_narrow_np"] = narrow
                 self._device_buckets.append(_PagedBucket(entry))
             else:
                 entry.update(
