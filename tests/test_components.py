@@ -547,3 +547,41 @@ def test_span_encoder_find_batch(small_session):
         np.testing.assert_allclose(
             [m.score for m in br], [m.score for m in sr], atol=1e-5
         )
+
+
+def test_token_span_browsing_objects():
+    """User-facing Token/Span handles (reference corpus/document.py:
+    541-623): .text from the original document, iteration, html repr,
+    Match.span reconstruction through the flavor mask."""
+    import vectorian_tpu as vt
+    from vectorian_tpu.sim.token import EmbeddingTokenSim
+
+    from .helpers import make_embedding
+
+    words = ["the", "old", "king", "rides", "horse"]
+    emb = make_embedding(words, name="tsb")
+    doc = vt.StringImporter()(
+        "The old king rides, naturally. A horse sleeps.", title="d"
+    )
+    # raw Document browsing
+    sent = doc.span("sentence", 0)
+    assert isinstance(sent, vt.Span)
+    assert sent.text == "The old king rides, naturally."
+    assert [t.text for t in sent][:3] == ["The", "old", "king"]
+    assert sent[1].pos in ("ADJ", "NOUN")
+    assert "old" in sent._repr_html_()
+    assert "sentence 2" in doc.structure
+    with_idx = doc.token(2)
+    assert with_idx.text == "king" and with_idx.index == 2
+
+    # prepared (flavor-masked) browsing: punctuation is filtered but the
+    # reconstructed span text still comes from the ORIGINAL characters
+    session = vt.Session([doc], embeddings=[emb])
+    ix = session.partition("sentence").index(EmbeddingTokenSim(emb))
+    pd = session.documents[0]
+    sp = pd.span(ix.partition, 0)
+    assert "old king rides" in sp.text
+    r = ix.find("old king rides", n=1, min_score=0.0)
+    m = r[0]
+    assert "king" in m.span.text
+    assert len(m.span) >= 3

@@ -51,10 +51,12 @@ def test_bound_dominates_dp_oracle():
                 H=H, groups=groups, chunk=N,
             )
         )
+        srt = pf._needle_sorted(
+            jnp.asarray(table), jnp.asarray([T], jnp.int32)
+        )
+        no_needle = jnp.zeros((V,), bool)
         uu = np.asarray(
-            pf._ub_weights(
-                jnp.asarray(table), jnp.asarray([T], jnp.int32), H, groups
-            )
+            pf._ub_weights(srt, H, groups, no_needle)
         ).astype(np.float32)
         ub = cnt.astype(np.float32) @ uu
         for locality in ("local", "semiglobal", "global"):
@@ -175,14 +177,15 @@ def test_unsafe_cut_falls_back(big_session, monkeypatch):
 
 
 def test_count_matrix_semantics():
-    """ind/ext/distinct/dup columns count exactly (int8, masked by
-    length)."""
+    """Depth-4 occurrence indicators, excess and cold distinct/dup
+    columns count exactly (int8, masked by length)."""
     H = 4
     V = 12
-    groups = pf.cold_groups(H, V)  # [4,8), [8,12)
+    groups = pf.cold_groups(H, V)
+    assert groups == ((4, 6), (6, 9), (9, 12))
     tokens = np.asarray(
         [
-            [1, 1, 1, 5, 5, 9, 0, 0],
+            [1, 1, 1, 5, 5, 9, 1, 1],  # last two masked by length
             [2, 3, 4, 8, 11, 11, 11, 2],
         ],
         np.int32,
@@ -194,16 +197,76 @@ def test_count_matrix_semantics():
             chunk=2,
         )
     )
-    ind, ext = cnt[:, :H], cnt[:, H : 2 * H]
-    dis = cnt[:, 2 * H : 2 * H + len(groups)]
-    dup = cnt[:, 2 * H + len(groups) :]
-    # row 0: tokens 1,1,1,5,5,9 (last two masked)
-    assert list(ind[0]) == [0, 1, 0, 0]
-    assert list(ext[0]) == [0, 2, 0, 0]
-    assert list(dis[0]) == [1, 1]  # one distinct in [4,8), one in [8,12)
-    assert list(dup[0]) == [1, 0]
-    # row 1: 2,3,4,8,11,11,11,2
-    assert list(ind[1]) == [0, 0, 1, 1]
-    assert list(ext[1]) == [0, 0, 1, 0]
-    assert list(dis[1]) == [1, 2]
-    assert list(dup[1]) == [0, 2]
+    G = len(groups)
+    ind = [cnt[:, c * H : (c + 1) * H] for c in range(4)]
+    ext = cnt[:, 4 * H : 5 * H]
+    dis = cnt[:, 5 * H : 5 * H + G]
+    dup = cnt[:, 5 * H + G :]
+    # row 0: tokens 1,1,1,5,5,9 -> tf(1)=3
+    assert list(ind[0][0]) == [0, 1, 0, 0]
+    assert list(ind[1][0]) == [0, 1, 0, 0]
+    assert list(ind[2][0]) == [0, 1, 0, 0]
+    assert list(ind[3][0]) == [0, 0, 0, 0]
+    assert list(ext[0]) == [0, 0, 0, 0]
+    assert list(dis[0]) == [1, 0, 1]  # 5 in [4,6), 9 in [9,12)
+    assert list(dup[0]) == [1, 0, 0]
+    # row 1: 2,3,4,8,11,11,11,2 -> tf(2)=2, tf(3)=1
+    assert list(ind[0][1]) == [0, 0, 1, 1]
+    assert list(ind[1][1]) == [0, 0, 1, 0]
+    assert list(ind[2][1]) == [0, 0, 0, 0]
+    assert list(ext[1]) == [0, 0, 0, 0]
+    assert list(dis[1]) == [1, 1, 1]  # 4 | 8 | 11
+    assert list(dup[1]) == [0, 0, 2]
+    # a 6-copy hot id exercises the excess column
+    t2 = np.asarray([[1] * 6 + [0, 0]], np.int32)
+    c2 = np.asarray(
+        pf.build_counts(
+            jnp.asarray(t2), jnp.asarray([6], np.int32), H=H,
+            groups=groups, chunk=1,
+        )
+    )
+    assert c2[0, 0 * H + 1] == 1 and c2[0, 3 * H + 1] == 1
+    assert c2[0, 4 * H + 1] == 2  # (6 - 4)+
+
+
+def test_needle_cold_side_term_bound():
+    """The exact needle-cold side-term keeps the bound valid: random
+    tables with a 'needle id' in the cold range, bound computed through
+    prefilter_select_score's own arithmetic vs the exact DP."""
+    rng = np.random.default_rng(11)
+    V, H, T, L, N = 24, 4, 3, 8, 32
+    groups = pf.cold_groups(H, V)
+    M = 8
+    for _ in range(6):
+        table = rng.normal(scale=0.7, size=(V, T, 1)).astype(np.float32)
+        tokens = rng.integers(0, V, size=(N, L)).astype(np.int32)
+        lengths = rng.integers(1, L + 1, size=(N,)).astype(np.int32)
+        gaps = AffineGapParams.of(0.2, 0.1, 0.2, 0.1)
+        cnt = pf.build_counts(
+            jnp.asarray(tokens), jnp.asarray(lengths), H=H, groups=groups,
+            chunk=N,
+        )
+        needle = pf.needle_cold_ids([np.asarray([5, 9, 9, 2])], H)
+        out = pf.prefilter_select_score(
+            cnt, jnp.asarray(tokens), jnp.zeros((N, L), jnp.int8),
+            jnp.zeros((N, L), jnp.int16), jnp.asarray(lengths),
+            jnp.arange(N, dtype=jnp.int32), jnp.asarray(table),
+            jnp.asarray([T], jnp.int32), jnp.asarray([float(T)]),
+            jnp.asarray(needle), gaps,
+            jnp.zeros((L + 1,), jnp.float32),
+            jnp.zeros((T + 1,), jnp.float32),
+            M=M, H=H, n=N, locality="local", general=False, groups=groups,
+        )
+        scores_c, sid_c, ub_rest = out[0], out[5], float(out[6])
+        raw = np.asarray(
+            align_scores(
+                jnp.asarray(table[:, :, 0][tokens]),
+                jnp.asarray(np.maximum(lengths, 1)),
+                jnp.full((N,), T, np.int32), gaps, "local",
+            )
+        )
+        kept = set(int(s) for s in np.asarray(sid_c))
+        excluded = [i for i in range(N) if i not in kept]
+        slack = 1e-3 * max(1.0, abs(ub_rest))
+        for i in excluded:
+            assert raw[i] <= ub_rest + slack, (i, raw[i], ub_rest)

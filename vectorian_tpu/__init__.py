@@ -17,7 +17,7 @@ from vectorian_tpu.normalization import (
     Normalization,
     VanillaNormalization,
 )
-from vectorian_tpu.corpus.document import Document
+from vectorian_tpu.corpus.document import Document, Span, Token
 from vectorian_tpu.importers import (
     Importer,
     MarkdownImporter,

@@ -42,6 +42,106 @@ def n_windows(n_units: int, window_step: int) -> int:
     return k
 
 
+class Token:
+    """User-facing token handle (reference corpus/document.py:541-572):
+    ``.text`` reads the ORIGINAL surface form out of the document text,
+    ``.pos``/``.tag`` the NLP annotations, and the notebook repr renders
+    the reference's pill style."""
+
+    _css = "background:\t#F5F5F5; border-radius:0.25em;"
+    _html_template = '<span style="{style}">{text}</span>'
+
+    def __init__(self, doc: "Document", index: int):
+        self._doc = doc
+        self._index = int(index)
+
+    @property
+    def doc(self) -> "Document":
+        return self._doc
+
+    @property
+    def index(self) -> int:
+        return self._index
+
+    def to_slice(self) -> slice:
+        off = int(self._doc.idx[self._index])
+        return slice(off, off + int(self._doc.len_[self._index]))
+
+    @property
+    def text(self) -> str:
+        return self._doc.text[self.to_slice()]
+
+    @property
+    def pos(self) -> str:
+        return self._doc.pos[self._index]
+
+    @property
+    def tag(self) -> str:
+        return self._doc.tag[self._index]
+
+    def __repr__(self):
+        return f"Token({self.text!r})"
+
+    def _repr_html_(self):
+        import html
+
+        return Token._html_template.format(
+            style=Token._css, text=html.escape(self.text)
+        )
+
+
+class Span:
+    """A contiguous token range of a document (reference
+    corpus/document.py:575-623): iterable/indexable over :class:`Token`,
+    with ``.text`` reconstructing the covered character range."""
+
+    def __init__(self, doc: "Document", start: int, end: int):
+        self._doc = doc
+        self._start = int(start)
+        self._end = int(end)
+
+    @property
+    def doc(self) -> "Document":
+        return self._doc
+
+    @property
+    def start(self) -> int:
+        return self._start
+
+    @property
+    def end(self) -> int:
+        return self._end
+
+    def __len__(self):
+        return self._end - self._start
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __getitem__(self, i: int) -> Token:
+        n = len(self)
+        if i < 0 or i >= n:
+            raise IndexError(f"{i} not in [0, {n}[")
+        return Token(self._doc, self._start + i)
+
+    @property
+    def text(self) -> str:
+        if self._end <= self._start:
+            return ""
+        i0 = int(self._doc.idx[self._start])
+        i1 = int(
+            self._doc.idx[self._end - 1] + self._doc.len_[self._end - 1]
+        )
+        return self._doc.text[i0:i1]
+
+    def __repr__(self):
+        return f"Span({self.text!r})"
+
+    def _repr_html_(self):
+        return " ".join(self[i]._repr_html_() for i in range(len(self)))
+
+
 @dataclass
 class Document:
     """An imported document: original text + token table + span tables.
@@ -71,6 +171,33 @@ class Document:
     def token_texts(self) -> List[str]:
         t = self.text
         return [t[i : i + l] for i, l in zip(self.idx, self.len_)]
+
+    # --- user-facing browsing (reference corpus/document.py:541-623) ---
+
+    def token(self, i: int) -> "Token":
+        return Token(self, i)
+
+    def span(self, level: str, i: int) -> "Span":
+        """The i-th span of a span table (e.g. sentence i), as a
+        browsable :class:`Span` of original tokens."""
+        s, e = self.spans[level][i]
+        return Span(self, int(s), int(e))
+
+    def sentences(self) -> List["Span"]:
+        table = self.spans.get("sentence")
+        if table is None:
+            return []
+        return [Span(self, int(s), int(e)) for s, e in np.asarray(table)]
+
+    @property
+    def structure(self) -> str:
+        """Prose outline of the document's span structure (reference
+        Document.structure, corpus/document.py:503-515)."""
+        lines = [f"document: {self.title or '(untitled)'}"]
+        for j, sent in enumerate(self.sentences()):
+            lines.append(f"  sentence {j + 1}:")
+            lines.append("    " + sent.text)
+        return "\n".join(lines)
 
     @property
     def title(self):
@@ -163,6 +290,28 @@ class PreparedDocument:
         while n > 0 and starts[n - 1] >= self.n_tokens:
             n -= 1
         return n_windows(n, partition.window_step)
+
+    def token(self, i: int) -> "Token":
+        """The i-th SURVIVING token, as a browsable handle over the
+        original document text (reference PreparedDocument token access
+        through the flavor mask, corpus/document.py:641-649)."""
+        return Token(self.doc, int(self.orig_index[i]))
+
+    def span(self, partition, i: int) -> "Span":
+        """Slice ``i`` of ``partition`` as a browsable :class:`Span` of
+        ORIGINAL tokens — the user-facing counterpart of the packed
+        engine slice (same windowing arithmetic as span_ranges)."""
+        s, e = self.span_ranges(partition)[i]
+        return self.span_from_filtered(int(s), int(e))
+
+    def span_from_filtered(self, s: int, e: int) -> "Span":
+        """A browsable :class:`Span` from a FILTERED-token range (the
+        engine's slice coordinates) mapped back to original tokens."""
+        if e <= s:
+            return Span(self.doc, 0, 0)
+        o0 = int(self.orig_index[s])
+        o1 = int(self.orig_index[e - 1]) + 1
+        return Span(self.doc, o0, o1)
 
     def span_ranges(self, partition) -> np.ndarray:
         """[k, 2] (token_start, token_end) per slice of this partition."""

@@ -533,6 +533,14 @@ class Match:
         )
 
     @property
+    def span(self):
+        """The matched slice as a browsable :class:`corpus.document.Span`
+        of original document tokens (reference Span browsing objects,
+        corpus/document.py:575-623)."""
+        s, ln = self.slice_span
+        return self.prepared_doc.span_from_filtered(s, s + ln)
+
+    @property
     def flow(self):
         """Flow dict: injective (reference InjectiveFlow.to_py,
         match/flow.cpp:191-216) for alignments, sparse edge list (SparseFlow
@@ -1065,6 +1073,9 @@ class BruteForceIndex(Index):
                             return self._engine.score_topk_prefiltered(
                                 [qp], [T], gaps, self._locality,
                                 [norm_total], n + 32, gap_costs=gap_costs,
+                                needle_token_ids=[
+                                    np.asarray(tok_ids_p)[:T]
+                                ],
                             )
                     with trace.span("find.topk"):
                         return (

@@ -11,25 +11,29 @@ single-query serving wall this removes.
 
 The bound
 ---------
-An injective monotone alignment matches each needle position at most once
-and gap costs only subtract (all serving gap models are nonnegative —
-checked by the caller), so for a slice s and needle similarity column
-``S[v, j]`` (v = vocab id, j = needle position):
+An injective monotone alignment matches each needle position at most
+once and gap costs only subtract (all serving gap models are
+nonnegative — checked by the caller), so with ``S[v, j]`` the needle
+similarity column of vocab id v and ``t_c(v)`` the c-th largest value of
+``relu(S[v, :len_t])``:
 
-    raw(s)  <=  sum_v [ min(tf_s(v), 1) * top1(v) + max(tf_s(v)-1, 0) * top2(v) ]
+    raw(s)  <=  sum_v  sum_{c=1..tf_s(v)}  t_c(v)
 
-where ``top1(v) >= top2(v)`` are the two largest values of
-``relu(S[v, :len_t])``: the first occurrence of token v can at best match
-its best needle position, and every further duplicate a DIFFERENT needle
-position, so at best the second-best value.  (The plain ``tf * top1``
-bound collapses on function words — a slice with five "the" would be
-credited 5.0; this form credits 1.0 + 4*top2.)
+— the c-th occurrence of a token can at best match the c-th best still
+free needle position.  Occurrence depth matters: needles with REPEATED
+common words have t_1 = t_2 = 1.0, and a depth-2 bound credits every
+further duplicate 1.0 as well (measured on the 1M Zipf bench corpus:
+min provable M ~112k for such queries, vs ~11k at full depth —
+scripts/analyze_prefilter_bound.py).
 
-Frequency-ordered vocab ids (session.py) make "hot" a prefix: ids < H
-carry per-id (indicator, excess) int8 columns; the Zipf tail is covered
-by doubling id-range groups [H,2H), [2H,4H), ... with per-group
-(distinct, duplicate) counts bounded by the group's max top1/top2.  The
-count matrix ``[N, 2H + 2G]`` is built once per bucket ON DEVICE from the
+Layout: frequency-ordered vocab ids (session.py) make "hot" a prefix.
+Ids < H carry depth-4 occurrence-indicator columns [tf>=1..tf>=4] plus
+an excess column (tf-4)+ weighted t_4; the Zipf tail is covered by
+half-octave id-range groups with (distinct, duplicate) counts bounded by
+each group's max t_1/t_2 — EXCLUDING the needle's own cold ids, which
+are counted exactly in-kernel (an equality scan over the token plane)
+and credited their true cumulative t_c sums.  The count matrix
+``[N, 5H + 2G]`` int8 is built once per bucket ON DEVICE from the
 resident token arrays (no host upload) and reused by every query.
 
 Soundness under quantization: counts are integers <= 127 (exact in
@@ -58,6 +62,12 @@ from vectorian_tpu.ops.alignment import (
 
 NEG_SCORE = -1e30
 
+# occurrence-indicator depth for hot ids (see module docstring)
+DEPTH = 4
+# max needle ids handled by the exact cold side-term; overflow ids simply
+# stay in their group bound (sound, looser)
+NEEDLE_CAP = 32
+
 
 def enabled() -> bool:
     return os.environ.get("VECTORIAN_PREFILTER", "1") not in (
@@ -68,21 +78,22 @@ def enabled() -> bool:
 def config():
     """(H hot-prefix size, M candidates kept per bucket, min bucket size).
 
-    Defaults: H=512 costs ~1 KB/slice of HBM for the count matrix; M=8192
-    keeps tie groups far from the cut on Zipf corpora; buckets below
-    4*M slices are scored in full (pruning there saves nothing)."""
-    H = int(os.environ.get("VECTORIAN_PREFILTER_H", "512"))
-    M = int(os.environ.get("VECTORIAN_PREFILTER_M", "8192"))
+    Defaults: H=256 costs ~1.3 KB/slice of HBM for the depth-4 count
+    matrix; M=16384 covers the measured min provable M (~12k worst) on
+    tie-heavy Zipf corpora; buckets below 4*M slices are scored in full
+    (pruning there saves nothing)."""
+    H = int(os.environ.get("VECTORIAN_PREFILTER_H", "256"))
+    M = int(os.environ.get("VECTORIAN_PREFILTER_M", "16384"))
     min_n = int(os.environ.get("VECTORIAN_PREFILTER_MIN_N", str(4 * M)))
     return H, M, min_n
 
 
 def cold_groups(H: int, V: int):
-    """Doubling id-range groups covering [H, V) (static, hashable)."""
+    """Half-octave id-range groups covering [H, V) (static, hashable)."""
     groups = []
     lo = H
     while lo < V:
-        hi = min(lo * 2, V)
+        hi = min(max(int(lo * 1.5), lo + 1), V)
         groups.append((lo, hi))
         lo = hi
     return tuple(groups)
@@ -96,11 +107,12 @@ def build_counts(
     groups,
     chunk: int,
 ):
-    """[N, 2H + 2G] int8 count matrix, built on device (the token arrays
+    """[N, 5H + 2G] int8 count matrix, built on device (the token arrays
     are already resident — a host-side build would pay a ~GB tunnel
-    upload).  Layout: [hot indicator | hot excess | cold distinct per
-    group | cold duplicates per group].  Caller guarantees bucket
-    capacity <= 127 so every count fits int8 exactly."""
+    upload).  Layout: [tf>=1 | tf>=2 | tf>=3 | tf>=4 | (tf-4)+ for ids
+    < H | cold distinct per group | cold duplicates per group].  Caller
+    guarantees bucket capacity <= 127 so every count fits int8
+    exactly."""
     N, L = tokens.shape
     n_chunks = N // chunk
     iota_l = jnp.arange(L, dtype=jnp.int32)
@@ -115,7 +127,10 @@ def build_counts(
             axis=1,
             dtype=jnp.int32,
         )  # [c, H]
-        parts = [jnp.minimum(tf, 1), jnp.maximum(tf - 1, 0)]
+        parts = [
+            (tf >= c).astype(jnp.int32) for c in range(1, DEPTH + 1)
+        ]
+        parts.append(jnp.maximum(tf - DEPTH, 0))
         if groups:
             ts = jnp.sort(tokm, axis=1)
             new = jnp.concatenate(
@@ -143,32 +158,42 @@ def build_counts(
     return jax.lax.map(one, xs).reshape(N, -1)
 
 
-def _ub_weights(sim_multi, lt_q, H: int, groups):
-    """bf16 weight vector [2H + 2G] for the count GEMV: per-hot-id
-    (top1, top2) of relu(S[v, :len_t]) maximized over the Q stacked
-    queries (a superset's top-2 dominates every query's own top-2, so one
-    shared bound is valid for all Q), per-cold-group maxima of each.
-    Scaled up by 2^-7 relative before the bf16 round so quantization can
-    only loosen the bound."""
+def _needle_sorted(sim_multi, lt_q):
+    """[V, D] descending relu(S[v, :len_t]) maximised over the Q stacked
+    queries, D = min(T*Q, DEPTH+1) columns (a superset's c-th largest
+    dominates every query's own c-th largest, so one shared bound is
+    valid for all Q)."""
     V, T, Q = sim_multi.shape
     mask = jnp.arange(T, dtype=jnp.int32)[None, :, None] < lt_q[None, None, :]
-    S = jnp.where(mask, sim_multi.astype(jnp.float32), -jnp.inf)
-    flat = S.reshape(V, T * Q)
-    if T * Q >= 2:
-        top2 = jax.lax.top_k(flat, 2)[0]
-        t1 = jnp.maximum(top2[:, 0], 0.0)
-        t2 = jnp.maximum(top2[:, 1], 0.0)
+    S = jnp.where(mask, sim_multi.astype(jnp.float32), 0.0)
+    S = jnp.maximum(S, 0.0).reshape(V, T * Q)
+    D = min(T * Q, DEPTH + 1)
+    if T * Q <= D:
+        srt = jnp.sort(S, axis=1)[:, ::-1]
     else:
-        # a one-position needle matches each slice at most once: every
-        # duplicate's best remaining needle position is empty
-        t1 = jnp.maximum(flat[:, 0], 0.0)
-        t2 = jnp.zeros_like(t1)
-    parts = [t1[:H], t2[:H]]
+        srt = jax.lax.top_k(S, D)[0]
+    if srt.shape[1] < DEPTH + 1:
+        srt = jnp.pad(srt, ((0, 0), (0, DEPTH + 1 - srt.shape[1])))
+    return srt  # [V, DEPTH+1] t1..t5 (relu'd, zero-padded)
+
+
+def _round_up_bf16(x):
+    """bf16 value >= the f32 input (scale-up before round-to-nearest)."""
+    return (x * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
+
+
+def _ub_weights(srt, H: int, groups, needle_mask):
+    """bf16 weight vector [5H + 2G] for the count GEMV: per-hot-id
+    t_1..t_4 and the excess weight t_4; per-cold-group maxima of t_1/t_2
+    with the needle's own (exactly-counted) ids masked out."""
+    parts = [srt[:H, c] for c in range(DEPTH)]
+    parts.append(srt[:H, DEPTH - 1])  # excess copies <= t_4
     if groups:
-        parts.append(jnp.stack([jnp.max(t1[lo:hi]) for lo, hi in groups]))
-        parts.append(jnp.stack([jnp.max(t2[lo:hi]) for lo, hi in groups]))
-    uu = jnp.concatenate(parts)
-    return (uu * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
+        t1m = jnp.where(needle_mask, 0.0, srt[:, 0])
+        t2m = jnp.where(needle_mask, 0.0, srt[:, 1])
+        parts.append(jnp.stack([jnp.max(t1m[lo:hi]) for lo, hi in groups]))
+        parts.append(jnp.stack([jnp.max(t2m[lo:hi]) for lo, hi in groups]))
+    return _round_up_bf16(jnp.concatenate(parts))
 
 
 @functools.partial(
@@ -176,7 +201,7 @@ def _ub_weights(sim_multi, lt_q, H: int, groups):
     static_argnames=("M", "H", "n", "locality", "general", "groups"),
 )
 def prefilter_select_score(
-    cnt: jnp.ndarray,  # [n_pad, 2H+2G] i8 bucket count matrix
+    cnt: jnp.ndarray,  # [n_pad, 5H+2G] i8 bucket count matrix
     tokens: jnp.ndarray,  # [n_pad, L] i32
     pos_all: jnp.ndarray,  # [n_pad, L] i8
     tag_all: jnp.ndarray,  # [n_pad, L] i16
@@ -185,6 +210,7 @@ def prefilter_select_score(
     sim_multi: jnp.ndarray,  # [V, T, Q] f32 stacked query tables
     lt_q: jnp.ndarray,  # [Q] i32
     norm_total: jnp.ndarray,  # [Q] f32
+    needle_cold: jnp.ndarray,  # [NEEDLE_CAP] i32 needle ids >= H (-1 pad)
     gaps,
     gv_s: jnp.ndarray,  # [L+1] general-gap cost vector (zeros if affine)
     gv_t: jnp.ndarray,  # [T+1]
@@ -195,23 +221,58 @@ def prefilter_select_score(
     general: bool,
     groups,
 ):
-    """One fused dispatch: GEMV upper bounds for all n slices -> top-M
-    select -> compact the selected rows -> ranking-score DP on only those
-    M slices.  Returns (scores [M, Q], tok/pos/tag/len/sid compacted,
-    ub_rest = the (M+1)-th bound — a provable RAW-score ceiling on every
-    pruned slice, for the caller's cut check).
+    """One fused dispatch: GEMV + exact needle-cold side-term upper
+    bounds for all n slices -> top-M select -> compact the selected rows
+    -> ranking-score DP on only those M slices.  Returns (scores [M, Q],
+    tok/pos/tag/len/sid compacted, ub_rest = the (M+1)-th bound — a
+    provable RAW-score ceiling on every pruned slice, for the caller's
+    cut check).
 
     The ranking scores feed the UNCHANGED fused top-k + exact-rescore
     kernel (_topk_exact_rescore), so reported scores stay byte-identical
     to the unpruned serving path — ranking arithmetic only selects
     candidates, under the same eps-guarded membership rules."""
-    uu = _ub_weights(sim_multi, lt_q, H, groups)
+    V = sim_multi.shape[0]
+    srt = _needle_sorted(sim_multi, lt_q)  # [V, DEPTH+1]
+    nm_idx = jnp.where(needle_cold >= 0, needle_cold, V)  # pad -> dropped
+    nm = jnp.zeros((V,), bool).at[nm_idx].set(True, mode="drop")
+    uu = _ub_weights(srt, H, groups, nm)
     ub = jax.lax.dot_general(
         cnt[:n].astype(jnp.bfloat16),
         uu,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [n] raw-score upper bounds
+    )  # [n] raw-score upper bounds (group part credits needle ids 0)
+
+    # exact side-term for the needle's own cold ids: count occurrences
+    # by an equality scan and credit the true cumulative t_c sums
+    L = tokens.shape[1]
+    valid = (
+        jnp.arange(L, dtype=jnp.int32)[None, :] < ln_all[:n, None]
+    )
+    tokm = jnp.where(valid, tokens[:n], -1)
+    occ = jnp.sum(
+        tokm[:, :, None] == needle_cold[None, None, :],
+        axis=1,
+        dtype=jnp.int32,
+    )  # [n, P]
+    csum = jnp.cumsum(srt, axis=1)  # [V, DEPTH+1] t1, t1+t2, ...
+    cs_n = csum[jnp.maximum(needle_cold, 0)]  # [P, DEPTH+1]
+    # occurrences beyond DEPTH+1 credit t_{DEPTH+1} each (valid: the
+    # c-th occurrence value is nonincreasing in c)
+    tail = srt[jnp.maximum(needle_cold, 0), DEPTH]  # [P]
+    occ_c = jnp.minimum(occ, DEPTH + 1)
+    P = needle_cold.shape[0]
+    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    cum_vals = cs_n[pidx, jnp.maximum(occ_c - 1, 0)]  # [n, P]
+    side = jnp.where(
+        needle_cold[None, :] >= 0,
+        cum_vals * (occ_c > 0)
+        + jnp.maximum(occ - (DEPTH + 1), 0) * tail[None, :],
+        0.0,
+    ).sum(axis=1)
+    ub = ub + side
+
     vals_ub, sel = jax.lax.top_k(ub, M + 1)
     sel_m = sel[:M]
     ub_rest = vals_ub[M]
@@ -222,7 +283,7 @@ def prefilter_select_score(
     sid_c = sidx[sel_m]
 
     S = sim_multi[tok_c].astype(jnp.float32)  # [M, L, T, Q]
-    L, T, Q = S.shape[1], S.shape[2], S.shape[3]
+    T, Q = S.shape[2], S.shape[3]
     SQ = jnp.transpose(S, (0, 3, 1, 2)).reshape(M * Q, L, T)
     ln_rep = jnp.repeat(jnp.maximum(ln_c, 1), Q)
     lt_rep = jnp.tile(lt_q, M)
@@ -235,6 +296,23 @@ def prefilter_select_score(
     scores = raw.reshape(M, Q) / jnp.maximum(norm_total[None, :], 1e-9)
     scores = jnp.where(ln_c[:, None] > 0, scores, NEG_SCORE)
     return scores, tok_c, pos_c, tag_c, ln_c, sid_c, ub_rest
+
+
+def needle_cold_ids(token_id_lists, H: int) -> np.ndarray:
+    """[NEEDLE_CAP] i32 array of the distinct needle table-row ids >= H
+    across the stacked queries (-1 padded; overflow ids drop back to the
+    group bound — sound, just looser)."""
+    ids = sorted(
+        {
+            int(t)
+            for ids in token_id_lists
+            for t in np.asarray(ids).ravel()
+            if int(t) >= H
+        }
+    )[:NEEDLE_CAP]
+    out = np.full((NEEDLE_CAP,), -1, np.int32)
+    out[: len(ids)] = ids
+    return out
 
 
 def gaps_nonneg(gaps, gap_costs, cap: int, tpad: int) -> bool:

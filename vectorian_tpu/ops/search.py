@@ -2447,6 +2447,7 @@ class BruteForceEngine:
         norm_totals: List[float],
         k: int,
         gap_costs=None,
+        needle_token_ids=None,
     ):
         """Latency-serving corpus pass with the provable MXU prefilter
         (ops/prefilter.py — the TPU form of the reference's worst_score
@@ -2499,6 +2500,9 @@ class BruteForceEngine:
         groups = pf.cold_groups(H, V)
         lt_arr = jnp.asarray(len_ts, jnp.int32)
         nt_arr = jnp.asarray(norm_totals, jnp.float32)
+        needle_cold = jnp.asarray(
+            pf.needle_cold_ids(needle_token_ids or [], H)
+        )
         gv_t = jnp.asarray(
             gap_vec(gap_costs[1] if gap_costs is not None else None, Tpad + 1)
         )
@@ -2524,7 +2528,8 @@ class BruteForceEngine:
                 pf.prefilter_select_score(
                     cnt, db["tokens"], db["pos"], db["tag"],
                     db["lengths"].astype(jnp.int32), db["_sidx_dev"],
-                    sim_multi, lt_arr, nt_arr, gaps, gv_s, gv_t,
+                    sim_multi, lt_arr, nt_arr, needle_cold, gaps, gv_s,
+                    gv_t,
                     M=M, H=H, n=db["n"], locality=locality,
                     general=gap_costs is not None, groups=groups,
                 )
