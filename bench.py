@@ -104,8 +104,24 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32, Q_tp: int = 512):
     # inside the measured wall time
     index.find_batch(queries, n=10, min_score=0.2)
     _log("e2e: find_batch warm")
-    index.find(zipf_query(), n=10, min_score=0.2)
+    for _ in range(3):
+        index.find(zipf_query(), n=10, min_score=0.2)
     _log("e2e: find warm")
+
+    # interactive single-query latency FIRST, in a clean window: a settle
+    # gap after the CPU-heavy corpus build/import + warm compiles, and
+    # nothing else running (CLAUDE.md: host contention inflates host-side
+    # phases AND tunnel handling; BENCH_r04's p50 ran right after the
+    # corpus build and came out 35% above the clean LATENCY artifact)
+    time.sleep(3)
+    lats = []
+    for _ in range(21):
+        q = zipf_query()
+        t0 = time.perf_counter()
+        index.find(q, n=10, min_score=0.2)
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(np.asarray(lats) * 1e3, 50))
+    _log(f"e2e: p50 {p50_ms:.0f} ms over {len(lats)} queries")
 
     # amortized serving throughput: median over 4 warm batch passes, each
     # wall-clocked to the finished Match objects (scores are
@@ -122,16 +138,6 @@ def bench_e2e(n_sents: int = 1_000_000, Q: int = 32, Q_tp: int = 512):
         f"e2e: batch pass median {dt_batch:.2f}s over {len(pass_times)} "
         f"(min {min(pass_times):.2f} max {max(pass_times):.2f})"
     )
-
-    # interactive single-query latency (median of 15 warm queries)
-    lats = []
-    for _ in range(15):
-        q = zipf_query()
-        t0 = time.perf_counter()
-        index.find(q, n=10, min_score=0.2)
-        lats.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(np.asarray(lats) * 1e3, 50))
-    _log(f"e2e: p50 {p50_ms:.0f} ms over {len(lats)} queries")
 
     # throughput-mode serving: the same public find_batch path at the
     # Q=512/int8 configuration (the product's throughput envelope); its

@@ -165,10 +165,83 @@ def main(n_sents=1_000_000, n_q=8):
         m3 = int((ub3 >= raw_n).sum())
         # how deep could the exact scores themselves prune (oracle M)?
         m_oracle = int((scores * norm_total >= raw_n).sum())
+
+        # host replica of the DEVICE GEMM bound (ops/prefilter.py):
+        # depth-4 hot indicators + excess@t4 + masked cold groups
+        # (distinct@g1/dup@g2) + exact needle-cold side-term
+        from vectorian_tpu.ops import prefilter as pfm
+
+        gemm = {}
+        for Hg in (256, 512):
+            groups = pfm.cold_groups(Hg, table.shape[0])
+            Vv = table.shape[0]
+            needle = set(
+                int(x) for x in np.asarray(tok_ids_p)[:T] if int(x) >= Hg
+            )
+            t_cols = np.zeros((Vv, 5), np.float32)
+            t_cols[:, : min(5, T)] = srt[:, : min(5, T)]
+            g1 = np.zeros(len(groups), np.float32)
+            g2 = np.zeros(len(groups), np.float32)
+            t1m = t_cols[:, 0].copy()
+            t2m = t_cols[:, 1].copy()
+            if needle:
+                nidx = np.asarray(sorted(needle))
+                t1m[nidx] = 0.0
+                t2m[nidx] = 0.0
+            for gi, (lo, hi) in enumerate(groups):
+                g1[gi] = t1m[lo:hi].max()
+                g2[gi] = t2m[lo:hi].max()
+            ubg = np.zeros(n_slices, np.float32)
+            for db in engine._device_buckets:
+                tok = db["tokens_np"][: db["n"]]
+                ln = db["lengths_np"][: db["n"]]
+                Lb = tok.shape[1]
+                valid = np.arange(Lb)[None, :] < ln[:, None]
+                ts = np.sort(np.where(valid, tok, -1), axis=1)
+                first = np.ones_like(ts, bool)
+                first[:, 1:] = ts[:, 1:] != ts[:, :-1]
+                occ = np.zeros_like(ts)
+                for c in range(1, Lb):
+                    occ[:, c] = np.where(
+                        first[:, c], 0, occ[:, c - 1] + 1
+                    )
+                tsc = np.maximum(ts, 0)
+                hot = (ts >= 0) & (ts < Hg)
+                # device scheme: occurrences 1..4 credit t1..t4, every
+                # further copy credits t4 again (the excess column)
+                depth_vals = np.where(
+                    hot,
+                    np.take_along_axis(
+                        t_cols[tsc], np.minimum(occ, 3)[..., None], axis=2
+                    )[..., 0],
+                    0.0,
+                )
+                b = depth_vals.sum(axis=1)
+                gidx = np.full(ts.shape, -1, np.int32)
+                for gi, (lo, hi) in enumerate(groups):
+                    gidx[(ts >= lo) & (ts < hi)] = gi
+                cold = gidx >= 0
+                gsel = np.maximum(gidx, 0)
+                cold_vals = np.where(
+                    cold,
+                    np.where(first, g1[gsel], g2[gsel]),
+                    0.0,
+                )
+                b = b + cold_vals.sum(axis=1)
+                if needle:
+                    for x in needle:
+                        occx = ((tok == x) & valid).sum(axis=1)
+                        csx = np.concatenate([[0.0], np.cumsum(t_cols[x])])
+                        b = b + csx[np.minimum(occx, 5)] + np.maximum(
+                            occx - 5, 0
+                        ) * t_cols[x, 4]
+                ubg[db["slice_index"]] = b
+            gemm[Hg] = int((ubg >= raw_n).sum())
         log(
             f"q{t}: T={T} ndup={max_ndup} s10={s10:.3f} rawn={raw_n:.2f} "
-            f"minM_v1={m1} minM_v2={m2} minM_v3={m3} oracle={m_oracle} "
-            f"ub3_max={ub3.max():.2f}"
+            f"minM_v1={m1} minM_v2={m2} minM_v3={m3} "
+            f"gemmH256={gemm[256]} gemmH512={gemm[512]} "
+            f"oracle={m_oracle} ub3_max={ub3.max():.2f}"
         )
     os._exit(0)
 

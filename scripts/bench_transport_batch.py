@@ -87,6 +87,26 @@ def main():
         index = partition.index(OptimizedSpanSim(token_sim, opt))
         n_slices = index.packed.n_slices
         index.find_batch(queries, n=10, min_score=0.2)  # warm/compile
+        if name.startswith("WRD"):
+            # per-metric Sinkhorn-dual consume-filter A/B (VERDICT r4
+            # item 6): WRD's looser two-sided bound leaves the largest
+            # contested band — interleave filter on/off in ONE process
+            ab = {"1": [], "0": []}
+            for rep in range(8):
+                mode = "10"[rep % 2]
+                os.environ["VECTORIAN_DUAL_FILTER"] = mode
+                t0 = time.perf_counter()
+                res = index.find_batch(queries, n=10, min_score=0.2)
+                ab[mode].append(time.perf_counter() - t0)
+                assert len(res) == Q
+            os.environ.pop("VECTORIAN_DUAL_FILTER", None)
+            for mode, label in (("1", "dual-filter"), ("0", "no-filter")):
+                d = float(np.median(ab[mode]))
+                print(
+                    f"{name + ' ' + label:34s} {d*1e3:8.0f} ms/pass  "
+                    f"{d/Q*1e3:6.1f} ms/query amortized",
+                    flush=True,
+                )
         times, events = [], []
         for _ in range(4):
             trace.start()

@@ -65,8 +65,10 @@ NEG_SCORE = -1e30
 # occurrence-indicator depth for hot ids (see module docstring)
 DEPTH = 4
 # max needle ids handled by the exact cold side-term; overflow ids simply
-# stay in their group bound (sound, looser)
-NEEDLE_CAP = 32
+# stay in their group bound (sound, looser).  The side-term unrolls over
+# this, so it stays small (distinct needle ids >= H are ~2-3 on Zipf
+# queries)
+NEEDLE_CAP = 16
 
 
 def enabled() -> bool:
@@ -83,7 +85,7 @@ def config():
     tie-heavy Zipf corpora; buckets below 4*M slices are scored in full
     (pruning there saves nothing)."""
     H = int(os.environ.get("VECTORIAN_PREFILTER_H", "256"))
-    M = int(os.environ.get("VECTORIAN_PREFILTER_M", "16384"))
+    M = int(os.environ.get("VECTORIAN_PREFILTER_M", "32768"))
     min_n = int(os.environ.get("VECTORIAN_PREFILTER_MIN_N", str(4 * M)))
     return H, M, min_n
 
@@ -178,8 +180,18 @@ def _needle_sorted(sim_multi, lt_q):
 
 
 def _round_up_bf16(x):
-    """bf16 value >= the f32 input (scale-up before round-to-nearest)."""
-    return (x * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
+    """Minimal bf16 value >= the f32 input (nonnegative finite inputs):
+    round-to-nearest, then bump by one ulp via the bit pattern exactly
+    where the round went down.  A blanket (1 + 2^-7) scale-up costs
+    ~0.8% bound inflation — enough to push tie-dense Zipf cuts past the
+    provable-M budget (measured: 33% fallback at M=16k)."""
+    b = x.astype(jnp.bfloat16)
+    low = b.astype(jnp.float32) < x
+    bits = jax.lax.bitcast_convert_type(b, jnp.uint16)
+    bumped = jax.lax.bitcast_convert_type(
+        (bits + 1).astype(jnp.uint16), jnp.bfloat16
+    )
+    return jnp.where(low, bumped, b)
 
 
 def _ub_weights(srt, H: int, groups, needle_mask):
@@ -245,32 +257,31 @@ def prefilter_select_score(
     )  # [n] raw-score upper bounds (group part credits needle ids 0)
 
     # exact side-term for the needle's own cold ids: count occurrences
-    # by an equality scan and credit the true cumulative t_c sums
+    # by per-id equality scans and credit the true cumulative t_c sums.
+    # P is small and static, so the loop unrolls into fused VPU compares
+    # — no [n, L, P] materialisation and no per-slice gather (a 2D
+    # advanced-indexing select here measured ~70 ms at 1M slices)
     L = tokens.shape[1]
     valid = (
         jnp.arange(L, dtype=jnp.int32)[None, :] < ln_all[:n, None]
     )
     tokm = jnp.where(valid, tokens[:n], -1)
-    occ = jnp.sum(
-        tokm[:, :, None] == needle_cold[None, None, :],
-        axis=1,
-        dtype=jnp.int32,
-    )  # [n, P]
-    csum = jnp.cumsum(srt, axis=1)  # [V, DEPTH+1] t1, t1+t2, ...
-    cs_n = csum[jnp.maximum(needle_cold, 0)]  # [P, DEPTH+1]
-    # occurrences beyond DEPTH+1 credit t_{DEPTH+1} each (valid: the
-    # c-th occurrence value is nonincreasing in c)
+    cs_n = jnp.cumsum(srt, axis=1)[
+        jnp.maximum(needle_cold, 0)
+    ]  # [P, DEPTH+1] t1, t1+t2, ...
     tail = srt[jnp.maximum(needle_cold, 0), DEPTH]  # [P]
-    occ_c = jnp.minimum(occ, DEPTH + 1)
     P = needle_cold.shape[0]
-    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
-    cum_vals = cs_n[pidx, jnp.maximum(occ_c - 1, 0)]  # [n, P]
-    side = jnp.where(
-        needle_cold[None, :] >= 0,
-        cum_vals * (occ_c > 0)
-        + jnp.maximum(occ - (DEPTH + 1), 0) * tail[None, :],
-        0.0,
-    ).sum(axis=1)
+    side = jnp.zeros((n,), jnp.float32)
+    for p in range(P):
+        occ = jnp.sum(tokm == needle_cold[p], axis=1, dtype=jnp.int32)
+        occ_c = jnp.minimum(occ, DEPTH + 1)
+        val = jnp.zeros((n,), jnp.float32)
+        for c in range(1, DEPTH + 2):
+            val = val + jnp.where(occ_c == c, cs_n[p, c - 1], 0.0)
+        # occurrences beyond DEPTH+1 credit t_{DEPTH+1} each (valid:
+        # the c-th occurrence value is nonincreasing in c)
+        val = val + jnp.maximum(occ - (DEPTH + 1), 0) * tail[p]
+        side = side + jnp.where(needle_cold[p] >= 0, val, 0.0)
     ub = ub + side
 
     vals_ub, sel = jax.lax.top_k(ub, M + 1)
