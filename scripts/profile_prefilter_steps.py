@@ -113,11 +113,14 @@ def main(n_sents=1_000_000):
                 np.pad(db["slice_index"], (0, db["n_pad"] - db["n"]))
             )
         gv_s = jnp.asarray(gap_vec(None, db["capacity"] + 1))
+        needle_cold = jnp.asarray(
+            pf.needle_cold_ids([np.asarray(tok_ids_p)[:T]], H)
+        )
         t0 = time.perf_counter()
         out = pf.prefilter_select_score(
             cnt, db["tokens"], db["pos"], db["tag"],
             db["lengths"].astype(jnp.int32), db["_sidx_dev"],
-            sim_multi, lt_arr, nt_arr, gaps, gv_s, gv_t,
+            sim_multi, lt_arr, nt_arr, needle_cold, gaps, gv_s, gv_t,
             M=M, H=H, n=db["n"], locality=index._locality,
             general=False, groups=groups,
         )
