@@ -1272,38 +1272,84 @@ class WMDEngine:
         if active is None:
             active = range(len(queries))
         active = [qi for qi in active if pos[qi] < len(cand_lists[qi])]
-        while active:
-            # retire queries whose next bound is below their cut BEFORE
-            # fetching, so the final round fetches no wasted windows
-            active = [
+
+        # software pipelining (static tables only): the NEXT window's
+        # similarity fetch dispatches BEFORE the current window's host
+        # EMD solves, so the device gather runs under the solver
+        # (measured serialized: 0.57 s fetch + 0.84 s solve per WRD Q=64
+        # pass).  The speculative window assumes no query retires — the
+        # actual window is always a subset (active only shrinks; pos and
+        # step advance deterministically), so overshoot costs wasted
+        # device work, never correctness.  ``inflight`` keeps a
+        # speculative fetch from being re-requested.
+        inflight = set()
+
+        def build_items(act, pos_of, stp):
+            items = []
+            for qi in act:
+                window = cand_lists[qi][pos_of(qi) : pos_of(qi) + stp]
+                missing = [
+                    s
+                    for s in window
+                    if int(s) not in sims_all[qi]
+                    and (qi, int(s)) not in inflight
+                ]
+                if missing:
+                    items.append((qi, missing))
+            return items
+
+        def retire_filter(act):
+            return [
                 qi
-                for qi in active
+                for qi in act
                 if not (
                     len(per_q[qi]) >= n
+                    and pos[qi] < len(cand_lists[qi])
                     and smaps[qi][cand_lists[qi][pos[qi]]]
                     < self._nth_cut(per_q[qi], n, min_score) - eps_q[qi]
                 )
             ]
-            items = []
-            for qi in active:
-                window = cand_lists[qi][pos[qi] : pos[qi] + step]
-                missing = [s for s in window if int(s) not in sims_all[qi]]
-                if missing:
-                    items.append((qi, missing))
-            if items:
-                with trace.span("wmd.sims_fetch"):
-                    if sim_multi is None:
-                        # contextual / mixed-tree batch: the stacked
-                        # pair-gather table only exists for static plans —
-                        # fetch through the plan-generic batched
-                        # similarity path per query
-                        fetched = self._sims_many_plan(items, qps, states)
-                    else:
-                        fetched = self._sims_many_static(
-                            items, sim_multi, tw_args, tagged
-                        )
-                for (qi, _), sm in zip(items, fetched):
-                    sims_all[qi].update(sm)
+
+        def dispatch(items):
+            if not items:
+                return None
+            for qi, sids in items:
+                inflight.update((qi, int(s)) for s in sids)
+            if sim_multi is None:
+                return None  # plan-generic path stays serial (below)
+            return self._sims_many_static_dispatch(
+                items, sim_multi, tw_args, tagged
+            )
+
+        def collect(handle, items):
+            if not items:
+                return
+            with trace.span("wmd.sims_fetch"):
+                if handle is None:
+                    # contextual / mixed-tree batch: the stacked
+                    # pair-gather table only exists for static plans —
+                    # fetch through the plan-generic batched similarity
+                    # path per query (serial, no prefetch)
+                    fetched = self._sims_many_plan(items, qps, states)
+                else:
+                    fetched = self._sims_many_static_collect(handle)
+            for (qi, sids), sm in zip(items, fetched):
+                sims_all[qi].update(sm)
+                inflight.difference_update((qi, int(s)) for s in sids)
+
+        active = retire_filter(active)
+        cur_items = build_items(active, lambda qi: pos[qi], step)
+        handle = dispatch(cur_items)
+        while active:
+            collect(handle, cur_items)
+            # speculative prefetch for the next round (pipelined under
+            # this round's host solves)
+            nstep = min(2 * step, step_cap)
+            spec = [
+                qi for qi in active if pos[qi] + step < len(cand_lists[qi])
+            ]
+            spec_items = build_items(spec, lambda qi: pos[qi] + step, nstep)
+            handle = dispatch(spec_items)
             nxt = []
             with trace.span("wmd.host_rescore"):
                 for qi in active:
@@ -1324,8 +1370,9 @@ class WMDEngine:
                     pos[qi] += step
                     if pos[qi] < len(cand):
                         nxt.append(qi)
-            step = min(2 * step, step_cap)
-            active = nxt
+            step = nstep
+            active = retire_filter(nxt)
+            cur_items = spec_items
 
     def _rescore_with_cut(
         self, index, query, qp, state, smap, rest, n, min_score,
@@ -1389,46 +1436,96 @@ class WMDEngine:
         (a Q=64 batch measured ~2.6 s in host reads alone).  Returns one
         {sid: (Sw, Su)} per item; slices/pairs are host-gathered rows, so
         paged mode works identically (device bucket keys never touched)."""
+        return self._sims_many_static_collect(
+            self._sims_many_static_dispatch(items, sim_multi, tw_args,
+                                            tagged)
+        )
+
+    def _sims_many_static_dispatch(self, items, sim_multi, tw_args, tagged):
+        """Dispatch half of ``_sims_many_static``: enqueues the device
+        work and returns a handle; ``_sims_many_static_collect`` blocks
+        on the results.  The split lets the consume loop PREFETCH the
+        next window's similarities under the current window's host EMD
+        solves (wmd.sims_fetch measured ~0.57 s of a 2.0 s WRD Q=64 pass
+        fully serialized against 0.84 s of host rescore)."""
         from vectorian_tpu.ops.search import _next_pow2
 
         engine = self._engine
         V = int(sim_multi.shape[0])
-        out_all = [dict() for _ in items]
-        groups = {}
-        for ii, (qi, sids) in enumerate(items):
-            for sid in sids:
-                bi, r = engine._slice_loc[sid]
-                db = engine._device_buckets[bi]
-                g = groups.setdefault(
-                    int(db["capacity"]),
-                    {"tok": [], "pos": [], "qi": [], "own": []},
-                )
-                g["tok"].append(db["tokens_np"][r])
-                g["pos"].append(db["pos_np"][r])
-                g["qi"].append(qi)
-                g["own"].append((ii, int(sid)))
-        refs, metas = [], []
-        for L, g in groups.items():
-            p = len(g["tok"])
-            pp = _next_pow2(p)
-            tok = np.zeros((pp, L), np.int32)
-            tok[:p] = np.asarray(g["tok"], np.int32)
-            pos = np.zeros((pp, L), np.int8)
-            pos[:p] = np.asarray(g["pos"], np.int8)
-            qidx = np.zeros((pp,), np.int32)
-            qidx[:p] = g["qi"]
-            Sw, Su = _pairs_sims_static(
-                jnp.asarray(tok), jnp.asarray(pos), jnp.asarray(qidx),
-                sim_multi, *tw_args, V=V, with_tags=tagged,
+        # vectorized (bucket-grouped) row packing: the per-sid python
+        # append loop was the dominant HOST cost of a WRD serving round
+        # (it sat on the critical path even with the prefetch pipeline)
+        if items:
+            sid_arr = np.concatenate(
+                [np.asarray(sids, np.int64) for _, sids in items]
             )
-            refs.append(Sw)
-            if tagged:
-                refs.append(Su)
-            metas.append(g["own"])
-        fetched = jax.device_get(refs) if refs else []
+            ii_arr = np.concatenate(
+                [np.full(len(sids), ii, np.int32)
+                 for ii, (_, sids) in enumerate(items)]
+            )
+            qi_arr = np.concatenate(
+                [np.full(len(sids), qi, np.int32) for qi, sids in items]
+            )
+            locs = engine._slice_loc[sid_arr]  # [k, 2] (bucket, row)
+        else:
+            sid_arr = np.zeros((0,), np.int64)
+        refs, metas = [], []
+        if sid_arr.size:
+            order = np.argsort(locs[:, 0], kind="stable")
+            b_sorted = locs[order, 0]
+            starts = np.flatnonzero(
+                np.concatenate(([True], b_sorted[1:] != b_sorted[:-1]))
+            )
+            bounds = list(starts) + [len(order)]
+            for gi in range(len(starts)):
+                sel = order[bounds[gi] : bounds[gi + 1]]
+                bi = int(b_sorted[bounds[gi]])
+                db = engine._device_buckets[bi]
+                rows = locs[sel, 1]
+                p = len(sel)
+                pp = _next_pow2(p)
+                L = db["tokens_np"].shape[1]
+                tok = np.zeros((pp, L), np.int32)
+                tok[:p] = db["tokens_np"][rows]
+                pos = np.zeros((pp, L), np.int8)
+                pos[:p] = db["pos_np"][rows]
+                qidx = np.zeros((pp,), np.int32)
+                qidx[:p] = qi_arr[sel]
+                Sw, Su = _pairs_sims_static(
+                    jnp.asarray(tok), jnp.asarray(pos), jnp.asarray(qidx),
+                    sim_multi, *tw_args, V=V, with_tags=tagged,
+                )
+                refs.append(Sw)
+                if tagged:
+                    refs.append(Su)
+                metas.append(
+                    list(zip(ii_arr[sel].tolist(), sid_arr[sel].tolist()))
+                )
+        # start the device->host copies NOW: the collect's device_get then
+        # only waits out whatever transfer remains after the host EMD
+        # solves it overlapped (the [pp, L, Tmax] f32 rounds are
+        # transfer-bound — ~8 MB at the largest window)
+        for r in refs:
+            try:
+                r.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                break
+        return {
+            "refs": refs, "metas": metas, "tagged": tagged,
+            "n_items": len(items), "items": items,
+        }
+
+    def _sims_many_static_collect(self, handle):
+        """Blocking half of ``_sims_many_static`` (one batched
+        device_get + host unpack)."""
+        out_all = [dict() for _ in range(handle["n_items"])]
+        fetched = (
+            jax.device_get(handle["refs"]) if handle["refs"] else []
+        )
         pos_i = 0
-        slice_len = engine.packed.slice_len
-        for own in metas:
+        tagged = handle["tagged"]
+        slice_len = self._engine.packed.slice_len
+        for own in handle["metas"]:
             Sw = np.asarray(fetched[pos_i])
             pos_i += 1
             if tagged:
@@ -2700,9 +2797,11 @@ class WMDEngine:
         # on-TPU A/B measured the filter ~20% SLOWER end to end at Q=64 —
         # the threaded batch EMD (vn_emd_batch) already made the exact
         # solves cheaper than the filter's per-round numpy Sinkhorn — so
-        # it stays off by default; flip it on for workloads with much
-        # larger contested bands.  Debug queries keep every solve (the
-        # solver payload hook reports per slice).
+        # it stays off by default.  Re-A/B'd PER METRIC in round 5 for
+        # WRD specifically (the largest contested band): 22.8 vs 19.6
+        # ms/query against no-filter in the same window — still off.
+        # Debug queries keep every solve (the solver payload hook
+        # reports per slice).
         import os as _os
 
         if (
