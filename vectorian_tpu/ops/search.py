@@ -3586,12 +3586,18 @@ class BruteForceEngine:
         Qp = _next_pow2(len(mats))
         if Qp * V * Tmax * 4 > self.STACKED_TABLE_MAX_BYTES:
             return None
-        mats = mats + [mats[0]] * (Qp - len(mats))
-        table = _pad_stack(
-            tuple(mats),
-            tuple(Tmax - int(m.shape[1]) for m in mats),
-            axis=0,
-        ).reshape(Qp * V, Tmax)
+        if Qp == 1 and int(mats[0].shape[1]) == Tmax:
+            # single-query fast path: the [V, T] plan matrix IS the
+            # gather table — no copy dispatch (the stack build cost
+            # ~4.8 ms of a warm find() p50, LATENCY_r05)
+            table = mats[0]
+        else:
+            mats = mats + [mats[0]] * (Qp - len(mats))
+            table = _pad_stack(
+                tuple(mats),
+                tuple(Tmax - int(m.shape[1]) for m in mats),
+                axis=0,
+            ).reshape(Qp * V, Tmax)
         self._stack_memo = (
             {id(qp): i for i, qp in enumerate(qps)},
             list(qps),
