@@ -270,3 +270,32 @@ def test_needle_cold_side_term_bound():
         slack = 1e-3 * max(1.0, abs(ub_rest))
         for i in excluded:
             assert raw[i] <= ub_rest + slack, (i, raw[i], ub_rest)
+
+
+def test_prefiltered_general_gaps_byte_identical(big_session, monkeypatch):
+    """Non-affine (WSB) gap models ride the prefilter too when every
+    cost is nonnegative — byte-equality vs the unpruned path."""
+    from vectorian_tpu.alignment import ExponentialGapCost
+
+    session, emb, words = big_session
+    rng = np.random.default_rng(77)
+    queries = [
+        " ".join(rng.choice(words[:40], size=int(rng.integers(2, 6))))
+        for _ in range(2)
+    ]
+    gap = ExponentialGapCost(3.0)
+
+    monkeypatch.setenv("VECTORIAN_PREFILTER", "0")
+    want = _run_find(session, emb, queries, gap, LocalAlignment, 5, 0.05)
+
+    monkeypatch.setenv("VECTORIAN_PREFILTER", "1")
+    monkeypatch.setenv("VECTORIAN_PREFILTER_M", "256")
+    monkeypatch.setenv("VECTORIAN_PREFILTER_MIN_N", "1")
+    monkeypatch.setenv("VECTORIAN_PREFILTER_H", "32")
+    from vectorian_tpu.utils import trace
+
+    trace.start()
+    got = _run_find(session, emb, queries, gap, LocalAlignment, 5, 0.05)
+    events = [n for n, _ in trace.stop()]
+    assert "pf.dispatch" in events, "general-gap prefilter did not engage"
+    assert got == want
