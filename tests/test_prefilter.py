@@ -299,3 +299,45 @@ def test_prefiltered_general_gaps_byte_identical(big_session, monkeypatch):
     events = [n for n, _ in trace.stop()]
     assert "pf.dispatch" in events, "general-gap prefilter did not engage"
     assert got == want
+
+
+def test_prefiltered_bidirectional_byte_identical(big_session, monkeypatch):
+    """The fused bidirectional path rides the prefilter with ONE shared
+    candidate set (reversal permutes needle positions; the bound's
+    per-id maxima are permutation-invariant) — byte-equality vs the
+    unpruned bidirectional path."""
+    session, emb, words = big_session
+    rng = np.random.default_rng(91)
+    queries = [
+        " ".join(rng.choice(words[:40], size=int(rng.integers(2, 6))))
+        for _ in range(2)
+    ]
+
+    def run():
+        p = session.partition("sentence")
+        ix = p.index(
+            OptimizedSpanSim(
+                EmbeddingTokenSim(emb), LocalAlignment(AffineGapCost(0.3, 0.1))
+            )
+        )
+        return [
+            [
+                (m.slice_id, m.score)
+                for m in ix.find(q, n=5, min_score=0.05, bidirectional=True)
+            ]
+            for q in queries
+        ]
+
+    monkeypatch.setenv("VECTORIAN_PREFILTER", "0")
+    want = run()
+    monkeypatch.setenv("VECTORIAN_PREFILTER", "1")
+    monkeypatch.setenv("VECTORIAN_PREFILTER_M", "256")
+    monkeypatch.setenv("VECTORIAN_PREFILTER_MIN_N", "1")
+    monkeypatch.setenv("VECTORIAN_PREFILTER_H", "32")
+    from vectorian_tpu.utils import trace
+
+    trace.start()
+    got = run()
+    events = [n for n, _ in trace.stop()]
+    assert "pf.dispatch" in events, "bidirectional prefilter did not engage"
+    assert got == want

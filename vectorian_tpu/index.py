@@ -1014,29 +1014,76 @@ class BruteForceIndex(Index):
             qp_rev = _reverse_plan(qp, T)
             tagw_rev = _reverse_tagw(tagw, T)
             k_fetch = (4 * n + 32) if submatch_weight != 0.0 else (n + 32)
-            src = self._engine.score_topk_multi(
-                [qp, qp_rev], [T, T], gaps, self._locality,
-                [norm_total, norm_total], k_fetch,
-                tag_weights=[tagw, tagw_rev] if tagw is not None else None,
-                gap_costs=gap_costs, doc_filter=doc_filter,
-                boosts=[boost, boost] if boost is not None else None,
-            )
-            if query.query.aborted:
-                return []
-            items = [
-                (src.qview(0), qp, query, norm_total, tagw, boost),
-                (src.qview(1), qp_rev, query, norm_total, tagw_rev, boost),
-            ]
-            if submatch_weight != 0.0:
-                pair = self._finalize_submatch_many(
-                    items, gaps, n, min_score, 0.0, submatch_weight,
-                    gap_costs=gap_costs, doc_filter=doc_filter,
+            # the MXU prefilter serves both orientations from ONE shared
+            # candidate set: the bound's per-id weights are maxima over
+            # needle positions, which reversal only permutes, so the
+            # shared top-M covers fwd AND rev; the cut must prove against
+            # the WEAKER orientation's n-th score
+            pf_ok = (
+                submatch_weight == 0.0
+                and boost is None
+                and tagw is None
+                and doc_filter is None
+                and prefilter_gaps_nonneg(
+                    gaps, gap_costs, self._engine.packed.max_len, Tpad
                 )
-            else:
-                pair = self._finalize_quantized_many(
+            )
+
+            def _bidir_src(force_full: bool):
+                if pf_ok and not force_full:
+                    with trace.span("find.topk"):
+                        return self._engine.score_topk_prefiltered(
+                            [qp, qp_rev], [T, T], gaps, self._locality,
+                            [norm_total, norm_total], k_fetch,
+                            gap_costs=gap_costs,
+                            needle_token_ids=[np.asarray(tok_ids_p)[:T]],
+                        )
+                return (
+                    self._engine.score_topk_multi(
+                        [qp, qp_rev], [T, T], gaps, self._locality,
+                        [norm_total, norm_total], k_fetch,
+                        tag_weights=(
+                            [tagw, tagw_rev] if tagw is not None else None
+                        ),
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                        boosts=[boost, boost] if boost is not None else None,
+                    ),
+                    False,
+                )
+
+            def _bidir_pair(src):
+                items = [
+                    (src.qview(0), qp, query, norm_total, tagw, boost),
+                    (src.qview(1), qp_rev, query, norm_total, tagw_rev,
+                     boost),
+                ]
+                if submatch_weight != 0.0:
+                    return self._finalize_submatch_many(
+                        items, gaps, n, min_score, 0.0, submatch_weight,
+                        gap_costs=gap_costs, doc_filter=doc_filter,
+                    )
+                return self._finalize_quantized_many(
                     items, gaps, token_sim.name, n, min_score, 0.0,
                     gap_costs=gap_costs, doc_filter=doc_filter,
                 )
+
+            src, pf_used = _bidir_src(False)
+            if query.query.aborted:
+                return []
+            pair = _bidir_pair(src)
+            if pf_used:
+                s_ns = [
+                    (side[n - 1].score if len(side) >= n else min_score)
+                    for side in pair
+                ]
+                s_n = min(s_ns)
+                rest = src.prefilter_rest_raw / max(norm_total, 1e-9)
+                if rest >= s_n - 1e-3 * max(1.0, abs(rest), abs(s_n)):
+                    trace.add("find.pf_fallback", 1.0)
+                    src, _ = _bidir_src(True)
+                    if query.query.aborted:
+                        return []
+                    pair = _bidir_pair(src)
             return self._merge_bidirectional(pair[0], pair[1], query, n)
 
         if debug is None and not opts.get("bidirectional"):
