@@ -118,6 +118,22 @@ def main():
     batch_ix.find(query, n=1, debug=lambda name, data: seen.append(name))
     print("debug payloads emitted:", sorted(set(seen)))
 
+    # browsing objects (round 5): the matched slice as Token/Span handles
+    span = best.span
+    print("matched span text:", repr(span.text))
+    print("matched tokens:", [(t.text, t.pos) for t in span][:6])
+
+    # single-query multi-chip serving (round 5): one query, every chip —
+    # byte-identical to single-chip find()
+    from vectorian_tpu.parallel.mesh import MeshSearch, make_mesh
+
+    ms = MeshSearch(make_mesh())
+    mesh_best = batch_ix.find(query, n=1, mesh=ms)[0]
+    assert (mesh_best.slice_id, mesh_best.score) == (
+        best.slice_id, best.score,
+    )
+    print("find(mesh=...) byte-identical:", True)
+
 
 if __name__ == "__main__":
     main()
